@@ -1,0 +1,97 @@
+package graft.fixtures
+
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
+/** Grayscale image codec + perceptual-hash kernels (SURVEY.md H12).
+  *
+  * `raw` fmt = single-channel 8-bit row-major pixels (w*h bytes) —
+  * byte-exact checks. `png` fmt = lossless PNG via javax.imageio (in-JDK,
+  * zero extra deps) — exercises the decode + PSNR≥40dB verification path
+  * that a lossy format would use (BASELINE.json input_hint).
+  */
+object ImageCodec {
+  def encodeRaw(pixels: Array[Byte]): Array[Byte] = pixels
+
+  def encodePng(pixels: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    img.getRaster.setDataElements(0, 0, w, h, pixels)
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Decode to row-major 8-bit gray pixels. */
+  def decode(bytes: Array[Byte], fmt: String, w: Int, h: Int): Array[Byte] = fmt match {
+    case "raw" => bytes
+    case "png" =>
+      val img = ImageIO.read(new ByteArrayInputStream(bytes))
+      val out = new Array[Byte](w * h)
+      img.getRaster.getDataElements(0, 0, w, h, out)
+      out
+    case other => throw new IllegalArgumentException(s"unknown fmt: $other")
+  }
+
+  /** 8×8 average-hash: bit k (row-major) set iff block-k mean > global mean.
+    * Requires w, h divisible by 8.
+    */
+  def avgHash64(pixels: Array[Byte], w: Int, h: Int): Long = {
+    val bw = w / 8; val bh = h / 8
+    var global = 0L
+    var i = 0
+    while (i < pixels.length) { global += (pixels(i) & 0xff); i += 1 }
+    val gMean = global.toDouble / pixels.length
+    var hash = 0L
+    var k = 0
+    while (k < 64) {
+      val br = k / 8; val bc = k % 8
+      var sum = 0L
+      var y = br * bh
+      while (y < (br + 1) * bh) {
+        var x = bc * bw
+        val rowBase = y * w
+        while (x < (bc + 1) * bw) { sum += (pixels(rowBase + x) & 0xff); x += 1 }
+        y += 1
+      }
+      if (sum.toDouble / (bw * bh) > gMean) hash |= (1L << k)
+      k += 1
+    }
+    hash
+  }
+
+  /** Construct pixels whose avgHash64 equals the given 64-bit value:
+    * block k = 200 if bit k set else 50. Exact for any value with < 64 bits
+    * set (phash is a ≤58-bit Morton code, so always exact here).
+    */
+  def pixelsFromHash(hash: Long, w: Int, h: Int): Array[Byte] = {
+    val bw = w / 8; val bh = h / 8
+    val px = new Array[Byte](w * h)
+    var k = 0
+    while (k < 64) {
+      val v: Byte = if (((hash >>> k) & 1L) == 1L) 200.toByte else 50.toByte
+      val br = k / 8; val bc = k % 8
+      var y = br * bh
+      while (y < (br + 1) * bh) {
+        java.util.Arrays.fill(px, y * w + bc * bw, y * w + (bc + 1) * bw, v)
+        y += 1
+      }
+      k += 1
+    }
+    px
+  }
+
+  /** Peak signal-to-noise ratio in dB; Double.PositiveInfinity if identical. */
+  def psnr(a: Array[Byte], b: Array[Byte]): Double = {
+    require(a.length == b.length, "size mismatch")
+    var se = 0.0
+    var i = 0
+    while (i < a.length) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      se += d.toDouble * d
+      i += 1
+    }
+    if (se == 0) Double.PositiveInfinity
+    else 10.0 * math.log10(255.0 * 255.0 * a.length / se)
+  }
+}

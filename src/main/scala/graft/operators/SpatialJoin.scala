@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core._
+import graft.fixtures.PolySpec
+import graft.functions.GraftFunctions._
+
+/** The flagship graft operator (SURVEY.md C2/D11, §3.3): many-polygon
+  * spatial join of a huge point table against a polygon extent set.
+  *
+  * Reference semantics: `MapAggregator.aggregateByGeometry(Map[U, Polygonal])`
+  * [ref: oshdb-api/…/mapreducer/MapAggregator :: aggregateByGeometry +
+  * GeometrySplitter (STRtree probe, per-polygon clip)] — each row is emitted
+  * once per polygon that contains it.
+  *
+  * Spark-native plan:
+  *   1. plan time (driver, polygon side only): each polygon → cover cells at
+  *      its own finest-under-budget level from a small allowed-level set,
+  *      classified FULL/PARTIAL (FULL ⇒ skip exact PIP — the reference's
+  *      fully-inside fast path, SURVEY.md O3/O8).
+  *   2. points compute one zcell per distinct cover level (posexplode over a
+  *      small literal array — ≤ |allowedLevels| fan-out, constant).
+  *   3. equi-join on (level, cell): BROADCAST when the cover is small
+  *      (it almost always is — polygons × ≤budget cells), else shuffle join
+  *      with optional salting; AQE refines at runtime.
+  *   4. refine: `full OR raycast_pip(lon, lat, poly_id)` — exact int64
+  *      kernel, whole-stage-codegen'd.
+  *
+  * Shuffle inventory: ZERO exchanges on the point side in broadcast mode —
+  * the scan, cell computation, join, and refine fuse into one codegen stage.
+  */
+object SpatialJoin {
+  /** Allowed cover levels: keeps the point-side explode factor ≤ 4 at scale
+    * (coarser rounding never violates the cell budget).
+    */
+  val DefaultLevels: Array[Int] = Array(4, 8, 12, 16)
+
+  def chooseAllowedLevel(bbox: BBoxM, budget: Int, allowed: Array[Int]): Int = {
+    val sorted = allowed.sorted
+    var z = sorted.last
+    var i = sorted.length - 1
+    while (i > 0 && ZGrid.bboxCellCount(sorted(i), bbox) > budget) { i -= 1; z = sorted(i) }
+    z
+  }
+
+  final case class Cover(rows: Seq[(String, Int, Long, Boolean)], levels: Array[Int],
+                         polys: java.util.HashMap[String, PolyM])
+
+  /** Driver-side cover computation for a polygon set. */
+  def cover(specs: Array[PolySpec], budget: Int = PolyCover.DEFAULT_BUDGET,
+            allowed: Array[Int] = DefaultLevels): Cover = {
+    val rows = specs.toSeq.flatMap { s =>
+      val z = chooseAllowedLevel(s.poly.bbox, budget, allowed)
+      PolyCover.coverAt(s.poly, z).map(c => (s.poly_id, c.level, c.morton, c.full))
+    }
+    val polys = new java.util.HashMap[String, PolyM]()
+    specs.foreach(s => polys.put(s.poly_id, s.poly))
+    Cover(rows, rows.map(_._2).distinct.sorted.toArray, polys)
+  }
+
+  /** Join `points` (must expose micro-degree `lonCol`/`latCol`) with the
+    * polygon set; output = point columns + `poly_id`, one row per
+    * (point, containing polygon) pair.
+    *
+    * @param saltBuckets >1 replicates HOT cover cells and salts the point
+    *        side — only useful in shuffle-join mode on skewed data.
+    */
+  def join(spark: SparkSession, points: DataFrame, lonCol: Column, latCol: Column,
+           specs: Array[PolySpec], budget: Int = PolyCover.DEFAULT_BUDGET,
+           allowed: Array[Int] = DefaultLevels,
+           broadcastThreshold: Long = 4000000L,
+           saltBuckets: Int = 1): DataFrame = {
+    val c = cover(specs, budget, allowed)
+    import spark.implicits._
+
+    val useBroadcast = c.rows.size <= broadcastThreshold && saltBuckets <= 1
+    val coverDf0 = c.rows.toDF("poly_id", "_level", "_cell", "_full")
+
+    // point side: one zcell per distinct cover level (tiny literal array)
+    val cellStructs = array(c.levels.map(z =>
+      struct(lit(z).as("_level"), zcell(lonCol, latCol, z).as("_cell"))): _*)
+    val ptsExpl = points
+      .withColumn("_lc", explode(cellStructs))
+      .withColumn("_level", $"_lc._level")
+      .withColumn("_cell", $"_lc._cell")
+      .drop("_lc")
+
+    val joined =
+      if (useBroadcast)
+        ptsExpl.join(broadcast(coverDf0), Seq("_level", "_cell"), "inner")
+      else if (saltBuckets > 1) {
+        // replicate every cover row saltBuckets ways; points pick one bucket
+        val coverSalted = coverDf0
+          .withColumn("_salt", explode(array((0 until saltBuckets).map(lit): _*)))
+        val ptsSalted = ptsExpl
+          .withColumn("_salt", pmod(hash(lonCol, latCol), lit(saltBuckets)))
+        ptsSalted.join(coverSalted, Seq("_level", "_cell", "_salt"), "inner").drop("_salt")
+      } else
+        ptsExpl.join(coverDf0, Seq("_level", "_cell"), "inner")
+
+    joined
+      .where($"_full" || raycastPip(lonCol, latCol, $"poly_id", c.polys))
+      .drop("_level", "_cell", "_full")
+  }
+
+  /** Raster↔vector tile assignment (SURVEY.md C5): add web-tile ids.
+    * `scheme` = "equirect" (integer-exact, oracle-checkable) or "mercator"
+    * (standard slippy map).
+    */
+  def assignTiles(df: DataFrame, lonCol: Column, latCol: Column, z: Int,
+                  scheme: String = "equirect"): DataFrame = scheme match {
+    case "equirect" =>
+      df.withColumn("tile_z", lit(z))
+        .withColumn("tile_x", tileX(lonCol, z))
+        .withColumn("tile_y", tileY(latCol, z))
+    case "mercator" =>
+      df.withColumn("tile_z", lit(z))
+        .withColumn("tile_x", mercTileX(lonCol, z))
+        .withColumn("tile_y", mercTileY(latCol, z))
+    case other => throw new IllegalArgumentException(s"unknown tiling scheme: $other")
+  }
+
+  /** Clip each matched point's polygon to the tile bbox and return the
+    * clipped-polygon WKB per (poly_id, tile) — the vector side of
+    * raster↔vector assignment (reference clip semantics
+    * [ref: oshdb-util/…/geometry/OSHDBGeometryBuilder :: getGeometryClipped]).
+    * Polygon×tile is tiny (dim side); computed distributed anyway.
+    */
+  def clipPolysToTiles(spark: SparkSession, specs: Array[PolySpec], z: Int): DataFrame = {
+    import spark.implicits._
+    val rows = specs.toSeq.flatMap { s =>
+      val b = s.poly.bbox
+      val jts = Jts.polyToJts(s.poly)
+      val x0 = TileMath.equirectX(z, b.lonMin); val x1 = TileMath.equirectX(z, b.lonMax)
+      val y0 = TileMath.equirectY(z, b.latMax); val y1 = TileMath.equirectY(z, b.latMin)
+      for {
+        tx <- x0 to x1; ty <- y0 to y1
+        tileBox = {
+          val cb = ZGrid.cellBBox(z, tx, (1L << z) - 1 - ty) // equirect y counts from north
+          Jts.bboxToJts(cb)
+        }
+        inter = jts.intersection(tileBox) if !inter.isEmpty
+      } yield (s.poly_id, z, tx, ty, Jts.toWkb(inter))
+    }
+    rows.toDF("poly_id", "tile_z", "tile_x", "tile_y", "clipped_wkb")
+  }
+}
