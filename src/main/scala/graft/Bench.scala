@@ -1,24 +1,97 @@
 package graft
-import org.apache.spark.sql.SparkSession
-object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.fixtures.Fixtures
+import graft.functions.GraftFunctions._
+import graft.operators.SpatialJoin
+
+/** Shared bench kernels (BASELINE.md protocol: warm-up discarded, median of
+  * >=3 timed runs, throughput = input rows / median wall-clock).
+  */
+object BenchCore {
+  /** The flagship job: images ⋈ polygon set + tile assignment, fully
+    * materialized via aggregation (count + tile checksums force every stage).
+    */
+  def flagship(spark: SparkSession, n: Long): DataFrame = {
+    val imgs = Fixtures.images(spark, n)
+      .withColumn("lon", phashLon(col("phash")))
+      .withColumn("lat", phashLat(col("phash")))
+    val joined = SpatialJoin.join(spark, imgs, col("lon"), col("lat"), Fixtures.polygons)
+    SpatialJoin.assignTiles(joined, col("lon"), col("lat"), 12)
+      .agg(count(lit(1)).as("rows"), sum(col("tile_x")).as("cx"), sum(col("tile_y")).as("cy"))
+  }
+
+  def timed(body: => Unit): Double = {
+    val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Warm-up once, then median of `runs`. */
+  def medianTime(runs: Int)(body: => Unit): Double = {
+    body // warm-up (JIT + codegen + broadcast)
+    val ts = (1 to runs).map(_ => timed(body)).sorted
+    ts(ts.length / 2)
+  }
+
+  def session(cpus: String): SparkSession = {
+    val s = SparkSession.builder()
       .master(s"local[$cpus]")
+      .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
+
+/** Driver-run benchmark: one JSON line with per-query seconds on
+  * SPARK_GRAFT_SF_DIR plus flagship join+tiling throughput at
+  * SPARK_GRAFT_CPUS cores on the seed-42 1M-row images table.
+  */
+object Bench {
+  val FLAGSHIP_ROWS = 1000000L
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString)
+    val spark = BenchCore.session(cpus)
+
+    Fixtures.images(spark, FLAGSHIP_ROWS) // generate outside timing
+    val tFlag = BenchCore.medianTime(3) { BenchCore.flagship(spark, FLAGSHIP_ROWS).collect() }
+    val mRowsPerSec = FLAGSHIP_ROWS / tFlag / 1e6
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val t = BenchCore.timed {
+        try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      }
+      name -> t
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = (results :+ ("flagship_join_tiles_1m" -> tFlag))
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum + tFlag
+    println(s"""{"metric":"flagship join+tiling throughput","value":${f"$mRowsPerSec%.3f"},"unit":"Mrows/s","total_sec":${f"$total%.3f"},"queries":$qs,"cpus":"$cpus","sf":"$sfDir"}""")
+    spark.stop()
+  }
+}
+
+/** Two-cluster-size scaling proxy (north rule; task instruction): same job,
+  * same input, at local[N] — run once per parallelism level in a fresh JVM:
+  *   sbt "runMain graft.ScalingBench 8 1000000 3"
+  *   sbt "runMain graft.ScalingBench 32 1000000 3"
+  * Efficiency N→4N = (T_N / T_4N) / 4, gate ≥ 0.8 (BASELINE.md).
+  */
+object ScalingBench {
+  def main(args: Array[String]): Unit = {
+    val cpus = if (args.length > 0) args(0) else "8"
+    val n = if (args.length > 1) args(1).toLong else Bench.FLAGSHIP_ROWS
+    val runs = if (args.length > 2) args(2).toInt else 3
+    val spark = BenchCore.session(cpus)
+    Fixtures.images(spark, n)
+    val t = BenchCore.medianTime(runs) { BenchCore.flagship(spark, n).collect() }
+    println(s"""{"bench":"scaling","cpus":$cpus,"rows":$n,"median_sec":${f"$t%.3f"},"mrows_per_sec":${f"${n / t / 1e6}%.3f"}}""")
     spark.stop()
   }
 }

@@ -1,7 +1,9 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.api.Reducer
 import graft.fixtures.Fixtures
 import graft.functions.GraftFunctions._
 import graft.operators.SpatialJoin
@@ -12,7 +14,9 @@ import graft.oracle.Derive
   * `entry` = the flagship query (SURVEY.md §7 step 3): spatial join of the
   * image table (locations derived from phash) against the polygon extent
   * set, plus web-tile assignment. `queries`/`oracleSql` = per-operator
-  * DuckDB-checked twins over the driver testdata tables.
+  * DuckDB-checked twins over the driver testdata tables (FIXTURES.md §4).
+  * Every aggregate output goes through exact decimal accumulation with one
+  * final cast to double, so values are order-insensitive and engine-exact.
   */
 object SparkEntry {
   /** Flagship on generated sf0.001-scale fixtures; driver smoke-checks rows>0. */
@@ -25,19 +29,24 @@ object SparkEntry {
       .select("image_id", "poly_id", "tile_z", "tile_x", "tile_y")
   }
 
+  private def customerPts(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey"),
+        Derive.lonMicro(col("c_custkey")).as("lonm"),
+        Derive.latMicro(col("c_custkey")).as("latm"))
+
+  private val snapTimes = Seq("2024-01-08 00:00:00", "2024-01-15 00:00:00",
+    "2024-01-22 00:00:00", "2024-01-29 00:00:00")
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // C2: many-polygon spatial join (cover-cell equi-join + raycast refine)
+    // ---- C2: many-polygon spatial join (cover-cell equi-join + raycast refine)
     "q01_spatial_join" -> ((s, dir) => {
-      val pts = s.read.parquet(s"$dir/customer.parquet")
-        .select(col("c_custkey"),
-          Derive.lonMicro(col("c_custkey")).as("lonm"),
-          Derive.latMicro(col("c_custkey")).as("latm"))
-      SpatialJoin.join(s, pts, col("lonm"), col("latm"), Derive.rectSpecs)
+      SpatialJoin.join(s, customerPts(s, dir), col("lonm"), col("latm"), Derive.rectSpecs)
         .select("c_custkey", "poly_id")
         .orderBy("c_custkey", "poly_id")
     }),
-    // C5: raster↔vector tile assignment (equirect, integer-exact)
+    // ---- C5: raster↔vector tile assignment (equirect, integer-exact)
     "q02_tile_assign" -> ((s, dir) => {
       val pts = s.read.parquet(s"$dir/orders.parquet")
         .select(col("o_orderkey"),
@@ -47,14 +56,118 @@ object SparkEntry {
         .select("o_orderkey", "tile_z", "tile_x", "tile_y")
         .orderBy("o_orderkey")
     }),
-    // H5: zcell encoding + cell-keyed aggregation (the scan-pruning key)
+    // ---- H5: zcell encoding + cell-keyed aggregation (the scan-pruning key)
     "q03_zcell_count" -> ((s, dir) => {
-      val pts = s.read.parquet(s"$dir/customer.parquet")
-        .select(Derive.lonMicro(col("c_custkey")).as("lonm"),
-          Derive.latMicro(col("c_custkey")).as("latm"))
-      pts.select(zcell(col("lonm"), col("latm"), 12).as("cell"))
+      customerPts(s, dir)
+        .select(zcell(col("lonm"), col("latm"), 12).as("cell"))
         .groupBy("cell").agg(count(lit(1)).as("n_points"))
         .orderBy("cell")
+    }),
+    // ---- D11: aggregateByGeometry = spatial join → keyed count
+    "q04_agg_by_geometry" -> ((s, dir) => {
+      val joined = SpatialJoin.join(s, customerPts(s, dir), col("lonm"), col("latm"), Derive.rectSpecs)
+      Reducer.on(joined).aggregateBy("poly_id", col("poly_id")).count("n_points")
+        .orderBy("poly_id")
+    }),
+    // ---- B1: areaOfInterest bbox pre-filter (pushdown-friendly predicate)
+    "q05_aoi_bbox" -> ((s, dir) => {
+      customerPts(s, dir)
+        .where(col("lonm").between(40000000L, 80000000L) && col("latm").between(0L, 40000000L))
+        .select("c_custkey").orderBy("c_custkey")
+    }),
+    // ---- D1/D12: count with nested (two-level) index
+    "q10_count_nested" -> ((s, dir) => {
+      Reducer.on(s.read.parquet(s"$dir/lineitem.parquet"))
+        .aggregateBy("l_returnflag", col("l_returnflag"))
+        .aggregateBy("l_linestatus", col("l_linestatus"))
+        .count("cnt").orderBy("l_returnflag", "l_linestatus")
+    }),
+    // ---- D2: sum (exact decimal accumulation → double)
+    "q11_sum" -> ((s, dir) => {
+      Reducer.on(s.read.parquet(s"$dir/lineitem.parquet"))
+        .aggregateBy("l_returnflag", col("l_returnflag"))
+        .sum(col("l_quantity"), "sum_qty").orderBy("l_returnflag")
+    }),
+    // ---- D3: average
+    "q12_avg" -> ((s, dir) => {
+      Reducer.on(s.read.parquet(s"$dir/lineitem.parquet"))
+        .aggregateBy("l_returnflag", col("l_returnflag"))
+        .average(col("l_quantity"), "avg_qty").orderBy("l_returnflag")
+    }),
+    // ---- D4: weighted average (Σwx/Σw)
+    "q13_weighted_avg" -> ((s, dir) => {
+      Reducer.on(s.read.parquet(s"$dir/lineitem.parquet"))
+        .aggregateBy("l_returnflag", col("l_returnflag"))
+        .weightedAverage(col("l_extendedprice"), col("l_quantity"), "wavg_price")
+        .orderBy("l_returnflag")
+    }),
+    // ---- D5: uniq (exact distinct set, surfaced as rows)
+    "q14_uniq" -> ((s, dir) => {
+      Reducer.on(s.read.parquet(s"$dir/orders.parquet"))
+        .aggregateBy("o_orderstatus", col("o_orderstatus"))
+        .uniq(col("o_orderpriority"), "priority")
+        .orderBy("o_orderstatus", "priority")
+    }),
+    // ---- D6: countUniq (exact distinct count)
+    "q15_count_uniq" -> ((s, dir) => {
+      Reducer.on(s.read.parquet(s"$dir/lineitem.parquet"))
+        .aggregateBy("l_returnflag", col("l_returnflag"))
+        .countUniq(col("l_partkey"), "n_parts").orderBy("l_returnflag")
+    }),
+    // ---- D9+zerofill: timestamp-keyed count with empty buckets filled
+    "q16_zerofill_month" -> ((s, dir) => {
+      val fo = s.read.parquet(s"$dir/orders.parquet").where(col("o_orderkey") % 97 === 0)
+      val r = Reducer.on(fo).aggregateByTimestamp("month", col("o_orderdate"), "month")
+      val counted = r.count("cnt")
+      val domain = fo.agg(date_trunc("month", min("o_orderdate")).as("lo"),
+          date_trunc("month", max("o_orderdate")).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"), expr("interval 1 month"))).as("m"))
+        .select(date_format(col("m"), "yyyy-MM-dd HH:mm:ss").as("month"))
+      r.zerofill(counted, domain, Map("cnt" -> lit(0L))).orderBy("month")
+    }),
+    // ---- D7: exact quantiles (reference: estimatedMedian/Quantiles via t-digest)
+    "q17_quantiles" -> ((s, dir) => {
+      Reducer.on(s.read.parquet(s"$dir/lineitem.parquet"))
+        .aggregateBy("l_returnflag", col("l_returnflag"))
+        .quantile(col("l_quantity"), 0.5, "median_qty").orderBy("l_returnflag")
+    }),
+    // ---- C3: as-of join — entity state valid at each snapshot timestamp
+    "q18_snapshot_asof" -> ((s, dir) => {
+      import s.implicits._
+      val snaps = snapTimes.toDF("snap_ts")
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val w = Window.partitionBy("snap_ts", "user_id")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      ev.join(snaps, col("ts") <= to_timestamp(col("snap_ts")))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("snap_ts"), col("user_id"), col("value").as("last_value"))
+        .orderBy("snap_ts", "user_id")
+    }),
+    // ---- B5: filter DSL compiled to Catalyst Columns (pushdown for free)
+    "q30_filter_dsl" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      li.where(graft.filter.FilterDsl.toColumn(
+          "l_returnflag=R and l_quantity:(10..30) and not l_linestatus=F", li.schema))
+        .select("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+    "q31_filter_dsl_in" -> ((s, dir) => {
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      o.where(graft.filter.FilterDsl.toColumn(
+          "o_orderpriority in (1-URGENT, 2-HIGH) and o_orderstatus=* and o_totalprice:(100000..)", o.schema))
+        .select("o_orderkey").orderBy("o_orderkey")
+    }),
+    // ---- H7/H8: contribution classification (diff consecutive versions)
+    "q19_contributions" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      s.read.parquet(s"$dir/events.parquet")
+        .withColumn("prev", lag("value", 1).over(w))
+        .withColumn("kind", when(col("prev").isNull, "CREATION")
+          .when(col("value") =!= col("prev"), "VALUE_CHANGE")
+          .otherwise("NO_CHANGE"))
+        .groupBy("kind").agg(count(lit(1)).as("cnt"))
+        .orderBy("kind")
     }))
 
   /** DuckDB twins (same table names = parquet basenames in sfDir). */
@@ -76,5 +189,75 @@ object SparkEntry {
       s"""WITH pts AS (SELECT ${Derive.lonSql("c_custkey")} AS lonm,
          |  ${Derive.latSql("c_custkey")} AS latm FROM customer),
          |${Derive.zcellSqlCte(12)}
-         |SELECT cell, count(*) AS n_points FROM zc GROUP BY cell ORDER BY cell""".stripMargin)
+         |SELECT cell, count(*) AS n_points FROM zc GROUP BY cell ORDER BY cell""".stripMargin,
+    "q04_agg_by_geometry" ->
+      s"""SELECT r.poly_id AS poly_id, count(*) AS n_points
+         |FROM customer c JOIN ${Derive.rectsSqlValues}
+         |ON ${Derive.lonSql("c.c_custkey")} BETWEEN r.lon_min AND r.lon_max
+         |AND ${Derive.latSql("c.c_custkey")} BETWEEN r.lat_min AND r.lat_max
+         |GROUP BY r.poly_id ORDER BY poly_id""".stripMargin,
+    "q05_aoi_bbox" ->
+      s"""SELECT c_custkey FROM customer
+         |WHERE ${Derive.lonSql("c_custkey")} BETWEEN 40000000 AND 80000000
+         |AND ${Derive.latSql("c_custkey")} BETWEEN 0 AND 40000000
+         |ORDER BY c_custkey""".stripMargin,
+    "q10_count_nested" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt FROM lineitem
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q11_sum" ->
+      """SELECT l_returnflag, CAST(sum(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q12_avg" ->
+      """SELECT l_returnflag,
+        |CAST(sum(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) / count(l_quantity) AS avg_qty
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q13_weighted_avg" ->
+      """SELECT l_returnflag,
+        |CAST(sum(CAST(l_extendedprice * l_quantity AS DECIMAL(27,6))) AS DOUBLE)
+        | / CAST(sum(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS wavg_price
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q14_uniq" ->
+      """SELECT DISTINCT o_orderstatus, o_orderpriority AS priority FROM orders
+        |ORDER BY o_orderstatus, priority""".stripMargin,
+    "q15_count_uniq" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts FROM lineitem
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q16_zerofill_month" ->
+      """WITH fo AS (SELECT * FROM orders WHERE o_orderkey % 97 = 0),
+        |b AS (SELECT date_trunc('month', min(o_orderdate)) AS lo,
+        |             date_trunc('month', max(o_orderdate)) AS hi FROM fo),
+        |d AS (SELECT strftime(unnest(generate_series(lo, hi, INTERVAL 1 MONTH)), '%Y-%m-%d %H:%M:%S') AS month FROM b),
+        |c AS (SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d %H:%M:%S') AS month,
+        |      count(*) AS cnt FROM fo GROUP BY 1)
+        |SELECT d.month AS month, coalesce(c.cnt, 0) AS cnt
+        |FROM d LEFT JOIN c USING(month) ORDER BY month""".stripMargin,
+    "q17_quantiles" ->
+      """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS median_qty
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q18_snapshot_asof" -> {
+      val snapList = snapTimes.map(t => s"'$t'").mkString("[", ", ", "]")
+      s"""WITH snaps AS (SELECT unnest($snapList) AS snap_ts),
+         |cand AS (SELECT s.snap_ts AS snap_ts, e.user_id, e.value,
+         |  row_number() OVER (PARTITION BY s.snap_ts, e.user_id
+         |                     ORDER BY e.ts DESC, e.event_id DESC) AS rn
+         |  FROM events e JOIN snaps s ON e.ts <= CAST(s.snap_ts AS TIMESTAMP))
+         |SELECT snap_ts, user_id, value AS last_value FROM cand WHERE rn = 1
+         |ORDER BY snap_ts, user_id""".stripMargin
+    },
+    "q30_filter_dsl" ->
+      """SELECT l_orderkey, l_linenumber FROM lineitem
+        |WHERE l_returnflag = 'R' AND l_quantity BETWEEN 10 AND 30 AND NOT l_linestatus = 'F'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q31_filter_dsl_in" ->
+      """SELECT o_orderkey FROM orders
+        |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH') AND o_orderstatus IS NOT NULL
+        |AND o_totalprice >= 100000 ORDER BY o_orderkey""".stripMargin,
+    "q19_contributions" ->
+      """WITH t AS (SELECT user_id, value,
+        |  lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events)
+        |SELECT CASE WHEN prev IS NULL THEN 'CREATION'
+        |            WHEN value != prev THEN 'VALUE_CHANGE'
+        |            ELSE 'NO_CHANGE' END AS kind, count(*) AS cnt
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin)
 }
