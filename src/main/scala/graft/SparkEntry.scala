@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.api.Reducer
 import graft.fixtures.Fixtures
 import graft.functions.GraftFunctions._
-import graft.operators.SpatialJoin
+import graft.operators.{Knn, SpatialJoin}
 import graft.oracle.Derive
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -68,6 +68,19 @@ object SparkEntry {
       val joined = SpatialJoin.join(s, customerPts(s, dir), col("lonm"), col("latm"), Derive.rectSpecs)
       Reducer.on(joined).aggregateBy("poly_id", col("poly_id")).count("n_points")
         .orderBy("poly_id")
+    }),
+    // ---- C4: exact kNN join via iterative cell-ring expansion
+    "q06_knn" -> ((s, dir) => {
+      val nation = s.read.parquet(s"$dir/nation.parquet")
+        .select(col("n_nationkey"),
+          Derive.lonMicro(col("n_nationkey")).as("lonm"),
+          Derive.latMicro(col("n_nationkey")).as("latm"))
+        .collect().map(r => Knn.QueryPt(r.getAs[Number](0).longValue(),
+          r.getAs[Number](1).longValue(), r.getAs[Number](2).longValue()))
+      Knn.knnJoin(s, customerPts(s, dir), col("c_custkey"), col("lonm"), col("latm"),
+          nation.toSeq, k = 5, level = 4)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("qid", "rank")
     }),
     // ---- B1: areaOfInterest bbox pre-filter (pushdown-friendly predicate)
     "q05_aoi_bbox" -> ((s, dir) => {
@@ -196,6 +209,16 @@ object SparkEntry {
          |ON ${Derive.lonSql("c.c_custkey")} BETWEEN r.lon_min AND r.lon_max
          |AND ${Derive.latSql("c.c_custkey")} BETWEEN r.lat_min AND r.lat_max
          |GROUP BY r.poly_id ORDER BY poly_id""".stripMargin,
+    "q06_knn" ->
+      s"""WITH q AS (SELECT CAST(n_nationkey AS BIGINT) AS qid, ${Derive.lonSql("n_nationkey")} AS qlon,
+         |  ${Derive.latSql("n_nationkey")} AS qlat FROM nation),
+         |c AS (SELECT c_custkey, ${Derive.lonSql("c_custkey")} AS plon,
+         |  ${Derive.latSql("c_custkey")} AS plat FROM customer),
+         |d AS (SELECT q.qid, c.c_custkey AS neighbor_id,
+         |  (c.plon - q.qlon) * (c.plon - q.qlon) + (c.plat - q.qlat) * (c.plat - q.qlat) AS d2
+         |  FROM q CROSS JOIN c),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY d2, neighbor_id) AS rank FROM d)
+         |SELECT qid, neighbor_id, rank, d2 FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
     "q05_aoi_bbox" ->
       s"""SELECT c_custkey FROM customer
          |WHERE ${Derive.lonSql("c_custkey")} BETWEEN 40000000 AND 80000000

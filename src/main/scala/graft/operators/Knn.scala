@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.{FixedPoint, ZGrid}
+import graft.functions.GraftFunctions._
+
+/** kNN join via iterative cell-ring expansion (SURVEY.md C4; BASELINE.json
+  * north_star "kNN via iterative H3 k-ring expansion joins" — our grid is the
+  * hand-built Morton ZGrid, same k-ring idea).
+  *
+  * Algorithm (exact, not approximate):
+  *   round r: every active query expands to the square of cells with
+  *   Chebyshev cell-radius r around its own cell; the candidate set
+  *   (query_id, cell) is tiny (|Q| × (2r+1)²) and BROADCAST, so each round is
+  *   one broadcast hash join against the big point table (zero shuffles on
+  *   the point side) + a top-k per query over candidates only.
+  *   Stop when every query holds k neighbours whose kth distance is ≤ the
+  *   lower bound of any unexplored cell: a point outside radius r is
+  *   separated from the query by ≥ r whole cells ⇒ distance ≥ r·minCellSpan.
+  *
+  * Distance metric: squared planar micro-degree distance — int64-exact
+  * (|Δ| ≤ 3.6e8 ⇒ Δ² ≤ 1.3e17, sum < 2.7e17 << 2^63), so ranks are
+  * bit-reproducible and DuckDB's brute-force cross join is an exact oracle.
+  * Ties broken by neighbour id. (Geodesic metrics would make the *pruning
+  * bound* approximate; planar is the deliberate v1 contract, documented.)
+  *
+  * At 100 TB: the point table is scanned once per round (2–3 rounds typical
+  * when `level` is chosen from point density); each scan is
+  * partition-prunable by cell when the table is cell-clustered, because the
+  * candidate cells are known at plan time — the driver can push
+  * `cell IN (...)` before the join (done below via an optional prefilter).
+  */
+object Knn {
+  final case class QueryPt(qid: Long, lonm: Long, latm: Long)
+
+  /** Exact k nearest `points` rows for every query point.
+    *
+    * @param points   big table exposing `idCol`, `lonCol`, `latCol` (micro-deg)
+    * @param queries  small driver-side query set (broadcast each round)
+    * @param level    grid level for ring expansion (cells ≈ point spacing·k)
+    * @param r0       initial radius guess (≥1 saves rounds when k > density)
+    * @return (qid, neighbor_id, rank, d2) — exactly k rows per query unless
+    *         the table holds fewer than k rows in total
+    */
+  def knnJoin(spark: SparkSession, points: DataFrame, idCol: Column,
+              lonCol: Column, latCol: Column, queries: Seq[QueryPt], k: Int,
+              level: Int, r0: Int = 1, cellPrefilter: Boolean = true): DataFrame = {
+    import spark.implicits._
+    require(k >= 1 && queries.nonEmpty)
+    val n = 1L << level
+    val minSpan = math.min(FixedPoint.LON_RANGE >> level, FixedPoint.LAT_RANGE >> level)
+    val maxR = n.toInt // square covers the world ⇒ brute force fallback
+
+    val pts = points.select(idCol.as("neighbor_id"), lonCol.as("_plon"), latCol.as("_plat"))
+      .withColumn("_pcell", zcell(col("_plon"), col("_plat"), level))
+
+    def candidateCells(r: Int): Seq[(Long, Long, Long, Long)] = // (qid,qlon,qlat,cell)
+      queries.flatMap { q =>
+        val qx = ZGrid.xAt(level, q.lonm); val qy = ZGrid.yAt(level, q.latm)
+        for {
+          x <- math.max(0L, qx - r) to math.min(n - 1, qx + r)
+          y <- math.max(0L, qy - r) to math.min(n - 1, qy + r)
+        } yield (q.qid, q.lonm, q.latm, graft.core.Morton.encode(x, y))
+      }
+
+    def topk(r: Int): DataFrame = {
+      val cells = candidateCells(r)
+      val cellsDf = cells.toDF("qid", "_qlon", "_qlat", "_pcell")
+      // plan-time cell prefilter: lets a cell-clustered scan prune row groups
+      val src = if (cellPrefilter && cells.size <= 100000)
+        pts.where(col("_pcell").isInCollection(cells.map(_._4).distinct)) else pts
+      val d2 = (col("_plon") - col("_qlon")) * (col("_plon") - col("_qlon")) +
+               (col("_plat") - col("_qlat")) * (col("_plat") - col("_qlat"))
+      val w = Window.partitionBy("qid").orderBy(col("d2"), col("neighbor_id"))
+      src.join(broadcast(cellsDf), Seq("_pcell"))
+        .withColumn("d2", d2)
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= k)
+        .select("qid", "neighbor_id", "rank", "d2")
+    }
+
+    var r = math.max(1, r0)
+    var done = false
+    var result: DataFrame = null
+    while (!done) {
+      result = topk(r)
+      if (r >= maxR) done = true
+      else {
+        // control decision only: k small × |Q| small ⇒ tiny collect
+        val stats = result.groupBy("qid").agg(count(lit(1)).as("n"), max("d2").as("kd2"))
+          .collect().map(row => row.getLong(0) -> (row.getLong(1), row.getLong(2))).toMap
+        val bound = r.toLong * minSpan
+        done = queries.forall { q =>
+          stats.get(q.qid).exists { case (cnt, kd2) => cnt == k && kd2 <= bound * bound }
+        }
+        if (!done) r = math.min(maxR, r * 2)
+      }
+    }
+    result
+  }
+}

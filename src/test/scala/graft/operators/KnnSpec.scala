@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+/** kNN ring-expansion join (SURVEY.md C4) vs in-JVM brute force. */
+class KnnSpec extends AnyFunSuite {
+  lazy val spark = graft.SparkTestSession.spark
+
+  private def bruteForce(pts: Seq[(Long, Long, Long)], q: Knn.QueryPt, k: Int) =
+    pts.map { case (id, x, y) =>
+      (id, (x - q.lonm) * (x - q.lonm) + (y - q.latm) * (y - q.latm))
+    }.sortBy { case (id, d2) => (d2, id) }.take(k)
+
+  test("ring-expansion kNN equals brute force on skewed random points") {
+    val rnd = new scala.util.Random(42)
+    // clustered + uniform mix, forcing multi-round expansion for far queries
+    val pts = (0L until 2000L).map { i =>
+      if (i % 3 == 0)
+        (i, -20000000L + rnd.nextInt(2000000), 10000000L + rnd.nextInt(2000000))
+      else
+        (i, rnd.nextLong(340000000L) - 170000000L, rnd.nextLong(160000000L) - 80000000L)
+    }
+    val queries = Seq(
+      Knn.QueryPt(0, -19000000L, 11000000L),  // inside the dense cluster
+      Knn.QueryPt(1, 160000000L, -75000000L), // sparse far corner
+      Knn.QueryPt(2, 0L, 0L))
+    val df = spark.createDataFrame(pts).toDF("id", "lonm", "latm")
+    val got = Knn.knnJoin(spark, df, col("id"), col("lonm"), col("latm"),
+        queries, k = 7, level = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+      .groupBy(_._1)
+    for (q <- queries) {
+      val exp = bruteForce(pts, q, 7)
+      val act = got(q.qid).sortBy(_._3).map(r => (r._2, r._4)).toSeq
+      assert(act === exp, s"query ${q.qid}")
+    }
+  }
+
+  test("k larger than a sparse neighbourhood still returns exactly k") {
+    val pts = (0L until 50L).map(i => (i, i * 6000000L - 150000000L, i * 3000000L - 75000000L))
+    val df = spark.createDataFrame(pts).toDF("id", "lonm", "latm")
+    val q = Seq(Knn.QueryPt(9, -149000000L, -74000000L))
+    val got = Knn.knnJoin(spark, df, col("id"), col("lonm"), col("latm"), q, k = 20, level = 6)
+    assert(got.count() === 20)
+    val exp = bruteForce(pts, q.head, 20).map(_._1)
+    assert(got.orderBy("rank").collect().map(_.getLong(1)).toSeq === exp)
+  }
+
+  test("k exceeding the table size returns the whole table ranked") {
+    val pts = Seq((1L, 0L, 0L), (2L, 1000000L, 0L), (3L, -2000000L, 500000L))
+    val df = spark.createDataFrame(pts).toDF("id", "lonm", "latm")
+    val got = Knn.knnJoin(spark, df, col("id"), col("lonm"), col("latm"),
+      Seq(Knn.QueryPt(0, 100000L, 100000L)), k = 10, level = 8)
+    assert(got.count() === 3)
+  }
+}
