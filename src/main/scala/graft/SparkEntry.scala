@@ -6,8 +6,8 @@ import org.apache.spark.sql.functions._
 import graft.api.Reducer
 import graft.fixtures.Fixtures
 import graft.functions.GraftFunctions._
-import graft.operators.{Knn, SpatialJoin}
-import graft.oracle.Derive
+import graft.operators.{Dedup, Knn, Similarity, SpatialJoin, TextAnalysis}
+import graft.oracle.{Derive, TextOracle}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -171,6 +171,72 @@ object SparkEntry {
           "o_orderpriority in (1-URGENT, 2-HIGH) and o_orderstatus=* and o_totalprice:(100000..)", o.schema))
         .select("o_orderkey").orderBy("o_orderkey")
     }),
+    // ==== Training-data pipeline ops (documents / embeddings tables) ====
+    // ---- token counting: whitespace + word-piece regex
+    "q40_token_counts" -> ((s, dir) => {
+      TextAnalysis.tokenCounts(s.read.parquet(s"$dir/documents.parquet"),
+        col("doc_id"), col("text")).orderBy("doc_id")
+    }),
+    // ---- language-ID (marker-token heuristic, deterministic argmax)
+    "q41_lang_id" -> ((s, dir) => {
+      TextAnalysis.langId(s.read.parquet(s"$dir/documents.parquet"),
+        col("doc_id"), col("text")).orderBy("doc_id")
+    }),
+    // ---- document fingerprinting (rolling hash + min-shingle)
+    "q42_fingerprints" -> ((s, dir) => {
+      TextAnalysis.fingerprints(s.read.parquet(s"$dir/documents.parquet"),
+        col("doc_id"), col("text")).orderBy("doc_id")
+    }),
+    // ---- exact dedup by content hash
+    "q43_exact_dedup" -> ((s, dir) => {
+      Dedup.exactDedup(s.read.parquet(s"$dir/documents.parquet"),
+        col("doc_id"), col("text")).orderBy("text_hash")
+    }),
+    // ---- exact n-gram Jaccard near-dup pairs (shingle-explode join)
+    "q44_ngram_jaccard" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(s.read.parquet(s"$dir/documents.parquet"),
+        col("doc_id"), col("text"), n = 3, threshold = 0.5).orderBy("id_a", "id_b")
+    }),
+    // ---- MinHash-LSH near-dup pairs, exact-verified (the 100 TB path)
+    "q45_minhash_lsh" -> ((s, dir) => {
+      Dedup.minhashLshPairs(s.read.parquet(s"$dir/documents.parquet"),
+        col("doc_id"), col("text"), n = 3, threshold = 0.5).orderBy("id_a", "id_b")
+    }),
+    // ---- per-doc 31-bit SimHash
+    "q46_simhash" -> ((s, dir) => {
+      Dedup.simhashDocs(s.read.parquet(s"$dir/documents.parquet"),
+        col("doc_id"), col("text")).orderBy("doc_id")
+    }),
+    // ---- SimHash near-dup pairs, hamming ≤ 3, band pigeonhole (exact recall)
+    "q47_simhash_pairs" -> ((s, dir) => {
+      Dedup.simhashPairs(s.read.parquet(s"$dir/documents.parquet"),
+        col("doc_id"), col("text"), maxDist = 3)
+        .withColumn("hamming", col("hamming").cast("int"))
+        .orderBy("id_a", "id_b")
+    }),
+    // ---- brute-force exact top-k similarity (quantized dot product)
+    "q48_embed_topk" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.topKDot(emb, emb.where(col("vec_id") % 100 === 0),
+        "vec_id", "embedding", k = 10).orderBy("qid", "rank")
+    }),
+    // ---- ANN via hyperplane LSH (approximate — no SQL oracle; recall gate
+    //      lives in SimilaritySpec)
+    "q49_ann_lsh" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.annTopK(s, emb, emb.where(col("vec_id") % 100 === 0),
+        "vec_id", "embedding", k = 10, dims = 64).orderBy("qid", "rank")
+    }),
+    // ---- embedding cosine near-dup pairs (integer-exact comparison)
+    "q50_cosine_near_dup" -> ((s, dir) => {
+      Similarity.cosineNearDupPairs(s.read.parquet(s"$dir/embeddings.parquet"),
+        "vec_id", "embedding", threshold = 0.45).orderBy("id_a", "id_b")
+    }),
+    // ---- quality scoring (Gopher-style keep rule)
+    "q51_quality" -> ((s, dir) => {
+      TextAnalysis.quality(s.read.parquet(s"$dir/documents.parquet"),
+        col("doc_id"), col("text")).orderBy("doc_id")
+    }),
     // ---- H7/H8: contribution classification (diff consecutive versions)
     "q19_contributions" -> ((s, dir) => {
       val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -275,6 +341,84 @@ object SparkEntry {
       """SELECT o_orderkey FROM orders
         |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH') AND o_orderstatus IS NOT NULL
         |AND o_totalprice >= 100000 ORDER BY o_orderkey""".stripMargin,
+    "q40_token_counts" ->
+      s"""WITH ${TextOracle.toksCte()}
+         |SELECT d.doc_id, CAST(len(t.t) AS INTEGER) AS n_ws_tokens,
+         |  CAST(len(regexp_extract_all(d.text, '${TextAnalysis.WordPieceRegex}')) AS INTEGER) AS n_wordpieces
+         |FROM documents d JOIN toks t ON d.doc_id = t.doc_id ORDER BY d.doc_id""".stripMargin,
+    "q41_lang_id" -> {
+      val scoreExprs = TextAnalysis.langMarkers.map { case (lang, ws) =>
+        "CAST(" + ws.map(w => s"len(list_filter(t, x -> x = '$w'))").mkString(" + ") +
+          s" AS INTEGER) AS score_$lang"
+      }.mkString(",\n  ")
+      val langs = TextAnalysis.langMarkers.map(_._1).sorted
+      val caseChain = langs.init.zipWithIndex.map { case (l, i) =>
+        val rest = langs.drop(i + 1).map(r => s"score_$r")
+        val cmp = if (rest.size == 1) rest.head else s"greatest(${rest.mkString(", ")})"
+        s"WHEN score_$l >= $cmp THEN '$l'"
+      }.mkString(" ")
+      s"""WITH ${TextOracle.toksCte(textExpr = "lower(text)")},
+         |sc AS (SELECT doc_id, $scoreExprs FROM toks)
+         |SELECT doc_id, ${TextAnalysis.langMarkers.map(m => "score_" + m._1).mkString(", ")},
+         |  CASE $caseChain ELSE '${langs.last}' END AS pred_lang
+         |FROM sc ORDER BY doc_id""".stripMargin
+    },
+    "q42_fingerprints" ->
+      s"""WITH ${TextOracle.toksCte()},
+         |${TextOracle.ngramsCte(3)}
+         |SELECT d.doc_id, ${TextOracle.charHashSql("d.text")} AS text_hash,
+         |  CASE WHEN len(g) = 0 THEN CAST(-1 AS BIGINT)
+         |       ELSE list_min(list_transform(g, s -> ${TextOracle.charHashSql("s")})) END AS min_shingle
+         |FROM documents d JOIN ng ON d.doc_id = ng.doc_id ORDER BY d.doc_id""".stripMargin,
+    "q43_exact_dedup" ->
+      s"""WITH h AS (SELECT doc_id, ${TextOracle.charHashSql("text")} AS text_hash FROM documents)
+         |SELECT text_hash, min(doc_id) AS canonical_id, count(*) AS n_copies
+         |FROM h GROUP BY 1 ORDER BY text_hash""".stripMargin,
+    "q44_ngram_jaccard" -> TextOracle.jaccardPairsSql(3, 0.5),
+    "q45_minhash_lsh" -> TextOracle.jaccardPairsSql(3, 0.5),
+    "q46_simhash" ->
+      s"""WITH ${TextOracle.simhashCtes}
+         |SELECT doc_id, simhash FROM sim ORDER BY doc_id""".stripMargin,
+    "q47_simhash_pairs" ->
+      s"""WITH ${TextOracle.simhashCtes}
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+         |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3 ORDER BY id_a, id_b""".stripMargin,
+    "q48_embed_topk" ->
+      s"""WITH ${TextOracle.quantCte()},
+         |q AS (SELECT * FROM e WHERE vec_id % 100 = 0),
+         |d AS (SELECT q.vec_id AS qid, e.vec_id AS nid, ${TextOracle.dotSql("q.q", "e.q", 64)} AS dot
+         |      FROM q JOIN e ON e.vec_id <> q.vec_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY dot DESC, nid) AS rank FROM d)
+         |SELECT qid, nid, rank, dot FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+    "q50_cosine_near_dup" ->
+      s"""WITH ${TextOracle.quantCte()},
+         |n AS (SELECT vec_id, q, ${TextOracle.dotSql("q", "q", 64)} AS n2 FROM e),
+         |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${TextOracle.dotSql("a.q", "b.q", 64)} AS dot,
+         |       a.n2 AS na, b.n2 AS nb FROM n a JOIN n b ON a.vec_id < b.vec_id)
+         |SELECT id_a, id_b, dot FROM p
+         |WHERE dot > 0 AND CAST(dot AS DOUBLE) * CAST(dot AS DOUBLE) >= 0.45 * 0.45 * CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+         |ORDER BY id_a, id_b""".stripMargin,
+    "q51_quality" -> {
+      val stopList = TextAnalysis.stopwords.map(w => s"'$w'").mkString(", ")
+      s"""WITH ${TextOracle.toksCte()},
+         |sc AS (SELECT d.doc_id AS doc_id, CAST(length(d.text) AS INTEGER) AS n_chars,
+         |  CAST(len(t) AS INTEGER) AS n_tokens,
+         |  CAST(length(regexp_replace(d.text, '[^A-Za-z]', '', 'g')) AS INTEGER) AS n_alpha,
+         |  CAST(len(list_filter(t, x -> x IN ($stopList))) AS INTEGER) AS n_stop,
+         |  CAST(coalesce(list_sum(list_transform(t, x -> length(x))), 0) AS INTEGER) AS n_tok_chars
+         |  FROM documents d JOIN toks ON d.doc_id = toks.doc_id),
+         |m AS (SELECT *,
+         |  CASE WHEN n_tokens > 0 THEN CAST(n_tok_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE) ELSE 0.0 END AS mean_token_len,
+         |  CASE WHEN n_chars > 0 THEN CAST(n_alpha AS DOUBLE) / CAST(n_chars AS DOUBLE) ELSE 0.0 END AS alpha_ratio,
+         |  CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) ELSE 0.0 END AS stop_ratio
+         |  FROM sc)
+         |SELECT doc_id, n_chars, n_tokens, n_alpha, n_stop, n_tok_chars, mean_token_len, alpha_ratio, stop_ratio,
+         |  (n_tokens >= 10 AND n_tokens <= 100000 AND mean_token_len >= 2.0
+         |   AND mean_token_len <= 12.0 AND alpha_ratio >= 0.5) AS keep
+         |FROM m ORDER BY doc_id""".stripMargin
+    },
     "q19_contributions" ->
       """WITH t AS (SELECT user_id, value,
         |  lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev

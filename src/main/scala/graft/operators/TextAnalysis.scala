@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+/** Text-analysis operators for training-data curation: language-ID
+  * (marker-word heuristic), quality scoring (length / alpha / stopword
+  * ratios, Gopher-style keep rule), token counting (whitespace + word-regex)
+  * and document fingerprinting (rolling hash + min-shingle).
+  *
+  * Every metric here is built from integer counts and single double
+  * divisions, so the DuckDB oracle twins reproduce values bit-exactly —
+  * the same discipline as the geo kernels. All column builders are Spark
+  * builtins (codegen'd, pushdown-friendly); only the fingerprints use the
+  * custom char_hash expression.
+  */
+object TextAnalysis {
+
+  /** Marker-word tables for the n-gram/stopword language heuristic.
+    * Deterministic and tiny — a real pipeline would swap in fastText; the
+    * *operator shape* (per-doc scoring + argmax) is what scales.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "a", "to"),
+    "de" -> Seq("der", "und", "die", "das", "ist"),
+    "es" -> Seq("el", "de", "que", "la", "los"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "zh" -> Seq("的", "是", "了", "在", "我"))
+
+  /** Per-doc language scores + argmax prediction (ties → first by the
+    * scoring order below). Score = number of tokens that are marker words
+    * for the language — `size(filter(tokens, _ == w))`, which DuckDB mirrors
+    * as `len(list_filter(toks, x -> x = w))`.
+    */
+  def langId(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
+    val toks = Dedup.tokens(lower(textCol))
+    val scored = df.select(idCol.as("doc_id") +: langMarkers.map { case (lang, ws) =>
+      ws.map(w => size(filter(toks, t => t === lit(w)))).reduce(_ + _).as(s"score_$lang")
+    }: _*)
+    val best = langMarkers.map(_._1).sorted.map(l =>
+      struct(col(s"score_$l").as("s"), lit(l).as("l")))
+    // argmax with deterministic tie-break: maximize (score, reversed-lang)
+    val pred = best.reduce((a, b) =>
+      when(b.getField("s") > a.getField("s"), b).otherwise(a))
+    scored.withColumn("pred_lang", pred.getField("l"))
+  }
+
+  /** Quality metrics + Gopher-style keep flag. All ratios are single double
+    * divisions of exact integer counts.
+    */
+  val stopwords: Seq[String] =
+    Seq("the", "a", "and", "of", "to", "in", "is", "on", "for", "with")
+
+  def quality(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
+    val toks = Dedup.tokens(textCol)
+    val stop = stopwords
+    df.select(
+      idCol.as("doc_id"),
+      length(textCol).as("n_chars"),
+      size(toks).as("n_tokens"),
+      length(regexp_replace(textCol, "[^A-Za-z]", "")).as("n_alpha"),
+      size(filter(toks, t => t.isInCollection(stop))).as("n_stop"),
+      aggregate(transform(toks, t => length(t)), lit(0), (acc, x) => acc + x).as("n_tok_chars"))
+      .withColumn("mean_token_len",
+        when(col("n_tokens") > 0,
+          col("n_tok_chars").cast("double") / col("n_tokens").cast("double"))
+          .otherwise(lit(0.0)))
+      .withColumn("alpha_ratio",
+        when(col("n_chars") > 0, col("n_alpha").cast("double") / col("n_chars").cast("double"))
+          .otherwise(lit(0.0)))
+      .withColumn("stop_ratio",
+        when(col("n_tokens") > 0, col("n_stop").cast("double") / col("n_tokens").cast("double"))
+          .otherwise(lit(0.0)))
+      .withColumn("keep",
+        col("n_tokens") >= 10 && col("n_tokens") <= 100000 &&
+        col("mean_token_len") >= 2.0 && col("mean_token_len") <= 12.0 &&
+        col("alpha_ratio") >= 0.5)
+  }
+
+  /** Token counts: whitespace tokens + BPE-ish word-piece regex matches
+    * (letter runs, digit runs, single punctuation marks).
+    */
+  val WordPieceRegex = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  def tokenCounts(df: DataFrame, idCol: Column, textCol: Column): DataFrame =
+    df.select(idCol.as("doc_id"),
+      size(Dedup.tokens(textCol)).as("n_ws_tokens"),
+      regexp_count(textCol, lit(WordPieceRegex)).as("n_wordpieces"))
+
+  /** Document fingerprints: full-text rolling hash + min-shingle hash
+    * (content-defined, order-robust to prefix edits).
+    */
+  def fingerprints(df: DataFrame, idCol: Column, textCol: Column, n: Int = 3): DataFrame =
+    df.select(idCol.as("doc_id"),
+      charHash(textCol).as("text_hash"),
+      minShingleHash(Dedup.wordNgrams(Dedup.tokens(textCol), n)).as("min_shingle"))
+}

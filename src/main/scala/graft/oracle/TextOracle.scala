@@ -1,0 +1,69 @@
+package graft.oracle
+
+import graft.core.TextHash
+
+/** DuckDB SQL fragment builders mirroring the text/similarity kernels —
+  * generated from the SAME constants as graft.core.TextHash and
+  * graft.operators.{Dedup, TextAnalysis, Similarity}, so the oracle twins
+  * re-derive every hash/score from the raw tables (end-to-end parity, no
+  * golden fixtures). Tested against DuckDB 1.0 semantics:
+  * list_* lambdas, 1-based list indexing, BIGINT bit ops.
+  */
+object TextOracle {
+  val P: Long = TextHash.P
+
+  /** Rolling char hash of a string expression (mirrors TextHash.charHash). */
+  def charHashSql(s: String): String =
+    s"list_reduce(list_prepend(CAST(${TextHash.SEED} AS BIGINT), " +
+      s"list_transform(string_split($s, ''), ch -> CAST(unicode(ch) AS BIGINT))), " +
+      s"(acc, c) -> (acc * ${TextHash.BASE} + c) % $P)"
+
+  /** CTE `toks(doc_id, t)` — whitespace tokens, empties dropped. */
+  def toksCte(from: String = "documents", textExpr: String = "text"): String =
+    s"toks AS (SELECT doc_id, list_filter(string_split_regex($textExpr, '\\s+'), x -> x <> '') AS t FROM $from)"
+
+  /** CTE `ng(doc_id, g)` — distinct word n-grams over `toks`. */
+  def ngramsCte(n: Int): String = {
+    val join = (1 to n).map(o => s"t[i+${o - 1}]").mkString(" || ' ' || ")
+    s"ng AS (SELECT doc_id, CASE WHEN len(t) >= $n THEN " +
+      s"list_distinct(list_transform(range(1, len(t) - ${n - 2}), i -> $join)) " +
+      s"ELSE CAST([] AS VARCHAR[]) END AS g FROM toks)"
+  }
+
+  /** 31-bit SimHash of the token list `t` (mirrors TextHash.simhash):
+    * Σ_j 2^j · [ Σ_tokens (±1 by bit j of charHash(token)) ≥ 0 ].
+    */
+  def simhashSql: String = {
+    val terms = (0 until TextHash.SIMHASH_BITS).map { j =>
+      s"(CASE WHEN list_sum(list_transform(th, h -> CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END)) >= 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)"
+    }
+    terms.mkString(" + ")
+  }
+
+  /** CTE chain computing `sim(doc_id, simhash)` from documents. */
+  def simhashCtes: String =
+    s"""${toksCte()},
+       |th AS (SELECT doc_id, list_transform(t, tok -> ${charHashSql("tok")}) AS th FROM toks),
+       |sim AS (SELECT doc_id, $simhashSql AS simhash FROM th)""".stripMargin
+
+  /** Exact n-gram-Jaccard near-dup pairs ≥ threshold (brute force). */
+  def jaccardPairsSql(n: Int, threshold: Double): String =
+    s"""WITH ${toksCte()},
+       |${ngramsCte(n)},
+       |nz AS (SELECT doc_id, g FROM ng WHERE len(g) > 0),
+       |pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  len(list_intersect(a.g, b.g)) AS c, len(a.g) AS sz_a, len(b.g) AS sz_b
+       |  FROM nz a JOIN nz b ON a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, CAST(c AS DOUBLE) / CAST(sz_a + sz_b - c AS DOUBLE) AS jaccard
+       |FROM pr WHERE CAST(c AS DOUBLE) / CAST(sz_a + sz_b - c AS DOUBLE) >= $threshold
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** Quantized embedding CTE `e(vec_id, q)` (mirrors Similarity.quantize);
+    * `dims` is fixed per table (driver embeddings: 64).
+    */
+  def quantCte(from: String = "embeddings"): String =
+    s"e AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS q FROM $from)"
+
+  def dotSql(a: String, b: String, dims: Int): String =
+    s"CAST(list_sum(list_transform(range(1, ${dims + 1}), d -> $a[d] * $b[d])) AS BIGINT)"
+}

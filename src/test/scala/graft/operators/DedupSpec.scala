@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.TextHash
+
+/** Dedup operators vs in-JVM brute force over the shared TextHash kernels. */
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = graft.SparkTestSession.spark
+  import spark.implicits._
+
+  // deterministic corpus: base docs + planted near-dups + exact dups
+  private val docs: Seq[(Long, String)] = {
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+    val base = (0L until 40L).map { i =>
+      i -> Seq.fill(30 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    val nearDups = base.take(6).map { case (i, t) =>
+      (100L + i) -> (t.split(" ").toSeq.updated(3, "CHANGED").mkString(" "))
+    }
+    val exactDups = base.slice(6, 9).map { case (i, t) => (200L + i) -> t }
+    base ++ nearDups ++ exactDups
+  }
+
+  private def ngramSet(t: String, n: Int): Set[String] =
+    t.split("\\s+").filter(_.nonEmpty).sliding(n).filter(_.length == n)
+      .map(_.mkString(" ")).toSet
+
+  private def bruteJaccard(n: Int, thr: Double): Set[(Long, Long, Double)] =
+    (for {
+      (ia, ta) <- docs; (ib, tb) <- docs if ia < ib
+      ga = ngramSet(ta, n); gb = ngramSet(tb, n) if ga.nonEmpty && gb.nonEmpty
+      c = (ga intersect gb).size
+      j = c.toDouble / (ga.size + gb.size - c).toDouble if j >= thr
+    } yield (ia, ib, j)).toSet
+
+  test("exact dedup groups identical texts under min id") {
+    val df = docs.toDF("doc_id", "text")
+    val got = Dedup.exactDedup(df, col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length === docs.size - 3) // 3 exact dups folded
+    val dupGroups = got.filter(_._3 == 2L)
+    assert(dupGroups.length === 3)
+    assert(dupGroups.forall { case (_, canon, _) => canon >= 6L && canon <= 8L })
+    // hash groups agree with the shared kernel
+    val byHash = docs.groupBy { case (_, t) => TextHash.charHash(t) }
+    assert(got.length === byHash.size)
+  }
+
+  test("ngram jaccard pairs equal brute force") {
+    val df = docs.toDF("doc_id", "text")
+    val got = Dedup.ngramJaccardPairs(df, col("doc_id"), col("text"), 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === bruteJaccard(3, 0.5))
+    assert(got.size >= 9) // 6 near-dups + 3 exact dups at least
+  }
+
+  test("minhash LSH pairs: no false positives, full recall on this corpus") {
+    // this corpus has pairs down to J≈0.8 ⇒ use 16 bands × 2 rows
+    // (miss prob (1−J²)^16 ≈ 8e-8); the q45 default (8×4) targets J≥0.9 dups
+    val df = docs.toDF("doc_id", "text")
+    val got = Dedup.minhashLshPairs(df, col("doc_id"), col("text"), 3, 0.5, bands = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === bruteJaccard(3, 0.5))
+  }
+
+  test("simhash pairs: band pigeonhole finds every pair with hamming <= 3") {
+    val df = docs.toDF("doc_id", "text")
+    val sims = docs.map { case (i, t) =>
+      i -> TextHash.simhash(t.split("\\s+").filter(_.nonEmpty).map(TextHash.charHash))
+    }.toMap
+    val expect = (for {
+      (ia, _) <- docs; (ib, _) <- docs if ia < ib
+      h = TextHash.hamming(sims(ia), sims(ib)) if h <= 3
+    } yield (ia, ib, h)).toSet
+    val got = Dedup.simhashPairs(df, col("doc_id"), col("text"), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got === expect)
+    assert(expect.nonEmpty) // exact dups guarantee hamming-0 pairs
+  }
+
+  test("hot-shingle cap drops boilerplate-only pairs but keeps true dups") {
+    val df = docs.toDF("doc_id", "text")
+    val exact = bruteJaccard(3, 0.5)
+    val capped = Dedup.ngramJaccardPairs(df, col("doc_id"), col("text"), 3, 0.5,
+        maxDocFreq = docs.size.toLong) // cap above any df ⇒ identical result
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(capped === exact)
+  }
+}

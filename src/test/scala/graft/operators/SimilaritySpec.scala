@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Similarity search: brute-force exactness + ANN recall on clustered data. */
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = graft.SparkTestSession.spark
+  import spark.implicits._
+
+  val dims = 16
+
+  /** 20 tight clusters of 25 vectors each (unit-ish, deterministic). */
+  private val vecs: Seq[(Long, Array[Float])] = {
+    val rnd = new scala.util.Random(11)
+    val centers = Array.fill(20)(Array.fill(dims)(rnd.nextGaussian().toFloat))
+    (0L until 500L).map { i =>
+      val c = centers((i % 20).toInt)
+      i -> c.map(x => x + 0.05f * rnd.nextGaussian().toFloat)
+    }
+  }
+
+  private def quant(v: Array[Float]): Array[Long] =
+    v.map(x => math.floor(x.toDouble * 1e6 + 0.5).toLong)
+
+  private def brute(qid: Long, k: Int): Seq[Long] = {
+    val q = quant(vecs.find(_._1 == qid).get._2)
+    vecs.filter(_._1 != qid)
+      .map { case (id, v) => (id, quant(v).zip(q).map { case (a, b) => a * b }.sum) }
+      .sortBy { case (id, d) => (-d, id) }.take(k).map(_._1)
+  }
+
+  private val df = vecs.toDF("vec_id", "embedding")
+  private val queries = df.where(col("vec_id") % 100 === 0) // 5 queries
+
+  test("brute-force topK matches in-JVM oracle exactly") {
+    val got = Similarity.topKDot(df, queries, "vec_id", "embedding", 5)
+      .collect().groupBy(_.getLong(0))
+    for (qid <- Seq(0L, 100L, 200L, 300L, 400L)) {
+      val exp = brute(qid, 5)
+      val act = got(qid).sortBy(_.getLong(2)).map(_.getLong(1)).toSeq
+      assert(act === exp, s"query $qid")
+    }
+  }
+
+  test("ANN hyperplane LSH reaches high recall on clustered vectors") {
+    val got = Similarity.annTopK(spark, df, queries, "vec_id", "embedding",
+        k = 5, dims = dims, planes = 6, tables = 8)
+      .collect().groupBy(_.getLong(0))
+    val recalls = Seq(0L, 100L, 200L, 300L, 400L).map { qid =>
+      val exp = brute(qid, 5).toSet
+      val act = got.get(qid).map(_.map(_.getLong(1)).toSet).getOrElse(Set.empty)
+      (exp intersect act).size.toDouble / exp.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.8, s"mean recall $mean, per-query $recalls")
+  }
+
+  test("cosine near-dup pairs: same-cluster pairs found, cross-cluster excluded") {
+    val small = vecs.take(50).toDF("vec_id", "embedding") // clusters 0..19, 2-3 members
+    val got = Similarity.cosineNearDupPairs(small, "vec_id", "embedding", 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.nonEmpty)
+    // every reported pair is same-cluster (cluster = id % 20)
+    assert(got.forall { case (a, b) => a % 20 == b % 20 })
+    // and every same-cluster pair among the 50 is reported (tight clusters)
+    val expect = (for {
+      a <- 0L until 50L; b <- (a + 1) until 50L if a % 20 == b % 20
+    } yield (a, b)).toSet
+    assert(got === expect)
+  }
+}
