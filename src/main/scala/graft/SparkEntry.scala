@@ -237,6 +237,22 @@ object SparkEntry {
       TextAnalysis.quality(s.read.parquet(s"$dir/documents.parquet"),
         col("doc_id"), col("text")).orderBy("doc_id")
     }),
+    // ---- checkpoint/resume with per-partition lineage: a per-customer
+    //      aggregation deliberately run as partial attempt + resume; the
+    //      oracle checks the recovered result equals the plain aggregation
+    "q61_checkpoint_agg" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_ckpt_q61").toString
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val transform: DataFrame => DataFrame =
+        df => df.groupBy(col("_bucket"), col("o_custkey"))
+          .agg(count(lit(1)).as("n_orders"))
+      // first attempt covers only half the buckets, second resumes the rest
+      graft.plans.CheckpointedRun.runAttempt(s, orders, col("o_custkey"), transform,
+        numBuckets = 8, out, "q61", maxBuckets = 4)
+      graft.plans.CheckpointedRun.runToCompletion(s, orders, col("o_custkey"), transform,
+          numBuckets = 8, out, "q61")
+        .select("o_custkey", "n_orders").orderBy("o_custkey")
+    }),
     // ---- H7/H8: contribution classification (diff consecutive versions)
     "q19_contributions" -> ((s, dir) => {
       val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -419,6 +435,9 @@ object SparkEntry {
          |   AND mean_token_len <= 12.0 AND alpha_ratio >= 0.5) AS keep
          |FROM m ORDER BY doc_id""".stripMargin
     },
+    "q61_checkpoint_agg" ->
+      """SELECT o_custkey, count(*) AS n_orders FROM orders
+        |GROUP BY 1 ORDER BY o_custkey""".stripMargin,
     "q19_contributions" ->
       """WITH t AS (SELECT user_id, value,
         |  lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev

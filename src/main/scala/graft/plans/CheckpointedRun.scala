@@ -1,0 +1,155 @@
+package graft.plans
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
+
+/** Resumable partitioned execution with per-partition lineage + metrics
+  * (BASELINE.json north_rule: "resumable from checkpoint with per-partition
+  * lineage + metrics"; SURVEY.md §7.7).
+  *
+  * Model: the input is split into `numBuckets` deterministic buckets by a
+  * key column (`pmod(hash(key), n)` — stable across runs and cluster
+  * sizes). Each attempt processes the PENDING buckets (all − completed) in
+  * one Spark job, writing output parquet partitioned by `_bucket` with
+  * dynamic partition overwrite — so a bucket that failed mid-write is
+  * replaced wholesale on retry (idempotent), and completed buckets are
+  * never recomputed or rewritten.
+  *
+  * Lineage: `<out>/_lineage/attempt_*.json` holds one JSON line per bucket
+  * per attempt — (job_id, attempt, partition_id, input_rows, output_rows,
+  * t_start, t_end, status) — plus one `"kind":"metrics"` line per attempt
+  * with SparkListener-sourced task metrics (records/bytes read, shuffle
+  * bytes, executor CPU time). Files are written tmp→rename so a driver
+  * kill mid-write never yields a half-manifest; an attempt that dies
+  * before its manifest lands simply leaves its buckets pending.
+  *
+  * Scale: the bucket count bounds replay granularity, not parallelism —
+  * within an attempt Spark parallelism is unconstrained; at 10^12 rows
+  * you'd use O(10^4) buckets so a resume redoes ≤0.01% of work.
+  */
+object CheckpointedRun {
+
+  final case class BucketResult(partitionId: Int, inputRows: Long, outputRows: Long)
+  final case class RunReport(jobId: String, attempt: Int, processed: Seq[Int],
+                             skipped: Seq[Int], output: DataFrame)
+
+  private def lineageDir(outDir: String): Path = Paths.get(outDir, "_lineage")
+
+  /** Buckets already completed ok in any prior attempt. */
+  def completedBuckets(outDir: String): Set[Int] = {
+    val dir = lineageDir(outDir)
+    if (!Files.isDirectory(dir)) return Set.empty
+    Files.list(dir).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".json"))
+      .flatMap(p => Files.readAllLines(p).asScala)
+      .filter(l => l.contains("\"status\": \"ok\""))
+      .flatMap(l => "\"partition_id\": (\\d+)".r.findFirstMatchIn(l).map(_.group(1).toInt))
+      .toSet
+  }
+
+  def latestAttempt(outDir: String): Int = {
+    val dir = lineageDir(outDir)
+    if (!Files.isDirectory(dir)) return 0
+    Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.startsWith("attempt_") => s.stripPrefix("attempt_").takeWhile(_.isDigit).toInt }
+      .foldLeft(0)(math.max)
+  }
+
+  /** One attempt: process up to `maxBuckets` pending buckets (all by
+    * default). Returns the cumulative output (all completed buckets).
+    * Call again after a crash — or with remaining buckets — to resume.
+    */
+  def runAttempt(spark: SparkSession, input: DataFrame, keyCol: Column,
+                 transform: DataFrame => DataFrame, numBuckets: Int,
+                 outDir: String, jobId: String,
+                 maxBuckets: Int = Int.MaxValue): RunReport = {
+    val done = completedBuckets(outDir)
+    val attempt = latestAttempt(outDir) + 1
+    val pendingAll = (0 until numBuckets).filterNot(done)
+    val pending = pendingAll.take(maxBuckets)
+    val dataDir = s"$outDir/data"
+
+    if (pending.nonEmpty) {
+      val tStart = System.currentTimeMillis()
+      val metrics = new AttemptMetricsListener
+      spark.sparkContext.addSparkListener(metrics)
+      try {
+        val bucketed = input.withColumn("_bucket", pmod(hash(keyCol), lit(numBuckets)))
+          .where(col("_bucket").isInCollection(pending))
+        val inCounts = bucketed.groupBy("_bucket").agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        val out = transform(bucketed).withColumn("_bucket",
+          // transform must preserve _bucket; re-derive if it dropped it
+          col("_bucket"))
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        out.write.mode("overwrite").partitionBy("_bucket").parquet(dataDir)
+        val outCounts = spark.read.parquet(dataDir)
+          .where(col("_bucket").isInCollection(pending))
+          .groupBy("_bucket").agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        val tEnd = System.currentTimeMillis()
+        val lines = pending.map { b =>
+          s"""{"job_id": "$jobId", "attempt": $attempt, "partition_id": $b, """ +
+            s""""input_rows": ${inCounts.getOrElse(b, 0L)}, "output_rows": ${outCounts.getOrElse(b, 0L)}, """ +
+            s""""t_start": $tStart, "t_end": $tEnd, "status": "ok"}"""
+        } :+ metrics.json(jobId, attempt)
+        writeAtomic(lineageDir(outDir).resolve(f"attempt_$attempt%05d.json"),
+          lines.mkString("", "\n", "\n"))
+      } finally spark.sparkContext.removeSparkListener(metrics)
+    }
+
+    val output = spark.read.parquet(dataDir)
+      .where(col("_bucket").isInCollection(completedBuckets(outDir).toSeq))
+    RunReport(jobId, attempt, pending, done.toSeq.sorted, output)
+  }
+
+  /** Drive attempts until every bucket is complete; returns final output. */
+  def runToCompletion(spark: SparkSession, input: DataFrame, keyCol: Column,
+                      transform: DataFrame => DataFrame, numBuckets: Int,
+                      outDir: String, jobId: String,
+                      maxAttempts: Int = 10): DataFrame = {
+    var r: RunReport = null
+    var i = 0
+    while (i < maxAttempts &&
+           completedBuckets(outDir).size < numBuckets) {
+      r = runAttempt(spark, input, keyCol, transform, numBuckets, outDir, jobId)
+      i += 1
+    }
+    require(completedBuckets(outDir).size == numBuckets,
+      s"job $jobId incomplete after $i attempts")
+    r.output
+  }
+
+  private def writeAtomic(target: Path, content: String): Unit = {
+    Files.createDirectories(target.getParent)
+    val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
+    Files.write(tmp, content.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+  }
+}
+
+/** Aggregates task metrics across the stages of one attempt. */
+final class AttemptMetricsListener extends SparkListener {
+  @volatile private var recordsRead = 0L
+  @volatile private var bytesRead = 0L
+  @volatile private var shuffleWrite = 0L
+  @volatile private var cpuTimeNs = 0L
+  override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+    val m = sc.stageInfo.taskMetrics
+    if (m != null) {
+      recordsRead += m.inputMetrics.recordsRead
+      bytesRead += m.inputMetrics.bytesRead
+      shuffleWrite += m.shuffleWriteMetrics.bytesWritten
+      cpuTimeNs += m.executorCpuTime
+    }
+  }
+  def json(jobId: String, attempt: Int): String =
+    s"""{"job_id": "$jobId", "attempt": $attempt, "kind": "metrics", """ +
+      s""""records_read": $recordsRead, "bytes_read": $bytesRead, """ +
+      s""""shuffle_write_bytes": $shuffleWrite, "executor_cpu_ns": $cpuTimeNs}"""
+}

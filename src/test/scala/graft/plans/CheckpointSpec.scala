@@ -1,0 +1,87 @@
+package graft.plans
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import scala.jdk.CollectionConverters._
+
+object FailOnce {
+  @volatile var armed = false
+}
+
+class CheckpointSpec extends AnyFunSuite {
+  lazy val spark = graft.SparkTestSession.spark
+  import spark.implicits._
+
+  private def freshDir(tag: String): String = {
+    val d = Files.createTempDirectory(s"ckpt_$tag").toString
+    d
+  }
+
+  private def input: DataFrame =
+    (0L until 1000L).map(i => (i, i % 37, s"v$i")).toDF("id", "key", "payload")
+
+  private def transform(df: DataFrame): DataFrame =
+    df.groupBy("_bucket", "key").agg(count(lit(1)).as("cnt"), sum("id").as("sum_id"))
+
+  private def direct: Set[(Long, Long, Long)] =
+    input.groupBy("key").agg(count(lit(1)).as("cnt"), sum("id").as("sum_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("partial attempt + resume == direct run; completed buckets not recomputed") {
+    val out = freshDir("resume")
+    val r1 = CheckpointedRun.runAttempt(spark, input, col("key"), transform, 8, out, "j1",
+      maxBuckets = 3)
+    assert(r1.processed.size === 3 && r1.skipped.isEmpty)
+    assert(CheckpointedRun.completedBuckets(out).size === 3)
+
+    val r2 = CheckpointedRun.runAttempt(spark, input, col("key"), transform, 8, out, "j1")
+    assert(r2.processed.size === 5)
+    assert(r2.skipped.toSet === r1.processed.toSet)
+    val got = r2.output.select("key", "cnt", "sum_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === direct)
+
+    // third attempt is a no-op
+    val r3 = CheckpointedRun.runAttempt(spark, input, col("key"), transform, 8, out, "j1")
+    assert(r3.processed.isEmpty)
+  }
+
+  test("crash mid-attempt leaves buckets pending; runToCompletion recovers") {
+    val out = freshDir("crash")
+    FailOnce.armed = true
+    val failing: DataFrame => DataFrame = df => {
+      val f = udf((b: Int) => {
+        if (FailOnce.armed && b >= 4) throw new RuntimeException("injected executor failure")
+        b
+      })
+      transform(df.withColumn("_bucket", f(col("_bucket"))))
+    }
+    intercept[Exception] {
+      CheckpointedRun.runAttempt(spark, input, col("key"), failing, 8, out, "j2")
+    }
+    // nothing committed: the attempt died before its manifest landed
+    assert(CheckpointedRun.completedBuckets(out).isEmpty)
+
+    FailOnce.armed = false
+    val result = CheckpointedRun.runToCompletion(spark, input, col("key"), transform, 8, out, "j2")
+    val got = result.select("key", "cnt", "sum_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === direct)
+  }
+
+  test("lineage records per-partition rows and attempt metrics") {
+    val out = freshDir("lineage")
+    CheckpointedRun.runToCompletion(spark, input, col("key"), transform, 4, out, "j3")
+    val lines = Files.list(Paths.get(out, "_lineage")).iterator().asScala
+      .flatMap(p => Files.readAllLines(p).asScala).toSeq
+    val bucketLines = lines.filter(_.contains("\"status\": \"ok\""))
+    assert(bucketLines.size === 4)
+    assert(bucketLines.forall(_.contains("\"input_rows\"")))
+    val inputTotal = "\"input_rows\": (\\d+)".r.findAllMatchIn(bucketLines.mkString("\n"))
+      .map(_.group(1).toLong).sum
+    assert(inputTotal === 1000L)
+    assert(lines.exists(_.contains("\"kind\": \"metrics\"")))
+  }
+}
