@@ -237,6 +237,26 @@ object SparkEntry {
       TextAnalysis.quality(s.read.parquet(s"$dir/documents.parquet"),
         col("doc_id"), col("text")).orderBy("doc_id")
     }),
+    // ---- multimodal image ops over the fixture image table (binary column
+    //      + typed metadata; real raw/png decode — no DuckDB oracle, gated
+    //      by MultimodalSpec kernels instead)
+    "q62_image_meta" -> ((s, dir) => {
+      operators.Multimodal.decodeMeta(Fixtures.images(s, 5000))
+        .groupBy("fmt").agg(count(lit(1)).as("n"),
+          min(col("phash_match").cast("int")).as("all_match"),
+          avg("mean_luma").as("avg_luma"))
+        .orderBy("fmt")
+    }),
+    "q63_image_embed_topk" -> ((s, dir) => {
+      val feats = operators.Multimodal.features(Fixtures.images(s, 2000))
+      Similarity.topKDot(feats, feats.where(crc32(col("image_id")) % 100 === 0),
+        "image_id", "embedding", k = 5).orderBy("qid", "rank")
+    }),
+    "q64_frame_sample" -> ((s, dir) => {
+      operators.Multimodal.sampleFrames(Fixtures.images(s, 2000), frameH = 8, stride = 2)
+        .groupBy("image_id").agg(count(lit(1)).as("n_frames"))
+        .orderBy("image_id")
+    }),
     // ---- checkpoint/resume with per-partition lineage: a per-customer
     //      aggregation deliberately run as partial attempt + resume; the
     //      oracle checks the recovered result equals the plain aggregation

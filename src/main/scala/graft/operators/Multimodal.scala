@@ -1,0 +1,168 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.fixtures.ImageCodec
+
+/** Multimodal (image) column operators: the payload rides as an opaque
+  * `binary` column with typed metadata (input_hint shape), and per-row
+  * kernels run inside `mapPartitions` — one decoded image in flight per
+  * row, nothing heavy enters Catalyst expressions or the shuffle.
+  *
+  * Decode is REAL for the two fixture formats (`raw` bytes, `png` via
+  * in-JDK javax.imageio); any other format hits `decodeStub` — the clearly
+  * marked extension point where a production build would link libjpeg etc.
+  * Everything around it (schema, batching, partition preservation,
+  * verification metrics) is real and tested.
+  *
+  * Scale: all ops are narrow (no shuffle); decode cost dominates, so
+  * partition sizing is rows/partition × avg image bytes — the caller
+  * controls it with the input layout, and lineage-checkpointing (q61)
+  * composes for resumability.
+  */
+object Multimodal {
+
+  /** Extension point for formats the sandbox can't decode (no jpeg/webp
+    * libs here): deterministic fake decode so the pipeline shape is
+    * exercised end-to-end.
+    */
+  def decodeStub(bytes: Array[Byte], fmt: String, w: Int, h: Int): Array[Byte] = {
+    // ??? in production: link a real decoder. Deterministic fake for tests:
+    val px = new Array[Byte](w * h)
+    var i = 0
+    while (i < px.length) { px(i) = bytes(i % math.max(1, bytes.length)); i += 1 }
+    px
+  }
+
+  private def decodeAny(bytes: Array[Byte], fmt: String, w: Int, h: Int): Array[Byte] =
+    fmt match {
+      case "raw" | "png" => ImageCodec.decode(bytes, fmt, w, h)
+      case other => decodeStub(bytes, other, w, h)
+    }
+
+  private val metaSchema = StructType(Seq(
+    StructField("image_id", StringType), StructField("fmt", StringType),
+    StructField("w", IntegerType), StructField("h", IntegerType),
+    StructField("n_pixels", IntegerType), StructField("mean_luma", DoubleType),
+    StructField("phash_recomputed", LongType), StructField("phash_match", BooleanType),
+    StructField("roundtrip_psnr_db", DoubleType)))
+
+  /** Decode + verify each image: recompute the 8×8 average-hash (must equal
+    * the stored `phash` for fixture rows), re-encode + decode and measure
+    * PSNR (∞ for lossless — the ≥40 dB gate is what a lossy fmt would face).
+    */
+  def decodeMeta(images: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(metaSchema)
+    images.select("image_id", "bytes", "w", "h", "fmt", "phash")
+      .mapPartitions { it =>
+        it.map { r =>
+          val (id, bytes, w, h, fmt, phash) = (r.getString(0), r.getAs[Array[Byte]](1),
+            r.getInt(2), r.getInt(3), r.getString(4), r.getLong(5))
+          val px = decodeAny(bytes, fmt, w, h)
+          var sum = 0L; var i = 0
+          while (i < px.length) { sum += (px(i) & 0xff); i += 1 }
+          val rehash = ImageCodec.avgHash64(px, w, h)
+          val reenc = fmt match {
+            case "png" => ImageCodec.decode(ImageCodec.encodePng(px, w, h), "png", w, h)
+            case _ => px
+          }
+          Row(id, fmt, w, h, px.length, sum.toDouble / px.length, rehash,
+            rehash == phash, ImageCodec.psnr(px, reenc))
+        }
+      }(enc)
+  }
+
+  private val resizeSchema = StructType(Seq(
+    StructField("image_id", StringType), StructField("bytes", BinaryType),
+    StructField("w", IntegerType), StructField("h", IntegerType),
+    StructField("fmt", StringType)))
+
+  /** Nearest-neighbour resample to (tw, th) — a real, dependency-free
+    * resize over gray pixels; output is `raw` fmt.
+    */
+  def resize(images: DataFrame, tw: Int, th: Int): DataFrame = {
+    val enc = RowEncoder.encoderFor(resizeSchema)
+    images.select("image_id", "bytes", "w", "h", "fmt")
+      .mapPartitions { it =>
+        it.map { r =>
+          val (id, bytes, w, h, fmt) = (r.getString(0), r.getAs[Array[Byte]](1),
+            r.getInt(2), r.getInt(3), r.getString(4))
+          val px = decodeAny(bytes, fmt, w, h)
+          val out = new Array[Byte](tw * th)
+          var y = 0
+          while (y < th) {
+            val sy = y * h / th
+            var x = 0
+            while (x < tw) { out(y * tw + x) = px(sy * w + x * w / tw); x += 1 }
+            y += 1
+          }
+          Row(id, out, tw, th, "raw")
+        }
+      }(enc)
+  }
+
+  private val featSchema = StructType(Seq(
+    StructField("image_id", StringType),
+    StructField("embedding", ArrayType(DoubleType, containsNull = false)),
+    StructField("hist8", ArrayType(LongType, containsNull = false))))
+
+  /** Feature extraction: 64-dim block-mean embedding (8×8 grid of mean
+    * luma, normalized to [0,1]) + 8-bin luma histogram — bridges the image
+    * table into the embedding similarity operators (Similarity.topKDot).
+    */
+  def features(images: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(featSchema)
+    images.select("image_id", "bytes", "w", "h", "fmt")
+      .mapPartitions { it =>
+        it.map { r =>
+          val (id, bytes, w, h, fmt) = (r.getString(0), r.getAs[Array[Byte]](1),
+            r.getInt(2), r.getInt(3), r.getString(4))
+          val px = decodeAny(bytes, fmt, w, h)
+          val bw = w / 8; val bh = h / 8
+          val emb = new Array[Double](64)
+          var k = 0
+          while (k < 64) {
+            val br = k / 8; val bc = k % 8
+            var sum = 0L; var y = br * bh
+            while (y < (br + 1) * bh) {
+              var x = bc * bw
+              while (x < (bc + 1) * bw) { sum += (px(y * w + x) & 0xff); x += 1 }
+              y += 1
+            }
+            emb(k) = sum.toDouble / (bw * bh) / 255.0
+            k += 1
+          }
+          val hist = new Array[Long](8)
+          var i = 0
+          while (i < px.length) { hist((px(i) & 0xff) >> 5) += 1; i += 1 }
+          Row(id, emb, hist)
+        }
+      }(enc)
+  }
+
+  private val frameSchema = StructType(Seq(
+    StructField("image_id", StringType), StructField("frame_idx", IntegerType),
+    StructField("bytes", BinaryType), StructField("w", IntegerType),
+    StructField("h", IntegerType)))
+
+  /** Frame sampling: treat each image as a stack of `h/frameH` horizontal
+    * bands ("frames") and emit every `stride`-th band — the video-pipeline
+    * shape (1 row in → N frame rows out, flatMap fan-out, no shuffle).
+    */
+  def sampleFrames(images: DataFrame, frameH: Int, stride: Int): DataFrame = {
+    val enc = RowEncoder.encoderFor(frameSchema)
+    images.select("image_id", "bytes", "w", "h", "fmt")
+      .flatMap { r =>
+        val (id, bytes, w, h, fmt) = (r.getString(0), r.getAs[Array[Byte]](1),
+          r.getInt(2), r.getInt(3), r.getString(4))
+        val px = decodeAny(bytes, fmt, w, h)
+        val nFrames = h / frameH
+        (0 until nFrames by stride).map { f =>
+          Row(id, f, java.util.Arrays.copyOfRange(px, f * frameH * w, (f + 1) * frameH * w),
+            w, frameH)
+        }
+      }(enc)
+  }
+}
