@@ -82,6 +82,16 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("qid", "rank")
     }),
+    // ---- H3/H4 + B5 geometry stage: metric columns computed after
+    //      geometry construction, then filter-DSL area/perimeter predicates
+    //      (rows-only: WKB metrics aren't ANSI-expressible; gated by
+    //      GeoMetricsSpec closed-form tests instead)
+    "q07_geo_metric_filter" -> ((s, dir) => {
+      val polys = SpatialJoin.withGeoMetrics(Fixtures.polygonsDf(s))
+      polys.where(graft.filter.FilterDsl.toColumn(
+          "area_m2:(1000000..) and not kind=adversarial", polys.schema))
+        .select("poly_id", "kind", "area_m2", "perimeter_m").orderBy("poly_id")
+    }),
     // ---- B1: areaOfInterest bbox pre-filter (pushdown-friendly predicate)
     "q05_aoi_bbox" -> ((s, dir) => {
       customerPts(s, dir)

@@ -1,0 +1,67 @@
+package graft.core
+
+/** Geodesic-approximate area and length kernels (SURVEY.md H3/H4 —
+  * [ref: oshdb-util/…/geometry/Geo.java :: areaOf / lengthOf]): fast
+  * spherical approximations good to <0.5% at mid latitudes, matching the
+  * reference's "fast approx, not ellipsoid-exact" contract. These feed the
+  * filter DSL's geometry-metric stage (`area:(..)` / `length:(..)`), which
+  * by construction runs AFTER geometry construction — the reference's
+  * applyOSMGeometry ordering (SURVEY.md O2).
+  */
+object GeoMetrics {
+  val EARTH_RADIUS_M: Double = 6371008.8 // mean radius
+
+  @inline private def rad(micro: Long): Double =
+    math.toRadians(micro.toDouble / FixedPoint.MICRO)
+
+  /** Signed spherical ring area (m²): A = R²/2 · Σ (λ2−λ1)(sin φ1 + sin φ2). */
+  def ringArea(r: RingM): Double = {
+    val n = r.xs.length
+    var sum = 0.0
+    var i = 0
+    var x1 = rad(r.xs(n - 1)); var y1 = rad(r.ys(n - 1))
+    while (i < n) {
+      val x2 = rad(r.xs(i)); val y2 = rad(r.ys(i))
+      sum += (x2 - x1) * (math.sin(y1) + math.sin(y2))
+      x1 = x2; y1 = y2
+      i += 1
+    }
+    math.abs(sum) * EARTH_RADIUS_M * EARTH_RADIUS_M / 2.0
+  }
+
+  /** Polygon area: shell minus holes (ring 0 is the shell by PolyM contract). */
+  def areaOf(p: PolyM): Double = {
+    var a = ringArea(p.rings(0))
+    var i = 1
+    while (i < p.rings.length) { a -= ringArea(p.rings(i)); i += 1 }
+    math.max(a, 0.0)
+  }
+
+  /** Haversine great-circle distance (m) between two micro-degree points. */
+  def haversine(lon1: Long, lat1: Long, lon2: Long, lat2: Long): Double = {
+    val f1 = rad(lat1); val f2 = rad(lat2)
+    val dF = f2 - f1; val dL = rad(lon2) - rad(lon1)
+    val a = math.sin(dF / 2) * math.sin(dF / 2) +
+      math.cos(f1) * math.cos(f2) * math.sin(dL / 2) * math.sin(dL / 2)
+    2 * EARTH_RADIUS_M * math.asin(math.min(1.0, math.sqrt(a)))
+  }
+
+  /** Ring perimeter (m) — closed implicitly like Raycast. */
+  def ringLength(r: RingM): Double = {
+    val n = r.xs.length
+    var sum = 0.0
+    var i = 0
+    var px = r.xs(n - 1); var py = r.ys(n - 1)
+    while (i < n) {
+      sum += haversine(px, py, r.xs(i), r.ys(i))
+      px = r.xs(i); py = r.ys(i)
+      i += 1
+    }
+    sum
+  }
+
+  /** Polygon perimeter: shell + hole boundaries (reference perimeter
+    * semantics [ref: oshdb-filter GeometryFilterPerimeter]).
+    */
+  def perimeterOf(p: PolyM): Double = p.rings.map(ringLength).sum
+}

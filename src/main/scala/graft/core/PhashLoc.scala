@@ -24,52 +24,5 @@ object PhashLoc {
   @inline def latMicro(phash: Long): Long = Morton.decodeY(phash) + LAT_MIN
 }
 
-/** Geodesic-approximation metrics on micro-degree geometry — mirrors the
-  * reference's fast area/length [ref: oshdb-util/…/geometry/Geo.java ::
-  * areaOf, lengthOf]: equirectangular approximation scaled by cos(lat),
-  * adequate for filter predicates `area:(..)` / `length:(..)`, not survey-
-  * grade. Doubles are fine here: metrics are outputs, never join predicates.
-  */
-object GeoMetrics {
-  val EARTH_RADIUS_M = 6378137.0
-  private val M_PER_DEG = EARTH_RADIUS_M * math.Pi / 180.0
-
-  /** Planar shoelace area of one ring in m² (positive regardless of winding). */
-  def ringAreaM2(r: RingM): Double = {
-    val n = r.xs.length
-    var sum = 0.0
-    var midLat = 0.0
-    var i = 0
-    while (i < n) {
-      val j = (i + 1) % n
-      sum += (r.xs(i).toDouble * r.ys(j) - r.xs(j).toDouble * r.ys(i)) / 1e12
-      midLat += r.ys(i).toDouble / 1e6
-      i += 1
-    }
-    val latScale = math.cos(math.toRadians(midLat / n))
-    math.abs(sum) / 2.0 * M_PER_DEG * M_PER_DEG * latScale
-  }
-
-  def areaM2(p: PolyM): Double = {
-    var a = ringAreaM2(p.rings(0))
-    var i = 1
-    while (i < p.rings.length) { a -= ringAreaM2(p.rings(i)); i += 1 }
-    a
-  }
-
-  def lengthM(r: RingM, closed: Boolean = true): Double = {
-    val n = r.xs.length
-    var sum = 0.0
-    val last = if (closed) n else n - 1
-    var i = 0
-    while (i < last) {
-      val j = (i + 1) % n
-      val dx = (r.xs(j) - r.xs(i)).toDouble / 1e6
-      val dy = (r.ys(j) - r.ys(i)).toDouble / 1e6
-      val latScale = math.cos(math.toRadians((r.ys(j) + r.ys(i)).toDouble / 2e6))
-      sum += math.sqrt(dx * dx * latScale * latScale + dy * dy) * M_PER_DEG
-      i += 1
-    }
-    sum
-  }
-}
+// Geo metrics live in GeoMetrics.scala (spherical-excess area + haversine
+// length, replacing an earlier equirect approximation that lived here).

@@ -83,6 +83,106 @@ case class MinShingleHashExpr(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): MinShingleHashExpr = copy(child = c)
 }
 
+/** Sorted DISTINCT word-n-gram (shingle) hashes of a token array, computed
+  * without materializing any shingle string: the rolling charHash runs
+  * straight over token chars with a virtual ' ' separator, so
+  * `shingle_hashes(toks, n)[i] == charHash(tok_i ⧺ ' ' ⧺ … ⧺ tok_{i+n-1})`
+  * exactly — DuckDB oracle parity is preserved while the interpreted
+  * higher-order-function path (transform+concat_ws+element_at, measured
+  * ~19 µs/shingle) collapses into one primitive loop per row.
+  * Dedup by HASH not string; a cross-doc mod-P collision (~1e-9/pair) is
+  * the accepted trade documented in Dedup.
+  */
+object ShingleBridge {
+  import graft.core.TextHash.{BASE, P, SEED}
+
+  def shingleHashes(arr: ArrayData, n: Int): ArrayData = {
+    val cnt = arr.numElements()
+    val m = cnt - n + 1
+    if (m <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val toks = new Array[String](cnt)
+    var i = 0
+    while (i < cnt) { toks(i) = arr.getUTF8String(i).toString; i += 1 }
+    val out = new Array[Long](m)
+    i = 0
+    while (i < m) {
+      var acc = SEED
+      var j = 0
+      while (j < n) {
+        if (j > 0) acc = (acc * BASE + ' ') % P
+        val t = toks(i + j)
+        var k = 0
+        while (k < t.length) { acc = (acc * BASE + t.charAt(k)) % P; k += 1 }
+        j += 1
+      }
+      out(i) = acc
+      i += 1
+    }
+    java.util.Arrays.sort(out)
+    var w = 0
+    i = 0
+    while (i < m) {
+      if (w == 0 || out(i) != out(w - 1)) { out(w) = out(i); w += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, w))
+  }
+
+  def minhashFromHashes(arr: ArrayData): ArrayData =
+    new GenericArrayData(graft.core.TextHash.minhashSig(arr.toLongArray()))
+}
+
+case class ShingleHashesExpr(child: Expression, n: Int) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+  override protected def nullSafeEval(v: Any): Any =
+    ShingleBridge.shingleHashes(v.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleBridge$$.MODULE$$.shingleHashes($c, $n)")
+  override protected def withNewChildInternal(c: Expression): ShingleHashesExpr = copy(child = c)
+}
+
+/** MinHash signature straight from a shingle-hash array. */
+case class MinhashFromHashesExpr(child: Expression) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_from_hashes"
+  override protected def nullSafeEval(v: Any): Any =
+    ShingleBridge.minhashFromHashes(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleBridge$$.MODULE$$.minhashFromHashes($c)")
+  override protected def withNewChildInternal(c: Expression): MinhashFromHashesExpr = copy(child = c)
+}
+
+/** Exact int64 dot product of two quantized vectors — a primitive-array
+  * loop instead of `aggregate(zip_with(...))`, which allocates a boxed
+  * intermediate array per row pair (measured 17 s → ~2 s on the sf0.1
+  * all-pairs cosine query).
+  */
+object DotBridge {
+  def dot(a: ArrayData, b: ArrayData): Long = {
+    val x = a.toLongArray(); val y = b.toLongArray()
+    val n = math.min(x.length, y.length)
+    var s = 0L
+    var i = 0
+    while (i < n) { s += x(i) * y(i); i += 1 }
+    s
+  }
+}
+
+case class DotQExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = LongType
+  override def prettyName: String = "dot_q"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    DotBridge.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.DotBridge$$.MODULE$$.dot($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotQExpr =
+    copy(left = l, right = r)
+}
+
 /** Hyperplane-LSH bucket ids for a quantized vector: one bucket per table,
   * `planes` sign bits each. The plane matrix ((tables·planes) × dims int64
   * components) is built ONCE on the driver and rides the codegen references
@@ -138,6 +238,11 @@ object TextFunctions {
   def simhash(tokens: Column): Column = column(SimhashExpr(expression(tokens)))
   def minhashSig(shingles: Column): Column = column(MinhashSigExpr(expression(shingles)))
   def minShingleHash(shingles: Column): Column = column(MinShingleHashExpr(expression(shingles)))
+  def dotQ(a: Column, b: Column): Column = column(DotQExpr(expression(a), expression(b)))
+  def shingleHashes(tokens: Column, n: Int): Column =
+    column(ShingleHashesExpr(expression(tokens), n))
+  def minhashFromHashes(hashes: Column): Column =
+    column(MinhashFromHashesExpr(expression(hashes)))
   def hyperplaneBuckets(quantVec: Column, planeMatrix: Array[Array[Long]],
                         planes: Int, tables: Int): Column =
     column(HyperplaneBucketsExpr(expression(quantVec), planeMatrix, planes, tables))

@@ -42,40 +42,67 @@ object Dedup {
     df.groupBy(charHash(textCol).as("text_hash"))
       .agg(min(idCol).as("canonical_id"), count(lit(1)).as("n_copies"))
 
-  /** Exact n-gram Jaccard near-dup pairs via shingle-explode self-join:
-    * |A∩B| per pair = count of shared distinct shingles, so
-    * J = c / (|A| + |B| − c) with pure integer inputs.
-    *
-    * Scale: explode → shuffle on the shingle hash (not the text), count per
-    * pair, filter. Hot shingles (boilerplate) are the skew risk — cap them
-    * with `maxDocFreq`: a shingle occurring in more docs is dropped from
-    * pair generation (standard near-dup practice; drops only pairs whose
-    * entire overlap is boilerplate). DEFAULT OFF (exact) for oracle parity.
+  /** Shingle-hash arrays per doc: (doc_id, gha sorted distinct array<long>,
+    * sz = |gha|), via the codegen'd `shingle_hashes` kernel — the
+    * string-building HOF pipeline (transform + concat_ws + element_at) was
+    * measured at ~19 µs/shingle interpreted; the primitive kernel does the
+    * identical rolling hash with zero intermediate strings. Dedup is by
+    * hash (mod-P string collision ≈ 1e-9/pair — accepted, same trade the
+    * array_intersect verify already makes).
     */
-  def ngramJaccardPairs(df: DataFrame, idCol: Column, textCol: Column, n: Int,
-                        threshold: Double, maxDocFreq: Long = Long.MaxValue): DataFrame = {
-    val sh = df.select(idCol.as("doc_id"), wordNgrams(tokens(textCol), n).as("g"))
-      .where(size(col("g")) > 0)
-    val sizes = sh.select(col("doc_id"), size(col("g")).as("sz"))
-    val ex0 = sh.select(col("doc_id"), explode(col("g")).as("gram"))
-      .select(col("doc_id"), charHash(col("gram")).as("gh"))
-    val ex =
-      if (maxDocFreq == Long.MaxValue) ex0
-      else {
-        val hot = ex0.groupBy("gh").agg(count(lit(1)).as("df")).where(col("df") > maxDocFreq)
-        ex0.join(broadcast(hot), Seq("gh"), "left_anti")
-      }
-    val common = ex.as("a").join(ex.as("b"),
-        col("a.gh") === col("b.gh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .agg(count(lit(1)).as("c"))
-    common
-      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
-      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+  private def shingleHashes(df: DataFrame, idCol: Column, textCol: Column, n: Int): DataFrame =
+    df.select(idCol.as("doc_id"),
+        graft.functions.TextFunctions.shingleHashes(tokens(textCol), n).as("gha"))
+      .where(size(col("gha")) > 0)
+      .select(col("doc_id"), col("gha"), size(col("gha")).as("sz"))
+
+  /** Exact-Jaccard verification of candidate (id_a, id_b) pairs against the
+    * docs' sorted shingle-hash arrays: |A∩B| via array_intersect — O(|A|+|B|)
+    * per pair, no shingle-level fan-out (a cross-explode here is quadratic
+    * per pair and was the measured bottleneck at sf0.1).
+    */
+  private def verifyPairs(cand: DataFrame, sh: DataFrame, threshold: Double): DataFrame =
+    cand
+      .join(sh.select(col("doc_id").as("id_a"), col("gha").as("gha_a"), col("sz").as("sz_a")), "id_a")
+      .join(sh.select(col("doc_id").as("id_b"), col("gha").as("gha_b"), col("sz").as("sz_b")), "id_b")
+      .withColumn("c", size(array_intersect(col("gha_a"), col("gha_b"))))
       .withColumn("jaccard",
         col("c").cast("double") / (col("sz_a") + col("sz_b") - col("c")).cast("double"))
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+
+  /** Exact n-gram Jaccard near-dup pairs via PREFIX FILTERING (PPJoin-style,
+    * SNIPPETS-free standard technique): shingles get a global total order by
+    * (document frequency asc, hash) — each doc emits only its
+    * |A| − ⌈t·|A|⌉ + 1 rarest shingles ("prefix"); any pair with J ≥ t must
+    * share a prefix shingle (⌈·⌉ done in exact integer arithmetic), plus the
+    * size-ratio prune t·|B| ≤ |A|. Candidates are then exact-verified.
+    *
+    * Scale: candidate generation joins only on RARE shingles, so boilerplate
+    * mega-shingles never form quadratic buckets (the naive shingle
+    * self-join measured 109 s at sf0.1; this is the fix). Two extra linear
+    * shuffles (df count + prefix regroup) buy candidate sets ~|true pairs|.
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: Column, textCol: Column, n: Int,
+                        threshold: Double): DataFrame = {
+    val tNum = math.round(threshold * 10000).toInt
+    val sh = shingleHashes(df, idCol, textCol, n)
+    val ex = sh.select(col("doc_id"), explode(col("gha")).as("gh"))
+    val dfreq = ex.groupBy("gh").agg(count(lit(1)).as("df"))
+    // per doc: shingles in global (df, gh) order, keep the prefix
+    val prefix = ex.join(dfreq, "gh")
+      .groupBy("doc_id").agg(array_sort(collect_list(struct(col("df"), col("gh")))).as("o"),
+        count(lit(1)).as("sz"))
+      .withColumn("alpha", floor((col("sz") * tNum + lit(10000 - 1)) / lit(10000)).cast("long"))
+      .withColumn("pref", slice(col("o"), lit(1), (col("sz") - col("alpha") + 1).cast("int")))
+      .select(col("doc_id"), col("sz"), explode(col("pref")).as("p"))
+      .select(col("doc_id"), col("sz"), col("p.gh"))
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.gh") === col("b.gh") && col("a.doc_id") < col("b.doc_id") &&
+        col("a.sz") * tNum <= col("b.sz") * 10000 &&
+        col("b.sz") * tNum <= col("a.sz") * 10000)
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b")).distinct()
+    verifyPairs(cand, sh, threshold)
   }
 
   /** MinHash-LSH near-dup pairs: k=32 signature, `bands` bands of k/bands
@@ -94,10 +121,9 @@ object Dedup {
                       threshold: Double, bands: Int = 8,
                       maxBucket: Int = 10000): DataFrame = {
     val r = graft.core.TextHash.MINHASH_K / bands
-    val sh = df.select(idCol.as("doc_id"), wordNgrams(tokens(textCol), n).as("g"))
-      .where(size(col("g")) > 0)
-      .withColumn("sig", minhashSig(col("g")))
-    val banded = sh.select(col("doc_id"), explode(
+    val sh0 = shingleHashes(df, idCol, textCol, n)
+      .withColumn("sig", graft.functions.TextFunctions.minhashFromHashes(col("gha")))
+    val banded = sh0.select(col("doc_id"), explode(
         array((0 until bands).map(b =>
           struct(lit(b).as("band"), hash(lit(b), slice(col("sig"), b * r + 1, r)).as("bh"))): _*)
       ).as("bb"))
@@ -109,22 +135,7 @@ object Dedup {
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b")).distinct()
-    // exact verify on the candidate pairs only
-    val sizes = sh.select(col("doc_id"), size(col("g")).as("sz"))
-    val ex = sh.select(col("doc_id"), explode(col("g")).as("gram"))
-      .select(col("doc_id"), charHash(col("gram")).as("gh"))
-    val common = cand
-      .join(ex.withColumnRenamed("doc_id", "id_a").withColumnRenamed("gh", "gh_a"), "id_a")
-      .join(ex.withColumnRenamed("doc_id", "id_b").withColumnRenamed("gh", "gh_b"), "id_b")
-      .where(col("gh_a") === col("gh_b"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("c"))
-    common
-      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
-      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
-      .withColumn("jaccard",
-        col("c").cast("double") / (col("sz_a") + col("sz_b") - col("c")).cast("double"))
-      .where(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+    verifyPairs(cand, sh0.select("doc_id", "gha", "sz"), threshold)
   }
 
   /** Per-doc 31-bit SimHash (token multiset, ±1 bit votes). */

@@ -22,9 +22,10 @@ object Similarity {
   def quantize(vec: Column): Column =
     transform(vec, x => floor(x.cast("double") * lit(1000000.0) + lit(0.5)).cast("long"))
 
-  /** Exact int64 dot product of two quantized vectors. */
-  def dotQ(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+  /** Exact int64 dot product of two quantized vectors (codegen'd primitive
+    * loop — see graft.functions.DotQExpr).
+    */
+  def dotQ(a: Column, b: Column): Column = graft.functions.TextFunctions.dotQ(a, b)
 
   /** Brute-force exact top-k by quantized dot product (self excluded,
     * ties → smaller neighbor id). `queries` is broadcast — at scale the

@@ -121,6 +121,30 @@ object SpatialJoin {
     case other => throw new IllegalArgumentException(s"unknown tiling scheme: $other")
   }
 
+  /** Attach geodesic metric columns (`area_m2`, `perimeter_m`) to a polygon
+    * DataFrame carrying a `wkb` column — SURVEY.md H3/H4 re-hosted: the
+    * metrics are computed per-row in a mapPartitions kernel (geometry never
+    * enters an Expression), and the filter DSL's `area:(..)` /
+    * `perimeter:(..)` predicates then apply AFTER this stage, mirroring the
+    * reference's applyOSMGeometry ordering
+    * [ref: oshdb-filter/…/GeometryFilterArea, FilterExpression.applyOSMGeometry].
+    */
+  def withGeoMetrics(polyDf: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(polyDf.schema.fields ++ Array(
+      StructField("area_m2", DoubleType), StructField("perimeter_m", DoubleType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val wkbIdx = polyDf.schema.fieldIndex("wkb")
+    polyDf.mapPartitions { it =>
+      it.map { r =>
+        val p = Jts.jtsToPoly(Jts.fromWkb(r.getAs[Array[Byte]](wkbIdx))
+          .asInstanceOf[org.locationtech.jts.geom.Polygon])
+        Row.fromSeq(r.toSeq ++ Seq(GeoMetrics.areaOf(p), GeoMetrics.perimeterOf(p)))
+      }
+    }(enc)
+  }
+
   /** Clip each matched point's polygon to the tile bbox and return the
     * clipped-polygon WKB per (poly_id, tile) — the vector side of
     * raster↔vector assignment (reference clip semantics

@@ -34,10 +34,12 @@ object TextAnalysis {
     * as `len(list_filter(toks, x -> x = w))`.
     */
   def langId(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
-    val toks = Dedup.tokens(lower(textCol))
-    val scored = df.select(idCol.as("doc_id") +: langMarkers.map { case (lang, ws) =>
-      ws.map(w => size(filter(toks, t => t === lit(w)))).reduce(_ + _).as(s"score_$lang")
-    }: _*)
+    // tokens materialized once (see Dedup.shingleHashes perf note)
+    val toks = col("_t")
+    val scored = df.select(idCol.as("doc_id"), Dedup.tokens(lower(textCol)).as("_t"))
+      .select(col("doc_id") +: langMarkers.map { case (lang, ws) =>
+        ws.map(w => size(filter(toks, t => t === lit(w)))).reduce(_ + _).as(s"score_$lang")
+      }: _*)
     val best = langMarkers.map(_._1).sorted.map(l =>
       struct(col(s"score_$l").as("s"), lit(l).as("l")))
     // argmax with deterministic tie-break: maximize (score, reversed-lang)
@@ -53,15 +55,16 @@ object TextAnalysis {
     Seq("the", "a", "and", "of", "to", "in", "is", "on", "for", "with")
 
   def quality(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
-    val toks = Dedup.tokens(textCol)
+    val toks = col("_t")
     val stop = stopwords
-    df.select(
-      idCol.as("doc_id"),
-      length(textCol).as("n_chars"),
-      size(toks).as("n_tokens"),
-      length(regexp_replace(textCol, "[^A-Za-z]", "")).as("n_alpha"),
-      size(filter(toks, t => t.isInCollection(stop))).as("n_stop"),
-      aggregate(transform(toks, t => length(t)), lit(0), (acc, x) => acc + x).as("n_tok_chars"))
+    df.select(idCol.as("doc_id"), textCol.as("_text"), Dedup.tokens(textCol).as("_t"))
+      .select(
+        col("doc_id"),
+        length(col("_text")).as("n_chars"),
+        size(toks).as("n_tokens"),
+        length(regexp_replace(col("_text"), "[^A-Za-z]", "")).as("n_alpha"),
+        size(filter(toks, t => t.isInCollection(stop))).as("n_stop"),
+        aggregate(transform(toks, t => length(t)), lit(0), (acc, x) => acc + x).as("n_tok_chars"))
       .withColumn("mean_token_len",
         when(col("n_tokens") > 0,
           col("n_tok_chars").cast("double") / col("n_tokens").cast("double"))
@@ -91,7 +94,9 @@ object TextAnalysis {
     * (content-defined, order-robust to prefix edits).
     */
   def fingerprints(df: DataFrame, idCol: Column, textCol: Column, n: Int = 3): DataFrame =
-    df.select(idCol.as("doc_id"),
-      charHash(textCol).as("text_hash"),
-      minShingleHash(Dedup.wordNgrams(Dedup.tokens(textCol), n)).as("min_shingle"))
+    df.select(idCol.as("doc_id"), charHash(textCol).as("text_hash"),
+        shingleHashes(Dedup.tokens(textCol), n).as("_gha"))
+      .select(col("doc_id"), col("text_hash"),
+        when(size(col("_gha")) > 0, element_at(col("_gha"), 1))
+          .otherwise(lit(-1L)).as("min_shingle")) // _gha sorted asc ⇒ [1] is min
 }

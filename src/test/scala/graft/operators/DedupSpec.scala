@@ -80,12 +80,16 @@ class DedupSpec extends AnyFunSuite {
     assert(expect.nonEmpty) // exact dups guarantee hamming-0 pairs
   }
 
-  test("hot-shingle cap drops boilerplate-only pairs but keeps true dups") {
+  test("prefix filter stays exact at a low threshold (large prefixes)") {
     val df = docs.toDF("doc_id", "text")
-    val exact = bruteJaccard(3, 0.5)
-    val capped = Dedup.ngramJaccardPairs(df, col("doc_id"), col("text"), 3, 0.5,
-        maxDocFreq = docs.size.toLong) // cap above any df ⇒ identical result
+    val got = Dedup.ngramJaccardPairs(df, col("doc_id"), col("text"), 2, 0.3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    assert(capped === exact)
+    val exp = (for {
+      (ia, ta) <- docs; (ib, tb) <- docs if ia < ib
+      ga = ngramSet(ta, 2); gb = ngramSet(tb, 2) if ga.nonEmpty && gb.nonEmpty
+      c = (ga intersect gb).size
+      j = c.toDouble / (ga.size + gb.size - c).toDouble if j >= 0.3
+    } yield (ia, ib, j)).toSet
+    assert(got === exp)
   }
 }
