@@ -1,0 +1,74 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming re-expression of the reference's contribution view
+  * (SURVEY.md §J; [ref: oshdb-api/…/OSMContribution + celliterator
+  * ContributionType]): the batch engine treats "time" as a data dimension;
+  * here the same semantics run incrementally — tumbling event-time windows
+  * with watermarks stand in for `aggregateByTimestamp` (D10), and
+  * `flatMapGroupsWithState` reproduces the per-entity version-diff
+  * classification (H8: CREATION / VALUE_CHANGE) as managed state.
+  *
+  * Scale: state is keyed by entity id — partitioned by the shuffle on the
+  * grouping key, one small record per live entity; watermark bounds state
+  * for the windowed aggregation. Both patterns run unchanged on a real
+  * cluster against a file/Kafka source.
+  */
+object EventStream {
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                         event_type: String, value: Double)
+  final case class Contribution(user_id: Long, event_id: Long, ts: Timestamp,
+                                kind: String, value: Double, prev_value: Double)
+  final case class UserState(lastValue: Double, seen: Boolean)
+
+  /** D10 under streaming: tumbling event-time counts with a watermark. */
+  def tumblingCounts(events: DataFrame, windowLen: String = "1 hour",
+                     watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("sum_value"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("cnt"), col("sum_value"))
+
+  /** H8 under streaming: per-user contribution classification via managed
+    * state — first event ⇒ CREATION, changed value ⇒ VALUE_CHANGE, same
+    * value ⇒ NO_CHANGE (mirrors the batch q19 contract).
+    */
+  def contributions(events: Dataset[Event]): Dataset[Contribution] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserState, Contribution](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, it: Iterator[Event], state: GroupState[UserState]) =>
+          // within a micro-batch, order by event time then id (the batch
+          // path's window ordering)
+          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var st = state.getOption.getOrElse(UserState(0.0, seen = false))
+          val out = sorted.map { e =>
+            val kind =
+              if (!st.seen) "CREATION"
+              else if (e.value != st.lastValue) "VALUE_CHANGE"
+              else "NO_CHANGE"
+            val prev = if (st.seen) st.lastValue else Double.NaN
+            st = UserState(e.value, seen = true)
+            Contribution(userId, e.event_id, e.ts, kind, e.value, prev)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
+  /** File-source wrapper: stream the driver `events` parquet dir. */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(dir).schema
+    spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(dir)
+      // driver parquet carries TIMESTAMP_NTZ; watermarks need TIMESTAMP
+      .withColumn("ts", col("ts").cast("timestamp"))
+  }
+}

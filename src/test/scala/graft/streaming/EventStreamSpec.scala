@@ -1,0 +1,77 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming semantics vs the batch engine on the same events. */
+class EventStreamSpec extends AnyFunSuite {
+  lazy val spark = graft.SparkTestSession.spark
+  import EventStream._
+
+  private def ts(h: Int, m: Int = 0) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+
+  private val batch1 = Seq(
+    Event(1, ts(0, 10), 1, "a", 1.0), Event(2, ts(0, 20), 1, "a", 2.0),
+    Event(3, ts(0, 30), 2, "b", 5.0))
+  private val batch2 = Seq(
+    Event(4, ts(1, 10), 1, "a", 2.0), // unchanged value ⇒ NO_CHANGE
+    Event(5, ts(1, 20), 2, "b", 6.0), // changed ⇒ VALUE_CHANGE
+    Event(6, ts(1, 30), 3, "a", 9.0)) // new user ⇒ CREATION
+
+  test("flatMapGroupsWithState contributions match batch-window semantics across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Event]
+    val q = contributions(mem.toDS())
+      .writeStream.format("memory").queryName("contrib").outputMode("append").start()
+    try {
+      mem.addData(batch1: _*); q.processAllAvailable()
+      mem.addData(batch2: _*); q.processAllAvailable()
+      val got = spark.table("contrib")
+        .select("event_id", "kind").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got === Map(
+        1L -> "CREATION", 2L -> "VALUE_CHANGE", 3L -> "CREATION",
+        4L -> "NO_CHANGE", 5L -> "VALUE_CHANGE", 6L -> "CREATION"))
+    } finally q.stop()
+  }
+
+  test("tumbling event-time counts equal the batch groupBy on the same data") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Event]
+    val q = tumblingCounts(mem.toDS().toDF(), "1 hour", "2 hours")
+      .writeStream.format("memory").queryName("tumbling").outputMode("complete").start()
+    try {
+      mem.addData(batch1: _*); q.processAllAvailable()
+      mem.addData(batch2: _*); q.processAllAvailable()
+      val got = spark.table("tumbling")
+        .select("w_start", "event_type", "cnt", "sum_value").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      val exp = (batch1 ++ batch2).toDS().toDF()
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), sum("value").as("sum_value"))
+        .select(col("window.start"), col("event_type"), col("cnt"), col("sum_value"))
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(got === exp)
+    } finally q.stop()
+  }
+
+  test("file-source stream over the driver events table produces rows") {
+    // FileStreamSource wants a landing DIRECTORY; stage the single driver
+    // file into one (read-only testdata stays untouched)
+    val staged = java.nio.file.Files.createTempDirectory("events_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      staged.resolve("events-0.parquet"))
+    val dir = staged.toString
+    val q = tumblingCounts(EventStream.readEventStream(spark, dir), "1 day", "2 days")
+      .writeStream.format("memory").queryName("filestream").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("filestream").count() > 0)
+    } finally q.stop()
+  }
+}
