@@ -63,6 +63,39 @@ object PipLookup {
     val p = polys.get(id)
     p != null && Raycast.contains(px, py, p)
   }
+
+  /** Index variant: zero-allocation hot path. The string-keyed variant costs
+    * a UTF8String→String allocation + string hash per PROBED row; at 24M
+    * probes that allocation rate collapsed multi-core scaling (measured:
+    * stage CPU 27→60 core-s going 4→32 threads, 9 s GC). Arrays + ints keep
+    * the refine loop allocation-free inside whole-stage codegen.
+    */
+  def containsIdx(px: Long, py: Long, idx: Int, polys: Array[PolyM]): Boolean =
+    idx >= 0 && idx < polys.length && Raycast.contains(px, py, polys(idx))
+}
+
+/** `raycast_pip_idx(lonMicro, latMicro, polyIdx)` — integer-indexed PIP
+  * refine (see PipLookup.containsIdx).
+  */
+case class RaycastPipIdxExpr(lon: Expression, lat: Expression, polyIdx: Expression,
+                             polys: Array[PolyM])
+    extends TernaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def first: Expression = lon
+  override def second: Expression = lat
+  override def third: Expression = polyIdx
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "raycast_pip_idx"
+  override protected def nullSafeEval(l: Any, la: Any, idx: Any): Any =
+    PipLookup.containsIdx(l.asInstanceOf[Long], la.asInstanceOf[Long],
+      idx.asInstanceOf[Int], polys)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val arrRef = ctx.addReferenceObj("pipPolyArr", polys, "graft.core.PolyM[]")
+    nullSafeCodeGen(ctx, ev, (l, la, idx) =>
+      s"${ev.value} = graft.functions.PipLookup$$.MODULE$$.containsIdx($l, $la, $idx, $arrRef);")
+  }
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): RaycastPipIdxExpr =
+    copy(lon = f, lat = s, polyIdx = t)
 }
 
 /** Exact integer ray-cast PIP refine: `pip(lonMicro, latMicro, polyId)`.
@@ -145,6 +178,8 @@ object GraftFunctions {
   def raycastPip(lon: Column, lat: Column, polyId: Column,
                  polys: java.util.HashMap[String, PolyM]): Column =
     column(RaycastPipExpr(expression(lon), expression(lat), expression(polyId), polys))
+  def raycastPipIdx(lon: Column, lat: Column, polyIdx: Column, polys: Array[PolyM]): Column =
+    column(RaycastPipIdxExpr(expression(lon), expression(lat), expression(polyIdx), polys))
   def tileX(lonMicro: Column, z: Int): Column = column(TileXExpr(expression(lonMicro), z))
   def tileY(latMicro: Column, z: Int): Column = column(TileYExpr(expression(latMicro), z))
   def mercTileX(lonMicro: Column, z: Int): Column = column(MercTileXExpr(expression(lonMicro), z))

@@ -44,19 +44,20 @@ object SpatialJoin {
     z
   }
 
-  final case class Cover(rows: Seq[(String, Int, Long, Boolean)], levels: Array[Int],
-                         polys: java.util.HashMap[String, PolyM])
+  final case class Cover(rows: Seq[(String, Int, Int, Long, Boolean)], levels: Array[Int],
+                         polyArr: Array[PolyM])
 
-  /** Driver-side cover computation for a polygon set. */
+  /** Driver-side cover computation for a polygon set. Polygons are indexed
+    * by position so the distributed refine runs on ints (see
+    * PipLookup.containsIdx — string ids allocated per probe killed scaling).
+    */
   def cover(specs: Array[PolySpec], budget: Int = PolyCover.DEFAULT_BUDGET,
             allowed: Array[Int] = DefaultLevels): Cover = {
-    val rows = specs.toSeq.flatMap { s =>
+    val rows = specs.toSeq.zipWithIndex.flatMap { case (s, i) =>
       val z = chooseAllowedLevel(s.poly.bbox, budget, allowed)
-      PolyCover.coverAt(s.poly, z).map(c => (s.poly_id, c.level, c.morton, c.full))
+      PolyCover.coverAt(s.poly, z).map(c => (s.poly_id, i, c.level, c.morton, c.full))
     }
-    val polys = new java.util.HashMap[String, PolyM]()
-    specs.foreach(s => polys.put(s.poly_id, s.poly))
-    Cover(rows, rows.map(_._2).distinct.sorted.toArray, polys)
+    Cover(rows, rows.map(_._3).distinct.sorted.toArray, specs.map(_.poly))
   }
 
   /** Join `points` (must expose micro-degree `lonCol`/`latCol`) with the
@@ -75,33 +76,35 @@ object SpatialJoin {
     import spark.implicits._
 
     val useBroadcast = c.rows.size <= broadcastThreshold && saltBuckets <= 1
-    val coverDf0 = c.rows.toDF("poly_id", "_level", "_cell", "_full")
+    // single-long join key (level<<58 | morton): the broadcast join builds a
+    // LongHashedRelation — dense array-backed, no per-probe UnsafeRow key
+    // allocation (a 2-column struct key costs an allocation per probed row;
+    // at 24M probes that shows up as GC + memory-bandwidth contention)
+    val coverDf0 = c.rows.map { case (pid, pidx, lvl, cell, full) =>
+      (pid, pidx, ZGrid.levelCell(lvl, cell), full)
+    }.toDF("poly_id", "_pidx", "_lc", "_full")
 
-    // point side: one zcell per distinct cover level (tiny literal array)
-    val cellStructs = array(c.levels.map(z =>
-      struct(lit(z).as("_level"), zcell(lonCol, latCol, z).as("_cell"))): _*)
-    val ptsExpl = points
-      .withColumn("_lc", explode(cellStructs))
-      .withColumn("_level", $"_lc._level")
-      .withColumn("_cell", $"_lc._cell")
-      .drop("_lc")
+    // point side: one tagged cell per distinct cover level (tiny literal array)
+    val cellArr = array(c.levels.map(z =>
+      zcell(lonCol, latCol, z).bitwiseOR(lit(z.toLong << 58))): _*)
+    val ptsExpl = points.withColumn("_lc", explode(cellArr))
 
     val joined =
       if (useBroadcast)
-        ptsExpl.join(broadcast(coverDf0), Seq("_level", "_cell"), "inner")
+        ptsExpl.join(broadcast(coverDf0), Seq("_lc"), "inner")
       else if (saltBuckets > 1) {
         // replicate every cover row saltBuckets ways; points pick one bucket
         val coverSalted = coverDf0
           .withColumn("_salt", explode(array((0 until saltBuckets).map(lit): _*)))
         val ptsSalted = ptsExpl
           .withColumn("_salt", pmod(hash(lonCol, latCol), lit(saltBuckets)))
-        ptsSalted.join(coverSalted, Seq("_level", "_cell", "_salt"), "inner").drop("_salt")
+        ptsSalted.join(coverSalted, Seq("_lc", "_salt"), "inner").drop("_salt")
       } else
-        ptsExpl.join(coverDf0, Seq("_level", "_cell"), "inner")
+        ptsExpl.join(coverDf0, Seq("_lc"), "inner")
 
     joined
-      .where($"_full" || raycastPip(lonCol, latCol, $"poly_id", c.polys))
-      .drop("_level", "_cell", "_full")
+      .where($"_full" || raycastPipIdx(lonCol, latCol, $"_pidx", c.polyArr))
+      .drop("_pidx", "_lc", "_full")
   }
 
   /** Raster↔vector tile assignment (SURVEY.md C5): add web-tile ids.
