@@ -13,8 +13,12 @@ object BenchCore {
   /** The flagship job: images ⋈ polygon set + tile assignment, fully
     * materialized via aggregation (count + tile checksums force every stage).
     */
-  def flagship(spark: SparkSession, n: Long): DataFrame = {
-    val imgs = Fixtures.images(spark, n)
+  def flagship(spark: SparkSession, n: Long, replicate: Int = 1): DataFrame = {
+    val base = Fixtures.images(spark, n)
+    // `replicate` unions the same files K times into ONE job — scales the
+    // scan/join work without K× disk, for scaling-efficiency measurement
+    val src = Seq.fill(replicate)(base).reduce(_ union _)
+    val imgs = src
       .withColumn("lon", phashLon(col("phash")))
       .withColumn("lat", phashLat(col("phash")))
     val joined = SpatialJoin.join(spark, imgs, col("lon"), col("lat"), Fixtures.polygons)
@@ -53,6 +57,7 @@ object BenchCore {
   */
 object Bench {
   val FLAGSHIP_ROWS = 1000000L
+  val FLAGSHIP_REPLICATE = 16 // 16M joined rows per run — amortizes job overhead
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -60,8 +65,11 @@ object Bench {
     val spark = BenchCore.session(cpus)
 
     Fixtures.images(spark, FLAGSHIP_ROWS) // generate outside timing
-    val tFlag = BenchCore.medianTime(3) { BenchCore.flagship(spark, FLAGSHIP_ROWS).collect() }
-    val mRowsPerSec = FLAGSHIP_ROWS / tFlag / 1e6
+    val totalRows = FLAGSHIP_ROWS * FLAGSHIP_REPLICATE
+    val tFlag = BenchCore.medianTime(3) {
+      BenchCore.flagship(spark, FLAGSHIP_ROWS, FLAGSHIP_REPLICATE).collect()
+    }
+    val mRowsPerSec = totalRows / tFlag / 1e6
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t = BenchCore.timed {
@@ -69,7 +77,7 @@ object Bench {
       }
       name -> t
     }
-    val qs = (results :+ ("flagship_join_tiles_1m" -> tFlag))
+    val qs = (results :+ ("flagship_join_tiles_16m" -> tFlag))
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum + tFlag
     println(s"""{"metric":"flagship join+tiling throughput","value":${f"$mRowsPerSec%.3f"},"unit":"Mrows/s","total_sec":${f"$total%.3f"},"queries":$qs,"cpus":"$cpus","sf":"$sfDir"}""")
@@ -88,10 +96,12 @@ object ScalingBench {
     val cpus = if (args.length > 0) args(0) else "8"
     val n = if (args.length > 1) args(1).toLong else Bench.FLAGSHIP_ROWS
     val runs = if (args.length > 2) args(2).toInt else 3
+    val replicate = if (args.length > 3) args(3).toInt else 1
+    val rows = n * replicate
     val spark = BenchCore.session(cpus)
     Fixtures.images(spark, n)
-    val t = BenchCore.medianTime(runs) { BenchCore.flagship(spark, n).collect() }
-    println(s"""{"bench":"scaling","cpus":$cpus,"rows":$n,"median_sec":${f"$t%.3f"},"mrows_per_sec":${f"${n / t / 1e6}%.3f"}}""")
+    val t = BenchCore.medianTime(runs) { BenchCore.flagship(spark, n, replicate).collect() }
+    println(s"""{"bench":"scaling","cpus":$cpus,"rows":$rows,"median_sec":${f"$t%.3f"},"mrows_per_sec":${f"${rows / t / 1e6}%.3f"}}""")
     spark.stop()
   }
 }
