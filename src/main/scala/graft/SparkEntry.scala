@@ -92,6 +92,23 @@ object SparkEntry {
           "area_m2:(1000000..) and not kind=adversarial", polys.schema))
         .select("poly_id", "kind", "area_m2", "perimeter_m").orderBy("poly_id")
     }),
+    // ---- D11 + zerofill: every polygon keyed, empty ones filled with 0
+    "q08_agg_geometry_zerofill" -> ((s, dir) => {
+      import s.implicits._
+      val joined = SpatialJoin.join(s, customerPts(s, dir), col("lonm"), col("latm"), Derive.rectSpecs)
+      val counted = joined.groupBy("poly_id").agg(count(lit(1)).as("n_points"))
+      val domain = Derive.rects.map(_._1).toSeq.toDF("poly_id")
+      domain.join(counted, Seq("poly_id"), "left")
+        .select(col("poly_id"), coalesce(col("n_points"), lit(0L)).as("n_points"))
+        .orderBy("poly_id")
+    }),
+    // ---- O10: salted shuffle-join path — same rows as q01, different plan
+    "q09_spatial_join_salted" -> ((s, dir) => {
+      SpatialJoin.join(s, customerPts(s, dir), col("lonm"), col("latm"), Derive.rectSpecs,
+          broadcastThreshold = 0L, saltBuckets = 4)
+        .select("c_custkey", "poly_id")
+        .orderBy("c_custkey", "poly_id")
+    }),
     // ---- B1: areaOfInterest bbox pre-filter (pushdown-friendly predicate)
     "q05_aoi_bbox" -> ((s, dir) => {
       customerPts(s, dir)
@@ -242,6 +259,18 @@ object SparkEntry {
       Similarity.cosineNearDupPairs(s.read.parquet(s"$dir/embeddings.parquet"),
         "vec_id", "embedding", threshold = 0.45).orderBy("id_a", "id_b")
     }),
+    // ---- dedup clusters: connected components over LSH near-dup pairs
+    "q52_dup_clusters" -> ((s, dir) => {
+      val pairs = Dedup.minhashLshPairs(s.read.parquet(s"$dir/documents.parquet"),
+        col("doc_id"), col("text"), n = 3, threshold = 0.5)
+      Dedup.dupClusters(pairs).orderBy("doc_id")
+    }),
+    // ---- IVF-bucketed ANN (approximate; recall gate in SimilaritySpec)
+    "q53_ivf_topk" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.ivfTopK(s, emb, emb.where(col("vec_id") % 100 === 0),
+        "vec_id", "embedding", k = 10).orderBy("qid", "rank")
+    }),
     // ---- quality scoring (Gopher-style keep rule)
     "q51_quality" -> ((s, dir) => {
       TextAnalysis.quality(s.read.parquet(s"$dir/documents.parquet"),
@@ -321,6 +350,22 @@ object SparkEntry {
          |ON ${Derive.lonSql("c.c_custkey")} BETWEEN r.lon_min AND r.lon_max
          |AND ${Derive.latSql("c.c_custkey")} BETWEEN r.lat_min AND r.lat_max
          |GROUP BY r.poly_id ORDER BY poly_id""".stripMargin,
+    "q08_agg_geometry_zerofill" ->
+      s"""WITH counted AS (SELECT r.poly_id AS poly_id, count(*) AS n_points
+         |  FROM customer c JOIN ${Derive.rectsSqlValues}
+         |  ON ${Derive.lonSql("c.c_custkey")} BETWEEN r.lon_min AND r.lon_max
+         |  AND ${Derive.latSql("c.c_custkey")} BETWEEN r.lat_min AND r.lat_max
+         |  GROUP BY r.poly_id),
+         |dom AS (SELECT poly_id FROM ${Derive.rectsSqlValues.replace("AS r(", "AS d(")})
+         |SELECT d.poly_id AS poly_id, coalesce(c.n_points, 0) AS n_points
+         |FROM dom d LEFT JOIN counted c ON d.poly_id = c.poly_id
+         |ORDER BY poly_id""".stripMargin,
+    "q09_spatial_join_salted" ->
+      s"""SELECT c.c_custkey AS c_custkey, r.poly_id AS poly_id
+         |FROM customer c JOIN ${Derive.rectsSqlValues}
+         |ON ${Derive.lonSql("c.c_custkey")} BETWEEN r.lon_min AND r.lon_max
+         |AND ${Derive.latSql("c.c_custkey")} BETWEEN r.lat_min AND r.lat_max
+         |ORDER BY c_custkey, poly_id""".stripMargin,
     "q06_knn" ->
       s"""WITH q AS (SELECT CAST(n_nationkey AS BIGINT) AS qid, ${Derive.lonSql("n_nationkey")} AS qlon,
          |  ${Derive.latSql("n_nationkey")} AS qlat FROM nation),
@@ -446,6 +491,22 @@ object SparkEntry {
          |SELECT id_a, id_b, dot FROM p
          |WHERE dot > 0 AND CAST(dot AS DOUBLE) * CAST(dot AS DOUBLE) >= 0.45 * 0.45 * CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
          |ORDER BY id_a, id_b""".stripMargin,
+    "q52_dup_clusters" ->
+      s"""WITH RECURSIVE ${TextOracle.toksCte()},
+         |${TextOracle.ngramsCte(3)},
+         |nz AS (SELECT doc_id, g FROM ng WHERE len(g) > 0),
+         |pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM nz a JOIN nz b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+         |        / CAST(len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) AS DOUBLE) >= 0.5),
+         |edges AS (SELECT id_a AS s, id_b AS d FROM pr UNION ALL SELECT id_b, id_a FROM pr),
+         |reach AS (
+         |  SELECT s AS id, d AS r FROM edges
+         |  UNION
+         |  SELECT w.id, e.d FROM reach w JOIN edges e ON w.r = e.s
+         |)
+         |SELECT id AS doc_id, least(id, min(r)) AS cluster_id FROM reach
+         |GROUP BY id ORDER BY doc_id""".stripMargin,
     "q51_quality" -> {
       val stopList = TextAnalysis.stopwords.map(w => s"'$w'").mkString(", ")
       s"""WITH ${TextOracle.toksCte()},

@@ -138,6 +138,40 @@ object Dedup {
     verifyPairs(cand, sh0.select("doc_id", "gha", "sz"), threshold)
   }
 
+  /** Duplicate-cluster assignment: connected components over a near-dup
+    * pair set via iterative min-label propagation (the standard
+    * large-star/small-star shape specialized to undirected pairs): each
+    * round joins every node to its neighbours' current labels and keeps
+    * the minimum; converges in O(diameter) rounds — dup clusters are
+    * near-cliques, so 2–3 rounds in practice. Driver loop is bounded and
+    * deterministic; each round is two shuffles on ids.
+    *
+    * Output: (doc_id, cluster_id = min doc_id in the component), one row
+    * per doc that appears in ≥1 pair.
+    */
+  def dupClusters(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+    var round = 0
+    var converged = false
+    while (round < maxRounds && !converged) {
+      val viaNeighbour = edges
+        .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("label", "nl"), "dst")
+        .groupBy(col("src").as("id")).agg(min("nl").as("cand"))
+      val next = labels.join(viaNeighbour, Seq("id"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("cand"), col("label"))).as("label"))
+        .localCheckpoint() // truncate the iterative lineage
+      val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .where(col("label") =!= col("old")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      round += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** Per-doc 31-bit SimHash (token multiset, ±1 bit votes). */
   def simhashDocs(df: DataFrame, idCol: Column, textCol: Column): DataFrame =
     df.select(idCol.as("doc_id"), simhash(tokens(textCol)).as("simhash"))

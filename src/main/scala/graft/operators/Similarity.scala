@@ -90,6 +90,60 @@ object Similarity {
       .select(col("qid"), col("nid"), col("rank").cast("long").as("rank"), col("dot"))
   }
 
+  /** IVF-style ANN: a deterministic coarse quantizer (every `corpus/nlist`-th
+    * vector serves as a centroid — a real deployment would k-means these)
+    * partitions the corpus into inverted lists by nearest centroid
+    * (exact integer L2: |p−c|² = |p|² − 2p·c + |c|²); each query probes its
+    * `nprobe` nearest centroids' lists and re-ranks candidates exactly.
+    *
+    * Scale: this is the classic big-index layout — lists are the partition
+    * key, so a query touches nprobe/nlist of the corpus; centroids are a
+    * broadcast table. Approximate (recall gated in SimilaritySpec).
+    */
+  def ivfTopK(spark: SparkSession, points: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, k: Int,
+              nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    import spark.implicits._
+    val p = points.select(col(idCol).as("nid"), quantize(col(vecCol)).as("pq"))
+    // deterministic centroid sample: rank by id, take every (n/nlist)-th
+    val ids = points.select(col(idCol)).orderBy(idCol).collect().map(_.get(0))
+    val step = math.max(1, ids.length / nlist)
+    val centIds = ids.zipWithIndex.collect { case (id, i) if i % step == 0 => id }.take(nlist)
+    val cents = p.where(col("nid").isInCollection(centIds.toSeq))
+      .select(col("nid").as("cid"), col("pq").as("cq"))
+      .collect().map(r => (r.get(0), r.getSeq[Long](1).toArray))
+
+    def l2ToCent(vq: Column, cq: Array[Long]): Column = {
+      val cLit = array(cq.map(lit): _*)
+      // |v|² − 2 v·c + |c|² ; |v|² constant per row ⇒ rank by (−2 v·c + |c|²)
+      lit(cq.map(x => x * x).sum) - lit(2L) * dotQ(vq, cLit)
+    }
+    def nearestCents(df: DataFrame, vq: String, n: Int): DataFrame = {
+      val scored = cents.map { case (cid, cq) =>
+        struct(l2ToCent(col(vq), cq).as("d"), lit(cid).as("cid"))
+      }
+      df.withColumn("_cents", array_sort(array(scored: _*)))
+        .withColumn("_c", explode(slice(col("_cents"), 1, n)))
+        .withColumn("list_id", col("_c.cid")).drop("_cents", "_c")
+    }
+
+    // L2 metric throughout (lists assigned by L2 ⇒ ranking must be L2 too,
+    // the FAISS IndexIVFFlat contract): |p−q|² = |p|² − 2p·q + |q|², exact
+    // int64 on quantized vectors
+    val lists = nearestCents(p, "pq", 1)
+      .withColumn("pn2", dotQ(col("pq"), col("pq")))
+    val probes = nearestCents(
+      queries.select(col(idCol).as("qid"), quantize(col(vecCol)).as("qq")), "qq", nprobe)
+      .withColumn("qn2", dotQ(col("qq"), col("qq")))
+    val w = Window.partitionBy("qid").orderBy(col("d2"), col("nid"))
+    lists.join(broadcast(probes), Seq("list_id"))
+      .where(col("qid") =!= col("nid"))
+      .withColumn("d2", col("pn2") - lit(2L) * dotQ(col("pq"), col("qq")) + col("qn2"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("rank").cast("long").as("rank"), col("d2"))
+  }
+
   /** Cosine near-duplicate pairs: cos(a,b) ≥ threshold, evaluated without
     * square roots as dot>0 ∧ dot² ≥ t²·|a|²·|b|² on exact integer inputs
     * (the final comparison is deterministic double arithmetic).

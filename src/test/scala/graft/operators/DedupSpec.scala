@@ -80,6 +80,22 @@ class DedupSpec extends AnyFunSuite {
     assert(expect.nonEmpty) // exact dups guarantee hamming-0 pairs
   }
 
+  test("dupClusters: connected components over pairs, min-id labels") {
+    import spark.implicits._
+    // two chains + one triangle + isolated pair: components known exactly
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L), (30L, 31L), (31L, 32L), (32L, 33L), (33L, 34L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.dupClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L,
+      30L -> 30L, 31L -> 30L, 32L -> 30L, 33L -> 30L, 34L -> 30L)
+    assert(got === expect)
+  }
+
   test("prefix filter stays exact at a low threshold (large prefixes)") {
     val df = docs.toDF("doc_id", "text")
     val got = Dedup.ngramJaccardPairs(df, col("doc_id"), col("text"), 2, 0.3)

@@ -56,6 +56,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(mean >= 0.8, s"mean recall $mean, per-query $recalls")
   }
 
+  private def bruteL2(qid: Long, k: Int): Seq[Long] = {
+    val q = quant(vecs.find(_._1 == qid).get._2)
+    vecs.filter(_._1 != qid)
+      .map { case (id, v) =>
+        (id, quant(v).zip(q).map { case (a, b) => (a - b) * (a - b) }.sum)
+      }
+      .sortBy { case (id, d) => (d, id) }.take(k).map(_._1)
+  }
+
+  test("IVF ANN reaches high recall on clustered vectors (L2 metric)") {
+    val got = Similarity.ivfTopK(spark, df, queries, "vec_id", "embedding",
+        k = 5, nlist = 25, nprobe = 6)
+      .collect().groupBy(_.getLong(0))
+    val recalls = Seq(0L, 100L, 200L, 300L, 400L).map { qid =>
+      val exp = bruteL2(qid, 5).toSet
+      val act = got.get(qid).map(_.map(_.getLong(1)).toSet).getOrElse(Set.empty)
+      (exp intersect act).size.toDouble / exp.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.8, s"mean recall $mean, per-query $recalls")
+  }
+
   test("cosine near-dup pairs: same-cluster pairs found, cross-cluster excluded") {
     val small = vecs.take(50).toDF("vec_id", "embedding") // clusters 0..19, 2-3 members
     val got = Similarity.cosineNearDupPairs(small, "vec_id", "embedding", 0.95)
