@@ -40,10 +40,19 @@ def main(out_dir, sf_dir):
         s = con.execute(f"SELECT * FROM '{spark_dir}/*.parquet'")
         scols = [d[0] for d in s.description]; srows = s.fetchall()
         try:
+            darrow = con.sql(oracle[name]).fetch_arrow_table()
+            dtypes = {f.name: str(f.type) for f in darrow.schema}
             d = con.execute(oracle[name])
             dcols = [x[0] for x in d.description]; drows = d.fetchall()
         except Exception as e:
             print(f"FAIL  {name}: oracle SQL error: {e}"); fails += 1; continue
+        import pyarrow.parquet as _pq
+        sfile = glob.glob(f"{spark_dir}/*.parquet")[0]
+        stypes = {f.name: str(f.type) for f in _pq.read_schema(sfile)}
+        tdiff = [(c, stypes[c], dtypes.get(c, "MISSING")) for c in stypes
+                 if stypes[c] != dtypes.get(c, "MISSING")]
+        if tdiff:
+            print(f"FAIL  {name}: dtype mismatch {tdiff}"); fails += 1; continue
         sc, sr = canon(srows, scols)
         dc, dr = canon(drows, dcols)
         if sc != dc:
