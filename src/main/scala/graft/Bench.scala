@@ -13,7 +13,12 @@ object BenchCore {
   /** The flagship job: images ⋈ polygon set + tile assignment, fully
     * materialized via aggregation (count + tile checksums force every stage).
     */
-  def flagship(spark: SparkSession, n: Long, replicate: Int = 1): DataFrame = {
+  /** @param mode join strategy: "broadcast" (default), "smj" (force the
+    *        shuffle sort-merge path), "salted" (shuffle path with hot-cell
+    *        salting ×4) — same rows out of all three (FlagshipSpec asserts).
+    */
+  def flagship(spark: SparkSession, n: Long, replicate: Int = 1,
+               mode: String = "broadcast"): DataFrame = {
     val base = Fixtures.images(spark, n)
     // `replicate` unions the same files K times into ONE job — scales the
     // scan/join work without K× disk, for scaling-efficiency measurement
@@ -21,7 +26,14 @@ object BenchCore {
     val imgs = src
       .withColumn("lon", phashLon(col("phash")))
       .withColumn("lat", phashLat(col("phash")))
-    val joined = SpatialJoin.join(spark, imgs, col("lon"), col("lat"), Fixtures.polygons)
+    val (bt, salt) = mode match {
+      case "broadcast" => (4000000L, 1)
+      case "smj"       => (0L, 1)
+      case "salted"    => (0L, 4)
+      case other => throw new IllegalArgumentException(s"unknown mode $other")
+    }
+    val joined = SpatialJoin.join(spark, imgs, col("lon"), col("lat"), Fixtures.polygons,
+      broadcastThreshold = bt, saltBuckets = salt)
     SpatialJoin.assignTiles(joined, col("lon"), col("lat"), 12)
       .agg(count(lit(1)).as("rows"), sum(col("tile_x")).as("cx"), sum(col("tile_y")).as("cy"))
   }
@@ -97,11 +109,12 @@ object ScalingBench {
     val n = if (args.length > 1) args(1).toLong else Bench.FLAGSHIP_ROWS
     val runs = if (args.length > 2) args(2).toInt else 3
     val replicate = if (args.length > 3) args(3).toInt else 1
+    val mode = if (args.length > 4) args(4) else "broadcast"
     val rows = n * replicate
     val spark = BenchCore.session(cpus)
     Fixtures.images(spark, n)
-    val t = BenchCore.medianTime(runs) { BenchCore.flagship(spark, n, replicate).collect() }
-    println(s"""{"bench":"scaling","cpus":$cpus,"rows":$rows,"median_sec":${f"$t%.3f"},"mrows_per_sec":${f"${rows / t / 1e6}%.3f"}}""")
+    val t = BenchCore.medianTime(runs) { BenchCore.flagship(spark, n, replicate, mode).collect() }
+    println(s"""{"bench":"scaling","cpus":$cpus,"rows":$rows,"mode":"$mode","median_sec":${f"$t%.3f"},"mrows_per_sec":${f"${rows / t / 1e6}%.3f"}}""")
     spark.stop()
   }
 }

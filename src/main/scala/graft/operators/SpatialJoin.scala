@@ -76,29 +76,37 @@ object SpatialJoin {
     import spark.implicits._
 
     val useBroadcast = c.rows.size <= broadcastThreshold && saltBuckets <= 1
-    // single-long join key (level<<58 | morton): the broadcast join builds a
-    // LongHashedRelation — dense array-backed, no per-probe UnsafeRow key
-    // allocation (a 2-column struct key costs an allocation per probed row;
-    // at 24M probes that shows up as GC + memory-bandwidth contention)
+    // Single-long join key in EVERY mode: joins on one long build/probe a
+    // LongHashedRelation (broadcast) or shuffle on an 8-byte key — a
+    // 2-column struct key costs an UnsafeRow allocation per probed row,
+    // which measured as 28× stage-CPU at 24M probes. Packing: levels are
+    // ≤ MAX_LEVEL=16 ⇒ morton < 2^32, so (level<<34 | morton) < 2^39
+    // leaves low bits for the salt: key<<5 | salt (salt < 32) < 2^44.
+    require(c.levels.forall(_ <= PolyCover.MAX_LEVEL) && saltBuckets <= 32,
+      "key packing assumes level<=16 and saltBuckets<=32")
+    def packed(lvl: Int, cell: Long): Long = (lvl.toLong << 34) | cell
     val coverDf0 = c.rows.map { case (pid, pidx, lvl, cell, full) =>
-      (pid, pidx, ZGrid.levelCell(lvl, cell), full)
+      (pid, pidx, packed(lvl, cell), full)
     }.toDF("poly_id", "_pidx", "_lc", "_full")
 
     // point side: one tagged cell per distinct cover level (tiny literal array)
     val cellArr = array(c.levels.map(z =>
-      zcell(lonCol, latCol, z).bitwiseOR(lit(z.toLong << 58))): _*)
+      zcell(lonCol, latCol, z).bitwiseOR(lit(z.toLong << 34))): _*)
     val ptsExpl = points.withColumn("_lc", explode(cellArr))
 
     val joined =
       if (useBroadcast)
         ptsExpl.join(broadcast(coverDf0), Seq("_lc"), "inner")
       else if (saltBuckets > 1) {
-        // replicate every cover row saltBuckets ways; points pick one bucket
+        // replicate every cover row saltBuckets ways; points pick one
+        // bucket — still ONE long join key: (_lc << 5) | salt
         val coverSalted = coverDf0
-          .withColumn("_salt", explode(array((0 until saltBuckets).map(lit): _*)))
+          .withColumn("_lc", explode(array((0 until saltBuckets).map(s =>
+            shiftleft(col("_lc"), 5).bitwiseOR(lit(s.toLong))): _*)))
         val ptsSalted = ptsExpl
-          .withColumn("_salt", pmod(hash(lonCol, latCol), lit(saltBuckets)))
-        ptsSalted.join(coverSalted, Seq("_lc", "_salt"), "inner").drop("_salt")
+          .withColumn("_lc", shiftleft(col("_lc"), 5)
+            .bitwiseOR(pmod(hash(lonCol, latCol), lit(saltBuckets)).cast("long")))
+        ptsSalted.join(coverSalted, Seq("_lc"), "inner")
       } else
         ptsExpl.join(coverDf0, Seq("_lc"), "inner")
 
