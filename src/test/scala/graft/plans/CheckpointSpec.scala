@@ -71,6 +71,37 @@ class CheckpointSpec extends AnyFunSuite {
     assert(got === direct)
   }
 
+  test("resume mid-tiling: checkpointed flagship tiling equals the direct run") {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    import graft.functions.GraftFunctions._
+    import graft.operators.SpatialJoin
+    val out = freshDir("tiling")
+    val imgs = graft.fixtures.Fixtures.images(spark, 20000)
+      .withColumn("lon", phashLon(col("phash")))
+      .withColumn("lat", phashLat(col("phash")))
+    val polys = graft.fixtures.Fixtures.polygons
+    val tile: DataFrame => DataFrame = df => {
+      val j = SpatialJoin.join(spark, df, col("lon"), col("lat"), polys)
+      SpatialJoin.assignTiles(j, col("lon"), col("lat"), 12)
+        .groupBy("_bucket", "poly_id", "tile_z", "tile_x", "tile_y")
+        .agg(count(lit(1)).as("n"))
+    }
+    // first attempt dies after half the buckets; resume finishes the rest
+    CheckpointedRun.runAttempt(spark, imgs, col("phash"), tile, 8, out, "tiling", maxBuckets = 4)
+    assert(CheckpointedRun.completedBuckets(out).size === 4)
+    val resumed = CheckpointedRun.runToCompletion(spark, imgs, col("phash"), tile, 8, out, "tiling")
+      .groupBy("poly_id", "tile_z", "tile_x", "tile_y").agg(sum("n").as("n"))
+    val direct = {
+      val j = SpatialJoin.join(spark, imgs, col("lon"), col("lat"), polys)
+      SpatialJoin.assignTiles(j, col("lon"), col("lat"), 12)
+        .groupBy("poly_id", "tile_z", "tile_x", "tile_y").agg(count(lit(1)).as("n"))
+    }
+    val a = resumed.collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    val b = direct.collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(a === b)
+    assert(a.nonEmpty)
+  }
+
   test("lineage records per-partition rows and attempt metrics") {
     val out = freshDir("lineage")
     CheckpointedRun.runToCompletion(spark, input, col("key"), transform, 4, out, "j3")
