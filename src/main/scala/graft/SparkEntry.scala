@@ -259,6 +259,20 @@ object SparkEntry {
       Similarity.cosineNearDupPairs(s.read.parquet(s"$dir/embeddings.parquet"),
         "vec_id", "embedding", threshold = 0.45).orderBy("id_a", "id_b")
     }),
+    // ---- canonical normalization (pre-dedup key) — hash parity checked
+    "q54_normalize" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      d.select(col("doc_id"),
+          graft.functions.TextFunctions.charHash(TextAnalysis.normalize(col("text"))).as("norm_hash"),
+          length(TextAnalysis.normalize(col("text"))).as("norm_len"))
+        .orderBy("doc_id")
+    }),
+    // ---- deduplicated corpus: keep min-id row per normalized key
+    "q55_dedup_keep" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      Dedup.keepFirst(d, col("doc_id"), TextAnalysis.normalize(col("text")))
+        .select("doc_id", "lang", "n_chars").orderBy("doc_id")
+    }),
     // ---- dedup clusters: connected components over LSH near-dup pairs
     "q52_dup_clusters" -> ((s, dir) => {
       val pairs = Dedup.minhashLshPairs(s.read.parquet(s"$dir/documents.parquet"),
@@ -491,6 +505,18 @@ object SparkEntry {
          |SELECT id_a, id_b, dot FROM p
          |WHERE dot > 0 AND CAST(dot AS DOUBLE) * CAST(dot AS DOUBLE) >= 0.45 * 0.45 * CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
          |ORDER BY id_a, id_b""".stripMargin,
+    "q54_normalize" -> {
+      val norm = "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
+      s"""SELECT doc_id, ${TextOracle.charHashSql(norm)} AS norm_hash,
+         |CAST(length($norm) AS INTEGER) AS norm_len
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+    "q55_dedup_keep" -> {
+      val norm = "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
+      s"""WITH k AS (SELECT min(doc_id) AS keep_id FROM documents GROUP BY $norm)
+         |SELECT doc_id, lang, n_chars FROM documents
+         |WHERE doc_id IN (SELECT keep_id FROM k) ORDER BY doc_id""".stripMargin
+    },
     "q52_dup_clusters" ->
       s"""WITH RECURSIVE ${TextOracle.toksCte()},
          |${TextOracle.ngramsCte(3)},

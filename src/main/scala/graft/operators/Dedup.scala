@@ -138,6 +138,17 @@ object Dedup {
     verifyPairs(cand, sh0.select("doc_id", "gha", "sz"), threshold)
   }
 
+  /** The deduplicated corpus: keep exactly one row (min id) per distinct
+    * key — the op a pipeline actually runs after exact dedup analysis.
+    * One hash-aggregate + semi-join; no text moves through the shuffle.
+    */
+  def keepFirst(df: DataFrame, idCol: Column, keyCol: Column): DataFrame = {
+    val keep = df.select(idCol.as("_id"), charHash(keyCol).as("_kh"))
+      .groupBy("_kh").agg(min(col("_id")).as("_keep_id"))
+      .select(col("_keep_id"))
+    df.join(keep, idCol === col("_keep_id"), "left_semi")
+  }
+
   /** Duplicate-cluster assignment: connected components over a near-dup
     * pair set via iterative min-label propagation (the standard
     * large-star/small-star shape specialized to undirected pairs): each

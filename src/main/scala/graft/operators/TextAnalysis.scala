@@ -90,6 +90,14 @@ object TextAnalysis {
       size(Dedup.tokens(textCol)).as("n_ws_tokens"),
       regexp_count(textCol, lit(WordPieceRegex)).as("n_wordpieces"))
 
+  /** Canonical text normalization for dedup keys: lowercase, strip
+    * non-alphanumerics (keep spaces), collapse whitespace, trim — the
+    * standard pre-dedup canonicalization; DuckDB twin uses the same regex
+    * chain with the 'g' flag.
+    */
+  def normalize(textCol: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(textCol), "[^a-z0-9 ]", ""), " +", " "))
+
   /** Document fingerprints: full-text rolling hash + min-shingle hash
     * (content-defined, order-robust to prefix edits).
     */
