@@ -109,6 +109,18 @@ object SparkEntry {
         .select("c_custkey", "poly_id")
         .orderBy("c_custkey", "poly_id")
     }),
+    // ---- range/radius join: cell cover + exact integer distance filter
+    "q0a_radius_join" -> ((s, dir) => {
+      val nation = s.read.parquet(s"$dir/nation.parquet")
+        .select(col("n_nationkey"),
+          Derive.lonMicro(col("n_nationkey")).as("lonm"),
+          Derive.latMicro(col("n_nationkey")).as("latm"))
+        .collect().map(r => Knn.QueryPt(r.getAs[Number](0).longValue(),
+          r.getAs[Number](1).longValue(), r.getAs[Number](2).longValue()))
+      Knn.radiusJoin(s, customerPts(s, dir), col("c_custkey"), col("lonm"), col("latm"),
+          nation.toSeq, radiusMicro = 15000000L, level = 5)
+        .orderBy("qid", "neighbor_id")
+    }),
     // ---- B1: areaOfInterest bbox pre-filter (pushdown-friendly predicate)
     "q05_aoi_bbox" -> ((s, dir) => {
       customerPts(s, dir)
@@ -380,6 +392,17 @@ object SparkEntry {
          |ON ${Derive.lonSql("c.c_custkey")} BETWEEN r.lon_min AND r.lon_max
          |AND ${Derive.latSql("c.c_custkey")} BETWEEN r.lat_min AND r.lat_max
          |ORDER BY c_custkey, poly_id""".stripMargin,
+    "q0a_radius_join" ->
+      s"""WITH q AS (SELECT CAST(n_nationkey AS BIGINT) AS qid, ${Derive.lonSql("n_nationkey")} AS qlon,
+         |  ${Derive.latSql("n_nationkey")} AS qlat FROM nation),
+         |c AS (SELECT c_custkey, ${Derive.lonSql("c_custkey")} AS plon,
+         |  ${Derive.latSql("c_custkey")} AS plat FROM customer)
+         |SELECT q.qid, c.c_custkey AS neighbor_id,
+         |  (c.plon - q.qlon) * (c.plon - q.qlon) + (c.plat - q.qlat) * (c.plat - q.qlat) AS d2
+         |FROM q CROSS JOIN c
+         |WHERE (c.plon - q.qlon) * (c.plon - q.qlon) + (c.plat - q.qlat) * (c.plat - q.qlat)
+         |      <= ${15000000L * 15000000L}
+         |ORDER BY qid, neighbor_id""".stripMargin,
     "q06_knn" ->
       s"""WITH q AS (SELECT CAST(n_nationkey AS BIGINT) AS qid, ${Derive.lonSql("n_nationkey")} AS qlon,
          |  ${Derive.latSql("n_nationkey")} AS qlat FROM nation),

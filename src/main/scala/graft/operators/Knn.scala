@@ -35,6 +35,34 @@ import graft.functions.GraftFunctions._
 object Knn {
   final case class QueryPt(qid: Long, lonm: Long, latm: Long)
 
+  /** Exact radius (range) join: all points within `radiusMicro` planar
+    * micro-degrees of each query point. One broadcast equi-join on the
+    * cells covering each query's bbox square (superset of the circle),
+    * then the exact integer d² filter — the 1-D "range join via cells"
+    * shape (SURVEY.md C-family note).
+    */
+  def radiusJoin(spark: SparkSession, points: DataFrame, idCol: Column,
+                 lonCol: Column, latCol: Column, queries: Seq[QueryPt],
+                 radiusMicro: Long, level: Int): DataFrame = {
+    import spark.implicits._
+    val cells = queries.flatMap { q =>
+      val b = graft.core.BBoxM(q.lonm - radiusMicro, q.latm - radiusMicro,
+        q.lonm + radiusMicro, q.latm + radiusMicro)
+      ZGrid.bboxCells(level, b).map { case (x, y) =>
+        (q.qid, q.lonm, q.latm, graft.core.Morton.encode(x, y))
+      }
+    }
+    val cellsDf = cells.toDF("qid", "_qlon", "_qlat", "_pcell")
+    val d2 = (lonCol - col("_qlon")) * (lonCol - col("_qlon")) +
+             (latCol - col("_qlat")) * (latCol - col("_qlat"))
+    points.select(idCol.as("neighbor_id"), lonCol, latCol)
+      .withColumn("_pcell", zcell(lonCol, latCol, level))
+      .join(broadcast(cellsDf), Seq("_pcell"))
+      .withColumn("d2", d2)
+      .where(col("d2") <= radiusMicro * radiusMicro)
+      .select("qid", "neighbor_id", "d2")
+  }
+
   /** Exact k nearest `points` rows for every query point.
     *
     * @param points   big table exposing `idCol`, `lonCol`, `latCol` (micro-deg)

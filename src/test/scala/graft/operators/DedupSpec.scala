@@ -96,6 +96,18 @@ class DedupSpec extends AnyFunSuite {
     assert(got === expect)
   }
 
+  test("near-dup plans contain no cartesian or nested-loop joins") {
+    val df = docs.toDF("doc_id", "text")
+    for (plan <- Seq(
+        Dedup.ngramJaccardPairs(df, col("doc_id"), col("text"), 3, 0.5),
+        Dedup.minhashLshPairs(df, col("doc_id"), col("text"), 3, 0.5),
+        Dedup.simhashPairs(df, col("doc_id"), col("text"), 3))) {
+      val s = plan.queryExecution.executedPlan.toString
+      assert(!s.contains("CartesianProduct"), s.take(500))
+      assert(!s.contains("BroadcastNestedLoopJoin"), s.take(500))
+    }
+  }
+
   test("prefix filter stays exact at a low threshold (large prefixes)") {
     val df = docs.toDF("doc_id", "text")
     val got = Dedup.ngramJaccardPairs(df, col("doc_id"), col("text"), 2, 0.3)
