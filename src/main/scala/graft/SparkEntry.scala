@@ -109,6 +109,18 @@ object SparkEntry {
         .select("c_custkey", "poly_id")
         .orderBy("c_custkey", "poly_id")
     }),
+    // ---- A1: Iceberg-shaped table layer — two-snapshot append + current
+    //      read must equal the plain source (snapshot/commit machinery
+    //      proven equivalent; time travel + pruning gated in IcebergLiteSpec)
+    "q0b_iceberg_scan" -> ((s, dir) => {
+      val tbl = java.nio.file.Files.createTempDirectory("graft_iclite_q0b").toString
+      val pts = customerPts(s, dir)
+      val key = graft.functions.GraftFunctions.zcell(col("lonm"), col("latm"), 12)
+      graft.sources.IcebergLite.append(s, tbl, pts.where(col("c_custkey") % 2 === 0), key)
+      graft.sources.IcebergLite.append(s, tbl, pts.where(col("c_custkey") % 2 === 1), key)
+      graft.sources.IcebergLite.read(s, tbl)
+        .select("c_custkey", "lonm", "latm").orderBy("c_custkey")
+    }),
     // ---- range/radius join: cell cover + exact integer distance filter
     "q0a_radius_join" -> ((s, dir) => {
       val nation = s.read.parquet(s"$dir/nation.parquet")
@@ -392,6 +404,10 @@ object SparkEntry {
          |ON ${Derive.lonSql("c.c_custkey")} BETWEEN r.lon_min AND r.lon_max
          |AND ${Derive.latSql("c.c_custkey")} BETWEEN r.lat_min AND r.lat_max
          |ORDER BY c_custkey, poly_id""".stripMargin,
+    "q0b_iceberg_scan" ->
+      s"""SELECT c_custkey, ${Derive.lonSql("c_custkey")} AS lonm,
+         |${Derive.latSql("c_custkey")} AS latm
+         |FROM customer ORDER BY c_custkey""".stripMargin,
     "q0a_radius_join" ->
       s"""WITH q AS (SELECT CAST(n_nationkey AS BIGINT) AS qid, ${Derive.lonSql("n_nationkey")} AS qlon,
          |  ${Derive.latSql("n_nationkey")} AS qlat FROM nation),

@@ -1,0 +1,118 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
+
+/** Hand-built "Iceberg-shaped" table format (SURVEY.md A1): no Iceberg jar
+  * ships in this sandbox, so the metadata layer an Iceberg table would
+  * provide is implemented directly —
+  *
+  *   <table>/data/<uuid>/part-*.parquet      immutable data files
+  *   <table>/metadata/v00001.json …          snapshot per version:
+  *       {version, snapshot_id, parent, files:[{path, rows, min, max}]}
+  *   <table>/metadata/_current                pointer file (tmp→rename)
+  *
+  * giving the three Iceberg properties the engine relies on:
+  *   - snapshot isolation: readers resolve a version once and see an
+  *     immutable file list (appends create a NEW version);
+  *   - time travel: `read(dir, asOfVersion = n)`;
+  *   - file-level stats pruning: each file carries min/max of a stats
+  *     column (the zcell(12) clustering key for the images table), and
+  *     `pruneRead` keeps only files whose range intersects the query cells.
+  *
+  * Commits are atomic via tmp-write + rename of the pointer; concurrent
+  * appends would need a CAS on `_current` (single-writer here, noted).
+  */
+object IcebergLite {
+  final case class FileEntry(path: String, rows: Long, min: Long, max: Long)
+  final case class Snapshot(version: Int, snapshotId: String, parent: Option[Int],
+                            files: Seq[FileEntry])
+
+  private def metaDir(dir: String): Path = Paths.get(dir, "metadata")
+
+  def currentVersion(dir: String): Int = {
+    val p = metaDir(dir).resolve("_current")
+    if (Files.exists(p)) new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim.toInt
+    else 0
+  }
+
+  def snapshot(dir: String, version: Int): Snapshot = {
+    val txt = new String(Files.readAllBytes(
+      metaDir(dir).resolve(f"v$version%05d.json")), StandardCharsets.UTF_8)
+    val entry = """\{"path": "([^"]+)", "rows": (\d+), "min": (-?\d+), "max": (-?\d+)\}""".r
+    val files = entry.findAllMatchIn(txt).map(m =>
+      FileEntry(m.group(1), m.group(2).toLong, m.group(3).toLong, m.group(4).toLong)).toSeq
+    val sid = """"snapshot_id": "([^"]+)"""".r.findFirstMatchIn(txt).get.group(1)
+    val parent = """"parent": (\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toInt)
+    Snapshot(version, sid, parent, files)
+  }
+
+  /** Append `df` as a new snapshot; `statsCol` supplies per-file min/max
+    * (pass the clustering key). Returns the new version number.
+    */
+  def append(spark: SparkSession, dir: String, df: DataFrame, statsCol: Column): Int = {
+    val cur = currentVersion(dir)
+    val old = if (cur > 0) snapshot(dir, cur).files else Seq.empty
+    val batch = java.util.UUID.randomUUID().toString.take(8)
+    val dataDir = s"$dir/data/$batch"
+    df.withColumn("_stats", statsCol)
+      .write.mode("error").parquet(dataDir)
+    val stats = spark.read.parquet(dataDir)
+      .groupBy(input_file_name().as("path"))
+      .agg(count(lit(1)).as("rows"), min("_stats").as("mn"), max("_stats").as("mx"))
+      .collect()
+      .map(r => FileEntry(r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val files = old ++ stats
+    val version = cur + 1
+    val sid = java.util.UUID.randomUUID().toString
+    val body = files.map(f =>
+      s"""    {"path": "${f.path}", "rows": ${f.rows}, "min": ${f.min}, "max": ${f.max}}""")
+      .mkString("[\n", ",\n", "\n  ]")
+    val parent = if (cur > 0) s""",\n  "parent": $cur""" else ""
+    val json = s"""{\n  "version": $version,\n  "snapshot_id": "$sid"$parent,\n  "files": $body\n}\n"""
+    Files.createDirectories(metaDir(dir))
+    writeAtomic(metaDir(dir).resolve(f"v$version%05d.json"), json)
+    writeAtomic(metaDir(dir).resolve("_current"), version.toString)
+    version
+  }
+
+  /** Read the table as of a version (default: current). Snapshot isolation:
+    * the file list is resolved HERE, once — later appends don't change it.
+    */
+  def read(spark: SparkSession, dir: String, asOfVersion: Int = -1): DataFrame = {
+    val v = if (asOfVersion > 0) asOfVersion else currentVersion(dir)
+    require(v > 0, s"no snapshots in $dir")
+    val files = snapshot(dir, v).files
+    spark.read.parquet(files.map(_.path): _*).drop("_stats")
+  }
+
+  /** Read with manifest-stats pruning: keep only files whose [min,max]
+    * intersects a query cell (the Iceberg partition/stats pruning the
+    * flagship relies on for AOI scans at 100 TB).
+    */
+  def pruneRead(spark: SparkSession, dir: String, cells: Set[Long],
+                asOfVersion: Int = -1): (DataFrame, Int, Int) = {
+    val v = if (asOfVersion > 0) asOfVersion else currentVersion(dir)
+    val all = snapshot(dir, v).files
+    val sorted = cells.toArray.sorted
+    val kept = all.filter { f =>
+      val idx = java.util.Arrays.binarySearch(sorted, f.min)
+      val ins = if (idx >= 0) idx else -idx - 1
+      ins < sorted.length && sorted(ins) <= f.max
+    }
+    val df = if (kept.isEmpty)
+      spark.read.parquet(all.head.path).drop("_stats").limit(0)
+    else spark.read.parquet(kept.map(_.path): _*).drop("_stats")
+    (df, kept.size, all.size)
+  }
+
+  private def writeAtomic(target: Path, content: String): Unit = {
+    val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
+    Files.write(tmp, content.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+}

@@ -1,0 +1,54 @@
+package graft.sources
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.ZGrid
+
+class IcebergLiteSpec extends AnyFunSuite {
+  lazy val spark = graft.SparkTestSession.spark
+  import spark.implicits._
+
+  private def pts(lo: Long, n: Long) =
+    (lo until lo + n).map(i => (i, i * 1000000L - 170000000L, (i % 160) * 1000000L - 80000000L))
+      .toDF("id", "lonm", "latm")
+
+  test("append creates snapshots; reads are version-isolated (time travel)") {
+    val dir = Files.createTempDirectory("iclite").toString
+    val key = org.apache.spark.sql.functions.expr("lonm") // stats col: lon
+    val v1 = IcebergLite.append(spark, dir, pts(0, 100), key)
+    val v2 = IcebergLite.append(spark, dir, pts(100, 50), key)
+    assert(v1 === 1 && v2 === 2)
+    assert(IcebergLite.read(spark, dir).count() === 150)
+    assert(IcebergLite.read(spark, dir, asOfVersion = 1).count() === 100)
+    // snapshot isolation: resolve v2, then append v3 — the resolved frame is fixed
+    val resolved = IcebergLite.read(spark, dir)
+    IcebergLite.append(spark, dir, pts(150, 25), key)
+    assert(IcebergLite.currentVersion(dir) === 3)
+    assert(resolved.count() === 150)
+    assert(IcebergLite.read(spark, dir).count() === 175)
+    // lineage chain recorded
+    assert(IcebergLite.snapshot(dir, 3).parent === Some(2))
+  }
+
+  test("stats pruning skips files outside the query cells") {
+    val dir = Files.createTempDirectory("iclite2").toString
+    val z = 8
+    val cellCol = graft.functions.GraftFunctions.zcell(col("lonm"), col("latm"), z)
+    // two widely-separated batches → disjoint cell ranges per file
+    IcebergLite.append(spark, dir,
+      (0L until 1000L).map(i => (i, -160000000L + i * 1000, -70000000L + (i % 50) * 1000))
+        .toDF("id", "lonm", "latm").repartition(2), cellCol)
+    IcebergLite.append(spark, dir,
+      (1000L until 2000L).map(i => (i, 150000000L + (i % 100) * 1000, 60000000L + (i % 50) * 1000))
+        .toDF("id", "lonm", "latm").repartition(2), cellCol)
+    // query cells around the FIRST batch only
+    val qcells = ZGrid.bboxCells(z, graft.core.BBoxM(-161000000L, -71000000L, -158000000L, -69000000L))
+      .map { case (x, y) => graft.core.Morton.encode(x, y) }.toSet
+    val (df, kept, total) = IcebergLite.pruneRead(spark, dir, qcells)
+    assert(total >= 4 && kept < total, s"kept=$kept total=$total")
+    val got = df.agg(count(lit(1)), min("id"), max("id")).collect().head
+    assert(got.getLong(0) === 1000L) // exactly the first batch
+    assert(got.getLong(2) < 1000L)
+  }
+}
