@@ -64,6 +64,16 @@ object EventStream {
       }
   }
 
+  /** Streaming ingest dedup: drop re-deliveries of the same key within the
+    * watermark horizon — the standard exactly-once-ish ingestion guard in
+    * front of a training-data pipeline. State = one entry per key within
+    * the watermark, evicted automatically.
+    */
+  def streamingDedup(events: DataFrame, keyCols: Seq[String],
+                     watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   /** File-source wrapper: stream the driver `events` parquet dir. */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
     val schema = spark.read.parquet(dir).schema

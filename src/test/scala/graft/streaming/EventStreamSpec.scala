@@ -59,6 +59,22 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup drops cross-micro-batch re-deliveries within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Event]
+    val q = streamingDedup(mem.toDS().toDF(), Seq("event_id"))
+      .writeStream.format("memory").queryName("dedup_stream").outputMode("append").start()
+    try {
+      mem.addData(batch1: _*); q.processAllAvailable()
+      mem.addData(batch1: _*); q.processAllAvailable() // exact re-delivery
+      mem.addData(batch2: _*); q.processAllAvailable()
+      val ids = spark.table("dedup_stream").select("event_id")
+        .collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq === Seq(1L, 2L, 3L, 4L, 5L, 6L)) // each event once
+    } finally q.stop()
+  }
+
   test("file-source stream over the driver events table produces rows") {
     // FileStreamSource wants a landing DIRECTORY; stage the single driver
     // file into one (read-only testdata stays untouched)
