@@ -69,7 +69,7 @@ object BenchCore {
   */
 object Bench {
   val FLAGSHIP_ROWS = 1000000L
-  val FLAGSHIP_REPLICATE = 16 // 16M joined rows per run — amortizes job overhead
+  val FLAGSHIP_REPLICATE = 16 // 16M input rows per run — amortizes job overhead
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
