@@ -208,6 +208,31 @@ object SparkEntry {
         .select(col("snap_ts"), col("user_id"), col("value").as("last_value"))
         .orderBy("snap_ts", "user_id")
     }),
+    // ---- E: gap-based sessionization (30-min inactivity ends a session)
+    "q20_sessionize" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      s.read.parquet(s"$dir/events.parquet")
+        .withColumn("gap",
+          when(col("ts").cast("timestamp").cast("long") - lag(col("ts").cast("timestamp").cast("long"), 1).over(w) > 1800, 1)
+            .otherwise(0))
+        .withColumn("session_idx", sum("gap").over(
+          Window.partitionBy("user_id").orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_idx")
+        .agg(count(lit(1)).as("n_events"), min("ts").as("t_start"), max("ts").as("t_end"))
+        .withColumn("session_idx", col("session_idx").cast("long"))
+        .orderBy("user_id", "session_idx")
+    }),
+    // ---- B7: groupByEntity — full ordered history per entity as one row
+    "q21_group_entity" -> ((s, dir) => {
+      s.read.parquet(s"$dir/events.parquet")
+        .groupBy("user_id")
+        .agg(sort_array(collect_list(struct(col("ts"), col("event_id"), col("value"))))
+          .as("history"))
+        .select(col("user_id"), size(col("history")).as("n_versions"),
+          col("history").getField("value").as("values"))
+        .orderBy("user_id")
+    }),
     // ---- B5: filter DSL compiled to Catalyst Columns (pushdown for free)
     "q30_filter_dsl" -> ((s, dir) => {
       val li = s.read.parquet(s"$dir/lineitem.parquet")
@@ -477,6 +502,21 @@ object SparkEntry {
          |SELECT snap_ts, user_id, value AS last_value FROM cand WHERE rn = 1
          |ORDER BY snap_ts, user_id""".stripMargin
     },
+    "q20_sessionize" ->
+      """WITH g AS (SELECT user_id, ts, event_id,
+        |  CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+        |       THEN 1 ELSE 0 END AS gap FROM events),
+        |s AS (SELECT user_id, ts,
+        |  CAST(sum(gap) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+        |  FROM g)
+        |SELECT user_id, session_idx, count(*) AS n_events,
+        |  min(ts) AS t_start, max(ts) AS t_end
+        |FROM s GROUP BY 1, 2 ORDER BY user_id, session_idx""".stripMargin,
+    "q21_group_entity" ->
+      """SELECT user_id, CAST(len(list(value ORDER BY ts, event_id)) AS INTEGER) AS n_versions,
+        |list(value ORDER BY ts, event_id) AS values
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q30_filter_dsl" ->
       """SELECT l_orderkey, l_linenumber FROM lineitem
         |WHERE l_returnflag = 'R' AND l_quantity BETWEEN 10 AND 30 AND NOT l_linestatus = 'F'

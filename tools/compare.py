@@ -46,9 +46,12 @@ def main(out_dir, sf_dir):
             dcols = [x[0] for x in d.description]; drows = d.fetchall()
         except Exception as e:
             print(f"FAIL  {name}: oracle SQL error: {e}"); fails += 1; continue
-        import pyarrow.parquet as _pq
+        import pyarrow.parquet as _pq, re as _re
+        def _norm(t):  # list element field names differ (element vs l) — values, not types
+            return _re.sub(r"list<[^:]+: ", "list<item: ", t)
         sfile = glob.glob(f"{spark_dir}/*.parquet")[0]
-        stypes = {f.name: str(f.type) for f in _pq.read_schema(sfile)}
+        stypes = {f.name: _norm(str(f.type)) for f in _pq.read_schema(sfile)}
+        dtypes = {k: _norm(v) for k, v in dtypes.items()}
         tdiff = [(c, stypes[c], dtypes.get(c, "MISSING")) for c in stypes
                  if stypes[c] != dtypes.get(c, "MISSING")]
         if tdiff:
