@@ -121,6 +121,20 @@ object SparkEntry {
       graft.sources.IcebergLite.read(s, tbl)
         .select("c_custkey", "lonm", "latm").orderBy("c_custkey")
     }),
+    // ---- raster tile pyramid: per-tile counts rolled up the zoom stack —
+    //      a z-order parent is a plain right-shift (each zoom level drops
+    //      2 interleaved bits), so the pyramid is three shifted groupBys,
+    //      no geometry re-processing (SURVEY.md O8 payoff)
+    "q0c_tile_pyramid" -> ((s, dir) => {
+      val pts = customerPts(s, dir)
+        .select(zcell(col("lonm"), col("latm"), 12).as("c12"))
+      val levels = Seq(12, 10, 8).map { z =>
+        pts.groupBy(shiftright(col("c12"), 2 * (12 - z)).as("cell"))
+          .agg(count(lit(1)).as("n"))
+          .select(lit(z).as("z"), col("cell"), col("n"))
+      }
+      levels.reduce(_ union _).orderBy("z", "cell")
+    }),
     // ---- range/radius join: cell cover + exact integer distance filter
     "q0a_radius_join" -> ((s, dir) => {
       val nation = s.read.parquet(s"$dir/nation.parquet")
@@ -429,6 +443,14 @@ object SparkEntry {
          |ON ${Derive.lonSql("c.c_custkey")} BETWEEN r.lon_min AND r.lon_max
          |AND ${Derive.latSql("c.c_custkey")} BETWEEN r.lat_min AND r.lat_max
          |ORDER BY c_custkey, poly_id""".stripMargin,
+    "q0c_tile_pyramid" ->
+      s"""WITH pts AS (SELECT ${Derive.lonSql("c_custkey")} AS lonm,
+         |  ${Derive.latSql("c_custkey")} AS latm FROM customer),
+         |${Derive.zcellSqlCte(12)},
+         |p AS (SELECT 12 AS z, cell, count(*) AS n FROM zc GROUP BY 2
+         |  UNION ALL SELECT 10, cell // 16, count(*) FROM zc GROUP BY 2
+         |  UNION ALL SELECT 8, cell // 256, count(*) FROM zc GROUP BY 2)
+         |SELECT z, cell, n FROM p ORDER BY z, cell""".stripMargin,
     "q0b_iceberg_scan" ->
       s"""SELECT c_custkey, ${Derive.lonSql("c_custkey")} AS lonm,
          |${Derive.latSql("c_custkey")} AS latm
