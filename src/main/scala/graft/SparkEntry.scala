@@ -92,6 +92,15 @@ object SparkEntry {
           "area_m2:(1000000..) and not kind=adversarial", polys.schema))
         .select("poly_id", "kind", "area_m2", "perimeter_m").orderBy("poly_id")
     }),
+    // ---- H2/C5: vector side of raster↔vector — fixture polygons clipped
+    //      to web-tile bboxes (JTS ∩; rows-only: WKB output, gated by
+    //      FlagshipSpec/GeoCore kernels)
+    "q0d_clip_tiles" -> ((s, dir) => {
+      SpatialJoin.clipPolysToTiles(s, Fixtures.polygons, z = 8)
+        .select(col("poly_id"), col("tile_z"), col("tile_x"), col("tile_y"),
+          length(col("clipped_wkb")).as("wkb_bytes"))
+        .orderBy("poly_id", "tile_x", "tile_y")
+    }),
     // ---- D11 + zerofill: every polygon keyed, empty ones filled with 0
     "q08_agg_geometry_zerofill" -> ((s, dir) => {
       import s.implicits._
