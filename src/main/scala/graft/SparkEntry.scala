@@ -35,8 +35,11 @@ object SparkEntry {
         Derive.lonMicro(col("c_custkey")).as("lonm"),
         Derive.latMicro(col("c_custkey")).as("latm"))
 
-  private val snapTimes = Seq("2024-01-08 00:00:00", "2024-01-15 00:00:00",
-    "2024-01-22 00:00:00", "2024-01-29 00:00:00")
+  /** Weekly snapshot instants via the ISO interval+period expander (B3 —
+    * the reference's `timestamps("2024-01-08","2024-01-29","P7D")`).
+    */
+  private val snapTimes = graft.api.Timestamps.expandStrings(
+    "2024-01-08", "2024-01-29", "P7D")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
