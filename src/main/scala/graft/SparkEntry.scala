@@ -360,6 +360,15 @@ object SparkEntry {
       Similarity.ivfTopK(s, emb, emb.where(col("vec_id") % 100 === 0),
         "vec_id", "embedding", k = 10).orderBy("qid", "rank")
     }),
+    // ---- vocabulary building: corpus term frequencies, top-50 tokens
+    //      (tokenizer-prep shape: explode → count → top-k)
+    "q56_vocab" -> ((s, dir) => {
+      val toks = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), explode(Dedup.tokens(lower(col("text")))).as("token"))
+      toks.groupBy("token")
+        .agg(count(lit(1)).as("tf"), count_distinct(col("doc_id")).as("df"))
+        .orderBy(col("tf").desc, col("token")).limit(50)
+    }),
     // ---- quality scoring (Gopher-style keep rule)
     "q51_quality" -> ((s, dir) => {
       TextAnalysis.quality(s.read.parquet(s"$dir/documents.parquet"),
@@ -630,6 +639,11 @@ object SparkEntry {
          |SELECT doc_id, lang, n_chars FROM documents
          |WHERE doc_id IN (SELECT keep_id FROM k) ORDER BY doc_id""".stripMargin
     },
+    "q56_vocab" ->
+      s"""WITH ${TextOracle.toksCte(textExpr = "lower(text)")},
+         |e AS (SELECT doc_id, unnest(t) AS token FROM toks)
+         |SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+         |FROM e GROUP BY token ORDER BY tf DESC, token LIMIT 50""".stripMargin,
     "q52_dup_clusters" ->
       s"""WITH RECURSIVE ${TextOracle.toksCte()},
          |${TextOracle.ngramsCte(3)},
