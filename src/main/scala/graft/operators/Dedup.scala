@@ -56,20 +56,64 @@ object Dedup {
       .where(size(col("gha")) > 0)
       .select(col("doc_id"), col("gha"), size(col("gha")).as("sz"))
 
+  /** Sorted-array intersection count (shared by both verify paths). */
+  def intersectCount(a: Array[Long], b: Array[Long]): Int = {
+    var i = 0; var j = 0; var c = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) == b(j)) { c += 1; i += 1; j += 1 }
+      else if (a(i) < b(j)) i += 1 else j += 1
+    }
+    c
+  }
+
   /** Exact-Jaccard verification of candidate (id_a, id_b) pairs against the
-    * docs' sorted shingle-hash arrays: |A∩B| via array_intersect — O(|A|+|B|)
-    * per pair, no shingle-level fan-out (a cross-explode here is quadratic
-    * per pair and was the measured bottleneck at sf0.1).
+    * docs' sorted shingle-hash arrays — |A∩B| in O(|A|+|B|) per pair, no
+    * shingle-level fan-out (a cross-explode here is quadratic per pair and
+    * was the measured bottleneck at sf0.1).
+    *
+    * Two physical paths, chosen by the number of DISTINCT docs appearing in
+    * candidates: if they fit the driver (constant-width arrays ⇒ bounded),
+    * their arrays are collected once and BROADCAST — the verify becomes a
+    * map over the pair list with zero array shuffles (the dim-side-broadcast
+    * shape). Otherwise two hash joins ship the arrays to the pairs.
     */
-  private def verifyPairs(cand: DataFrame, sh: DataFrame, threshold: Double): DataFrame =
-    cand
-      .join(sh.select(col("doc_id").as("id_a"), col("gha").as("gha_a"), col("sz").as("sz_a")), "id_a")
-      .join(sh.select(col("doc_id").as("id_b"), col("gha").as("gha_b"), col("sz").as("sz_b")), "id_b")
-      .withColumn("c", size(array_intersect(col("gha_a"), col("gha_b"))))
-      .withColumn("jaccard",
-        col("c").cast("double") / (col("sz_a") + col("sz_b") - col("c")).cast("double"))
-      .where(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+  private def verifyPairs(cand0: DataFrame, sh: DataFrame, threshold: Double,
+                          maxBroadcastDocs: Long = 2000000L): DataFrame = {
+    val spark = cand0.sparkSession
+    val cand = cand0.localCheckpoint() // candidate generation runs ONCE
+    val ids = cand.select(col("id_a").as("doc_id"))
+      .union(cand.select(col("id_b").as("doc_id"))).distinct()
+    if (ids.count() <= maxBroadcastDocs) {
+      val m = new java.util.HashMap[Any, Array[Long]]()
+      sh.join(broadcast(ids), "doc_id").select("doc_id", "gha").collect()
+        .foreach(r => m.put(r.get(0), r.getSeq[Long](1).toArray))
+      val bc = spark.sparkContext.broadcast(m)
+      val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(
+        org.apache.spark.sql.types.StructType(cand.schema.fields :+
+          org.apache.spark.sql.types.StructField("jaccard",
+            org.apache.spark.sql.types.DoubleType)))
+      cand.mapPartitions { it =>
+        val mm = bc.value
+        it.flatMap { r =>
+          val a = mm.get(r.get(0)); val b = mm.get(r.get(1))
+          if (a == null || b == null) None
+          else {
+            val c = intersectCount(a, b)
+            val j = c.toDouble / (a.length + b.length - c).toDouble
+            if (j >= threshold) Some(org.apache.spark.sql.Row(r.get(0), r.get(1), j)) else None
+          }
+        }
+      }(enc)
+    } else
+      cand
+        .join(sh.select(col("doc_id").as("id_a"), col("gha").as("gha_a"), col("sz").as("sz_a")), "id_a")
+        .join(sh.select(col("doc_id").as("id_b"), col("gha").as("gha_b"), col("sz").as("sz_b")), "id_b")
+        .withColumn("c", size(array_intersect(col("gha_a"), col("gha_b"))))
+        .withColumn("jaccard",
+          col("c").cast("double") / (col("sz_a") + col("sz_b") - col("c")).cast("double"))
+        .where(col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+  }
 
   /** Exact n-gram Jaccard near-dup pairs via PREFIX FILTERING (PPJoin-style,
     * SNIPPETS-free standard technique): shingles get a global total order by
