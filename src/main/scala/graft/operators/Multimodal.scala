@@ -147,6 +147,35 @@ object Multimodal {
     StructField("bytes", BinaryType), StructField("w", IntegerType),
     StructField("h", IntegerType)))
 
+  private val audioSchema = StructType(Seq(
+    StructField("image_id", StringType), StructField("window_idx", IntegerType),
+    StructField("rms", DoubleType), StructField("peak", IntegerType)))
+
+  /** Audio-pipeline shape: treat the binary payload as unsigned 8-bit PCM
+    * and emit per-window RMS + peak (the feature a speech-data pipeline
+    * extracts before filtering). Same plumbing contract as decode: the
+    * byte interpretation is the swappable part, the flatMap fan-out +
+    * schema is the real operator.
+    */
+  def audioFeatures(rows: DataFrame, window: Int): DataFrame = {
+    val enc = RowEncoder.encoderFor(audioSchema)
+    rows.select("image_id", "bytes")
+      .flatMap { r =>
+        val id = r.getString(0); val b = r.getAs[Array[Byte]](1)
+        (0 until b.length / window).map { wi =>
+          var sumSq = 0.0; var peak = 0
+          var i = wi * window
+          while (i < (wi + 1) * window) {
+            val v = (b(i) & 0xff) - 128
+            sumSq += v.toDouble * v
+            if (math.abs(v) > peak) peak = math.abs(v)
+            i += 1
+          }
+          Row(id, wi, math.sqrt(sumSq / window), peak)
+        }
+      }(enc)
+  }
+
   /** Frame sampling: treat each image as a stack of `h/frameH` horizontal
     * bands ("frames") and emit every `stride`-th band — the video-pipeline
     * shape (1 row in → N frame rows out, flatMap fan-out, no shuffle).

@@ -63,6 +63,18 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("audioFeatures: windowed RMS/peak match a hand computation") {
+    import spark.implicits._
+    val pcm = Array.tabulate(256)(i => ((i % 32) + 112).toByte) // sawtooth around 128
+    val df = Seq(("a1", pcm)).toDF("image_id", "bytes")
+    val rows = Multimodal.audioFeatures(df, window = 64).collect()
+    assert(rows.length === 4)
+    val w0 = (0 until 64).map(i => ((pcm(i) & 0xff) - 128))
+    val expRms = math.sqrt(w0.map(v => v.toDouble * v).sum / 64)
+    assert(math.abs(rows.head.getDouble(2) - expRms) < 1e-12)
+    assert(rows.head.getInt(3) === w0.map(math.abs).max)
+  }
+
   test("stub decode path: unknown fmt flows through the same plumbing") {
     import spark.implicits._
     val fake = Seq(("x1", Array[Byte](1, 2, 3), 16, 16, "jpeg", "cap", 0L))
