@@ -360,6 +360,23 @@ object SparkEntry {
       Similarity.ivfTopK(s, emb, emb.where(col("vec_id") % 100 === 0),
         "vec_id", "embedding", k = 10).orderBy("qid", "rank")
     }),
+    // ---- deterministic stratified sampling: per-language rates via
+    //      content-addressed hash buckets (reproducible, shuffle-proof)
+    "q57_stratified_sample" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("bucket", TextAnalysis.hashBucket(col("doc_id"), "sample-v1"))
+      val rate = when(col("lang") === "en", 10).otherwise(30) // en downsampled
+      d.where(col("bucket") < rate).select("doc_id", "lang").orderBy("doc_id")
+    }),
+    // ---- train/val/test split: 80/10/10 by the same hash-bucket scheme
+    "q58_dataset_split" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("bucket", TextAnalysis.hashBucket(col("doc_id"), "split-v1"))
+        .withColumn("split", when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val").otherwise("test"))
+      d.groupBy("split").agg(count(lit(1)).as("n"),
+          min("doc_id").as("first_id")).orderBy("split")
+    }),
     // ---- vocabulary building: corpus term frequencies, top-50 tokens
     //      (tokenizer-prep shape: explode → count → top-k)
     "q56_vocab" -> ((s, dir) => {
@@ -638,6 +655,20 @@ object SparkEntry {
       s"""WITH k AS (SELECT min(doc_id) AS keep_id FROM documents GROUP BY $norm)
          |SELECT doc_id, lang, n_chars FROM documents
          |WHERE doc_id IN (SELECT keep_id FROM k) ORDER BY doc_id""".stripMargin
+    },
+    "q57_stratified_sample" -> {
+      val bucket = TextOracle.charHashSql("CAST(doc_id AS VARCHAR) || ':sample-v1'") + " % 100"
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE $bucket < (CASE WHEN lang = 'en' THEN 10 ELSE 30 END)
+         |ORDER BY doc_id""".stripMargin
+    },
+    "q58_dataset_split" -> {
+      val bucket = TextOracle.charHashSql("CAST(doc_id AS VARCHAR) || ':split-v1'") + " % 100"
+      s"""WITH b AS (SELECT doc_id, $bucket AS bucket FROM documents)
+         |SELECT CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val'
+         |            ELSE 'test' END AS split,
+         |  count(*) AS n, min(doc_id) AS first_id
+         |FROM b GROUP BY 1 ORDER BY split""".stripMargin
     },
     "q56_vocab" ->
       s"""WITH ${TextOracle.toksCte(textExpr = "lower(text)")},

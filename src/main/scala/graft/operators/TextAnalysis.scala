@@ -90,6 +90,15 @@ object TextAnalysis {
       size(Dedup.tokens(textCol)).as("n_ws_tokens"),
       regexp_count(textCol, lit(WordPieceRegex)).as("n_wordpieces"))
 
+  /** Deterministic hash-split bucket in [0, 100): reproducible sampling /
+    * dataset splits keyed on a stable id — `(charHash(id·salt) mod 100)`.
+    * Content-addressed (no RNG state, no partition sensitivity), identical
+    * in ANSI SQL, and stable under re-runs and repartitioning — the
+    * properties training-data splits actually need.
+    */
+  def hashBucket(idCol: Column, salt: String): Column =
+    pmod(charHash(concat(idCol.cast("string"), lit(":" + salt))), lit(100L))
+
   /** Canonical text normalization for dedup keys: lowercase, strip
     * non-alphanumerics (keep spaces), collapse whitespace, trim — the
     * standard pre-dedup canonicalization; DuckDB twin uses the same regex
