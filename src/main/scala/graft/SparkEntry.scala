@@ -386,6 +386,18 @@ object SparkEntry {
         .agg(count(lit(1)).as("tf"), count_distinct(col("doc_id")).as("df"))
         .orderBy(col("tf").desc, col("token")).limit(50)
     }),
+    // ---- end-to-end embedding dedup: near-dup pairs → connected
+    //      components → drop non-canonical rows (the full pipeline shape)
+    "q59_embed_dedup_keep" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val pairs = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", 0.45)
+        .select(col("id_a"), col("id_b"))
+      val clusters = Dedup.dupClusters(pairs.withColumn("jaccard", lit(1.0)))
+      val drop = clusters.where(col("doc_id") =!= col("cluster_id"))
+        .select(col("doc_id").as("vec_id"))
+      emb.join(drop, Seq("vec_id"), "left_anti")
+        .select("vec_id", "label").orderBy("vec_id")
+    }),
     // ---- quality scoring (Gopher-style keep rule)
     "q51_quality" -> ((s, dir) => {
       TextAnalysis.quality(s.read.parquet(s"$dir/documents.parquet"),
@@ -656,6 +668,21 @@ object SparkEntry {
          |SELECT doc_id, lang, n_chars FROM documents
          |WHERE doc_id IN (SELECT keep_id FROM k) ORDER BY doc_id""".stripMargin
     },
+    "q59_embed_dedup_keep" ->
+      s"""WITH RECURSIVE ${TextOracle.quantCte()},
+         |n AS (SELECT vec_id, q, ${TextOracle.dotSql("q", "q", 64)} AS n2 FROM e),
+         |pr AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM n a JOIN n b ON a.vec_id < b.vec_id
+         |  WHERE ${TextOracle.dotSql("a.q", "b.q", 64)} > 0
+         |    AND CAST(${TextOracle.dotSql("a.q", "b.q", 64)} AS DOUBLE) * CAST(${TextOracle.dotSql("a.q", "b.q", 64)} AS DOUBLE)
+         |        >= 0.45 * 0.45 * CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE)),
+         |edges AS (SELECT id_a AS s, id_b AS d FROM pr UNION ALL SELECT id_b, id_a FROM pr),
+         |reach AS (SELECT s AS id, d AS r FROM edges
+         |  UNION SELECT w.id, e.d FROM reach w JOIN edges e ON w.r = e.s),
+         |lab AS (SELECT id, least(id, min(r)) AS cluster_id FROM reach GROUP BY id)
+         |SELECT vec_id, label FROM embeddings
+         |WHERE vec_id NOT IN (SELECT id FROM lab WHERE id <> cluster_id)
+         |ORDER BY vec_id""".stripMargin,
     "q57_stratified_sample" -> {
       val bucket = TextOracle.charHashSql("CAST(doc_id AS VARCHAR) || ':sample-v1'") + " % 100"
       s"""SELECT doc_id, lang FROM documents
