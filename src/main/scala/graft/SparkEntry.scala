@@ -221,6 +221,13 @@ object SparkEntry {
         .aggregateBy("l_returnflag", col("l_returnflag"))
         .quantile(col("l_quantity"), 0.5, "median_qty").orderBy("l_returnflag")
     }),
+    // ---- D7 plural: estimatedQuantiles(qs) — exact multi-quantile list
+    "q22_quantiles_multi" -> ((s, dir) => {
+      Reducer.on(s.read.parquet(s"$dir/lineitem.parquet"))
+        .aggregateBy("l_returnflag", col("l_returnflag"))
+        .quantiles(col("l_quantity"), Seq(0.25, 0.5, 0.75), "qs")
+        .orderBy("l_returnflag")
+    }),
     // ---- C3: as-of join — entity state valid at each snapshot timestamp
     "q18_snapshot_asof" -> ((s, dir) => {
       import s.implicits._
@@ -561,6 +568,9 @@ object SparkEntry {
         |      count(*) AS cnt FROM fo GROUP BY 1)
         |SELECT d.month AS month, coalesce(c.cnt, 0) AS cnt
         |FROM d LEFT JOIN c USING(month) ORDER BY month""".stripMargin,
+    "q22_quantiles_multi" ->
+      """SELECT l_returnflag, quantile_cont(l_quantity, [0.25, 0.5, 0.75]) AS qs
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q17_quantiles" ->
       """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS median_qty
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,

@@ -59,6 +59,9 @@ final case class Reducer(df: DataFrame, keys: Seq[(String, Column)]) {
     * sketch path). */
   def quantile(c: Column, q: Double, as: String = "q"): DataFrame =
     grouped.agg(percentile(c, lit(q)).as(as))
+  /** D7 plural: exact quantile list (reference estimatedQuantiles(qs)). */
+  def quantiles(c: Column, qs: Seq[Double], as: String = "qs"): DataFrame =
+    grouped.agg(percentile(c, array(qs.map(lit): _*)).as(as))
   def estimatedQuantile(c: Column, q: Double, as: String = "q_est"): DataFrame =
     grouped.agg(percentile_approx(c, lit(q), lit(10000)).as(as))
   /** D8: generic user fold via a typed Aggregator (the reference's

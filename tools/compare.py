@@ -47,8 +47,8 @@ def main(out_dir, sf_dir):
         except Exception as e:
             print(f"FAIL  {name}: oracle SQL error: {e}"); fails += 1; continue
         import pyarrow.parquet as _pq, re as _re
-        def _norm(t):  # list element field names differ (element vs l) — values, not types
-            return _re.sub(r"list<[^:]+: ", "list<item: ", t)
+        def _norm(t):  # list element field names / nullability differ — values, not types
+            return _re.sub(r"list<[^:]+: ", "list<item: ", t).replace(" not null", "")
         sfile = glob.glob(f"{spark_dir}/*.parquet")[0]
         stypes = {f.name: _norm(str(f.type)) for f in _pq.read_schema(sfile)}
         dtypes = {k: _norm(v) for k, v in dtypes.items()}
