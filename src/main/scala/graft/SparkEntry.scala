@@ -215,6 +215,16 @@ object SparkEntry {
         .select(date_format(col("m"), "yyyy-MM-dd HH:mm:ss").as("month"))
       r.zerofill(counted, domain, Map("cnt" -> lit(0L))).orderBy("month")
     }),
+    // ---- D-extra: hierarchical rollup (grouping sets — free via Catalyst,
+    //      noted in SURVEY §2.D; exposed for completeness)
+    "q23_rollup" -> ((s, dir) => {
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"), col("cnt"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
     // ---- D7: exact quantiles (reference: estimatedMedian/Quantiles via t-digest)
     "q17_quantiles" -> ((s, dir) => {
       Reducer.on(s.read.parquet(s"$dir/lineitem.parquet"))
@@ -568,6 +578,11 @@ object SparkEntry {
         |      count(*) AS cnt FROM fo GROUP BY 1)
         |SELECT d.month AS month, coalesce(c.cnt, 0) AS cnt
         |FROM d LEFT JOIN c USING(month) ORDER BY month""".stripMargin,
+    "q23_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+        |coalesce(l_linestatus, 'ALL') AS l_linestatus, count(*) AS cnt
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q22_quantiles_multi" ->
       """SELECT l_returnflag, quantile_cont(l_quantity, [0.25, 0.5, 0.75]) AS qs
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
