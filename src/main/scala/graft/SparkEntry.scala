@@ -233,9 +233,15 @@ object SparkEntry {
     }),
     // ---- D7 plural: estimatedQuantiles(qs) — exact multi-quantile list
     "q22_quantiles_multi" -> ((s, dir) => {
+      // Flat double columns (not an array) — the driver's pandas hasher
+      // can't sort array cells (round-1 q22 err).
       Reducer.on(s.read.parquet(s"$dir/lineitem.parquet"))
         .aggregateBy("l_returnflag", col("l_returnflag"))
         .quantiles(col("l_quantity"), Seq(0.25, 0.5, 0.75), "qs")
+        .select(col("l_returnflag"),
+          element_at(col("qs"), 1).as("q25"),
+          element_at(col("qs"), 2).as("q50"),
+          element_at(col("qs"), 3).as("q75"))
         .orderBy("l_returnflag")
     }),
     // ---- C3: as-of join — entity state valid at each snapshot timestamp
@@ -268,13 +274,18 @@ object SparkEntry {
     }),
     // ---- B7: groupByEntity — full ordered history per entity as one row
     "q21_group_entity" -> ((s, dir) => {
+      // groupByEntity then explode back to one row per version: the driver's
+      // pandas hasher can't handle array cells (round-1 q21 err), and the
+      // exploded form still exercises the collect→sort→per-entity kernel.
       s.read.parquet(s"$dir/events.parquet")
         .groupBy("user_id")
         .agg(sort_array(collect_list(struct(col("ts"), col("event_id"), col("value"))))
           .as("history"))
         .select(col("user_id"), size(col("history")).as("n_versions"),
-          col("history").getField("value").as("values"))
-        .orderBy("user_id")
+          posexplode(col("history").getField("value")))
+        .select(col("user_id"), col("n_versions"),
+          (col("pos") + 1).cast("long").as("version_idx"), col("col").as("value"))
+        .orderBy("user_id", "version_idx")
     }),
     // ---- B5: filter DSL compiled to Catalyst Columns (pushdown for free)
     "q30_filter_dsl" -> ((s, dir) => {
@@ -584,7 +595,8 @@ object SparkEntry {
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q22_quantiles_multi" ->
-      """SELECT l_returnflag, quantile_cont(l_quantity, [0.25, 0.5, 0.75]) AS qs
+      """SELECT l_returnflag, quantile_cont(l_quantity, 0.25) AS q25,
+        |quantile_cont(l_quantity, 0.5) AS q50, quantile_cont(l_quantity, 0.75) AS q75
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q17_quantiles" ->
       """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS median_qty
@@ -611,9 +623,11 @@ object SparkEntry {
         |  min(ts) AS t_start, max(ts) AS t_end
         |FROM s GROUP BY 1, 2 ORDER BY user_id, session_idx""".stripMargin,
     "q21_group_entity" ->
-      """SELECT user_id, CAST(len(list(value ORDER BY ts, event_id)) AS INTEGER) AS n_versions,
-        |list(value ORDER BY ts, event_id) AS values
-        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+      """SELECT user_id,
+        |CAST(count(*) OVER (PARTITION BY user_id) AS INTEGER) AS n_versions,
+        |row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS version_idx,
+        |value
+        |FROM events ORDER BY user_id, version_idx""".stripMargin,
     "q30_filter_dsl" ->
       """SELECT l_orderkey, l_linenumber FROM lineitem
         |WHERE l_returnflag = 'R' AND l_quantity BETWEEN 10 AND 30 AND NOT l_linestatus = 'F'

@@ -34,7 +34,11 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Dual-key: the driver's CORRECTNESS keys are dump basenames
+    // ("qNN_name.parquet") while ours are bare names — emit both so either
+    // lookup hits (round-1 all-no_oracle failure was exactly this mismatch).
     val json = SparkEntry.oracleSql
+      .flatMap { case (k, v) => Seq(k -> v, s"$k.parquet" -> v) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

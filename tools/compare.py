@@ -32,6 +32,9 @@ def main(out_dir, sf_dir):
         t = os.path.basename(p)[:-len(".parquet")]
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    # oracle_sql.json is dual-keyed (bare + ".parquet" suffix) for the
+    # driver's lookup; iterate the bare keys only.
+    oracle = {k: v for k, v in oracle.items() if not k.endswith(".parquet")}
     fails = 0
     for name in sorted(oracle):
         spark_dir = os.path.join(out_dir, name + ".parquet")
