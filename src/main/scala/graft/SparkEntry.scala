@@ -85,6 +85,19 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("qid", "rank")
     }),
+    // ---- C4 at scale: DataFrame × DataFrame kNN join — the query side is a
+    //      table (distributed ring expansion + per-round retirement), not a
+    //      driver-side Seq; same exact semantics as q06
+    "q0e_knn_df" -> ((s, dir) => {
+      val sup = s.read.parquet(s"$dir/supplier.parquet")
+        .select(col("s_suppkey"),
+          Derive.lonMicro(col("s_suppkey")).as("lonm"),
+          Derive.latMicro(col("s_suppkey")).as("latm"))
+      Knn.knnJoinDf(s, customerPts(s, dir), col("c_custkey"), col("lonm"), col("latm"),
+          sup, col("s_suppkey"), col("lonm"), col("latm"), k = 5, level = 4)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("qid", "rank")
+    }),
     // ---- H3/H4 + B5 geometry stage: metric columns computed after
     //      geometry construction, then filter-DSL area/perimeter predicates
     //      (rows-only: WKB metrics aren't ANSI-expressible; gated by
@@ -332,7 +345,7 @@ object SparkEntry {
       Dedup.minhashLshPairs(s.read.parquet(s"$dir/documents.parquet"),
         col("doc_id"), col("text"), n = 3, threshold = 0.5).orderBy("id_a", "id_b")
     }),
-    // ---- per-doc 31-bit SimHash
+    // ---- per-doc 62-bit SimHash (two independent 31-bit halves)
     "q46_simhash" -> ((s, dir) => {
       Dedup.simhashDocs(s.read.parquet(s"$dir/documents.parquet"),
         col("doc_id"), col("text")).orderBy("doc_id")
@@ -359,8 +372,12 @@ object SparkEntry {
     }),
     // ---- embedding cosine near-dup pairs (integer-exact comparison)
     "q50_cosine_near_dup" -> ((s, dir) => {
-      Similarity.cosineNearDupPairs(s.read.parquet(s"$dir/embeddings.parquet"),
-        "vec_id", "embedding", threshold = 0.45).orderBy("id_a", "id_b")
+      // LSH-bucketed candidates + exact verify (no cartesian stage); the
+      // DuckDB oracle is the brute-force SQL — parity holds because the
+      // (planes=2, tables=24) miss probability at t=0.45 is <3e-6/pair
+      // (full recall measured on sf0.01 and sf0.1, asserted in spec).
+      Similarity.cosineNearDupPairsLsh(s.read.parquet(s"$dir/embeddings.parquet"),
+        "vec_id", "embedding", threshold = 0.45, dims = 64).orderBy("id_a", "id_b")
     }),
     // ---- canonical normalization (pre-dedup key) — hash parity checked
     "q54_normalize" -> ((s, dir) => {
@@ -418,7 +435,7 @@ object SparkEntry {
     //      components → drop non-canonical rows (the full pipeline shape)
     "q59_embed_dedup_keep" -> ((s, dir) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
-      val pairs = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", 0.45)
+      val pairs = Similarity.cosineNearDupPairsLsh(emb, "vec_id", "embedding", 0.45, dims = 64)
         .select(col("id_a"), col("id_b"))
       val clusters = Dedup.dupClusters(pairs.withColumn("jaccard", lit(1.0)))
       val drop = clusters.where(col("doc_id") =!= col("cluster_id"))
@@ -554,6 +571,16 @@ object SparkEntry {
          |  FROM q CROSS JOIN c),
          |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY d2, neighbor_id) AS rank FROM d)
          |SELECT qid, neighbor_id, rank, d2 FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    "q0e_knn_df" ->
+      s"""WITH q AS (SELECT CAST(s_suppkey AS BIGINT) AS qid, ${Derive.lonSql("s_suppkey")} AS qlon,
+         |  ${Derive.latSql("s_suppkey")} AS qlat FROM supplier),
+         |c AS (SELECT c_custkey, ${Derive.lonSql("c_custkey")} AS plon,
+         |  ${Derive.latSql("c_custkey")} AS plat FROM customer),
+         |d AS (SELECT q.qid, c.c_custkey AS neighbor_id,
+         |  (c.plon - q.qlon) * (c.plon - q.qlon) + (c.plat - q.qlat) * (c.plat - q.qlat) AS d2
+         |  FROM q CROSS JOIN c),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY d2, neighbor_id) AS rank FROM d)
+         |SELECT qid, neighbor_id, rank, d2 FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
     "q05_aoi_bbox" ->
       s"""SELECT c_custkey FROM customer
          |WHERE ${Derive.lonSql("c_custkey")} BETWEEN 40000000 AND 80000000
@@ -666,16 +693,16 @@ object SparkEntry {
          |       ELSE list_min(list_transform(g, s -> ${TextOracle.charHashSql("s")})) END AS min_shingle
          |FROM documents d JOIN ng ON d.doc_id = ng.doc_id ORDER BY d.doc_id""".stripMargin,
     "q43_exact_dedup" ->
-      s"""WITH h AS (SELECT doc_id, ${TextOracle.charHashSql("text")} AS text_hash FROM documents)
+      s"""WITH h AS (SELECT doc_id, ${TextOracle.charHash64Sql("text")} AS text_hash FROM documents)
          |SELECT text_hash, min(doc_id) AS canonical_id, count(*) AS n_copies
          |FROM h GROUP BY 1 ORDER BY text_hash""".stripMargin,
     "q44_ngram_jaccard" -> TextOracle.jaccardPairsSql(3, 0.5),
     "q45_minhash_lsh" -> TextOracle.jaccardPairsSql(3, 0.5),
     "q46_simhash" ->
-      s"""WITH ${TextOracle.simhashCtes}
+      s"""WITH ${TextOracle.simhash64Ctes}
          |SELECT doc_id, simhash FROM sim ORDER BY doc_id""".stripMargin,
     "q47_simhash_pairs" ->
-      s"""WITH ${TextOracle.simhashCtes}
+      s"""WITH ${TextOracle.simhash64Ctes}
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
          |FROM sim a JOIN sim b ON a.doc_id < b.doc_id

@@ -124,6 +124,27 @@ object ZGrid {
     val ny = yAt(z, b.latMax) - yAt(z, b.latMin) + 1
     nx * ny
   }
+
+  /** Morton ids of the (2r+1)² cell square (Chebyshev radius r, clamped at
+    * the world edge) around the cell containing (lonm, latm) — the k-ring
+    * primitive of the DataFrame-valued kNN join (computed per query row
+    * inside a codegen expression; no driver-side query set).
+    */
+  def ringCells(z: Int, lonm: Long, latm: Long, r: Int): Array[Long] = {
+    val max = (1L << z) - 1
+    val qx = xAt(z, lonm); val qy = yAt(z, latm)
+    val x0 = math.max(0L, qx - r); val x1 = math.min(max, qx + r)
+    val y0 = math.max(0L, qy - r); val y1 = math.min(max, qy + r)
+    val out = new Array[Long](((x1 - x0 + 1) * (y1 - y0 + 1)).toInt)
+    var i = 0
+    var x = x0
+    while (x <= x1) {
+      var y = y0
+      while (y <= y1) { out(i) = Morton.encode(x, y); i += 1; y += 1 }
+      x += 1
+    }
+    out
+  }
 }
 
 /** Inclusive fixed-point (micro-degree) bounding box.

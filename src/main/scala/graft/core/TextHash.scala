@@ -32,6 +32,27 @@ object TextHash {
     acc
   }
 
+  /** Second independent rolling hash (different base/seed, same prime) —
+    * paired with [[charHash]] wherever ~30 bits is not enough: the combined
+    * 60-bit key `charHash·P + charHash2` drops the birthday-collision rate
+    * from ~1 false merge per 45k distinct docs to ~1 per 1.5e9 (still
+    * ANSI-expressible: every product stays < 2^62).
+    */
+  val BASE2: Long = 37L
+  val SEED2: Long = 11L
+  def charHash2(s: String): Long = {
+    var acc = SEED2
+    var i = 0
+    while (i < s.length) {
+      acc = (acc * BASE2 + s.charAt(i)) % P
+      i += 1
+    }
+    acc
+  }
+
+  /** Combined 60-bit content key (see [[charHash2]]). */
+  @inline def charHash64(s: String): Long = charHash(s) * P + charHash2(s)
+
   /** MinHash signature over a token/shingle set: sig(i) = min over shingles x
     * of (a_i·h(x) + b_i) mod P, with (a_i, b_i) from a fixed LCG — Spark-side
     * only (the oracle for LSH output is the brute-force exact-Jaccard SQL).
@@ -86,6 +107,19 @@ object TextHash {
     }
     out
   }
+
+  /** 62-bit SimHash: two independent 31-bit SimHashes (token hashes from
+    * charHash and charHash2 respectively) concatenated — bits 0..30 from the
+    * first, 31..61 from the second. Hamming distance over the 62 bits is the
+    * sum of the halves' distances, so band-pigeonhole recall guarantees
+    * carry over unchanged, while the wider code kills the 31-bit version's
+    * ~2^8-distinct-values-per-band degeneracy at corpus scale (band keys now
+    * span 2^15-2^16 values). Still ANSI-expressible (62 generated terms,
+    * everything < 2^62).
+    */
+  val SIMHASH64_BITS = 2 * SIMHASH_BITS
+  def simhash64(tokenHashes1: Array[Long], tokenHashes2: Array[Long]): Long =
+    simhash(tokenHashes1) | (simhash(tokenHashes2) << SIMHASH_BITS)
 
   @inline def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 }

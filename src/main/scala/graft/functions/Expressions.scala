@@ -33,6 +33,29 @@ case class ZCellExpr(lon: Expression, lat: Expression, level: Int)
     copy(lon = newLeft, lat = newRight)
 }
 
+/** `ring_cells(lonMicro, latMicro)` — Morton ids of the (2r+1)² cell square
+  * around the containing cell (ZGrid.ringCells): the k-ring primitive of the
+  * DataFrame-valued kNN join. r and level are plan-time constants (a new
+  * expression instance per expansion round).
+  */
+case class RingCellsExpr(lon: Expression, lat: Expression, level: Int, r: Int)
+    extends BinaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def left: Expression = lon
+  override def right: Expression = lat
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "ring_cells"
+  override protected def nullSafeEval(l: Any, rt: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      ZGrid.ringCells(level, l.asInstanceOf[Long], rt.asInstanceOf[Long], r))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, rt) =>
+      s"${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.core.ZGrid$$.MODULE$$.ringCells($level, $l, $rt, $r));")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): RingCellsExpr =
+    copy(lon = newLeft, lat = newRight)
+}
+
 /** phash → micro-degree longitude/latitude (Morton de-interleave). */
 case class PhashLonExpr(child: Expression) extends UnaryExpression {
   override def nullIntolerant: Boolean = true
@@ -173,6 +196,8 @@ object GraftFunctions {
 
   def zcell(lonMicro: Column, latMicro: Column, level: Int): Column =
     column(ZCellExpr(expression(lonMicro), expression(latMicro), level))
+  def ringCells(lonMicro: Column, latMicro: Column, level: Int, r: Int): Column =
+    column(RingCellsExpr(expression(lonMicro), expression(latMicro), level, r))
   def phashLon(phash: Column): Column = column(PhashLonExpr(expression(phash)))
   def phashLat(phash: Column): Column = column(PhashLatExpr(expression(phash)))
   def raycastPip(lon: Column, lat: Column, polyId: Column,

@@ -14,6 +14,22 @@ object TextHashBridge {
   def charHash(s: org.apache.spark.unsafe.types.UTF8String): Long =
     TextHash.charHash(s.toString)
 
+  def charHash64(s: org.apache.spark.unsafe.types.UTF8String): Long =
+    TextHash.charHash64(s.toString)
+
+  def simhash64(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    val h1 = new Array[Long](n)
+    val h2 = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i).toString
+      h1(i) = TextHash.charHash(s); h2(i) = TextHash.charHash2(s)
+      i += 1
+    }
+    TextHash.simhash64(h1, h2)
+  }
+
   private def tokenHashes(arr: ArrayData): Array[Long] = {
     val n = arr.numElements()
     val out = new Array[Long](n)
@@ -55,6 +71,35 @@ case class SimhashExpr(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.TextHashBridge$$.MODULE$$.simhash($c)")
   override protected def withNewChildInternal(c: Expression): SimhashExpr = copy(child = c)
+}
+
+/** `char_hash64(str)` — combined 60-bit content key (TextHash.charHash64);
+  * the exact-dedup key (a single mod-P hash false-merges distinct docs at
+  * ~45k-doc birthday scale — see TextHash.charHash2 doc).
+  */
+case class CharHash64Expr(child: Expression) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = LongType
+  override def prettyName: String = "char_hash64"
+  override protected def nullSafeEval(v: Any): Any =
+    TextHashBridge.charHash64(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashBridge$$.MODULE$$.charHash64($c)")
+  override protected def withNewChildInternal(c: Expression): CharHash64Expr = copy(child = c)
+}
+
+/** `simhash64(array<string>)` — 62-bit SimHash of a token array
+  * (TextHash.simhash64: two independent 31-bit halves).
+  */
+case class Simhash64Expr(child: Expression) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+  override protected def nullSafeEval(v: Any): Any =
+    TextHashBridge.simhash64(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashBridge$$.MODULE$$.simhash64($c)")
+  override protected def withNewChildInternal(c: Expression): Simhash64Expr = copy(child = c)
 }
 
 /** `minhash_sig(array<string>)` — k=32 MinHash signature of a shingle array. */
@@ -235,7 +280,9 @@ case class HyperplaneBucketsExpr(child: Expression, planeMatrix: Array[Array[Lon
 object TextFunctions {
   import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
   def charHash(c: Column): Column = column(CharHashExpr(expression(c)))
+  def charHash64(c: Column): Column = column(CharHash64Expr(expression(c)))
   def simhash(tokens: Column): Column = column(SimhashExpr(expression(tokens)))
+  def simhash64(tokens: Column): Column = column(Simhash64Expr(expression(tokens)))
   def minhashSig(shingles: Column): Column = column(MinhashSigExpr(expression(shingles)))
   def minShingleHash(shingles: Column): Column = column(MinShingleHashExpr(expression(shingles)))
   def dotQ(a: Column, b: Column): Column = column(DotQExpr(expression(a), expression(b)))

@@ -34,12 +34,14 @@ object Dedup {
   /** Exact dedup by content hash: one row per distinct text with its
     * canonical (minimum) id and the duplicate count.
     *
-    * Scale: a single hash-aggregate on char_hash(text) — map-side partial
-    * combine, no row ever carries the full text through the shuffle when
-    * `carryText = false`.
+    * Scale: a single hash-aggregate on char_hash64(text) — map-side partial
+    * combine, no row ever carries the full text through the shuffle. The key
+    * is the combined 60-bit hash (TextHash.charHash64): a single mod-P hash
+    * would false-merge distinct docs from ~45k distinct texts on (birthday
+    * bound), i.e. hundreds of silently dropped documents at corpus scale.
     */
   def exactDedup(df: DataFrame, idCol: Column, textCol: Column): DataFrame =
-    df.groupBy(charHash(textCol).as("text_hash"))
+    df.groupBy(charHash64(textCol).as("text_hash"))
       .agg(min(idCol).as("canonical_id"), count(lit(1)).as("n_copies"))
 
   /** Shingle-hash arrays per doc: (doc_id, gha sorted distinct array<long>,
@@ -78,7 +80,9 @@ object Dedup {
     * shape). Otherwise two hash joins ship the arrays to the pairs.
     */
   private def verifyPairs(cand0: DataFrame, sh: DataFrame, threshold: Double,
-                          maxBroadcastDocs: Long = 2000000L): DataFrame = {
+                          maxBroadcastDocs: Long = 200000L): DataFrame = {
+    // 200k docs × ~100 shingles × 8 B ≈ 160 MB driver map — the previous
+    // 2M default risked multi-GB driver state; above this the join path runs.
     val spark = cand0.sparkSession
     val cand = cand0.localCheckpoint() // candidate generation runs ONCE
     val ids = cand.select(col("id_a").as("doc_id"))
@@ -187,7 +191,7 @@ object Dedup {
     * One hash-aggregate + semi-join; no text moves through the shuffle.
     */
   def keepFirst(df: DataFrame, idCol: Column, keyCol: Column): DataFrame = {
-    val keep = df.select(idCol.as("_id"), charHash(keyCol).as("_kh"))
+    val keep = df.select(idCol.as("_id"), charHash64(keyCol).as("_kh"))
       .groupBy("_kh").agg(min(col("_id")).as("_keep_id"))
       .select(col("_keep_id"))
     df.join(keep, idCol === col("_keep_id"), "left_semi")
@@ -231,22 +235,31 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 
-  /** Per-doc 31-bit SimHash (token multiset, ±1 bit votes). */
+  /** Per-doc 62-bit SimHash (token multiset, ±1 bit votes; two independent
+    * 31-bit halves — see TextHash.simhash64). The old 31-bit kernel remains
+    * available as `simhash(tokens)` but is band-degenerate at corpus scale
+    * (≤2^8 distinct keys per 4-way band ⇒ near-quadratic buckets).
+    */
   def simhashDocs(df: DataFrame, idCol: Column, textCol: Column): DataFrame =
-    df.select(idCol.as("doc_id"), simhash(tokens(textCol)).as("simhash"))
+    df.select(idCol.as("doc_id"), simhash64(tokens(textCol)).as("simhash"))
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxDist, via band
-    * pigeonhole: the 31 bits split into `maxDist+1` bands — ≤ maxDist flips
+    * pigeonhole: the 62 bits split into `maxDist+1` bands — ≤ maxDist flips
     * cannot touch every band, so matching on any one band is EXACT recall
     * (not probabilistic). Candidates verified with bit_count(a^b).
     *
     * Scale: each doc emits maxDist+1 (band, bandBits) keys — narrow shuffle,
-    * quadratic only inside identical-band buckets.
+    * quadratic only inside identical-band buckets. Band keys span 15-16 bits
+    * each (the 31-bit kernel's ~2^8-value bands were the degenerate case),
+    * and buckets larger than `maxBucket` are dropped entirely (an
+    * identical-band-code crowd that size is boilerplate; all-pairs inside it
+    * is quadratic). `maxBucket = 0` disables the cap; the default is far
+    * above fixture bucket sizes, so oracle parity is unaffected.
     */
   def simhashPairs(df: DataFrame, idCol: Column, textCol: Column,
-                   maxDist: Int = 3): DataFrame = {
+                   maxDist: Int = 3, maxBucket: Long = 100000L): DataFrame = {
     val bands = maxDist + 1
-    val bits = graft.core.TextHash.SIMHASH_BITS
+    val bits = graft.core.TextHash.SIMHASH64_BITS
     val sh = simhashDocs(df, idCol, textCol)
     val banded = sh.select(col("doc_id"), col("simhash"), explode(array(
         (0 until bands).map { b =>
@@ -255,7 +268,13 @@ object Dedup {
           struct(lit(b).as("band"), (col("simhash").bitwiseAND(lit(mask))).as("bb"))
         }: _*)).as("k"))
       .select(col("doc_id"), col("simhash"), col("k.band"), col("k.bb"))
-    banded.as("a").join(banded.as("b"),
+    val inB =
+      if (maxBucket > 0L) {
+        val okBuckets = banded.groupBy("band", "bb").agg(count(lit(1)).as("bn"))
+          .where(col("bn") <= maxBucket && col("bn") > 1)
+        banded.join(okBuckets.select("band", "bb"), Seq("band", "bb"))
+      } else banded
+    inB.as("a").join(inB.as("b"),
         col("a.band") === col("b.band") && col("a.bb") === col("b.bb") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),

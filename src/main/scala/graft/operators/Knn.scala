@@ -116,16 +116,82 @@ object Knn {
       result = topk(r)
       if (r >= maxR) done = true
       else {
+        // (driver-side |Q| control loop — for DataFrame-valued query sets
+        // use knnJoinDf, which keeps the query table distributed)
         // control decision only: k small × |Q| small ⇒ tiny collect
         val stats = result.groupBy("qid").agg(count(lit(1)).as("n"), max("d2").as("kd2"))
           .collect().map(row => row.getLong(0) -> (row.getLong(1), row.getLong(2))).toMap
         val bound = r.toLong * minSpan
+        // strict <: an unexplored point at EXACTLY the bound distance could
+        // tie the kth neighbour's d2 and win the (d2, id) tie-break
         done = queries.forall { q =>
-          stats.get(q.qid).exists { case (cnt, kd2) => cnt == k && kd2 <= bound * bound }
+          stats.get(q.qid).exists { case (cnt, kd2) => cnt == k && kd2 < bound * bound }
         }
         if (!done) r = math.min(maxR, r * 2)
       }
     }
     result
+  }
+
+  /** DataFrame × DataFrame exact kNN join — the query side stays distributed
+    * (no driver-side query list), so arbitrarily large query tables work:
+    * tile-serving joins, all-pairs kNN, the reference's MapReducer-over-
+    * entities shape.
+    *
+    * Per round r: every ACTIVE query row explodes to its (2r+1)² ring cells
+    * (codegen RingCellsExpr — a few long columns, no strings), equi-joins the
+    * point table on cell (Catalyst/AQE picks broadcast vs sort-merge from the
+    * candidate side's size), then a per-query top-k window. Queries whose kth
+    * neighbour distance is strictly inside the explored ring
+    * (kd2 < (r·minSpan)²) are FINISHED: their rows are banked and they leave
+    * the next round — the iteration only ever re-scans for stragglers in
+    * sparse regions. Driver sees one scalar count per round (control only).
+    *
+    * Exactness argument matches [[knnJoin]]: any point outside Chebyshev cell
+    * radius r is ≥ r·minSpan away in the planar metric, and the strict < on
+    * the bound forbids unexplored exact ties from displacing the kth row.
+    */
+  def knnJoinDf(spark: SparkSession, points: DataFrame, pId: Column,
+                pLon: Column, pLat: Column, queries: DataFrame, qId: Column,
+                qLon: Column, qLat: Column, k: Int, level: Int,
+                r0: Int = 1): DataFrame = {
+    require(k >= 1)
+    val minSpan = math.min(FixedPoint.LON_RANGE >> level, FixedPoint.LAT_RANGE >> level)
+    val maxR = (1L << level).toInt
+
+    val pts = points.select(pId.as("neighbor_id"), pLon.as("_plon"), pLat.as("_plat"))
+      .withColumn("_pcell", zcell(col("_plon"), col("_plat"), level))
+    var active = queries.select(qId.as("qid"), qLon.as("_qlon"), qLat.as("_qlat"))
+      .localCheckpoint()
+    var acc: DataFrame = null
+    var r = math.max(1, r0)
+    var remaining = active.limit(1).count()
+    while (remaining > 0) {
+      val cand = active.withColumn("_pcell",
+        explode(ringCells(col("_qlon"), col("_qlat"), level, r)))
+      val d2 = (col("_plon") - col("_qlon")) * (col("_plon") - col("_qlon")) +
+               (col("_plat") - col("_qlat")) * (col("_plat") - col("_qlat"))
+      val w = Window.partitionBy("qid").orderBy(col("d2"), col("neighbor_id"))
+      val topk = pts.join(cand, Seq("_pcell"))
+        .withColumn("d2", d2)
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= k)
+        .select("qid", "neighbor_id", "rank", "d2")
+      val bound = r.toLong * minSpan
+      val doneIds =
+        if (r >= maxR) active.select("qid") // whole world explored
+        else topk.groupBy("qid")
+          .agg(count(lit(1)).as("_n"), max("d2").as("_kd2"))
+          .where(col("_n") === k && col("_kd2") < bound * bound)
+          .select("qid")
+      val finished = topk.join(doneIds, Seq("qid"), "left_semi").localCheckpoint()
+      acc = if (acc == null) finished else acc.union(finished)
+      active = active.join(doneIds, Seq("qid"), "left_anti").localCheckpoint()
+      remaining = active.limit(1).count()
+      r = math.min(maxR, r * 2)
+    }
+    if (acc == null) active.select(col("qid"), col("qid").as("neighbor_id"),
+      lit(0).as("rank"), lit(0L).as("d2")).where(lit(false))
+    else acc
   }
 }

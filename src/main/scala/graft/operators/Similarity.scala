@@ -90,26 +90,31 @@ object Similarity {
       .select(col("qid"), col("nid"), col("rank").cast("long").as("rank"), col("dot"))
   }
 
-  /** IVF-style ANN: a deterministic coarse quantizer (every `corpus/nlist`-th
-    * vector serves as a centroid — a real deployment would k-means these)
+  /** IVF-style ANN: a deterministic coarse quantizer (the `nlist` corpus
+    * vectors with smallest xxhash64(id) serve as centroids — a uniform
+    * content-addressed sample; a real deployment would k-means these)
     * partitions the corpus into inverted lists by nearest centroid
     * (exact integer L2: |p−c|² = |p|² − 2p·c + |c|²); each query probes its
     * `nprobe` nearest centroids' lists and re-ranks candidates exactly.
     *
     * Scale: this is the classic big-index layout — lists are the partition
     * key, so a query touches nprobe/nlist of the corpus; centroids are a
-    * broadcast table. Approximate (recall gated in SimilaritySpec).
+    * broadcast table. Centroid selection is a distributed top-`nlist`
+    * (TakeOrderedAndProject) — only the ≤nlist centroid rows ever reach
+    * the driver, and `nlist = 0` (the default) auto-scales to √n, the
+    * classic IVF sizing. Approximate (recall gated in SimilaritySpec).
     */
   def ivfTopK(spark: SparkSession, points: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int,
-              nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+              nlist: Int = 0, nprobe: Int = 4): DataFrame = {
     import spark.implicits._
     val p = points.select(col(idCol).as("nid"), quantize(col(vecCol)).as("pq"))
-    // deterministic centroid sample: rank by id, take every (n/nlist)-th
-    val ids = points.select(col(idCol)).orderBy(idCol).collect().map(_.get(0))
-    val step = math.max(1, ids.length / nlist)
-    val centIds = ids.zipWithIndex.collect { case (id, i) if i % step == 0 => id }.take(nlist)
-    val cents = p.where(col("nid").isInCollection(centIds.toSeq))
+    val numLists =
+      if (nlist > 0) nlist
+      else math.max(16, math.sqrt(points.count().toDouble).toInt)
+    // deterministic distributed sample: top-nlist by content hash — a
+    // per-partition heap + driver merge of nlist rows, never a full collect
+    val cents = p.orderBy(xxhash64(col("nid")), col("nid")).limit(numLists)
       .select(col("nid").as("cid"), col("pq").as("cq"))
       .collect().map(r => (r.get(0), r.getSeq[Long](1).toArray))
 
@@ -148,8 +153,9 @@ object Similarity {
     * square roots as dot>0 ∧ dot² ≥ t²·|a|²·|b|² on exact integer inputs
     * (the final comparison is deterministic double arithmetic).
     *
-    * Brute force (candidate generation for the exact gate); the scale path
-    * chains [[annTopK]] buckets in front of the same verify.
+    * Brute force — O(n²) BroadcastNestedLoopJoin. Kept ONLY as the exact
+    * recall reference for SimilaritySpec; production paths (q50/q59) go
+    * through [[cosineNearDupPairsLsh]].
     */
   def cosineNearDupPairs(points: DataFrame, idCol: String, vecCol: String,
                          threshold: Double): DataFrame = {
@@ -157,11 +163,72 @@ object Similarity {
       .withColumn("n2", dotQ(col("q"), col("q")))
     val a = p.select(col("id").as("id_a"), col("q").as("qa"), col("n2").as("na"))
     val b = p.select(col("id").as("id_b"), col("q").as("qb"), col("n2").as("nb"))
-    a.join(b, col("id_a") < col("id_b"))
-      .withColumn("dot", dotQ(col("qa"), col("qb")))
+    verifyCosine(a.join(b, col("id_a") < col("id_b")), threshold)
+  }
+
+  /** dot>0 ∧ dot² ≥ t²·|a|²·|b|² over columns (qa,na,qb,nb) — the shared
+    * exact verify for both candidate generators. */
+  private def verifyCosine(cands: DataFrame, threshold: Double): DataFrame =
+    cands.withColumn("dot", dotQ(col("qa"), col("qb")))
       .where(col("dot") > 0 &&
         col("dot").cast("double") * col("dot").cast("double") >=
           lit(threshold * threshold) * col("na").cast("double") * col("nb").cast("double"))
       .select(col("id_a"), col("id_b"), col("dot"))
+
+  /** Hyperplane-LSH candidate pairs: `tables` independent sign-bit bucket
+    * codes of `planes` bits each; candidates = same-(table,bucket) id pairs,
+    * distinct'd on ids only (vectors re-joined afterwards — the distinct
+    * shuffle carries two longs, not two embeddings). With `maxBucket > 0`,
+    * buckets above the cap are dropped (recall trade, logged via the
+    * `_bn` filter) — leave 0 for exact-parity paths.
+    *
+    * Recall math: a pair at cosine t collides in one table with
+    * p = (1 − arccos(t)/π)^planes; miss probability after `tables` tables
+    * is (1−p)^tables. Defaults (planes=2, tables=24) give miss < 3e-6 at
+    * t = 0.45 — measured full recall on the driver corpora (sf0.01/sf0.1)
+    * and asserted against brute force in SimilaritySpec. For true near-dup
+    * thresholds (t ≥ 0.8, the SemDeDup regime) use planes 8–16 and fewer
+    * tables: selectivity per table ≈ 2^−planes of all pairs, so higher
+    * `planes` is what makes the join subquadratic at corpus scale; at low
+    * thresholds LSH trades ~planes·2^−planes·tables of brute-force work
+    * for linear scan amplification — pick parameters per threshold.
+    */
+  def cosineCandidatesLsh(points: DataFrame, idCol: String, vecCol: String,
+                          dims: Int, planes: Int = 2, tables: Int = 24,
+                          maxBucket: Long = 0L): DataFrame = {
+    val planeMatrix = Array.tabulate(tables * planes, dims)((pl, d) => planeComponent(pl, d))
+    val b0 = points
+      .select(col(idCol).as("id"), quantize(col(vecCol)).as("vq"))
+      .select(col("id"), posexplode(
+        graft.functions.TextFunctions.hyperplaneBuckets(col("vq"), planeMatrix, planes, tables))
+        .as(Seq("table", "bucket")))
+    val b =
+      if (maxBucket > 0L) {
+        val w = Window.partitionBy("table", "bucket")
+        b0.withColumn("_bn", count(lit(1)).over(w)).where(col("_bn") <= maxBucket).drop("_bn")
+      } else b0
+    b.select(col("table"), col("bucket"), col("id").as("id_a"))
+      .join(b.select(col("table"), col("bucket"), col("id").as("id_b")), Seq("table", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** Cosine near-dup pairs at scale: LSH-bucketed candidates
+    * ([[cosineCandidatesLsh]]) + the same exact integer verify as the brute
+    * path. Equi-joins only — no cartesian stage anywhere in the plan
+    * (asserted in SimilaritySpec). Result is identical to
+    * [[cosineNearDupPairs]] whenever candidate recall is full; parameters
+    * are chosen so it is on the fixture corpora (see recall math above).
+    */
+  def cosineNearDupPairsLsh(points: DataFrame, idCol: String, vecCol: String,
+                            threshold: Double, dims: Int,
+                            planes: Int = 2, tables: Int = 24,
+                            maxBucket: Long = 0L): DataFrame = {
+    val p = points.select(col(idCol).as("id"), quantize(col(vecCol)).as("q"))
+      .withColumn("n2", dotQ(col("q"), col("q")))
+    val cands = cosineCandidatesLsh(points, idCol, vecCol, dims, planes, tables, maxBucket)
+      .join(p.select(col("id").as("id_a"), col("q").as("qa"), col("n2").as("na")), Seq("id_a"))
+      .join(p.select(col("id").as("id_b"), col("q").as("qb"), col("n2").as("nb")), Seq("id_b"))
+    verifyCosine(cands, threshold)
   }
 }

@@ -18,6 +18,16 @@ object TextOracle {
       s"list_transform(string_split($s, ''), ch -> CAST(unicode(ch) AS BIGINT))), " +
       s"(acc, c) -> (acc * ${TextHash.BASE} + c) % $P)"
 
+  /** Second rolling hash (mirrors TextHash.charHash2). */
+  def charHash2Sql(s: String): String =
+    s"list_reduce(list_prepend(CAST(${TextHash.SEED2} AS BIGINT), " +
+      s"list_transform(string_split($s, ''), ch -> CAST(unicode(ch) AS BIGINT))), " +
+      s"(acc, c) -> (acc * ${TextHash.BASE2} + c) % $P)"
+
+  /** Combined 60-bit content key (mirrors TextHash.charHash64). */
+  def charHash64Sql(s: String): String =
+    s"(${charHashSql(s)} * $P + ${charHash2Sql(s)})"
+
   /** CTE `toks(doc_id, t)` — whitespace tokens, empties dropped. */
   def toksCte(from: String = "documents", textExpr: String = "text"): String =
     s"toks AS (SELECT doc_id, list_filter(string_split_regex($textExpr, '\\s+'), x -> x <> '') AS t FROM $from)"
@@ -45,6 +55,24 @@ object TextOracle {
     s"""${toksCte()},
        |th AS (SELECT doc_id, list_transform(t, tok -> ${charHashSql("tok")}) AS th FROM toks),
        |sim AS (SELECT doc_id, $simhashSql AS simhash FROM th)""".stripMargin
+
+  /** 62-bit SimHash of token lists `th1`/`th2` (mirrors TextHash.simhash64):
+    * low 31 bits vote on charHash bits, high 31 on charHash2 bits.
+    */
+  def simhash64Sql: String = {
+    def half(src: String, shift: Int): Seq[String] =
+      (0 until TextHash.SIMHASH_BITS).map { j =>
+        s"(CASE WHEN list_sum(list_transform($src, h -> CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END)) >= 0 THEN CAST(${1L << (j + shift)} AS BIGINT) ELSE 0 END)"
+      }
+    (half("th1", 0) ++ half("th2", TextHash.SIMHASH_BITS)).mkString(" + ")
+  }
+
+  /** CTE chain computing `sim(doc_id, simhash)` with the 62-bit kernel. */
+  def simhash64Ctes: String =
+    s"""${toksCte()},
+       |th AS (SELECT doc_id, list_transform(t, tok -> ${charHashSql("tok")}) AS th1,
+       |               list_transform(t, tok -> ${charHash2Sql("tok")}) AS th2 FROM toks),
+       |sim AS (SELECT doc_id, $simhash64Sql AS simhash FROM th)""".stripMargin
 
   /** Exact n-gram-Jaccard near-dup pairs ≥ threshold (brute force). */
   def jaccardPairsSql(n: Int, threshold: Double): String =

@@ -44,7 +44,7 @@ class DedupSpec extends AnyFunSuite {
     assert(dupGroups.length === 3)
     assert(dupGroups.forall { case (_, canon, _) => canon >= 6L && canon <= 8L })
     // hash groups agree with the shared kernel
-    val byHash = docs.groupBy { case (_, t) => TextHash.charHash(t) }
+    val byHash = docs.groupBy { case (_, t) => TextHash.charHash64(t) }
     assert(got.length === byHash.size)
   }
 
@@ -68,7 +68,10 @@ class DedupSpec extends AnyFunSuite {
   test("simhash pairs: band pigeonhole finds every pair with hamming <= 3") {
     val df = docs.toDF("doc_id", "text")
     val sims = docs.map { case (i, t) =>
-      i -> TextHash.simhash(t.split("\\s+").filter(_.nonEmpty).map(TextHash.charHash))
+      i -> {
+        val toks = t.split("\\s+").filter(_.nonEmpty)
+        TextHash.simhash64(toks.map(TextHash.charHash), toks.map(TextHash.charHash2))
+      }
     }.toMap
     val expect = (for {
       (ia, _) <- docs; (ib, _) <- docs if ia < ib

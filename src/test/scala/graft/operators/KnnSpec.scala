@@ -46,6 +46,44 @@ class KnnSpec extends AnyFunSuite {
     assert(got.orderBy("rank").collect().map(_.getLong(1)).toSeq === exp)
   }
 
+  test("DataFrame-valued kNN join equals brute force (distributed query side)") {
+    val rnd = new scala.util.Random(7)
+    val pts = (0L until 2000L).map { i =>
+      if (i % 3 == 0)
+        (i, -20000000L + rnd.nextInt(2000000), 10000000L + rnd.nextInt(2000000))
+      else
+        (i, rnd.nextLong(340000000L) - 170000000L, rnd.nextLong(160000000L) - 80000000L)
+    }
+    // 40 queries spanning dense cluster, sparse corners, and world edges —
+    // forces per-round retirement (dense finish round 1, sparse expand on)
+    val qs = (0L until 40L).map { j =>
+      if (j % 4 == 0) (j, -19500000L + j * 10000, 10500000L + j * 10000)
+      else (j, rnd.nextLong(340000000L) - 170000000L, rnd.nextLong(160000000L) - 80000000L)
+    }
+    val df = spark.createDataFrame(pts).toDF("id", "lonm", "latm")
+    val qdf = spark.createDataFrame(qs).toDF("qid", "lonm", "latm")
+    val got = Knn.knnJoinDf(spark, df, col("id"), col("lonm"), col("latm"),
+        qdf, col("qid"), col("lonm"), col("latm"), k = 7, level = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+      .groupBy(_._1)
+    assert(got.size === 40)
+    for ((qid, qx, qy) <- qs) {
+      val exp = bruteForce(pts, Knn.QueryPt(qid, qx, qy), 7)
+      val act = got(qid).sortBy(_._3).map(r => (r._2, r._4)).toSeq
+      assert(act === exp, s"query $qid")
+    }
+  }
+
+  test("DataFrame kNN join: empty query table yields empty result") {
+    val pts = Seq((1L, 0L, 0L), (2L, 1000000L, 0L))
+    val df = spark.createDataFrame(pts).toDF("id", "lonm", "latm")
+    val qdf = df.where(lit(false)).toDF("qid", "lonm", "latm")
+    val got = Knn.knnJoinDf(spark, df, col("id"), col("lonm"), col("latm"),
+      qdf, col("qid"), col("lonm"), col("latm"), k = 3, level = 5)
+    assert(got.count() === 0)
+    assert(got.columns.toSeq === Seq("qid", "neighbor_id", "rank", "d2"))
+  }
+
   test("k exceeding the table size returns the whole table ranked") {
     val pts = Seq((1L, 0L, 0L), (2L, 1000000L, 0L), (3L, -2000000L, 500000L))
     val df = spark.createDataFrame(pts).toDF("id", "lonm", "latm")

@@ -91,4 +91,31 @@ class SimilaritySpec extends AnyFunSuite {
     } yield (a, b)).toSet
     assert(got === expect)
   }
+
+  test("LSH near-dup pairs: full recall vs brute force, and no cartesian in plan") {
+    val brute = Similarity.cosineNearDupPairs(df, "vec_id", "embedding", 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val lsh = Similarity.cosineNearDupPairsLsh(df, "vec_id", "embedding", 0.95,
+      dims = dims, planes = 2, tables = 24)
+    val got = lsh.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // exact verify ⇒ no false positives possible; full candidate recall on
+    // this corpus ⇒ identical result sets
+    assert(got === brute, s"lsh=${got.size} brute=${brute.size}")
+    assert(got.size > 100) // clusters of 25 ⇒ plenty of qualifying pairs
+    // the scale invariant: every join is an equi-join — no O(n²) operator
+    val plan = lsh.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
+
+  test("LSH candidate maxBucket cap drops oversize buckets (recall trade)") {
+    // with a 1-plane code on clustered data, buckets are huge; a tiny cap
+    // must strictly reduce candidates but never produce false positives
+    val capped = Similarity.cosineNearDupPairsLsh(df, "vec_id", "embedding", 0.95,
+        dims = dims, planes = 1, tables = 2, maxBucket = 30L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Similarity.cosineNearDupPairs(df, "vec_id", "embedding", 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.subsetOf(brute))
+  }
 }
