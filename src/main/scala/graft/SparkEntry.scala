@@ -257,6 +257,14 @@ object SparkEntry {
           element_at(col("qs"), 3).as("q75"))
         .orderBy("l_returnflag")
     }),
+    // ---- D7 at scale: mergeable KLL quantile sketch (rows-only — sketch
+    //      values are approximation-specific; error bound gated in KllSpec)
+    "q24_sketch_quantile" -> ((s, dir) => {
+      Reducer.on(s.read.parquet(s"$dir/lineitem.parquet"))
+        .aggregateBy("l_returnflag", col("l_returnflag"))
+        .sketchQuantile(col("l_quantity"), 0.5, "median_est")
+        .orderBy("l_returnflag")
+    }),
     // ---- C3: as-of join — entity state valid at each snapshot timestamp
     "q18_snapshot_asof" -> ((s, dir) => {
       import s.implicits._
@@ -340,10 +348,16 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(s.read.parquet(s"$dir/documents.parquet"),
         col("doc_id"), col("text"), n = 3, threshold = 0.5).orderBy("id_a", "id_b")
     }),
-    // ---- MinHash-LSH near-dup pairs, exact-verified (the 100 TB path)
+    // ---- MinHash-LSH near-dup pairs, exact-verified (the 100 TB path).
+    //      bands=16 (r=2), NOT the default 8×4: the oracle is exact
+    //      brute-force Jaccard and the fixture corpus has pairs down to
+    //      J=0.8, where 8×4 misses ~1.5% of candidates — 16×2 brings the
+    //      per-pair miss to (1−0.8²)^16 ≈ 8e-8, so exact parity is by
+    //      construction, not fixture luck.
     "q45_minhash_lsh" -> ((s, dir) => {
       Dedup.minhashLshPairs(s.read.parquet(s"$dir/documents.parquet"),
-        col("doc_id"), col("text"), n = 3, threshold = 0.5).orderBy("id_a", "id_b")
+        col("doc_id"), col("text"), n = 3, threshold = 0.5, bands = 16)
+        .orderBy("id_a", "id_b")
     }),
     // ---- per-doc 62-bit SimHash (two independent 31-bit halves)
     "q46_simhash" -> ((s, dir) => {

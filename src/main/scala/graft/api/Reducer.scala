@@ -64,6 +64,14 @@ final case class Reducer(df: DataFrame, keys: Seq[(String, Column)]) {
     grouped.agg(percentile(c, array(qs.map(lit): _*)).as(as))
   def estimatedQuantile(c: Column, q: Double, as: String = "q_est"): DataFrame =
     grouped.agg(percentile_approx(c, lit(q), lit(10000)).as(as))
+  /** D7 at scale: mergeable KLL sketch (graft.functions.KllQuantileAgg) —
+    * O(k·log n) state per group vs `percentile`'s full value buffering, so
+    * billion-row groups aggregate in constant memory; rank error O(1/k)
+    * (error-bound spec: KllSpec). This is the upstream t-digest
+    * `estimatedQuantiles` role re-expressed as a TypedImperativeAggregate.
+    */
+  def sketchQuantile(c: Column, q: Double, as: String = "q_sketch", k: Int = 200): DataFrame =
+    grouped.agg(graft.functions.KllAgg.kllQuantile(c, q, k).as(as))
   /** D8: generic user fold via a typed Aggregator (the reference's
     * reduce(identity, accumulator, combiner)). */
   def reduce[B](agg: org.apache.spark.sql.expressions.Aggregator[org.apache.spark.sql.Row, B, _], as: String = "reduced"): DataFrame =

@@ -42,7 +42,9 @@ object TextAnalysis {
       }: _*)
     val best = langMarkers.map(_._1).sorted.map(l =>
       struct(col(s"score_$l").as("s"), lit(l).as("l")))
-    // argmax with deterministic tie-break: maximize (score, reversed-lang)
+    // argmax with deterministic tie-break: strict > keeps the EARLIER
+    // (alphabetically-first) language on equal scores — the DuckDB oracle
+    // encodes the same rule; do not "fix" to >= without changing both
     val pred = best.reduce((a, b) =>
       when(b.getField("s") > a.getField("s"), b).otherwise(a))
     scored.withColumn("pred_lang", pred.getField("l"))

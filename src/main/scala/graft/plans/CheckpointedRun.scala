@@ -81,17 +81,47 @@ object CheckpointedRun {
       try {
         val bucketed = input.withColumn("_bucket", pmod(hash(keyCol), lit(numBuckets)))
           .where(col("_bucket").isInCollection(pending))
-        val inCounts = bucketed.groupBy("_bucket").agg(count(lit(1)).as("n"))
-          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-        val out = transform(bucketed).withColumn("_bucket",
-          // transform must preserve _bucket; re-derive if it dropped it
-          col("_bucket"))
+        // per-bucket input rows via an in-pipeline accumulator — the input is
+        // scanned ONCE (the write job); the previous separate groupBy-count
+        // was a full second read of the input per attempt. Caveat (doc'd): a
+        // transform that scans its input k times records k×, and task
+        // retries can over-count — lineage counts are observability
+        // metadata; completion tracking never depends on them.
+        val inAcc = new BucketCountAccumulator(numBuckets)
+        spark.sparkContext.register(inAcc, s"graft.input_rows.$jobId.$attempt")
+        val bIdx = bucketed.schema.fieldIndex("_bucket")
+        val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(bucketed.schema)
+        val counted = bucketed.mapPartitions { it =>
+          it.map { r => inAcc.add(r.getInt(bIdx)); r }
+        }(enc)
+        val out0 = transform(counted)
+        val out =
+          if (out0.columns.contains("_bucket")) out0
+          else
+            // transform dropped _bucket — re-derive from the key if it
+            // survived, else fail with a actionable message (the old
+            // `withColumn("_bucket", col("_bucket"))` threw an opaque
+            // AnalysisException here)
+            try out0.withColumn("_bucket", pmod(hash(keyCol), lit(numBuckets)))
+            catch {
+              case e: org.apache.spark.sql.AnalysisException =>
+                throw new IllegalArgumentException(
+                  s"transform dropped both _bucket and the key column ($keyCol); " +
+                    "keep one of them so rows stay attributable to buckets", e)
+            }
+        val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        out.write.mode("overwrite").partitionBy("_bucket").parquet(dataDir)
-        val outCounts = spark.read.parquet(dataDir)
-          .where(col("_bucket").isInCollection(pending))
-          .groupBy("_bucket").agg(count(lit(1)).as("n"))
-          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        try out.write.mode("overwrite").partitionBy("_bucket").parquet(dataDir)
+        finally prevMode match {
+          case Some(m) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
+          case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        }
+        val inCounts = pending.map(b => b -> inAcc.value(b)).toMap
+        // per-bucket output rows from parquet FOOTERS (driver metadata read,
+        // O(files)) — the previous full re-read of the written data was 2×
+        // write-side read amplification per attempt
+        val outCounts = pending.map(b =>
+          b -> parquetRowCount(spark, s"$dataDir/_bucket=$b")).toMap
         val tEnd = System.currentTimeMillis()
         val lines = pending.map { b =>
           s"""{"job_id": "$jobId", "attempt": $attempt, "partition_id": $b, """ +
@@ -125,12 +155,51 @@ object CheckpointedRun {
     r.output
   }
 
+  /** Sum of parquet footer record counts under `dir` — metadata only, no
+    * data pages touched. 0 for a missing dir (bucket produced no rows).
+    */
+  private def parquetRowCount(spark: SparkSession, dir: String): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return 0L
+    fs.listStatus(p).iterator
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map { f =>
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf))
+        try r.getRecordCount finally r.close()
+      }.sum
+  }
+
   private def writeAtomic(target: Path, content: String): Unit = {
     Files.createDirectories(target.getParent)
     val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
     Files.write(tmp, content.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
   }
+}
+
+/** Per-bucket row counter: a fixed-width Array[Long] accumulator (merge =
+  * element-wise add) — O(numBuckets) driver state, no map boxing.
+  */
+final class BucketCountAccumulator(numBuckets: Int)
+    extends org.apache.spark.util.AccumulatorV2[Int, Array[Long]] {
+  private val counts = new Array[Long](numBuckets)
+  override def isZero: Boolean = counts.forall(_ == 0L)
+  override def copy(): BucketCountAccumulator = {
+    val c = new BucketCountAccumulator(numBuckets)
+    System.arraycopy(counts, 0, c.counts, 0, numBuckets)
+    c
+  }
+  override def reset(): Unit = java.util.Arrays.fill(counts, 0L)
+  override def add(v: Int): Unit = counts(v) += 1
+  override def merge(other: org.apache.spark.util.AccumulatorV2[Int, Array[Long]]): Unit = {
+    val o = other.value
+    var i = 0
+    while (i < numBuckets) { counts(i) += o(i); i += 1 }
+  }
+  override def value: Array[Long] = counts
 }
 
 /** Aggregates task metrics across the stages of one attempt. */

@@ -113,6 +113,28 @@ class CheckpointSpec extends AnyFunSuite {
     val inputTotal = "\"input_rows\": (\\d+)".r.findAllMatchIn(bucketLines.mkString("\n"))
       .map(_.group(1).toLong).sum
     assert(inputTotal === 1000L)
+    val outputTotal = "\"output_rows\": (\\d+)".r.findAllMatchIn(bucketLines.mkString("\n"))
+      .map(_.group(1).toLong).sum
+    assert(outputTotal === 37L) // 37 distinct keys ⇒ 37 aggregate rows
     assert(lines.exists(_.contains("\"kind\": \"metrics\"")))
+  }
+
+  test("an attempt runs ONE Spark job over the input (no lineage re-scans)") {
+    val out = freshDir("jobcount")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      CheckpointedRun.runAttempt(spark, input, col("key"), transform, 8, out, "j4")
+      Thread.sleep(500) // let the listener bus drain (private API in Spark 4)
+    } finally spark.sparkContext.removeSparkListener(l)
+    // AQE runs the write query as stage jobs (shuffle + write = 2) plus one
+    // schema read for the returned cumulative-output DataFrame = 3; the old
+    // implementation added 2 full-scan count jobs (input groupBy + output
+    // re-read) on top, i.e. ≥5
+    assert(jobs.get() <= 3, s"expected <=3 jobs, saw ${jobs.get()}")
   }
 }
