@@ -59,6 +59,14 @@ object SparkEntry {
         .select("o_orderkey", "tile_z", "tile_x", "tile_y")
         .orderBy("o_orderkey")
     }),
+    // ---- H1/B2: MultiPolygon-with-hole spatial join — even-odd PolyM
+    //      (shell + hole + disjoint island per id) through the SAME generic
+    //      cover-join + raycast path; oracle is exact rect algebra
+    "q0f_multipolygon_join" -> ((s, dir) => {
+      SpatialJoin.join(s, customerPts(s, dir), col("lonm"), col("latm"), Derive.multiSpecs)
+        .select("c_custkey", "poly_id")
+        .orderBy("c_custkey", "poly_id")
+    }),
     // ---- H5: zcell encoding + cell-keyed aggregation (the scan-pruning key)
     "q03_zcell_count" -> ((s, dir) => {
       customerPts(s, dir)
@@ -98,15 +106,19 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("qid", "rank")
     }),
-    // ---- H3/H4 + B5 geometry stage: metric columns computed after
-    //      geometry construction, then filter-DSL area/perimeter predicates
-    //      (rows-only: WKB metrics aren't ANSI-expressible; gated by
-    //      GeoMetricsSpec closed-form tests instead)
+    // ---- H3/H4 + B5 geometry stage: WKB → metrics (spherical-shoelace area,
+    //      haversine perimeter, geometry type) → filter-DSL virtual keys
+    //      (geometry/area/perimeter — upstream oshdb-filter grammar). ORACLED:
+    //      over rect + multipolygon specs the same metric formulas are
+    //      closed-form SQL; only exact columns are output and every threshold
+    //      sits ≥3% from the nearest value, so double jitter cannot flip rows.
     "q07_geo_metric_filter" -> ((s, dir) => {
-      val polys = SpatialJoin.withGeoMetrics(Fixtures.polygonsDf(s))
+      val polys = SpatialJoin.withGeoMetrics(
+        Fixtures.polygonsDf(s, Derive.rectSpecs ++ Derive.multiSpecs))
       polys.where(graft.filter.FilterDsl.toColumn(
-          "area_m2:(1000000..) and not kind=adversarial", polys.schema))
-        .select("poly_id", "kind", "area_m2", "perimeter_m").orderBy("poly_id")
+          "geometry in (polygon, multipolygon) and area:(8e12..2e13) and not perimeter:(3e7..)",
+          polys.schema, SpatialJoin.geoBindings))
+        .select("poly_id", "kind", "geom_type", "n_vertices").orderBy("poly_id")
     }),
     // ---- H2/C5: vector side of raster↔vector — fixture polygons clipped
     //      to web-tile bboxes (JTS ∩; rows-only: WKB output, gated by
@@ -517,6 +529,33 @@ object SparkEntry {
          |FROM customer c JOIN ${Derive.rectsSqlValues}
          |ON ${Derive.lonSql("c.c_custkey")} BETWEEN r.lon_min AND r.lon_max
          |AND ${Derive.latSql("c.c_custkey")} BETWEEN r.lat_min AND r.lat_max
+         |ORDER BY c_custkey, poly_id""".stripMargin,
+    "q07_geo_metric_filter" -> {
+      def a(p: String) = Derive.rectAreaSql(s"${p}_lo", s"${p}_la", s"${p}_hi", s"${p}_ha")
+      def pm(p: String) = Derive.rectPerimeterSql(s"${p}_lo", s"${p}_la", s"${p}_hi", s"${p}_ha")
+      s"""WITH rp AS (SELECT poly_id, 'rect' AS kind, 'polygon' AS geom_type, 4 AS n_vertices,
+         |  ${Derive.rectAreaSql("lon_min", "lat_min", "lon_max", "lat_max")} AS area,
+         |  ${Derive.rectPerimeterSql("lon_min", "lat_min", "lon_max", "lat_max")} AS per
+         |  FROM ${Derive.rectsSqlValues}),
+         |mp AS (SELECT poly_id, 'multi' AS kind, 'multipolygon' AS geom_type, 12 AS n_vertices,
+         |  ${a("a")} - ${a("h")} + ${a("b")} AS area,
+         |  ${pm("a")} + ${pm("h")} + ${pm("b")} AS per
+         |  FROM ${Derive.multisSqlValues}),
+         |u AS (SELECT * FROM rp UNION ALL SELECT * FROM mp)
+         |SELECT poly_id, kind, geom_type, n_vertices FROM u
+         |WHERE geom_type IN ('polygon', 'multipolygon')
+         |  AND area BETWEEN 8e12 AND 2e13 AND NOT per >= 3e7
+         |ORDER BY poly_id""".stripMargin
+    },
+    "q0f_multipolygon_join" ->
+      s"""SELECT c.c_custkey AS c_custkey, m.poly_id AS poly_id
+         |FROM customer c JOIN ${Derive.multisSqlValues}
+         |ON ((${Derive.lonSql("c.c_custkey")} BETWEEN m.a_lo AND m.a_hi
+         |     AND ${Derive.latSql("c.c_custkey")} BETWEEN m.a_la AND m.a_ha
+         |     AND NOT (${Derive.lonSql("c.c_custkey")} > m.h_lo AND ${Derive.lonSql("c.c_custkey")} < m.h_hi
+         |              AND ${Derive.latSql("c.c_custkey")} > m.h_la AND ${Derive.latSql("c.c_custkey")} < m.h_ha))
+         |    OR (${Derive.lonSql("c.c_custkey")} BETWEEN m.b_lo AND m.b_hi
+         |        AND ${Derive.latSql("c.c_custkey")} BETWEEN m.b_la AND m.b_ha))
          |ORDER BY c_custkey, poly_id""".stripMargin,
     "q02_tile_assign" ->
       s"""WITH pts AS (SELECT o_orderkey, ${Derive.lonSql("o_orderkey")} AS lonm,

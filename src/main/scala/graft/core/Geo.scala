@@ -166,7 +166,14 @@ final case class RingM(xs: Array[Long], ys: Array[Long]) {
   require(xs.length == ys.length && xs.length >= 3, "ring needs >= 3 vertices")
 }
 
-/** A polygon: one shell plus zero or more holes (even-odd semantics). */
+/** A polygonal area as a flat ring set under EVEN-ODD semantics: one shell
+  * with holes, OR a full MultiPolygon (disjoint shells, nested
+  * islands-in-holes) — crossing parity makes them the same object, so the
+  * raycast kernel and the join path need no multi-polygon special case.
+  * Shell/hole structure is recovered only where JTS needs it
+  * (Jts.toJtsEvenOdd, for cover-cell classification / clipping); built from
+  * ways or WKB via graft.core.RingAssembly (H1).
+  */
 final case class PolyM(rings: Array[RingM]) {
   lazy val bbox: BBoxM = {
     var lo = Long.MaxValue; var la = Long.MaxValue
@@ -226,6 +233,35 @@ object Raycast {
   /** Boundary-inclusive containment (the join predicate). */
   @inline def contains(px: Long, py: Long, poly: PolyM): Boolean =
     classify(px, py, poly) != 0
+
+  /** Per-ring TEST POINT for nesting queries: a vertex of ring i that lies
+    * on no other ring's boundary (rings in a valid even-odd set never cross,
+    * so one off-boundary vertex decides containment for the whole ring).
+    */
+  def ringTestPoints(rings: Array[RingM]): Array[(Long, Long)] = {
+    val singles = rings.map(r => PolyM(Array(r)))
+    rings.indices.map { i =>
+      val n = rings(i).xs.length
+      val v = (0 until n).find { k =>
+        val (x, y) = (rings(i).xs(k), rings(i).ys(k))
+        rings.indices.forall(j => j == i || classify(x, y, singles(j)) != 2)
+      }.getOrElse(0)
+      (rings(i).xs(v), rings(i).ys(v))
+    }.toArray
+  }
+
+  /** Even-odd nesting depth of each ring (0 = outer shell, 1 = hole,
+    * 2 = island-in-hole, …) — the shell/hole classifier shared by
+    * Jts.toJtsEvenOdd and GeoMetrics.areaOf.
+    */
+  def ringDepths(rings: Array[RingM]): Array[Int] = {
+    if (rings.length == 1) return Array(0)
+    val singles = rings.map(r => PolyM(Array(r)))
+    val pts = ringTestPoints(rings)
+    rings.indices.map { i =>
+      rings.indices.count(j => j != i && classify(pts(i)._1, pts(i)._2, singles(j)) == 1)
+    }.toArray
+  }
 }
 
 /** Web-tile assignment (raster↔vector tiling, BASELINE.json north_star).

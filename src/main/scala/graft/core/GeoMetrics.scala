@@ -29,11 +29,19 @@ object GeoMetrics {
     math.abs(sum) * EARTH_RADIUS_M * EARTH_RADIUS_M / 2.0
   }
 
-  /** Polygon area: shell minus holes (ring 0 is the shell by PolyM contract). */
+  /** Polygonal area under PolyM's even-odd semantics: a ring at even
+    * nesting depth (shell, island-in-hole, …) adds its area; odd depth
+    * (hole) subtracts — correct for plain polygons-with-holes AND
+    * multipolygons in one rule (Raycast.ringDepths).
+    */
   def areaOf(p: PolyM): Double = {
-    var a = ringArea(p.rings(0))
-    var i = 1
-    while (i < p.rings.length) { a -= ringArea(p.rings(i)); i += 1 }
+    val depths = Raycast.ringDepths(p.rings)
+    var a = 0.0
+    var i = 0
+    while (i < p.rings.length) {
+      a += (if (depths(i) % 2 == 0) ringArea(p.rings(i)) else -ringArea(p.rings(i)))
+      i += 1
+    }
     math.max(a, 0.0)
   }
 

@@ -42,6 +42,51 @@ object Jts {
   def toWkb(g: Geometry): Array[Byte] = new WKBWriter().write(g)
   def fromWkb(b: Array[Byte]): Geometry = new WKBReader(factory).read(b)
 
+  /** Even-odd PolyM (flat ring set, shells + holes + disjoint shells mixed)
+    * → proper JTS Polygon/MultiPolygon. Ring parity by nesting depth of each
+    * ring's strict INTERIOR point (robust to rings sharing boundary
+    * vertices/edges): even depth = shell, odd = hole, a hole belongs to its
+    * innermost containing shell. This is what lets PolyCover classify cover
+    * cells for multipolygons — the raycast refine needs no conversion
+    * (even-odd crossing counting handles multiple shells natively).
+    */
+  def toJtsEvenOdd(p: PolyM): Geometry = {
+    val rings = p.rings
+    if (rings.length == 1) return factory.createPolygon(ringToJts(rings(0)))
+    val singles = rings.map(r => PolyM(Array(r)))
+    // vertex-based test points + raycast depths (Raycast.ringDepths) — NOT
+    // the ring-polygon's interiorPoint: a shell's interior point can land
+    // inside its own hole.
+    val testPt = Raycast.ringTestPoints(rings)
+    val depth = Raycast.ringDepths(rings)
+    val shells = rings.indices.filter(i => depth(i) % 2 == 0)
+    val holes = rings.indices.filter(i => depth(i) % 2 == 1)
+    val polys = shells.map { s =>
+      // a hole's parent is the unique shell one level up that contains it
+      val myHoles = holes.filter { h =>
+        depth(h) == depth(s) + 1 &&
+          Raycast.classify(testPt(h)._1, testPt(h)._2, singles(s)) == 1
+      }
+      factory.createPolygon(ringToJts(rings(s)), myHoles.map(h => ringToJts(rings(h))).toArray)
+    }
+    if (polys.length == 1) polys.head
+    else factory.createMultiPolygon(polys.toArray)
+  }
+
+  /** Flatten a JTS Polygon/MultiPolygon into the even-odd [[PolyM]] form
+    * (all rings of all member polygons, closing vertices dropped).
+    */
+  def fromJtsAny(g: Geometry): PolyM = g match {
+    case p: Polygon => jtsToPoly(p)
+    case mp: MultiPolygon =>
+      val rings = (0 until mp.getNumGeometries).flatMap { i =>
+        jtsToPoly(mp.getGeometryN(i).asInstanceOf[Polygon]).rings
+      }
+      PolyM(rings.toArray)
+    case other =>
+      throw new IllegalArgumentException(s"not polygonal: ${other.getGeometryType}")
+  }
+
   def bboxToJts(b: BBoxM): Polygon = {
     val cs = Array(
       new Coordinate(b.lonMin.toDouble, b.latMin.toDouble),
@@ -99,7 +144,9 @@ object PolyCover {
   }
 
   def coverAt(poly: PolyM, z: Int): Array[CoverCell] = {
-    val jts = Jts.polyToJts(poly)
+    // even-odd conversion: handles single polygons, holes, AND disjoint
+    // multi-shell sets in one path (H1/MultiPolygon support)
+    val jts = Jts.toJtsEvenOdd(poly)
     val prep = Jts.prepare(jts)
     val out = Array.newBuilder[CoverCell]
     ZGrid.bboxCells(z, poly.bbox).foreach { case (x, y) =>

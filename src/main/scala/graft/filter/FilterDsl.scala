@@ -157,13 +157,24 @@ object FilterDsl {
     case _ => lit(v)
   }
 
-  def compile(e: FExpr, schema: StructType): Column = {
-    def dt(k: String): DataType = schema(k).dataType
+  /** Compile to a Catalyst Column. `bindings` maps VIRTUAL keys to computed
+    * columns — the upstream grammar's `geometry:polygon` / `area:(..)` /
+    * `perimeter:(..)` / `vertices:(..)` predicates
+    * [ref: oshdb-filter README — GeometryTypeFilter, GeometryFilterArea,
+    * GeometryFilterPerimeter, GeometryFilterVertices], which bind to
+    * geometry-derived values rather than schema columns. Standard geometry
+    * bindings: [[graft.operators.SpatialJoin.geoBindings]].
+    */
+  def compile(e: FExpr, schema: StructType,
+              bindings: Map[String, (Column, DataType)] = Map.empty): Column = {
+    def dt(k: String): DataType =
+      bindings.get(k).map(_._2).getOrElse(schema(k).dataType)
+    def c(k: String): Column = bindings.get(k).map(_._1).getOrElse(col(k))
     e match {
-      case FEq(k, v) => col(k) === lit4(dt(k), v)
-      case FNe(k, v) => !(col(k) <=> lit4(dt(k), v)) // null-safe: absent != v
-      case FPresent(k) => col(k).isNotNull
-      case FAbsent(k) => col(k).isNull
+      case FEq(k, v) => c(k) === lit4(dt(k), v)
+      case FNe(k, v) => !(c(k) <=> lit4(dt(k), v)) // null-safe: absent != v
+      case FPresent(k) => c(k).isNotNull
+      case FAbsent(k) => c(k).isNull
       case FIn(k, vs) =>
         val typed: Seq[Any] = vs.map { v =>
           dt(k) match {
@@ -174,22 +185,23 @@ object FilterDsl {
             case _ => v
           }
         }
-        col(k).isin(typed: _*)
+        c(k).isin(typed: _*)
       case FRange(k, lo, hi) =>
-        val c = col(k)
+        val cc = c(k)
         (lo, hi) match {
-          case (Some(a), Some(b)) => c >= a && c <= b
-          case (Some(a), None) => c >= a
-          case (None, Some(b)) => c <= b
+          case (Some(a), Some(b)) => cc >= a && cc <= b
+          case (Some(a), None) => cc >= a
+          case (None, Some(b)) => cc <= b
           case (None, None) => lit(true)
         }
-      case FAnd(a, b) => compile(a, schema) && compile(b, schema)
-      case FOr(a, b) => compile(a, schema) || compile(b, schema)
-      case FNot(a) => !compile(a, schema)
+      case FAnd(a, b) => compile(a, schema, bindings) && compile(b, schema, bindings)
+      case FOr(a, b) => compile(a, schema, bindings) || compile(b, schema, bindings)
+      case FNot(a) => !compile(a, schema, bindings)
     }
   }
 
   /** Parse + compile in one step. */
-  def toColumn(filter: String, schema: StructType): Column =
-    compile(parse(filter), schema)
+  def toColumn(filter: String, schema: StructType,
+               bindings: Map[String, (Column, DataType)] = Map.empty): Column =
+    compile(parse(filter), schema, bindings)
 }

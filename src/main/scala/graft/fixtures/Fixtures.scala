@@ -180,7 +180,7 @@ object Fixtures {
     import spark.implicits._
     specs.map { s =>
       val b = s.poly.bbox
-      (s.poly_id, Jts.toWkb(Jts.polyToJts(s.poly)), b.lonMin, b.latMin, b.lonMax, b.latMax, s.kind)
+      (s.poly_id, Jts.toWkb(Jts.toJtsEvenOdd(s.poly)), b.lonMin, b.latMin, b.lonMax, b.latMax, s.kind)
     }.toSeq.toDF("poly_id", "wkb", "bbox_lon_min", "bbox_lat_min", "bbox_lon_max", "bbox_lat_max", "kind")
   }
 }

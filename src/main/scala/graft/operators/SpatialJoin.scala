@@ -144,16 +144,32 @@ object SpatialJoin {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     val schema = StructType(polyDf.schema.fields ++ Array(
-      StructField("area_m2", DoubleType), StructField("perimeter_m", DoubleType)))
+      StructField("area_m2", DoubleType), StructField("perimeter_m", DoubleType),
+      StructField("geom_type", StringType), StructField("n_vertices", IntegerType)))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
     val wkbIdx = polyDf.schema.fieldIndex("wkb")
     polyDf.mapPartitions { it =>
       it.map { r =>
-        val p = Jts.jtsToPoly(Jts.fromWkb(r.getAs[Array[Byte]](wkbIdx))
-          .asInstanceOf[org.locationtech.jts.geom.Polygon])
-        Row.fromSeq(r.toSeq ++ Seq(GeoMetrics.areaOf(p), GeoMetrics.perimeterOf(p)))
+        val g = Jts.fromWkb(r.getAs[Array[Byte]](wkbIdx))
+        val p = Jts.fromJtsAny(g) // Polygon OR MultiPolygon (H1)
+        Row.fromSeq(r.toSeq ++ Seq(GeoMetrics.areaOf(p), GeoMetrics.perimeterOf(p),
+          g.getGeometryType.toLowerCase, p.rings.map(_.xs.length).sum))
       }
     }(enc)
+  }
+
+  /** Standard virtual-key bindings for the filter DSL's geometry predicates
+    * (upstream `geometry:polygon`, `area:(..)`, `perimeter:(..)`,
+    * `vertices:(..)` [ref: oshdb-filter README]) over a
+    * [[withGeoMetrics]]-enriched DataFrame.
+    */
+  def geoBindings: Map[String, (Column, org.apache.spark.sql.types.DataType)] = {
+    import org.apache.spark.sql.types._
+    Map(
+      "geometry" -> (col("geom_type"), StringType),
+      "area" -> (col("area_m2"), DoubleType),
+      "perimeter" -> (col("perimeter_m"), DoubleType),
+      "vertices" -> (col("n_vertices"), IntegerType))
   }
 
   /** Clip each matched point's polygon to the tile bbox and return the

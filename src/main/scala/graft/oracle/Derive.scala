@@ -40,6 +40,56 @@ object Derive {
     PolySpec(id, "rect", PolyM(Array(RingM(Array(lo, hi, hi, lo), Array(la, la, ha, ha)))))
   }
 
+  /** MultiPolygon-with-hole fixtures (H1): each id is shell rect A with a
+    * rectangular hole H strictly inside it, PLUS a disjoint shell rect B —
+    * one even-odd PolyM of 3 rings. The engine runs the generic multi-shell
+    * cover + raycast path; the DuckDB twin is pure rect algebra (exact,
+    * boundary rule preserved: a point ON the hole boundary is INSIDE —
+    * raycast's edge rule — so only the hole's strict interior excludes).
+    */
+  val multis: Array[(String, (Long, Long, Long, Long), (Long, Long, Long, Long), (Long, Long, Long, Long))] = Array(
+    ("m0", (-150000000L, -60000000L, -110000000L, -25000000L),
+           (-140000000L, -50000000L, -125000000L, -35000000L),
+           (-90000000L, -60000000L, -70000000L, -40000000L)),
+    ("m1", (-50000000L, 10000000L, -10000000L, 50000000L),
+           (-40000000L, 20000000L, -25000000L, 40000000L),
+           (10000000L, 10000000L, 30000000L, 35000000L)),
+    ("m2", (50000000L, -45000000L, 100000000L, -5000000L),
+           (60000000L, -35000000L, 80000000L, -15000000L),
+           (110000000L, -45000000L, 140000000L, -20000000L)),
+    ("m3", (120000000L, 30000000L, 160000000L, 65000000L),
+           (130000000L, 40000000L, 150000000L, 55000000L),
+           (-165000000L, 30000000L, -145000000L, 55000000L)))
+
+  private def rectRing(r: (Long, Long, Long, Long)): RingM = {
+    val (lo, la, hi, ha) = r
+    RingM(Array(lo, hi, hi, lo), Array(la, la, ha, ha))
+  }
+
+  def multiSpecs: Array[PolySpec] = multis.map { case (id, shell, hole, island) =>
+    PolySpec(id, "multi", PolyM(Array(rectRing(shell), rectRing(hole), rectRing(island))))
+  }
+
+  /** DuckDB VALUES list matching [[multis]] (12 bounds per id). */
+  def multisSqlValues: String = multis.map { case (id, a, h, b) =>
+    s"('$id', ${a._1}, ${a._2}, ${a._3}, ${a._4}, ${h._1}, ${h._2}, ${h._3}, ${h._4}, " +
+      s"${b._1}, ${b._2}, ${b._3}, ${b._4})"
+  }.mkString("(VALUES ", ", ", ") AS m(poly_id, a_lo, a_la, a_hi, a_ha, " +
+    "h_lo, h_la, h_hi, h_ha, b_lo, b_la, b_hi, b_ha)")
+
+  /** Spherical-shoelace area of an axis-aligned rect (mirrors
+    * GeoMetrics.ringArea, closed form: R²·Δλ·(sin φ_hi − sin φ_la)) and its
+    * haversine perimeter, as DuckDB SQL over micro-degree bound columns.
+    */
+  val EarthR = "6371008.8"
+  def rectAreaSql(lo: String, la: String, hi: String, ha: String): String =
+    s"($EarthR * $EarthR * radians(($hi - $lo) / 1000000.0) * " +
+      s"(sin(radians($ha / 1000000.0)) - sin(radians($la / 1000000.0))))"
+  def rectPerimeterSql(lo: String, la: String, hi: String, ha: String): String =
+    s"(2 * $EarthR * radians(($ha - $la) / 1000000.0) " +
+      s"+ 2 * $EarthR * asin(cos(radians($la / 1000000.0)) * sin(radians(($hi - $lo) / 1000000.0) / 2)) " +
+      s"+ 2 * $EarthR * asin(cos(radians($ha / 1000000.0)) * sin(radians(($hi - $lo) / 1000000.0) / 2)))"
+
   /** DuckDB VALUES list matching [[rects]]. */
   def rectsSqlValues: String = rects.map { case (id, lo, la, hi, ha) =>
     s"('$id', $lo, $la, $hi, $ha)"

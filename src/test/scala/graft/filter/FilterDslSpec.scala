@@ -73,6 +73,23 @@ class FilterDslSpec extends AnyFunSuite {
       s"filters not pushed:\n$plan")
   }
 
+  test("virtual-key bindings: geometry/metric predicates on computed columns") {
+    import org.apache.spark.sql.types._
+    // 'area' is VIRTUAL — bound to qty*2, not a schema column; 'geometry'
+    // bound to the flag column (upstream geometry:polygon shape)
+    val bindings = Map(
+      "area" -> (col("qty") * 2, DoubleType: DataType),
+      "geometry" -> (lower(col("flag")), StringType: DataType))
+    def runB(f: String): Set[Double] =
+      df.where(FilterDsl.toColumn(f, df.schema, bindings))
+        .select("qty").collect().map(_.getDouble(0)).toSet
+    assert(runB("area:(20..60)") == Set(10.0, 25.0))       // qty*2 in [20,60]
+    assert(runB("geometry=r") == Set(10.0, 25.0))
+    assert(runB("geometry in (r, n) and not area:(..30)") == Set(25.0, 40.0))
+    // schema keys still resolve when not shadowed by a binding
+    assert(runB("geometry=r and status=F") == Set(10.0))
+  }
+
   test("parse errors are informative") {
     intercept[IllegalArgumentException](FilterDsl.parse("flag="))
     intercept[IllegalArgumentException](FilterDsl.parse("flag=R extra"))
