@@ -334,6 +334,17 @@ object SparkEntry {
           "o_orderpriority in (1-URGENT, 2-HIGH) and o_orderstatus=* and o_totalprice:(100000..)", o.schema))
         .select("o_orderkey").orderBy("o_orderkey")
     }),
+    // ---- A4: broadcast tag dictionary (keytables / TagTranslator role) —
+    //      strings → dense ids at the boundary, aggregate on ints, decode at
+    //      the end; ids reproducible (sorted-value order)
+    "q32_tag_dictionary" -> ((s, dir) => {
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val dict = graft.sources.TagDictionary.build(o, col("o_orderpriority"))
+      val agg = graft.sources.TagDictionary.encode(o, col("o_orderpriority"), dict)
+        .groupBy("tag_id").agg(count(lit(1)).as("n_orders"))
+      graft.sources.TagDictionary.decode(agg, col("tag_id"), dict)
+        .select("tag_id", "tag", "n_orders").orderBy("tag_id")
+    }),
     // ==== Training-data pipeline ops (documents / embeddings tables) ====
     // ---- token counting: whitespace + word-piece regex
     "q40_token_counts" -> ((s, dir) => {
@@ -716,6 +727,12 @@ object SparkEntry {
       """SELECT o_orderkey FROM orders
         |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH') AND o_orderstatus IS NOT NULL
         |AND o_totalprice >= 100000 ORDER BY o_orderkey""".stripMargin,
+    "q32_tag_dictionary" ->
+      """WITH d AS (SELECT DISTINCT o_orderpriority AS tag FROM orders WHERE o_orderpriority IS NOT NULL),
+        |ids AS (SELECT CAST(row_number() OVER (ORDER BY tag) AS BIGINT) - 1 AS tag_id, tag FROM d)
+        |SELECT i.tag_id, i.tag, count(*) AS n_orders
+        |FROM orders o JOIN ids i ON o.o_orderpriority = i.tag
+        |GROUP BY 1, 2 ORDER BY tag_id""".stripMargin,
     "q40_token_counts" ->
       s"""WITH ${TextOracle.toksCte()}
          |SELECT d.doc_id, CAST(len(t.t) AS INTEGER) AS n_ws_tokens,
