@@ -80,10 +80,16 @@ object Similarity {
     val p = withBuckets(points, "nid", "p", "pq")
     val q = withBuckets(queries, "qid", "q", "qq")
 
-    val w = Window.partitionBy("qid").orderBy(col("dot").desc, col("nid"))
-    p.join(broadcast(q), Seq("table", "bucket"))
+    // candidate (qid, nid) pairs dedupe on IDS ONLY — the distinct shuffle
+    // carries two longs, not two embeddings; vectors re-join afterwards
+    // (query side broadcast, corpus side one hash join on nid)
+    val cand = p.join(broadcast(q.select("table", "bucket", "qid")), Seq("table", "bucket"))
       .where(col("qid") =!= col("nid"))
-      .select(col("qid"), col("nid"), col("pq"), col("qq")).distinct()
+      .select("qid", "nid").distinct()
+    val pVec = points.select(col(idCol).as("nid"), quantize(col(vecCol)).as("pq"))
+    val qVec = queries.select(col(idCol).as("qid"), quantize(col(vecCol)).as("qq"))
+    val w = Window.partitionBy("qid").orderBy(col("dot").desc, col("nid"))
+    cand.join(pVec, Seq("nid")).join(broadcast(qVec), Seq("qid"))
       .withColumn("dot", dotQ(col("pq"), col("qq")))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
