@@ -22,11 +22,51 @@ object ImageCodec {
     bos.toByteArray
   }
 
-  /** Decode to row-major 8-bit gray pixels. */
+  /** Lossy JPEG at the given quality (in-JDK writer — real DCT lossy path,
+    * exercising the PSNR≥40dB verification gate non-trivially).
+    */
+  def encodeJpeg(pixels: Array[Byte], w: Int, h: Int, quality: Float = 0.95f): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    img.getRaster.setDataElements(0, 0, w, h, pixels)
+    val writer = ImageIO.getImageWritersByFormatName("jpg").next()
+    val bos = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    val p = writer.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(quality)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    writer.dispose(); ios.close()
+    bos.toByteArray
+  }
+
+  def encodeBmp(pixels: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    img.getRaster.setDataElements(0, 0, w, h, pixels)
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "bmp", bos)
+    bos.toByteArray
+  }
+
+  /** Formats the in-JDK ImageIO stack decodes (no external libs). */
+  val RealFormats: Set[String] = Set("raw", "png", "jpg", "jpeg", "bmp", "gif")
+
+  /** Decode to row-major 8-bit gray pixels. png/jpeg/bmp/gif all go through
+    * javax.imageio (in-JDK); non-gray sources are converted via the
+    * standard luma draw.
+    */
   def decode(bytes: Array[Byte], fmt: String, w: Int, h: Int): Array[Byte] = fmt match {
     case "raw" => bytes
-    case "png" =>
-      val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    case f if RealFormats.contains(f.toLowerCase) =>
+      val img0 = ImageIO.read(new ByteArrayInputStream(bytes))
+      require(img0 != null, s"ImageIO failed to decode fmt=$fmt")
+      val img =
+        if (img0.getType == BufferedImage.TYPE_BYTE_GRAY) img0
+        else {
+          val g = new BufferedImage(img0.getWidth, img0.getHeight, BufferedImage.TYPE_BYTE_GRAY)
+          val gg = g.createGraphics(); gg.drawImage(img0, 0, 0, null); gg.dispose()
+          g
+        }
       val out = new Array[Byte](w * h)
       img.getRaster.getDataElements(0, 0, w, h, out)
       out

@@ -11,9 +11,10 @@ import graft.fixtures.ImageCodec
   * kernels run inside `mapPartitions` — one decoded image in flight per
   * row, nothing heavy enters Catalyst expressions or the shuffle.
   *
-  * Decode is REAL for the two fixture formats (`raw` bytes, `png` via
-  * in-JDK javax.imageio); any other format hits `decodeStub` — the clearly
-  * marked extension point where a production build would link libjpeg etc.
+  * Decode is REAL for every format the in-JDK javax.imageio stack reads —
+  * raw bytes, png, jpeg (lossy DCT), bmp, gif (ImageCodec.RealFormats);
+  * only formats with no JDK codec (webp/avif/…) hit `decodeStub`, the
+  * clearly marked extension point where a production build links libwebp.
   * Everything around it (schema, batching, partition preservation,
   * verification metrics) is real and tested.
   *
@@ -24,9 +25,9 @@ import graft.fixtures.ImageCodec
   */
 object Multimodal {
 
-  /** Extension point for formats the sandbox can't decode (no jpeg/webp
-    * libs here): deterministic fake decode so the pipeline shape is
-    * exercised end-to-end.
+  /** Extension point for formats with no in-JDK codec (webp/avif/heic):
+    * deterministic fake decode so the pipeline shape is exercised
+    * end-to-end.
     */
   def decodeStub(bytes: Array[Byte], fmt: String, w: Int, h: Int): Array[Byte] = {
     // ??? in production: link a real decoder. Deterministic fake for tests:
@@ -37,10 +38,9 @@ object Multimodal {
   }
 
   private def decodeAny(bytes: Array[Byte], fmt: String, w: Int, h: Int): Array[Byte] =
-    fmt match {
-      case "raw" | "png" => ImageCodec.decode(bytes, fmt, w, h)
-      case other => decodeStub(bytes, other, w, h)
-    }
+    if (ImageCodec.RealFormats.contains(fmt.toLowerCase))
+      ImageCodec.decode(bytes, fmt, w, h) // raw/png/jpeg/bmp/gif — real in-JDK decode
+    else decodeStub(bytes, fmt, w, h)     // webp/avif/… — no codec in this JDK
 
   private val metaSchema = StructType(Seq(
     StructField("image_id", StringType), StructField("fmt", StringType),
@@ -66,6 +66,8 @@ object Multimodal {
           val rehash = ImageCodec.avgHash64(px, w, h)
           val reenc = fmt match {
             case "png" => ImageCodec.decode(ImageCodec.encodePng(px, w, h), "png", w, h)
+            case "jpg" | "jpeg" => // genuinely lossy roundtrip — PSNR finite
+              ImageCodec.decode(ImageCodec.encodeJpeg(px, w, h), "jpg", w, h)
             case _ => px
           }
           Row(id, fmt, w, h, px.length, sum.toDouble / px.length, rehash,

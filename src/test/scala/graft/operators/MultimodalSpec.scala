@@ -75,11 +75,41 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows.head.getInt(3) === w0.map(math.abs).max)
   }
 
-  test("stub decode path: unknown fmt flows through the same plumbing") {
+  test("stub decode path: no-JDK-codec fmt flows through the same plumbing") {
     import spark.implicits._
-    val fake = Seq(("x1", Array[Byte](1, 2, 3), 16, 16, "jpeg", "cap", 0L))
+    val fake = Seq(("x1", Array[Byte](1, 2, 3), 16, 16, "webp", "cap", 0L))
       .toDF("image_id", "bytes", "w", "h", "fmt", "caption", "phash")
     val m = Multimodal.decodeMeta(fake).collect().head
     assert(m.getInt(4) === 256) // decoded to w*h pixels deterministically
+  }
+
+  test("jpeg decode is REAL and lossy roundtrip clears the 40 dB gate") {
+    import spark.implicits._
+    // pure noise is the DCT worst case; q=0.95 default must still clear 40dB
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 8).map { i =>
+      val px = Array.fill(64 * 64)(rnd.nextInt(256).toByte)
+      (s"j$i", ImageCodec.encodeJpeg(px, 64, 64), 64, 64, "jpg", "cap",
+        ImageCodec.avgHash64(ImageCodec.decode(ImageCodec.encodeJpeg(px, 64, 64), "jpg", 64, 64), 64, 64))
+    }
+    val df = rows.toDF("image_id", "bytes", "w", "h", "fmt", "caption", "phash")
+    val m = Multimodal.decodeMeta(df).collect()
+    assert(m.forall(_.getBoolean(7)), "phash of decoded jpeg must recompute")
+    val psnrs = m.map(_.getDouble(8))
+    assert(psnrs.forall(p => p >= 40.0 && !p.isInfinity),
+      s"lossy jpeg roundtrip must be finite and >= 40 dB: ${psnrs.mkString(",")}")
+  }
+
+  test("bmp and gif decode are real and lossless for gray fixtures") {
+    val px = ImageCodec.pixelsFromHash(0xBEEF_CAFEL, 64, 64)
+    assert(ImageCodec.decode(ImageCodec.encodeBmp(px, 64, 64), "bmp", 64, 64)
+      .sameElements(px))
+    // gif: encode via ImageIO directly (256-gray palette is lossless)
+    val img = new java.awt.image.BufferedImage(64, 64,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    img.getRaster.setDataElements(0, 0, 64, 64, px)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "gif", bos)
+    assert(ImageCodec.decode(bos.toByteArray, "gif", 64, 64).sameElements(px))
   }
 }
