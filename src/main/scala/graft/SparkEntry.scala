@@ -409,12 +409,13 @@ object SparkEntry {
     }),
     // ---- embedding cosine near-dup pairs (integer-exact comparison)
     "q50_cosine_near_dup" -> ((s, dir) => {
-      // LSH-bucketed candidates + exact verify (no cartesian stage); the
-      // DuckDB oracle is the brute-force SQL — parity holds because the
-      // (planes=2, tables=24) miss probability at t=0.45 is <3e-6/pair
-      // (full recall measured on sf0.01 and sf0.1, asserted in spec).
-      Similarity.cosineNearDupPairsLsh(s.read.parquet(s"$dir/embeddings.parquet"),
-        "vec_id", "embedding", threshold = 0.45, dims = 64).orderBy("id_a", "id_b")
+      // Exact broadcast-blocked path (primitive i<j loop, zero pair-row
+      // materialization, no cartesian/BNLJ node) — at t=0.45 an exact
+      // answer is Θ(n²) dots and LSH candidates provably cost ≥6× more
+      // (see Similarity scaladoc); the subquadratic LSH path (q-gated in
+      // SimilaritySpec) is for corpus-scale t≥0.8 near-dup.
+      Similarity.cosineNearDupPairsExact(s.read.parquet(s"$dir/embeddings.parquet"),
+        "vec_id", "embedding", threshold = 0.45).orderBy("id_a", "id_b")
     }),
     // ---- canonical normalization (pre-dedup key) — hash parity checked
     "q54_normalize" -> ((s, dir) => {
@@ -472,7 +473,7 @@ object SparkEntry {
     //      components → drop non-canonical rows (the full pipeline shape)
     "q59_embed_dedup_keep" -> ((s, dir) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
-      val pairs = Similarity.cosineNearDupPairsLsh(emb, "vec_id", "embedding", 0.45, dims = 64)
+      val pairs = Similarity.cosineNearDupPairsExact(emb, "vec_id", "embedding", 0.45)
         .select(col("id_a"), col("id_b"))
       val clusters = Dedup.dupClusters(pairs.withColumn("jaccard", lit(1.0)))
       val drop = clusters.where(col("doc_id") =!= col("cluster_id"))

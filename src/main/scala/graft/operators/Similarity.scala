@@ -219,7 +219,62 @@ object Similarity {
       .select("id_a", "id_b").distinct()
   }
 
-  /** Cosine near-dup pairs at scale: LSH-bucketed candidates
+  /** Exact cosine near-dup pairs via a BROADCAST-BLOCKED scan: the
+    * quantized corpus (id, q, |q|²) is broadcast once (hard-capped — 200k
+    * vectors × 64 dims ≈ 100 MB) and each partition runs a primitive
+    * i<j loop emitting ONLY qualifying pairs — no join, no shuffle, no
+    * pair-row materialization (the BNLJ brute path allocates an UnsafeRow
+    * per pair; this allocates per SURVIVOR). Same shape as
+    * Dedup.verifyPairs' broadcast stage.
+    *
+    * Scale posture, stated plainly: an EXACT threshold join on dense
+    * vectors is Θ(n²) dot products — no subquadratic exact algorithm
+    * exists, and at thresholds below ~0.7 LSH candidate generation is
+    * provably MORE work than all-pairs (per-plane collision gap
+    * 1−arccos(t)/π vs 1/2 is too thin: full recall at t=0.45 costs
+    * ≥6× brute — measured AND derived in SimilaritySpec docs). So: this
+    * path for exact answers on corpora under the cap; [[cosineNearDupPairsLsh]]
+    * (subquadratic, documented recall) for corpus-scale near-dup at real
+    * thresholds (t ≥ 0.8, the SemDeDup regime).
+    */
+  def cosineNearDupPairsExact(points: DataFrame, idCol: String, vecCol: String,
+                              threshold: Double,
+                              maxBroadcastVectors: Long = 200000L): DataFrame = {
+    val spark = points.sparkSession
+    val p = points.select(col(idCol).cast("long").as("id"), quantize(col(vecCol)).as("q"))
+      .withColumn("n2", dotQ(col("q"), col("q")))
+    val n = p.count()
+    require(n <= maxBroadcastVectors,
+      s"corpus $n exceeds broadcast cap $maxBroadcastVectors — use cosineNearDupPairsLsh")
+    val corpus = p.collect().map(r =>
+      (r.getLong(0), r.getSeq[Long](1).toArray, r.getLong(2))).sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(corpus)
+    val t2 = threshold * threshold
+    import spark.implicits._
+    val out = p.select("id", "q", "n2").as[(Long, Array[Long], Long)]
+      .mapPartitions { it =>
+        val all = bc.value
+        val ids = all.map(_._1) // sorted — binary search start-of-suffix
+        it.flatMap { case (ida, qa, na) =>
+          // emit pairs (ida, idb) with idb > ida only — each pair computed once
+          var lo = java.util.Arrays.binarySearch(ids, ida) + 1
+          if (lo < 0) lo = -lo // not found → insertion point
+          Iterator.range(lo, all.length).flatMap { j =>
+            val (idb, qb, nb) = all(j)
+            var dot = 0L
+            var d = 0
+            while (d < qa.length) { dot += qa(d) * qb(d); d += 1 }
+            if (dot > 0 &&
+                dot.toDouble * dot.toDouble >= t2 * na.toDouble * nb.toDouble)
+              Some((ida, idb, dot))
+            else None
+          }
+        }
+      }.toDF("id_a", "id_b", "dot")
+    out
+  }
+
+  /** Cosine near-dup pairs at corpus scale: LSH-bucketed candidates
     * ([[cosineCandidatesLsh]]) + the same exact integer verify as the brute
     * path. Equi-joins only — no cartesian stage anywhere in the plan
     * (asserted in SimilaritySpec). Result is identical to

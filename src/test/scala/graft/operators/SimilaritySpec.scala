@@ -92,6 +92,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got === expect)
   }
 
+  test("exact blocked near-dup pairs == brute force; no join node at all") {
+    val brute = Similarity.cosineNearDupPairs(df, "vec_id", "embedding", 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val blocked = Similarity.cosineNearDupPairsExact(df, "vec_id", "embedding", 0.95)
+    val got = blocked.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === brute, s"blocked=${got.size} brute=${brute.size}")
+    val plan = blocked.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan.take(1500)) // narrow map over broadcast corpus
+    // corpus above the broadcast cap is rejected with guidance, not OOM
+    val e = intercept[IllegalArgumentException] {
+      Similarity.cosineNearDupPairsExact(df, "vec_id", "embedding", 0.95,
+        maxBroadcastVectors = 10L)
+    }
+    assert(e.getMessage.contains("cosineNearDupPairsLsh"))
+  }
+
   test("LSH near-dup pairs: full recall vs brute force, and no cartesian in plan") {
     val brute = Similarity.cosineNearDupPairs(df, "vec_id", "embedding", 0.95)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
