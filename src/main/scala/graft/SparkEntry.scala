@@ -93,6 +93,17 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("qid", "rank")
     }),
+    // ---- radius join with a DataFrame query side (single-round cell cover)
+    "q0g_radius_join_df" -> ((s, dir) => {
+      val sup = s.read.parquet(s"$dir/supplier.parquet")
+        .select(col("s_suppkey"),
+          Derive.lonMicro(col("s_suppkey")).as("lonm"),
+          Derive.latMicro(col("s_suppkey")).as("latm"))
+      Knn.radiusJoinDf(s, customerPts(s, dir), col("c_custkey"), col("lonm"), col("latm"),
+          sup, col("s_suppkey"), col("lonm"), col("latm"),
+          radiusMicro = 15000000L, level = 5)
+        .orderBy("qid", "neighbor_id")
+    }),
     // ---- C4 at scale: DataFrame × DataFrame kNN join — the query side is a
     //      table (distributed ring expansion + per-round retirement), not a
     //      driver-side Seq; same exact semantics as q06
@@ -636,6 +647,17 @@ object SparkEntry {
          |  FROM q CROSS JOIN c),
          |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY d2, neighbor_id) AS rank FROM d)
          |SELECT qid, neighbor_id, rank, d2 FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    "q0g_radius_join_df" ->
+      s"""WITH q AS (SELECT CAST(s_suppkey AS BIGINT) AS qid, ${Derive.lonSql("s_suppkey")} AS qlon,
+         |  ${Derive.latSql("s_suppkey")} AS qlat FROM supplier),
+         |c AS (SELECT c_custkey, ${Derive.lonSql("c_custkey")} AS plon,
+         |  ${Derive.latSql("c_custkey")} AS plat FROM customer)
+         |SELECT q.qid, c.c_custkey AS neighbor_id,
+         |  (c.plon - q.qlon) * (c.plon - q.qlon) + (c.plat - q.qlat) * (c.plat - q.qlat) AS d2
+         |FROM q CROSS JOIN c
+         |WHERE (c.plon - q.qlon) * (c.plon - q.qlon) + (c.plat - q.qlat) * (c.plat - q.qlat)
+         |      <= ${15000000L * 15000000L}
+         |ORDER BY qid, neighbor_id""".stripMargin,
     "q0e_knn_df" ->
       s"""WITH q AS (SELECT CAST(s_suppkey AS BIGINT) AS qid, ${Derive.lonSql("s_suppkey")} AS qlon,
          |  ${Derive.latSql("s_suppkey")} AS qlat FROM supplier),

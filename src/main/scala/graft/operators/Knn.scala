@@ -63,6 +63,32 @@ object Knn {
       .select("qid", "neighbor_id", "d2")
   }
 
+  /** DataFrame × DataFrame exact radius join — the distributed-query-side
+    * twin of [[radiusJoin]]: each query row explodes to the cell square
+    * covering its radius bbox (one round, radius is fixed), equi-join on
+    * cell, exact integer d² filter. The cell cover is a superset of the
+    * circle, so correctness never depends on the ring bound — only the
+    * candidate count does.
+    */
+  def radiusJoinDf(spark: SparkSession, points: DataFrame, pId: Column,
+                   pLon: Column, pLat: Column, queries: DataFrame, qId: Column,
+                   qLon: Column, qLat: Column, radiusMicro: Long,
+                   level: Int): DataFrame = {
+    val rx = radiusMicro / (FixedPoint.LON_RANGE >> level)
+    val ry = radiusMicro / (FixedPoint.LAT_RANGE >> level)
+    val rr = (math.max(rx, ry) + 1).toInt
+    val cand = queries.select(qId.as("qid"), qLon.as("_qlon"), qLat.as("_qlat"))
+      .withColumn("_pcell", explode(ringCells(col("_qlon"), col("_qlat"), level, rr)))
+    val d2 = (col("_plon") - col("_qlon")) * (col("_plon") - col("_qlon")) +
+             (col("_plat") - col("_qlat")) * (col("_plat") - col("_qlat"))
+    points.select(pId.as("neighbor_id"), pLon.as("_plon"), pLat.as("_plat"))
+      .withColumn("_pcell", zcell(col("_plon"), col("_plat"), level))
+      .join(cand, Seq("_pcell"))
+      .withColumn("d2", d2)
+      .where(col("d2") <= radiusMicro * radiusMicro)
+      .select("qid", "neighbor_id", "d2")
+  }
+
   /** Exact k nearest `points` rows for every query point.
     *
     * @param points   big table exposing `idCol`, `lonCol`, `latCol` (micro-deg)

@@ -74,6 +74,26 @@ class KnnSpec extends AnyFunSuite {
     }
   }
 
+  test("DataFrame radius join equals brute force") {
+    val rnd = new scala.util.Random(13)
+    val pts = (0L until 1500L).map(i =>
+      (i, rnd.nextLong(340000000L) - 170000000L, rnd.nextLong(160000000L) - 80000000L))
+    val qs = (0L until 25L).map(j =>
+      (j, rnd.nextLong(340000000L) - 170000000L, rnd.nextLong(160000000L) - 80000000L))
+    val r = 20000000L
+    val df = spark.createDataFrame(pts).toDF("id", "lonm", "latm")
+    val qdf = spark.createDataFrame(qs).toDF("qid", "lonm", "latm")
+    val got = Knn.radiusJoinDf(spark, df, col("id"), col("lonm"), col("latm"),
+        qdf, col("qid"), col("lonm"), col("latm"), r, level = 5)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    val exp = (for {
+      (qid, qx, qy) <- qs; (id, x, y) <- pts
+      d2 = (x - qx) * (x - qx) + (y - qy) * (y - qy) if d2 <= r * r
+    } yield (qid, id, d2)).toSet
+    assert(got === exp)
+    assert(exp.nonEmpty)
+  }
+
   test("DataFrame kNN join: empty query table yields empty result") {
     val pts = Seq((1L, 0L, 0L), (2L, 1000000L, 0L))
     val df = spark.createDataFrame(pts).toDF("id", "lonm", "latm")

@@ -90,4 +90,37 @@ class EventStreamSpec extends AnyFunSuite {
       assert(spark.table("filestream").count() > 0)
     } finally q.stop()
   }
+
+  test("flagship spatial join + tiling runs under Structured Streaming (stream-static)") {
+    // the whole flagship operator stack — phash decode, level-tagged cell
+    // explode, broadcast cover join, codegen raycast refine, tile ids — is
+    // narrow + stream-static-joinable, so it lifts to readStream unchanged;
+    // streamed result must equal the batch run row-for-row
+    import graft.functions.GraftFunctions._
+    import graft.operators.SpatialJoin
+    val batchImgs = graft.fixtures.Fixtures.images(spark, 2000)
+    val staged = java.nio.file.Files.createTempDirectory("imgs_stream")
+    batchImgs.coalesce(1).write.mode("overwrite").parquet(staged.toString)
+
+    def pipeline(df: org.apache.spark.sql.DataFrame) = {
+      val located = df.withColumn("lon", phashLon(col("phash")))
+        .withColumn("lat", phashLat(col("phash")))
+      SpatialJoin.assignTiles(
+        SpatialJoin.join(spark, located, col("lon"), col("lat"),
+          graft.fixtures.Fixtures.polygons),
+        col("lon"), col("lat"), 12)
+        .select("image_id", "poly_id", "tile_z", "tile_x", "tile_y")
+    }
+    val expect = pipeline(batchImgs).collect().map(_.toSeq).toSet
+
+    val stream = spark.readStream.schema(batchImgs.schema).parquet(staged.toString)
+    val q = pipeline(stream)
+      .writeStream.format("memory").queryName("stream_tiling").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("stream_tiling").collect().map(_.toSeq).toSet
+      assert(got === expect)
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
 }
