@@ -50,6 +50,39 @@ object IcebergLite {
     Snapshot(version, sid, parent, files)
   }
 
+  /** Row counts + `_stats` long-column min/max per file, read from parquet
+    * footers only (no data pages touched).
+    */
+  private def footerStats(spark: SparkSession, dataDir: String): Seq[FileEntry] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(dataDir)
+    val fs = p.getFileSystem(conf)
+    fs.listStatus(p).toSeq
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map { f =>
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf))
+        try {
+          var rows = 0L
+          var mn = Long.MaxValue
+          var mx = Long.MinValue
+          r.getFooter.getBlocks.asScala.foreach { b =>
+            rows += b.getRowCount
+            b.getColumns.asScala.foreach { c =>
+              if (c.getPath.toDotString == "_stats") {
+                val s = c.getStatistics.asInstanceOf[org.apache.parquet.column.statistics.LongStatistics]
+                if (s.hasNonNullValue) {
+                  if (s.getMin < mn) mn = s.getMin
+                  if (s.getMax > mx) mx = s.getMax
+                }
+              }
+            }
+          }
+          FileEntry(f.getPath.toString, rows, mn, mx)
+        } finally r.close()
+      }
+  }
+
   /** Append `df` as a new snapshot; `statsCol` supplies per-file min/max
     * (pass the clustering key). Returns the new version number.
     */
@@ -60,11 +93,12 @@ object IcebergLite {
     val dataDir = s"$dir/data/$batch"
     df.withColumn("_stats", statsCol)
       .write.mode("error").parquet(dataDir)
-    val stats = spark.read.parquet(dataDir)
-      .groupBy(input_file_name().as("path"))
-      .agg(count(lit(1)).as("rows"), min("_stats").as("mn"), max("_stats").as("mx"))
-      .collect()
-      .map(r => FileEntry(r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // per-file stats from the parquet FOOTERS the write just produced
+    // (row counts + `_stats` column min/max) — a metadata-only driver read,
+    // exactly how an Iceberg commit collects manifests; the previous
+    // implementation re-READ the whole batch per append (write-side read
+    // amplification at scale)
+    val stats = footerStats(spark, dataDir)
     val files = old ++ stats
     val version = cur + 1
     val sid = java.util.UUID.randomUUID().toString
