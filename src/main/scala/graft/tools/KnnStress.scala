@@ -25,6 +25,18 @@ object KnnStress {
       queries, k = 20, level = 8, cellPrefilter = false)
     val cnt = res.count()
     println(f"KNNSTRESS points=$n queries=256 k=20 rows=$cnt time=${(System.nanoTime - t0) / 1e9}%.1f s")
+
+    // DataFrame-valued query side: 100k queries (a tile-serving-scale set
+    // no driver Seq should hold) — distributed rings + per-round retirement
+    val nq = if (args.length > 1) args(1).toLong else 100000L
+    val qdf = spark.range(nq).select(col("id").as("qid"),
+        (pmod(hash(col("id")), lit(340000000L)) - 170000000L).cast("long").as("qlon"),
+        (pmod(hash(col("id"), lit(1)), lit(160000000L)) - 80000000L).cast("long").as("qlat"))
+    val t1 = System.nanoTime
+    val res2 = Knn.knnJoinDf(spark, imgs, col("id"), col("lon"), col("lat"),
+      qdf, col("qid"), col("qlon"), col("qlat"), k = 20, level = 8)
+    val cnt2 = res2.count()
+    println(f"KNNSTRESS_DF points=$n queries=$nq k=20 rows=$cnt2 time=${(System.nanoTime - t1) / 1e9}%.1f s")
     spark.stop()
   }
 }
