@@ -72,6 +72,16 @@ final case class Reducer(df: DataFrame, keys: Seq[(String, Column)]) {
     */
   def sketchQuantile(c: Column, q: Double, as: String = "q_sketch", k: Int = 200): DataFrame =
     grouped.agg(graft.functions.KllAgg.kllQuantile(c, q, k).as(as))
+  /** D7 plural at scale (upstream estimatedQuantiles(qs)): one sketch
+    * aggregate per requested quantile — the sketches are per-group-small
+    * (O(k·log n)), so q columns cost q merges, not q data passes.
+    */
+  def sketchQuantiles(c: Column, qs: Seq[Double], prefix: String = "q_sketch",
+                      k: Int = 200): DataFrame = {
+    val aggs = qs.map(q => graft.functions.KllAgg.kllQuantile(c, q, k)
+      .as(s"${prefix}_${math.round(q * 100)}"))
+    grouped.agg(aggs.head, aggs.tail: _*)
+  }
   /** D8: generic user fold via a typed Aggregator (the reference's
     * reduce(identity, accumulator, combiner)). */
   def reduce[B](agg: org.apache.spark.sql.expressions.Aggregator[org.apache.spark.sql.Row, B, _], as: String = "reduced"): DataFrame =

@@ -70,6 +70,19 @@ class KllSpec extends AnyFunSuite {
     }
   }
 
+  test("sketchQuantiles: one column per q, each within 2% rank error") {
+    val data = dists("uniform").zipWithIndex.map { case (v, i) => (i % 2, v) }
+    val df = spark.createDataFrame(data.toIndexedSeq).toDF("g", "v").repartition(8)
+    val rows = Reducer.on(df).aggregateBy("g", col("g"))
+      .sketchQuantiles(col("v"), Seq(0.25, 0.5, 0.75))
+      .collect().map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val byG = data.groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2) }
+    for ((g, vs) <- byG; (q, est) <- Seq(0.25, 0.5, 0.75).zip(
+        Seq(rows(g)._1, rows(g)._2, rows(g)._3))) {
+      assert(rankError(vs, est, q) <= 0.02, s"g=$g q=$q")
+    }
+  }
+
   test("empty group yields null, single value yields itself") {
     val s = new KllSketch(32)
     assert(s.quantile(0.5).isNaN)
