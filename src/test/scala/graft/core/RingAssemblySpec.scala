@@ -94,6 +94,52 @@ class RingAssemblySpec extends AnyFunSuite {
     assert(fixed.rings.length >= 2) // the bowtie splits into two triangles
   }
 
+  test("random nested multipolygons: raycast == JTS, cover is a superset") {
+    Det.forAll(40, 77) { r =>
+      // up to 3 disjoint parent squares on a coarse grid, each optionally
+      // with a hole, each hole optionally with an island — all nesting
+      // depths 0/1/2 exercised with random sizes
+      val rings = Seq.newBuilder[RingM]
+      val nPar = 1 + r.nextInt(3)
+      for (pi <- 0 until nPar) {
+        val ox = pi * 4000000L
+        val sz = 1000000L + r.nextInt(2000000)
+        rings += rect(ox, 0, ox + sz, sz)
+        if (r.nextBoolean()) {
+          val m = sz / 4 + r.nextInt((sz / 8).toInt)
+          rings += rect(ox + m, m, ox + sz - m, sz - m)
+          if (r.nextBoolean() && sz - 2 * m > 400) {
+            val k = (sz - 2 * m) / 3
+            rings += rect(ox + m + k, m + k, ox + sz - m - k, sz - m - k)
+          }
+        }
+      }
+      val p = PolyM(rings.result().toArray)
+      val g = Jts.toJtsEvenOdd(p)
+      assert(g.isValid)
+      val prep = Jts.prepare(g)
+      val cover = PolyCover.cover(p)
+      var agree = 0
+      for (_ <- 0 until 200) {
+        val x = r.nextLong(nPar * 4000000L + 1000000L) - 500000L
+        val y = r.nextLong(4000000L) - 500000L
+        val rc = Raycast.classify(x, y, p)
+        if (rc != 2) {
+          val pt = Jts.factory.createPoint(new org.locationtech.jts.geom.Coordinate(x.toDouble, y.toDouble))
+          assert(prep.covers(pt) === (rc == 1), s"($x,$y)")
+          agree += 1
+        }
+        // cover superset: any contained point lies in an emitted cell
+        if (rc != 0) {
+          val z = cover.head.level
+          val cell = ZGrid.cellAt(z, x, y)
+          assert(cover.exists(_.morton == cell), s"cover miss ($x,$y) z=$z")
+        }
+      }
+      assert(agree > 150)
+    }
+  }
+
   test("multiPolyFromWays: ways to validated multipolygon, cover works") {
     val ways = Seq(
       Array((0L, 0L), (100L, 0L), (100L, 100L)),
