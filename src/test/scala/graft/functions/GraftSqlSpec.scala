@@ -1,0 +1,63 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.{TextHash, ZGrid}
+
+/** SQL surface: every registered graft function callable from spark.sql,
+  * agreeing with the shared kernels / Column API.
+  */
+class GraftSqlSpec extends AnyFunSuite {
+  lazy val spark = {
+    val s = graft.SparkTestSession.spark
+    GraftSql.registerAll(s)
+    s
+  }
+
+  test("scalar kernels via SQL match the shared kernels") {
+    val r = spark.sql(
+      """SELECT char_hash('abc') AS ch, char_hash64('abc') AS ch64,
+        |simhash64(array('a','b','a')) AS sh,
+        |zcell(1000000L, 2000000L, 12) AS zc,
+        |dot_q(array(2L, 3L), array(5L, 7L)) AS dq""".stripMargin).collect().head
+    assert(r.getLong(0) === TextHash.charHash("abc"))
+    assert(r.getLong(1) === TextHash.charHash64("abc"))
+    assert(r.getLong(2) === TextHash.simhash64(
+      Array("a", "b", "a").map(TextHash.charHash),
+      Array("a", "b", "a").map(TextHash.charHash2)))
+    assert(r.getLong(3) === ZGrid.cellAt(12, 1000000L, 2000000L))
+    assert(r.getLong(4) === 2L * 5 + 3L * 7)
+  }
+
+  test("SQL zcell over a table equals the Column API") {
+    import spark.implicits._
+    Seq((1L, -20000000L, 10000000L), (2L, 5000000L, -5000000L))
+      .toDF("id", "lonm", "latm").createOrReplaceTempView("pts")
+    val viaSql = spark.sql("SELECT id, zcell(lonm, latm, 12) AS c FROM pts ORDER BY id")
+      .collect().map(_.getLong(1)).toSeq
+    val expect = spark.table("pts").orderBy("id")
+      .select(GraftFunctions.zcell(col("lonm"), col("latm"), 12).as("c"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(viaSql === expect)
+  }
+
+  test("kll_quantile works as a SQL aggregate") {
+    spark.range(1, 10001).selectExpr("id % 4 AS g", "CAST(id AS DOUBLE) AS v")
+      .createOrReplaceTempView("kq")
+    val rows = spark.sql(
+      "SELECT g, kll_quantile(v, 0.5) AS med FROM kq GROUP BY g ORDER BY g")
+      .collect()
+    assert(rows.length === 4)
+    // median of each residue class is ~5000; sketch rank error <= 2%
+    rows.foreach(r => assert(math.abs(r.getDouble(1) - 5000.0) < 400.0, r.toString))
+  }
+
+  test("non-literal plan-time argument fails with a clear message") {
+    import spark.implicits._
+    Seq((1L, 4)).toDF("lonm", "lvl").createOrReplaceTempView("badargs")
+    val e = intercept[Exception] {
+      spark.sql("SELECT zcell(lonm, lonm, lvl) FROM badargs").collect()
+    }
+    assert(e.getMessage.contains("literal") || e.getMessage.toLowerCase.contains("constant"))
+  }
+}
