@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   * from `spark.sql(...)`. Two registration paths:
   *
   *   - cluster config (spark-submit):
-  *       --conf spark.sql.extensions=graft.GraftExtensions
+  *       --conf spark.sql.extensions=graft.functions.GraftExtensions
   *   - in-session: `GraftSql.registerAll(spark)` (same builders, injected
   *     through the session FunctionRegistry).
   *

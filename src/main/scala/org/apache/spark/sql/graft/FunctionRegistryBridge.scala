@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 /** Bridge into the session's private[sql] FunctionRegistry — lets the graft
   * expressions be called from `spark.sql(...)` without a cluster-level
   * `spark.sql.extensions` config (the config path is
-  * graft.GraftExtensions; this is the runtime/in-session path).
+  * graft.functions.GraftExtensions; this is the runtime/in-session path).
   */
 object FunctionRegistryBridge {
   def register(spark: SparkSession, name: String,
