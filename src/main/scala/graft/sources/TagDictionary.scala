@@ -21,14 +21,31 @@ import org.apache.spark.sql.functions._
   */
 object TagDictionary {
 
-  /** Build the dictionary for a column: (tag_id BIGINT dense from 0, tag).
-    * One distinct-aggregate over the corpus; the window runs on the distinct
-    * set only (small by the dictionary contract — see scale note above).
+  /** Build the dictionary for a column: (tag_id BIGINT dense from 0, tag,
+    * ids == row_number() OVER (ORDER BY tag) − 1).
+    *
+    * Dense GLOBAL ranks without a single-partition window: range-partition
+    * the distinct set by tag (range partitions come out in sorted order),
+    * rank within each partition in parallel, then add per-partition offsets
+    * (a partition-count-sized collect — scalar metadata, not data).
     */
-  def build(df: DataFrame, c: Column): DataFrame =
-    df.select(c.as("tag")).where(col("tag").isNotNull).distinct()
-      .withColumn("tag_id", row_number().over(Window.orderBy("tag")).cast("long") - 1)
+  def build(df: DataFrame, c: Column): DataFrame = {
+    val distinct = df.select(c.as("tag")).where(col("tag").isNotNull).distinct()
+    val parts = math.max(2, distinct.sparkSession.sparkContext.defaultParallelism / 2)
+    val ranged = distinct.repartitionByRange(parts, col("tag"))
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint() // pin the partitioning: counts and ranks must see the same layout
+    val counts = ranged.groupBy("_pid").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until parts).scanLeft(0L)((acc, p) => acc + counts.getOrElse(p, 0L))
+    val offsetExpr = (0 until parts).foldLeft(lit(0L)) { (e, p) =>
+      when(col("_pid") === p, lit(offsets(p))).otherwise(e)
+    }
+    ranged
+      .withColumn("_rn", row_number().over(Window.partitionBy("_pid").orderBy("tag")).cast("long"))
+      .withColumn("tag_id", offsetExpr + col("_rn") - 1)
       .select("tag_id", "tag")
+  }
 
   /** Encode: attach `as` = tag_id for column `c` via a broadcast join.
     * Rows whose value is absent from the dictionary get null (mirror of
