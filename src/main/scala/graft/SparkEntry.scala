@@ -301,6 +301,23 @@ object SparkEntry {
         .select(col("snap_ts"), col("user_id"), col("value").as("last_value"))
         .orderBy("snap_ts", "user_id")
     }),
+    // ---- C3 general form: interval × instant temporal join (entity
+    //      validity containment) via time-bin bucketing — equi-join on bin,
+    //      exact epoch-second containment filter, no dedupe needed
+    "q33_interval_join" -> ((s, dir) => {
+      import s.implicits._
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val intervals = ev.select(col("event_id"), col("ts").as("t_start"),
+        // deterministic validity length: 1..7 hours by event id
+        (col("ts").cast("timestamp").cast("long") + (col("event_id") % 7 + 1) * 3600L)
+          .cast("timestamp").as("t_end"))
+      val snaps = snapTimes.toDF("snap_ts")
+        .withColumn("snap", to_timestamp(col("snap_ts")))
+      graft.operators.TemporalJoin.intervalInstantJoin(
+          intervals, col("t_start"), col("t_end"), snaps, col("snap"))
+        .select(col("snap_ts"), col("event_id"))
+        .orderBy("snap_ts", "event_id")
+    }),
     // ---- E: gap-based sessionization (30-min inactivity ends a session)
     "q20_sessionize" -> ((s, dir) => {
       val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -724,6 +741,16 @@ object SparkEntry {
          |  FROM events e JOIN snaps s ON e.ts <= CAST(s.snap_ts AS TIMESTAMP))
          |SELECT snap_ts, user_id, value AS last_value FROM cand WHERE rn = 1
          |ORDER BY snap_ts, user_id""".stripMargin
+    },
+    "q33_interval_join" -> {
+      val snapList = snapTimes.map(t => s"'$t'").mkString("[", ", ", "]")
+      s"""WITH snaps AS (SELECT unnest($snapList) AS snap_ts),
+         |iv AS (SELECT event_id, epoch(ts) AS s,
+         |  epoch(ts) + (event_id % 7 + 1) * 3600 AS e FROM events)
+         |SELECT sn.snap_ts, iv.event_id
+         |FROM iv JOIN snaps sn
+         |  ON epoch(CAST(sn.snap_ts AS TIMESTAMP)) BETWEEN iv.s AND iv.e
+         |ORDER BY snap_ts, event_id""".stripMargin
     },
     "q20_sessionize" ->
       """WITH g AS (SELECT user_id, ts, event_id,
