@@ -509,6 +509,13 @@ object SparkEntry {
       emb.join(drop, Seq("vec_id"), "left_anti")
         .select("vec_id", "label").orderBy("vec_id")
     }),
+    // ---- vocab at scale: mergeable heavy-hitters summary per language
+    //      (rows-only — approximate; guarantee gated in HeavyHittersSpec)
+    "q34_vocab_sketch" -> ((s, dir) => {
+      TextAnalysis.vocabSketch(s.read.parquet(s"$dir/documents.parquet"),
+          col("text"), col("lang"), k = 200, m = 10)
+        .orderBy("grp", "rank")
+    }),
     // ---- quality scoring (Gopher-style keep rule)
     "q51_quality" -> ((s, dir) => {
       TextAnalysis.quality(s.read.parquet(s"$dir/documents.parquet"),

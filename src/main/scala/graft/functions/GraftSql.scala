@@ -58,7 +58,10 @@ object GraftSql {
     "dot_q" -> (es => DotQExpr(es(0), es(1))),
     "kll_quantile" -> (es => KllQuantileAgg(es(0),
       doubleLit(es(1), "kll_quantile q"),
-      if (es.length > 2) intLit(es(2), "kll_quantile k") else 200)))
+      if (es.length > 2) intLit(es(2), "kll_quantile k") else 200)),
+    "heavy_hitters" -> (es => HeavyHittersAgg(es(0),
+      if (es.length > 1) intLit(es(1), "heavy_hitters k") else 200,
+      if (es.length > 2) intLit(es(2), "heavy_hitters m") else 20)))
 
   /** Register everything into an existing session (temp functions). */
   def registerAll(spark: SparkSession): Unit =

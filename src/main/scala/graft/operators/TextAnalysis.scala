@@ -92,6 +92,24 @@ object TextAnalysis {
       size(Dedup.tokens(textCol)).as("n_ws_tokens"),
       regexp_count(textCol, lit(WordPieceRegex)).as("n_wordpieces"))
 
+  /** Vocabulary statistics AT SCALE: mergeable SpaceSaving heavy-hitters
+    * summary per group (graft.functions.HeavyHittersAgg) instead of an
+    * exact token groupBy — exact counting shuffles every distinct token
+    * (fine at fixture scale, q56; a giant shuffle at 10^12 docs), the
+    * summary is O(k) state per group with map-side partials. Guarantee:
+    * every token with true frequency > n/k appears; est ∈ [true,
+    * true + n/k] (spec-gated on zipf data incl. the merge path).
+    * Output: one flat row per (group, rank) — no array columns.
+    */
+  def vocabSketch(df: DataFrame, textCol: Column, by: Column,
+                  k: Int = 200, m: Int = 20): DataFrame =
+    df.select(by.as("grp"), explode(Dedup.tokens(lower(textCol))).as("tok"))
+      .groupBy("grp")
+      .agg(graft.functions.HeavyHittersAgg.heavyHitters(col("tok"), k, m).as("_hh"))
+      .select(col("grp"), posexplode(col("_hh")))
+      .select(col("grp"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.item").as("token"), col("col.est_count"), col("col.max_err"))
+
   /** Deterministic hash-split bucket in [0, 100): reproducible sampling /
     * dataset splits keyed on a stable id — `(charHash(id·salt) mod 100)`.
     * Content-addressed (no RNG state, no partition sensitivity), identical

@@ -1,0 +1,86 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.SpaceSaving
+
+/** SpaceSaving heavy hitters: frequency guarantees on zipf data, merge
+  * path, distributed aggregate + vocabSketch plumbing.
+  */
+class HeavyHittersSpec extends AnyFunSuite {
+  lazy val spark = graft.SparkTestSession.spark
+
+  // zipf-ish corpus: token i has weight ~ 1/(i+1)
+  private def zipfTokens(n: Int, vocab: Int, seed: Long): Seq[String] = {
+    val rnd = new scala.util.Random(seed)
+    val weights = (0 until vocab).map(i => 1.0 / (i + 1))
+    val cum = weights.scanLeft(0.0)(_ + _).tail
+    val total = cum.last
+    (0 until n).map { _ =>
+      val x = rnd.nextDouble() * total
+      val i = cum.indexWhere(_ >= x)
+      s"tok$i"
+    }
+  }
+
+  test("SpaceSaving guarantee: freq > n/k items present, est in [true, true+n/k]") {
+    val toks = zipfTokens(50000, 5000, 31)
+    val exact = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val s = new SpaceSaving(100)
+    toks.foreach(s.insert)
+    assert(s.n === toks.size)
+    val bound = toks.size / 100
+    val est = s.topK(100).map(t => t._1 -> (t._2, t._3)).toMap
+    for ((tok, f) <- exact if f > bound) {
+      assert(est.contains(tok), s"$tok freq=$f must be present (bound=$bound)")
+      val (e, err) = est(tok)
+      assert(e >= f && e <= f + bound, s"$tok est=$e true=$f")
+      assert(e - err <= f, s"reported error must cover the overestimate")
+    }
+  }
+
+  test("16-way merge keeps the guarantee (bounds sum)") {
+    val toks = zipfTokens(80000, 8000, 32)
+    val exact = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val parts = toks.grouped(5000).map { c =>
+      val s = new SpaceSaving(200); c.foreach(s.insert); s
+    }.toSeq
+    val merged = parts.reduce { (a, b) => a.merge(b); a }
+    assert(merged.n === toks.size)
+    val bound = toks.size / 200 * 2 // union-truncate merge can double the bound
+    val est = merged.topK(200).map(t => t._1 -> t._2).toMap
+    for ((tok, f) <- exact if f > bound) {
+      assert(est.contains(tok), s"$tok freq=$f bound=$bound")
+      assert(est(tok) >= f && est(tok) <= f + bound, s"$tok est=${est(tok)} true=$f")
+    }
+  }
+
+  test("serialize roundtrip preserves counters") {
+    val s = new SpaceSaving(50)
+    zipfTokens(5000, 500, 33).foreach(s.insert)
+    val r = SpaceSaving.deserialize(s.serialize())
+    assert(r.n === s.n)
+    assert(r.topK(50).toSeq === s.topK(50).toSeq)
+  }
+
+  test("vocabSketch: top tokens per group match exact top-k on fixture docs") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val sk = graft.operators.TextAnalysis.vocabSketch(docs, col("text"), col("lang"),
+        k = 500, m = 5)
+      .collect().groupBy(_.getString(0))
+    // exact top-5 per lang (small corpus ⇒ sketch must agree on the head)
+    val exact = docs.select(col("lang"), explode(
+        graft.operators.Dedup.tokens(lower(col("text")))).as("tok"))
+      .groupBy("lang", "tok").count()
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("lang")
+          .orderBy(col("count").desc, col("tok"))))
+      .where(col("rank") <= 5)
+      .collect().groupBy(_.getString(0))
+    for ((lang, rows) <- exact) {
+      val exTop = rows.sortBy(_.getInt(3)).map(r => r.getString(1)).toSeq
+      val skTop = sk(lang).sortBy(_.getLong(1)).map(_.getString(2)).toSeq
+      assert(skTop === exTop, s"lang=$lang")
+    }
+  }
+}
