@@ -318,6 +318,22 @@ object SparkEntry {
         .select(col("snap_ts"), col("event_id"))
         .orderBy("snap_ts", "event_id")
     }),
+    // ---- interval × interval overlap join (bin bucketing, first-shared-bin
+    //      dedupe-free emission)
+    "q35_interval_overlap" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .where(col("user_id") % 20 === 0)
+      def ivs(par: Int) = ev.where(col("event_id") % 2 === par)
+        .select(col("event_id"), col("ts").as("t_start"),
+          (col("ts").cast("timestamp").cast("long") + (col("event_id") % 7 + 1) * 3600L)
+            .cast("timestamp").as("t_end"))
+      graft.operators.TemporalJoin.intervalOverlapJoin(
+          ivs(0).withColumnRenamed("event_id", "id_a"), col("t_start"), col("t_end"),
+          ivs(1).withColumnRenamed("event_id", "id_b"),
+          col("t_start"), col("t_end"))
+        .select("id_a", "id_b")
+        .orderBy("id_a", "id_b")
+    }),
     // ---- E: gap-based sessionization (30-min inactivity ends a session)
     "q20_sessionize" -> ((s, dir) => {
       val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -759,6 +775,14 @@ object SparkEntry {
          |  ON epoch(CAST(sn.snap_ts AS TIMESTAMP)) BETWEEN iv.s AND iv.e
          |ORDER BY snap_ts, event_id""".stripMargin
     },
+    "q35_interval_overlap" ->
+      """WITH base AS (SELECT event_id, epoch(ts) AS s,
+        |  epoch(ts) + (event_id % 7 + 1) * 3600 AS e
+        |  FROM events WHERE user_id % 20 = 0),
+        |a AS (SELECT event_id AS id_a, s, e FROM base WHERE event_id % 2 = 0),
+        |b AS (SELECT event_id AS id_b, s, e FROM base WHERE event_id % 2 = 1)
+        |SELECT a.id_a, b.id_b FROM a JOIN b ON a.s <= b.e AND b.s <= a.e
+        |ORDER BY id_a, id_b""".stripMargin,
     "q20_sessionize" ->
       """WITH g AS (SELECT user_id, ts, event_id,
         |  CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800

@@ -45,4 +45,31 @@ object TemporalJoin {
       .where(col("_t") >= col("_s") && col("_t") <= col("_e"))
       .drop("_bin", "_s", "_e", "_t")
   }
+
+  /** All (left, right) interval pairs that OVERLAP (aStart ≤ bEnd ∧
+    * bStart ≤ aEnd, inclusive). Both sides explode to bins, so a pair can
+    * meet in several bins — the join emits it only in the FIRST shared bin
+    * (max of the two start bins), keeping the output duplicate-free
+    * without a distinct stage.
+    *
+    * Scale: same bin contract as [[intervalInstantJoin]]; explode factor
+    * is len/bin per side, and the no-dedupe trick means no wide shuffle
+    * after the join.
+    */
+  def intervalOverlapJoin(left: DataFrame, lStart: Column, lEnd: Column,
+                          right: DataFrame, rStart: Column, rEnd: Column,
+                          binSeconds: Long = 3600L): DataFrame = {
+    require(binSeconds > 0)
+    def binned(df: DataFrame, s: Column, e: Column, p: String): DataFrame =
+      df.withColumn(s"_s$p", s.cast("timestamp").cast("long"))
+        .withColumn(s"_e$p", e.cast("timestamp").cast("long"))
+        .withColumn(s"_b0$p", floor(col(s"_s$p") / binSeconds).cast("long"))
+        .withColumn("_bin", explode(sequence(col(s"_b0$p"),
+          floor(col(s"_e$p") / binSeconds).cast("long"))))
+    binned(left, lStart, lEnd, "a")
+      .join(binned(right, rStart, rEnd, "b"), Seq("_bin"))
+      .where(col("_sa") <= col("_eb") && col("_sb") <= col("_ea") &&
+        col("_bin") === greatest(col("_b0a"), col("_b0b"))) // first shared bin only
+      .drop("_bin", "_sa", "_ea", "_b0a", "_sb", "_eb", "_b0b")
+  }
 }

@@ -39,6 +39,35 @@ class TemporalJoinSpec extends AnyFunSuite {
     assert(expect.nonEmpty)
   }
 
+  test("interval overlap join equals brute force; multiplicity exactly 1") {
+    val rnd = new scala.util.Random(22)
+    val base = 1700000000L
+    def mk(n: Int, seed: Int) = {
+      val r2 = new scala.util.Random(seed)
+      (0L until n.toLong).map { i =>
+        val s = base + r2.nextInt(200000)
+        (i, s, s + (if (i % 4 == 0) r2.nextInt(30) else r2.nextInt(90000)))
+      }
+    }
+    val as = mk(120, 1); val bs = mk(150, 2)
+    def df(rows: Seq[(Long, Long, Long)], idName: String) =
+      rows.toDF(idName, "s_sec", "e_sec")
+        .select(col(idName), col("s_sec").cast("timestamp").as("t_start"),
+          col("e_sec").cast("timestamp").as("t_end"))
+    val expect = (for {
+      (ia, sa, ea) <- as; (ib, sb, eb) <- bs if sa <= eb && sb <= ea
+    } yield (ia, ib)).toSet
+    for (bin <- Seq(600L, 3600L, 86400L)) {
+      val rowsOut = TemporalJoin.intervalOverlapJoin(
+          df(as, "id_a"), col("t_start"), col("t_end"),
+          df(bs, "id_b"), col("t_start"), col("t_end"), bin)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(rowsOut.length === rowsOut.toSet.size, s"duplicates at bin=$bin")
+      assert(rowsOut.toSet === expect, s"bin=$bin")
+    }
+    assert(expect.nonEmpty)
+  }
+
   test("no dedupe stage needed: output multiplicity is exactly 1") {
     val ivDf = Seq((1L, 1700000000L, 1700260000L)).toDF("id", "s", "e")
       .select(col("id"), col("s").cast("timestamp").as("t_start"),
