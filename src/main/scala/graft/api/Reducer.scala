@@ -54,6 +54,14 @@ final case class Reducer(df: DataFrame, keys: Seq[(String, Column)]) {
   /** D6 at scale: HLL sketch (flagged non-exact; no oracle twin). */
   def countUniqApprox(c: Column, as: String = "n_uniq_approx"): DataFrame =
     grouped.agg(approx_count_distinct(c).as(as))
+  /** D6 incremental: MERGEABLE HLL sketch as a stored column
+    * (Spark's Datasketches builtins) — per-batch sketches union with
+    * `hll_union_agg`, so distinct counts compose across Iceberg-style
+    * appends without re-scanning old data (the incremental-stats pattern;
+    * ReducerSpec gates union-vs-rescan equality).
+    */
+  def uniqSketch(c: Column, as: String = "uniq_sketch"): DataFrame =
+    grouped.agg(hll_sketch_agg(c).as(as))
   /** D7: exact quantiles on small/medium groups (reference uses a t-digest
     * sketch; we expose Spark's exact percentile + approx_percentile for the
     * sketch path). */

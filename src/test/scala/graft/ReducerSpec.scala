@@ -61,4 +61,30 @@ class ReducerSpec extends AnyFunSuite {
       .collect().map(x => (x.getString(0), x.getDouble(1))).toSet
     assert(got == Set(("a", 5.0 / 3), ("b", 15.0)))
   }
+
+  test("uniqSketch: per-batch HLL sketches union to the full-scan estimate") {
+    import org.apache.spark.sql.functions._
+    val full = spark.range(0, 20000).select((col("id") % 7).as("g"), (col("id") % 4321).as("v"))
+    // two disjoint "appends" sketched separately, then unioned — must agree
+    // with sketching the whole table in one pass (mergeability), and land
+    // within HLL error of the exact distinct count
+    val batches = Seq(full.where(col("id") % 2 === 0), full.where(col("id") % 2 === 1))
+      .map(b => Reducer.on(b).aggregateBy("g", col("g")).uniqSketch(col("v")))
+    val unioned = batches.reduce(_ union _)
+      .groupBy("g").agg(hll_union_agg(col("uniq_sketch")).as("sk"))
+      .select(col("g"), hll_sketch_estimate(col("sk")).as("est"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val onePass = Reducer.on(full).aggregateBy("g", col("g")).uniqSketch(col("v"))
+      .select(col("g"), hll_sketch_estimate(col("uniq_sketch")).as("est"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // union-of-parts and one-pass sketches agree to within sketch error
+    // (not bit-identical: sparse/dense register transitions differ), and
+    // both land within HLL error of the exact count
+    val exact = full.groupBy("g").agg(countDistinct("v").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for ((g, n) <- exact) {
+      assert(math.abs(unioned(g) - onePass(g)).toDouble / n < 0.02, s"g=$g union vs one-pass")
+      assert(math.abs(unioned(g) - n).toDouble / n < 0.05, s"g=$g est=${unioned(g)} exact=$n")
+    }
+  }
 }
