@@ -68,6 +68,22 @@ class TemporalJoinSpec extends AnyFunSuite {
     assert(expect.nonEmpty)
   }
 
+  test("temporal joins compile to equi-joins (no range/nested-loop node)") {
+    val ivDf = Seq((1L, 1700000000L, 1700003600L)).toDF("id", "s", "e")
+      .select(col("id"), col("s").cast("timestamp").as("t_start"),
+        col("e").cast("timestamp").as("t_end"))
+    val tsDf = Seq((1L, 1700000100L)).toDF("tid", "t")
+      .select(col("tid"), col("t").cast("timestamp").as("at"))
+    for (plan <- Seq(
+        TemporalJoin.intervalInstantJoin(ivDf, col("t_start"), col("t_end"), tsDf, col("at")),
+        TemporalJoin.intervalOverlapJoin(ivDf, col("t_start"), col("t_end"),
+          ivDf.withColumnRenamed("id", "id2"), col("t_start"), col("t_end")))) {
+      val s = plan.queryExecution.executedPlan.toString
+      assert(!s.contains("BroadcastNestedLoopJoin"), s.take(800))
+      assert(!s.contains("CartesianProduct"), s.take(800))
+    }
+  }
+
   test("no dedupe stage needed: output multiplicity is exactly 1") {
     val ivDf = Seq((1L, 1700000000L, 1700260000L)).toDF("id", "s", "e")
       .select(col("id"), col("s").cast("timestamp").as("t_start"),
