@@ -245,7 +245,12 @@ object Raycast {
       val v = (0 until n).find { k =>
         val (x, y) = (rings(i).xs(k), rings(i).ys(k))
         rings.indices.forall(j => j == i || classify(x, y, singles(j)) != 2)
-      }.getOrElse(0)
+      }.getOrElse(throw new IllegalArgumentException(
+        // every vertex of ring i lies on some other ring's boundary — a
+        // degenerate even-odd set (duplicate/overlapping rings); a silent
+        // vertex-0 fallback here could misclassify nesting, so reject
+        s"ring $i of ${rings.length}: every vertex lies on another ring's " +
+          "boundary — degenerate ring set (duplicate or edge-sharing rings)"))
       (rings(i).xs(v), rings(i).ys(v))
     }.toArray
   }

@@ -33,8 +33,15 @@ object GeoMetrics {
     * nesting depth (shell, island-in-hole, …) adds its area; odd depth
     * (hole) subtracts — correct for plain polygons-with-holes AND
     * multipolygons in one rule (Raycast.ringDepths).
+    *
+    * Cost note: ringDepths is O(rings² · vertices²) — fine for the flat
+    * even-odd sets the filter path sees (few rings), but when the caller
+    * already HOLDS a structured JTS geometry (shell/hole membership known),
+    * use [[areaOfJts]] instead: same value, O(rings · vertices), no raycast.
+    * The 1-ring case short-circuits here too.
     */
   def areaOf(p: PolyM): Double = {
+    if (p.rings.length == 1) return ringArea(p.rings(0))
     val depths = Raycast.ringDepths(p.rings)
     var a = 0.0
     var i = 0
@@ -43,6 +50,36 @@ object GeoMetrics {
       i += 1
     }
     math.max(a, 0.0)
+  }
+
+  /** Area from an already-structured JTS Polygon/MultiPolygon: shells add,
+    * holes subtract, members sum — no ring-nesting search (JTS encodes the
+    * nesting; a MultiPolygon's island-in-hole is its own member Polygon).
+    * Exactly the value [[areaOf]] computes on the flattened even-odd ring
+    * set, at O(rings · vertices). The WKB metric path (withGeoMetrics) uses
+    * this — the round-2 areaOf switch to ringDepths made that path
+    * quadratic in rings·vertices for many-ring multipolygons.
+    */
+  def areaOfJts(g: org.locationtech.jts.geom.Geometry): Double = {
+    def ringOf(ls: org.locationtech.jts.geom.LineString): RingM = {
+      val cs = ls.getCoordinates
+      val n = cs.length - 1 // drop closing duplicate; RingM wraps implicitly
+      RingM(Array.tabulate(n)(i => Math.round(cs(i).x)), Array.tabulate(n)(i => Math.round(cs(i).y)))
+    }
+    g match {
+      case p: org.locationtech.jts.geom.Polygon =>
+        var a = ringArea(ringOf(p.getExteriorRing))
+        var i = 0
+        while (i < p.getNumInteriorRing) { a -= ringArea(ringOf(p.getInteriorRingN(i))); i += 1 }
+        math.max(a, 0.0)
+      case mp: org.locationtech.jts.geom.MultiPolygon =>
+        var a = 0.0
+        var i = 0
+        while (i < mp.getNumGeometries) { a += areaOfJts(mp.getGeometryN(i)); i += 1 }
+        a
+      case other =>
+        throw new IllegalArgumentException(s"not polygonal: ${other.getGeometryType}")
+    }
   }
 
   /** Haversine great-circle distance (m) between two micro-degree points. */

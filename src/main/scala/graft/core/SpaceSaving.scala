@@ -5,7 +5,13 @@ package graft.core
   * at most `k` counters; an unseen item evicts the minimum counter and
   * inherits its count as overestimation error. Guarantees with n items
   * processed: every item with true frequency > n/k is present, and
-  * est ∈ [true, true + err] with err ≤ n/k (merges sum the bounds).
+  * est ∈ [true, true + err] — ONE-SIDED, preserved across [[merge]]:
+  * an item absent from a full summary has true count ≤ that summary's
+  * minimum counter there, so merge adds the other side's min counter to
+  * one-sided-absent items before truncating to the k largest (the standard
+  * mergeable-summaries fix — a plain union-sum-truncate would UNDERcount
+  * items tracked in only one summary). `err` sums the per-side bounds, so
+  * post-merge it can reach Σ nᵢ/k over the merged inputs (spec-gated).
   *
   * The corpus-scale path for vocabulary / top-token statistics: exact
   * word counting shuffles every distinct token; this aggregates to a
@@ -41,14 +47,43 @@ final class SpaceSaving(val k: Int) extends Serializable {
     }
   }
 
-  /** Merge another summary in (union-sum, then truncate back to k). */
+  /** Minimum counter value IF the summary is at capacity (an item absent
+    * from a full summary has true count ≤ this); 0 when under capacity
+    * (absence then means true count 0).
+    */
+  private def minCount: Long = {
+    if (counters.size < k) return 0L
+    var m = Long.MaxValue
+    val it = counters.values().iterator()
+    while (it.hasNext) { val v = it.next()(0); if (v < m) m = v }
+    m
+  }
+
+  /** Merge another summary in: items in both sum; items in only one side
+    * gain the OTHER side's min counter (count upper bound for an item the
+    * other summary silently absorbed), then truncate to the k largest —
+    * keeps est ≥ true through arbitrary merge trees (Agarwal et al.).
+    */
   def merge(other: SpaceSaving): Unit = {
+    val m1 = minCount       // this side's bound, BEFORE mutation
+    val m2 = other.minCount // other side's bound
+    val onlyThis = new java.util.HashSet[String](counters.keySet())
     val it = other.counters.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
       val cur = counters.get(e.getKey)
-      if (cur != null) { cur(0) += e.getValue()(0); cur(1) += e.getValue()(1) }
-      else counters.put(e.getKey, e.getValue().clone())
+      if (cur != null) {
+        cur(0) += e.getValue()(0); cur(1) += e.getValue()(1)
+        onlyThis.remove(e.getKey)
+      } else counters.put(e.getKey,
+        Array(e.getValue()(0) + m1, e.getValue()(1) + m1))
+    }
+    if (m2 > 0L) {
+      val oit = onlyThis.iterator()
+      while (oit.hasNext) {
+        val cur = counters.get(oit.next())
+        cur(0) += m2; cur(1) += m2
+      }
     }
     n += other.n
     if (counters.size > k) {

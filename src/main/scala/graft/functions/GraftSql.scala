@@ -3,7 +3,8 @@ package graft.functions
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.{DoubleType, StringType}
 
 /** SQL surface for the graft expressions: every codegen kernel callable
   * from `spark.sql(...)`. Two registration paths:
@@ -56,10 +57,14 @@ object GraftSql {
     "shingle_hashes" -> (es => ShingleHashesExpr(es(0), intLit(es(1), "shingle_hashes n"))),
     "minhash_from_hashes" -> (es => MinhashFromHashesExpr(es(0))),
     "dot_q" -> (es => DotQExpr(es(0), es(1))),
-    "kll_quantile" -> (es => KllQuantileAgg(es(0),
+    // the sketch aggregates read their child as Double/UTF8String internally
+    // — cast HERE so spark.sql calls on INT/DECIMAL columns behave like the
+    // Scala builders (which `.cast(...)` too) instead of throwing an opaque
+    // ClassCastException at runtime
+    "kll_quantile" -> (es => KllQuantileAgg(Cast(es(0), DoubleType),
       doubleLit(es(1), "kll_quantile q"),
       if (es.length > 2) intLit(es(2), "kll_quantile k") else 200)),
-    "heavy_hitters" -> (es => HeavyHittersAgg(es(0),
+    "heavy_hitters" -> (es => HeavyHittersAgg(Cast(es(0), StringType),
       if (es.length > 1) intLit(es(1), "heavy_hitters k") else 200,
       if (es.length > 2) intLit(es(2), "heavy_hitters m") else 20)))
 

@@ -135,10 +135,30 @@ object Knn {
         .select("qid", "neighbor_id", "rank", "d2")
     }
 
+    // straggler guard: past this ring size the candidate-cell list is more
+    // expensive than scanning everything — brute-force the whole query set
+    // (broadcast queries × one point-table pass + per-query top-k), exact
+    val maxRingCellsPerQuery = 100000L
+
+    def bruteForce(): DataFrame = {
+      val qDf = queries.map(q => (q.qid, q.lonm, q.latm)).toDF("qid", "_qlon", "_qlat")
+      val d2 = (col("_plon") - col("_qlon")) * (col("_plon") - col("_qlon")) +
+               (col("_plat") - col("_qlat")) * (col("_plat") - col("_qlat"))
+      val w = Window.partitionBy("qid").orderBy(col("d2"), col("neighbor_id"))
+      pts.join(broadcast(qDf))
+        .withColumn("d2", d2)
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= k)
+        .select("qid", "neighbor_id", "rank", "d2")
+    }
+
     var r = math.max(1, r0)
     var done = false
     var result: DataFrame = null
     while (!done) {
+      if ((2L * r + 1) * (2L * r + 1) > maxRingCellsPerQuery) {
+        return bruteForce()
+      }
       result = topk(r)
       if (r >= maxR) done = true
       else {
@@ -192,20 +212,30 @@ object Knn {
     var acc: DataFrame = null
     var r = math.max(1, r0)
     var remaining = active.limit(1).count()
+    // straggler guard (sparse regions, |points| < k): RingCellsExpr
+    // materializes a (2r+1)² long array PER ACTIVE ROW — at level 12 the
+    // final doubling rounds would allocate ~16M-element (~128 MB) arrays and
+    // OOM the executor before r ≥ maxR terminates. Past this cap, remaining
+    // stragglers switch to a direct full-scan top-k (no ring explosion);
+    // exact because the full scan needs no pruning bound.
+    val maxRingCellsPerQuery = 100000L
     while (remaining > 0) {
-      val cand = active.withColumn("_pcell",
-        explode(ringCells(col("_qlon"), col("_qlat"), level, r)))
+      val ringTooBig = (2L * r + 1) * (2L * r + 1) > maxRingCellsPerQuery
       val d2 = (col("_plon") - col("_qlon")) * (col("_plon") - col("_qlon")) +
                (col("_plat") - col("_qlat")) * (col("_plat") - col("_qlat"))
       val w = Window.partitionBy("qid").orderBy(col("d2"), col("neighbor_id"))
-      val topk = pts.join(cand, Seq("_pcell"))
+      val joined =
+        if (ringTooBig) pts.join(broadcast(active)) // stragglers are few: broadcast × full scan
+        else pts.join(active.withColumn("_pcell",
+          explode(ringCells(col("_qlon"), col("_qlat"), level, r))), Seq("_pcell"))
+      val topk = joined
         .withColumn("d2", d2)
         .withColumn("rank", row_number().over(w))
         .where(col("rank") <= k)
         .select("qid", "neighbor_id", "rank", "d2")
       val bound = r.toLong * minSpan
       val doneIds =
-        if (r >= maxR) active.select("qid") // whole world explored
+        if (r >= maxR || ringTooBig) active.select("qid") // whole world explored
         else topk.groupBy("qid")
           .agg(count(lit(1)).as("_n"), max("d2").as("_kd2"))
           .where(col("_n") === k && col("_kd2") < bound * bound)

@@ -152,7 +152,10 @@ object SpatialJoin {
       it.map { r =>
         val g = Jts.fromWkb(r.getAs[Array[Byte]](wkbIdx))
         val p = Jts.fromJtsAny(g) // Polygon OR MultiPolygon (H1)
-        Row.fromSeq(r.toSeq ++ Seq(GeoMetrics.areaOf(p), GeoMetrics.perimeterOf(p),
+        // area from the STRUCTURED geometry (shell/hole known) — the
+        // flattened-ring areaOf would redo ring nesting via raycast,
+        // O(rings²·vertices²) on many-ring multipolygons
+        Row.fromSeq(r.toSeq ++ Seq(GeoMetrics.areaOfJts(g), GeoMetrics.perimeterOf(p),
           g.getGeometryType.toLowerCase, p.rings.map(_.xs.length).sum))
       }
     }(enc)

@@ -32,6 +32,21 @@ class GeoMetricsSpec extends AnyFunSuite {
     assert(math.abs(holed - full * (1 - 0.25)) / full < 0.01)
   }
 
+  test("areaOfJts equals even-odd areaOf on polygons, holes, multipolygons") {
+    // structured-JTS path (shell-minus-holes, no ring-nesting raycast) must
+    // agree with the flattened even-odd path bit-for-bit on the same rings
+    val shell = squareRing(0, 0, 2)
+    val hole = squareRing(0.5, 0.5, 1)
+    val island = squareRing(10, 10, 1)
+    for (p <- Seq(
+        PolyM(Array(shell)),
+        PolyM(Array(shell, hole)),
+        PolyM(Array(shell, hole, island)))) {
+      val viaJts = areaOfJts(Jts.toJtsEvenOdd(p))
+      assert(viaJts === areaOf(p), s"rings=${p.rings.length}")
+    }
+  }
+
   test("1-degree meridian arc is ~111.195 km; perimeter sums rings") {
     val d = haversine(0, 0, 0, (1 * M))
     assert(math.abs(d - 111194.93) < 10)

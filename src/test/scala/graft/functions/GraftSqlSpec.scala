@@ -52,6 +52,21 @@ class GraftSqlSpec extends AnyFunSuite {
     rows.foreach(r => assert(math.abs(r.getDouble(1) - 5000.0) < 400.0, r.toString))
   }
 
+  test("sketch aggregates accept non-double / non-string SQL columns") {
+    // round-2 advice: the SQL builders passed the child uncast, so an INT
+    // column hit asInstanceOf[Double] / [UTF8String] with an opaque
+    // ClassCastException; the builders now Cast like the Scala API does
+    spark.range(1, 1001).selectExpr("id % 3 AS g", "CAST(id AS INT) AS vi", "id AS vl")
+      .createOrReplaceTempView("sqlcast")
+    val med = spark.sql(
+      "SELECT g, kll_quantile(vi, 0.5) AS med FROM sqlcast GROUP BY g ORDER BY g").collect()
+    assert(med.length === 3)
+    med.foreach(r => assert(math.abs(r.getDouble(1) - 500.0) < 100.0, r.toString))
+    val hh = spark.sql(
+      "SELECT heavy_hitters(vl % 5, 10, 3) AS hh FROM sqlcast").collect().head
+    assert(hh.getSeq[org.apache.spark.sql.Row](0).length === 3)
+  }
+
   test("non-literal plan-time argument fails with a clear message") {
     import spark.implicits._
     Seq((1L, 4)).toDF("lonm", "lvl").createOrReplaceTempView("badargs")

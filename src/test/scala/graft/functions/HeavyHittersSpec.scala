@@ -47,12 +47,39 @@ class HeavyHittersSpec extends AnyFunSuite {
     }.toSeq
     val merged = parts.reduce { (a, b) => a.merge(b); a }
     assert(merged.n === toks.size)
-    val bound = toks.size / 200 * 2 // union-truncate merge can double the bound
+    // min-count-additive merge: overestimate ≤ Σ per-part mins ≤ n/k overall
+    val bound = toks.size / 200
     val est = merged.topK(200).map(t => t._1 -> t._2).toMap
     for ((tok, f) <- exact if f > bound) {
       assert(est.contains(tok), s"$tok freq=$f bound=$bound")
       assert(est(tok) >= f && est(tok) <= f + bound, s"$tok est=${est(tok)} true=$f")
     }
+  }
+
+  test("merge never underestimates items tracked on only one side") {
+    // round-2 advice counterexample, deterministic: "solo" has 5 true
+    // occurrences ABSORBED into summary A's evictions (it was tracked, then
+    // evicted — its mass lives inside A's surviving counters) plus 7 tracked
+    // in B. A plain union-sum-truncate merge reports est(solo) = 7 < 12 —
+    // an UNDERestimate. The min-count-additive merge must stay one-sided.
+    val a = new SpaceSaving(2)
+    for (_ <- 0 until 10) { a.insert("a"); a.insert("b") }
+    for (_ <- 0 until 5) a.insert("solo")  // evicts "a", solo est 15 err 10
+    a.insert("d")                           // evicts "b"
+    for (_ <- 0 until 16) a.insert("e")     // evicts "d"
+    for (_ <- 0 until 16) a.insert("f")     // evicts "solo" — now absent from A
+    assert(!a.topK(2).exists(_._1 == "solo"))
+    val aMin = a.topK(2).map(_._2).min
+    assert(aMin >= 5L, "absent item's true count must be <= A's min counter")
+    val b = new SpaceSaving(2)
+    for (_ <- 0 until 7) b.insert("solo")
+    val trueSolo = 12L // 5 absorbed in A + 7 in B
+    a.merge(b)
+    val sm = a.topK(2).map(t => t._1 -> (t._2, t._3)).toMap
+    assert(sm.contains("solo"), "heaviest merged item must survive truncation")
+    val (e, err) = sm("solo")
+    assert(e >= trueSolo, s"est=$e must not underestimate true=$trueSolo")
+    assert(e - err <= trueSolo, s"err=$err must cover the overestimate")
   }
 
   test("serialize roundtrip preserves counters") {

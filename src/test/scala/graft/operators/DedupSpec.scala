@@ -99,6 +99,24 @@ class DedupSpec extends AnyFunSuite {
     assert(got === expect)
   }
 
+  test("dupClusters: long chain converges via pointer-doubling shortcut") {
+    import spark.implicits._
+    // a 200-link path graph: plain min-label propagation needs 200 rounds;
+    // the shortcut halves chain depth per round so it must finish well
+    // inside the default maxRounds (round-2 verdict hazard: unconverged
+    // labels returned silently)
+    val chain = (0L until 200L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.dupClusters(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.length === 201)
+    assert(got.forall(_._2 == 0L), "every node labels to the chain minimum")
+    // a maxRounds too small to converge must RAISE, not return wrong labels
+    val e = intercept[IllegalArgumentException] {
+      Dedup.dupClusters(chain, maxRounds = 2).collect()
+    }
+    assert(e.getMessage.contains("converge"))
+  }
+
   test("near-dup plans contain no cartesian or nested-loop joins") {
     val df = docs.toDF("doc_id", "text")
     for (plan <- Seq(

@@ -104,6 +104,36 @@ class KnnSpec extends AnyFunSuite {
     assert(got.columns.toSeq === Seq("qid", "neighbor_id", "rank", "d2"))
   }
 
+  test("straggler ring explosion falls back to full-scan top-k (exact)") {
+    // r0 large enough that (2r+1)^2 exceeds the ring-cell cap immediately:
+    // the DataFrame join must take the broadcast full-scan path instead of
+    // materializing a ~160k-element ring array per query row, and stay exact
+    val rnd = new scala.util.Random(99)
+    val pts = (0L until 300L).map(i =>
+      (i, rnd.nextLong(340000000L) - 170000000L, rnd.nextLong(160000000L) - 80000000L))
+    val qs = (0L until 5L).map(j =>
+      (j, rnd.nextLong(340000000L) - 170000000L, rnd.nextLong(160000000L) - 80000000L))
+    val df = spark.createDataFrame(pts).toDF("id", "lonm", "latm")
+    val qdf = spark.createDataFrame(qs).toDF("qid", "lonm", "latm")
+    val got = Knn.knnJoinDf(spark, df, col("id"), col("lonm"), col("latm"),
+        qdf, col("qid"), col("lonm"), col("latm"), k = 4, level = 12, r0 = 200)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+      .groupBy(_._1)
+    for ((qid, qx, qy) <- qs) {
+      val exp = bruteForce(pts, Knn.QueryPt(qid, qx, qy), 4)
+      assert(got(qid).sortBy(_._3).map(r => (r._2, r._4)).toSeq === exp, s"query $qid")
+    }
+    // driver-side variant takes the same guard
+    val got2 = Knn.knnJoin(spark, df, col("id"), col("lonm"), col("latm"),
+        qs.map(q => Knn.QueryPt(q._1, q._2, q._3)), k = 4, level = 12, r0 = 200)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+      .groupBy(_._1)
+    for ((qid, qx, qy) <- qs) {
+      val exp = bruteForce(pts, Knn.QueryPt(qid, qx, qy), 4)
+      assert(got2(qid).sortBy(_._3).map(r => (r._2, r._4)).toSeq === exp, s"query $qid")
+    }
+  }
+
   test("k exceeding the table size returns the whole table ranked") {
     val pts = Seq((1L, 0L, 0L), (2L, 1000000L, 0L), (3L, -2000000L, 500000L))
     val df = spark.createDataFrame(pts).toDF("id", "lonm", "latm")
