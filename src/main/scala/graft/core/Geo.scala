@@ -130,20 +130,45 @@ object ZGrid {
     * primitive of the DataFrame-valued kNN join (computed per query row
     * inside a codegen expression; no driver-side query set).
     */
-  def ringCells(z: Int, lonm: Long, latm: Long, r: Int): Array[Long] = {
-    val max = (1L << z) - 1
+  def ringCells(z: Int, lonm: Long, latm: Long, r: Int): Array[Long] =
+    ringCells(z, lonm, latm, r, false)
+
+  /** @param wrapX wrap the x (longitude) axis modulo 2^z instead of
+    *        clamping — required for GEODESIC covers, where a disk near
+    *        ±180 or a pole spans the longitude seam (the planar metric
+    *        never wraps: planar distance across the seam is large). The y
+    *        axis always clamps (latitude is not periodic). When 2r+1 ≥ 2^z
+    *        the wrapped columns dedupe to the full width.
+    */
+  def ringCells(z: Int, lonm: Long, latm: Long, r: Int, wrapX: Boolean): Array[Long] = {
+    val n = 1L << z
+    val max = n - 1
     val qx = xAt(z, lonm); val qy = yAt(z, latm)
-    val x0 = math.max(0L, qx - r); val x1 = math.min(max, qx + r)
     val y0 = math.max(0L, qy - r); val y1 = math.min(max, qy + r)
-    val out = new Array[Long](((x1 - x0 + 1) * (y1 - y0 + 1)).toInt)
-    var i = 0
-    var x = x0
-    while (x <= x1) {
-      var y = y0
-      while (y <= y1) { out(i) = Morton.encode(x, y); i += 1; y += 1 }
-      x += 1
+    if (!wrapX) {
+      val x0 = math.max(0L, qx - r); val x1 = math.min(max, qx + r)
+      val out = new Array[Long](((x1 - x0 + 1) * (y1 - y0 + 1)).toInt)
+      var i = 0
+      var x = x0
+      while (x <= x1) {
+        var y = y0
+        while (y <= y1) { out(i) = Morton.encode(x, y); i += 1; y += 1 }
+        x += 1
+      }
+      out
+    } else {
+      val width = math.min(2L * r + 1, n)
+      val out = new Array[Long]((width * (y1 - y0 + 1)).toInt)
+      var i = 0
+      var dx = 0L
+      while (dx < width) {
+        val x = java.lang.Math.floorMod(qx - r + dx, n)
+        var y = y0
+        while (y <= y1) { out(i) = Morton.encode(x, y); i += 1; y += 1 }
+        dx += 1
+      }
+      out
     }
-    out
   }
 }
 
@@ -157,6 +182,29 @@ final case class BBoxM(lonMin: Long, latMin: Long, lonMax: Long, latMax: Long) {
     lonMin >= o.lonMin && lonMax <= o.lonMax && latMin >= o.latMin && latMax <= o.latMax
   def contains(lonMicro: Long, latMicro: Long): Boolean =
     lonMicro >= lonMin && lonMicro <= lonMax && latMicro >= latMin && latMicro <= latMax
+}
+
+/** Antimeridian (±180°) seam handling: a bbox with lonMin > lonMax is read
+  * as CROSSING the seam (Fiji/Chukotka extracts); geometries may carry
+  * extended longitudes beyond ±180e6 before splitting. Upstream's XYGrid
+  * has the same seam limitation — this closes it by splitting seam-crossing
+  * shapes into ≤2 ordinary halves that flow through the unchanged cover /
+  * raycast / join machinery (SURVEY §8 hard-part (c)).
+  */
+object Seam {
+  import FixedPoint._
+
+  def crosses(b: BBoxM): Boolean = b.lonMin > b.lonMax
+
+  /** Split a possibly-seam-crossing bbox into 1–2 ordinary bboxes. */
+  def splitBBox(b: BBoxM): Seq[BBoxM] =
+    if (!crosses(b)) Seq(b)
+    else Seq(BBoxM(b.lonMin, b.latMin, LON_MIN + LON_RANGE, b.latMax),
+      BBoxM(LON_MIN, b.latMin, b.lonMax, b.latMax))
+
+  /** Cells intersecting a possibly-seam-crossing bbox (union of halves). */
+  def bboxCells(z: Int, b: BBoxM): Iterator[(Long, Long)] =
+    splitBBox(b).iterator.flatMap(ZGrid.bboxCells(z, _))
 }
 
 /** A polygon ring as parallel fixed-point coordinate arrays; closed
@@ -183,6 +231,39 @@ final case class PolyM(rings: Array[RingM]) {
       if (r.ys(i) < la) la = r.ys(i); if (r.ys(i) > ha) ha = r.ys(i)
     }
     BBoxM(lo, la, ho, ha)
+  }
+}
+
+/** Compact wire form for PolyM (ring count, per-ring vertex count + coord
+  * longs) — the refine side of the DISTRIBUTED cover join carries polygon
+  * rings on partial cover rows; this codec is ~10× cheaper than WKB parse
+  * per probe (no JTS objects, straight longs).
+  */
+object PolyBytes {
+  def toBytes(p: PolyM): Array[Byte] = {
+    var size = 4
+    p.rings.foreach(r => size += 4 + 16 * r.xs.length)
+    val bb = java.nio.ByteBuffer.allocate(size)
+    bb.putInt(p.rings.length)
+    p.rings.foreach { r =>
+      bb.putInt(r.xs.length)
+      var i = 0
+      while (i < r.xs.length) { bb.putLong(r.xs(i)); bb.putLong(r.ys(i)); i += 1 }
+    }
+    bb.array()
+  }
+
+  def fromBytes(b: Array[Byte]): PolyM = {
+    val bb = java.nio.ByteBuffer.wrap(b)
+    val nr = bb.getInt()
+    val rings = Array.tabulate(nr) { _ =>
+      val n = bb.getInt()
+      val xs = new Array[Long](n); val ys = new Array[Long](n)
+      var i = 0
+      while (i < n) { xs(i) = bb.getLong(); ys(i) = bb.getLong(); i += 1 }
+      RingM(xs, ys)
+    }
+    PolyM(rings)
   }
 }
 

@@ -98,6 +98,35 @@ object Jts {
   }
 
   def prepare(g: Geometry): PreparedGeometry = PreparedGeometryFactory.prepare(g)
+
+  /** Split a geometry whose longitudes may extend past ±180e6 (the natural
+    * authoring form for a seam-crossing polygon: Fiji as [178e6, 182e6])
+    * into its in-world halves: the geometry itself and its ±360°-shifted
+    * copies, each clipped to the world box, keeping areal parts only.
+    * Each half is an ordinary polygon the cover/raycast path handles
+    * unchanged; a point row has ONE canonical longitude, so it can match
+    * at most one half — no duplicate join rows.
+    */
+  def splitAtSeam(g: Geometry): Seq[Geometry] = {
+    val world = bboxToJts(BBoxM(-180000000L, -90000000L, 180000000L, 90000000L))
+    val env = g.getEnvelopeInternal
+    if (env.getMinX >= -180000000.0 && env.getMaxX <= 180000000.0) return Seq(g)
+    def shifted(dx: Double): Geometry =
+      org.locationtech.jts.geom.util.AffineTransformation
+        .translationInstance(dx, 0).transform(g)
+    Seq(g, shifted(-360000000.0), shifted(360000000.0))
+      .map(_.intersection(world))
+      .flatMap(polygonalParts)
+  }
+
+  /** Areal components of a geometry (drops clip-boundary lines/points). */
+  private def polygonalParts(g: Geometry): Seq[Geometry] = g match {
+    case p: Polygon if !p.isEmpty => Seq(p)
+    case mp: MultiPolygon if !mp.isEmpty => Seq(mp)
+    case gc: GeometryCollection =>
+      (0 until gc.getNumGeometries).flatMap(i => polygonalParts(gc.getGeometryN(i)))
+    case _ => Seq.empty
+  }
 }
 
 /** One cover cell of a polygon: morton id at `level`, and whether the cell

@@ -71,14 +71,25 @@ object Fixtures {
   private def clampLon(v: Long) = math.max(-170000000L, math.min(170000000L, v))
   private def clampLat(v: Long) = math.max(-80000000L, math.min(80000000L, v))
 
+  /** (w, h) of image row i — exposed separately so oracle generators can
+    * derive expected per-image frame/pixel counts from the SAME rule
+    * without decoding anything (q62/q64 bound oracles).
+    */
+  def dimsOf(i: Long): (Int, Int) = {
+    val hw = Rand.mix(i ^ 0x0123456789abcdefL)
+    (Array(32, 64, 96)(java.lang.Long.remainderUnsigned(hw, 3).toInt),
+      Array(32, 64)(java.lang.Long.remainderUnsigned(hw >>> 8, 2).toInt))
+  }
+
+  /** fmt of image row i (same sharing rationale as [[dimsOf]]). */
+  def fmtOf(i: Long): String = if (i % 4 == 0) "png" else "raw"
+
   def imageRow(i: Long): ImageRow = {
     val (lonM, latM) = locOf(i)
     val phash = PhashLoc.encode(lonM, latM)
-    val hw = Rand.mix(i ^ 0x0123456789abcdefL)
-    val w = Array(32, 64, 96)(java.lang.Long.remainderUnsigned(hw, 3).toInt)
-    val h = Array(32, 64)(java.lang.Long.remainderUnsigned(hw >>> 8, 2).toInt)
+    val (w, h) = dimsOf(i)
     val px = ImageCodec.pixelsFromHash(phash, w, h)
-    val fmt = if (i % 4 == 0) "png" else "raw"
+    val fmt = fmtOf(i)
     val bytes = if (fmt == "png") ImageCodec.encodePng(px, w, h) else px
     val hc = Rand.mix(i ^ 0xfedcba9876543210L)
     val cityK = java.lang.Long.remainderUnsigned(hc, 8).toInt

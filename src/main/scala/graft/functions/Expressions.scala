@@ -38,7 +38,8 @@ case class ZCellExpr(lon: Expression, lat: Expression, level: Int)
   * DataFrame-valued kNN join. r and level are plan-time constants (a new
   * expression instance per expansion round).
   */
-case class RingCellsExpr(lon: Expression, lat: Expression, level: Int, r: Int)
+case class RingCellsExpr(lon: Expression, lat: Expression, level: Int, r: Int,
+                         wrapX: Boolean = false)
     extends BinaryExpression {
   override def nullIntolerant: Boolean = true
   override def left: Expression = lon
@@ -47,11 +48,11 @@ case class RingCellsExpr(lon: Expression, lat: Expression, level: Int, r: Int)
   override def prettyName: String = "ring_cells"
   override protected def nullSafeEval(l: Any, rt: Any): Any =
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
-      ZGrid.ringCells(level, l.asInstanceOf[Long], rt.asInstanceOf[Long], r))
+      ZGrid.ringCells(level, l.asInstanceOf[Long], rt.asInstanceOf[Long], r, wrapX))
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (l, rt) =>
       s"${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
-        s"graft.core.ZGrid$$.MODULE$$.ringCells($level, $l, $rt, $r));")
+        s"graft.core.ZGrid$$.MODULE$$.ringCells($level, $l, $rt, $r, $wrapX));")
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): RingCellsExpr =
     copy(lon = newLeft, lat = newRight)
 }
@@ -196,8 +197,9 @@ object GraftFunctions {
 
   def zcell(lonMicro: Column, latMicro: Column, level: Int): Column =
     column(ZCellExpr(expression(lonMicro), expression(latMicro), level))
-  def ringCells(lonMicro: Column, latMicro: Column, level: Int, r: Int): Column =
-    column(RingCellsExpr(expression(lonMicro), expression(latMicro), level, r))
+  def ringCells(lonMicro: Column, latMicro: Column, level: Int, r: Int,
+                wrapX: Boolean = false): Column =
+    column(RingCellsExpr(expression(lonMicro), expression(latMicro), level, r, wrapX))
   def phashLon(phash: Column): Column = column(PhashLonExpr(expression(phash)))
   def phashLat(phash: Column): Column = column(PhashLatExpr(expression(phash)))
   def raycastPip(lon: Column, lat: Column, polyId: Column,

@@ -64,6 +64,7 @@ object GraftSql {
     "kll_quantile" -> (es => KllQuantileAgg(Cast(es(0), DoubleType),
       doubleLit(es(1), "kll_quantile q"),
       if (es.length > 2) intLit(es(2), "kll_quantile k") else 200)),
+    "knn_topk" -> (es => KnnTopKAgg(es(0), intLit(es(1), "knn_topk k"))),
     "heavy_hitters" -> (es => HeavyHittersAgg(Cast(es(0), StringType),
       if (es.length > 1) intLit(es(1), "heavy_hitters k") else 200,
       if (es.length > 2) intLit(es(2), "heavy_hitters m") else 20)))

@@ -1,10 +1,10 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.core.{FixedPoint, ZGrid}
+import graft.core.{FixedPoint, Seam, ZGrid}
 import graft.functions.GraftFunctions._
+import graft.functions.KnnTopKAgg.knnTopK
 
 /** kNN join via iterative cell-ring expansion (SURVEY.md C4; BASELINE.json
   * north_star "kNN via iterative H3 k-ring expansion joins" — our grid is the
@@ -16,15 +16,30 @@ import graft.functions.GraftFunctions._
   *   (query_id, cell) is tiny (|Q| × (2r+1)²) and BROADCAST, so each round is
   *   one broadcast hash join against the big point table (zero shuffles on
   *   the point side) + a top-k per query over candidates only.
-  *   Stop when every query holds k neighbours whose kth distance is ≤ the
-  *   lower bound of any unexplored cell: a point outside radius r is
-  *   separated from the query by ≥ r whole cells ⇒ distance ≥ r·minCellSpan.
+  *   Stop when every query holds k neighbours whose kth distance is
+  *   strictly under the lower bound of any unexplored cell.
   *
-  * Distance metric: squared planar micro-degree distance — int64-exact
-  * (|Δ| ≤ 3.6e8 ⇒ Δ² ≤ 1.3e17, sum < 2.7e17 << 2^63), so ranks are
-  * bit-reproducible and DuckDB's brute-force cross join is an exact oracle.
-  * Ties broken by neighbour id. (Geodesic metrics would make the *pruning
-  * bound* approximate; planar is the deliberate v1 contract, documented.)
+  * Per-query top-k is a BOUNDED K-HEAP aggregate (KnnTopKAgg): map-side
+  * partial heaps (O(k) state), ≤ k pairs per query per map partition on the
+  * shuffle, no sort node — the `row_number` window it replaced sorted every
+  * query's full candidate set (round-2 verdict #8).
+  *
+  * Distance metrics (`metric` parameter):
+  *   - "planar" (default): squared planar micro-degree distance —
+  *     int64-exact (|Δ| ≤ 3.6e8 ⇒ Δ² ≤ 1.3e17, sum < 2.7e17 << 2^63), so
+  *     ranks are bit-reproducible and DuckDB's brute-force cross join is an
+  *     exact oracle. Ring bound: a point ≥ r whole cells away is
+  *     ≥ r·minCellSpan micro-degrees away.
+  *   - "haversine": great-circle meters (double; Spark builtin sin/cos/asin
+  *     — codegen, same formula text as the DuckDB twin). The ring bound is
+  *     latitude-aware: meridional separation gives d ≥ r·latSpan·m_per_deg;
+  *     pure-longitude separation gives d ≥ 2R·asin(cos φ_band ·
+  *     sin(r·lonSpan/2)) with φ_band = |φq| + (r+1)·latSpan (sin²(d/2R) ≥
+  *     cos φ1 cos φ2 sin²(Δλ/2)); the bound takes the min and collapses to
+  *     0 near the poles, where termination falls back to the world-covering
+  *     r ≥ maxR round. This is what real spatial users need at high
+  *     latitude — the planar metric narrows E-W radii by cos(lat)
+  *     (upstream computes geodesic metrics too [ref: oshdb-util/…/Geo.java]).
   *
   * At 100 TB: the point table is scanned once per round (2–3 rounds typical
   * when `level` is chosen from point density); each scan is
@@ -35,58 +50,187 @@ import graft.functions.GraftFunctions._
 object Knn {
   final case class QueryPt(qid: Long, lonm: Long, latm: Long)
 
-  /** Exact radius (range) join: all points within `radiusMicro` planar
-    * micro-degrees of each query point. One broadcast equi-join on the
-    * cells covering each query's bbox square (superset of the circle),
-    * then the exact integer d² filter — the 1-D "range join via cells"
-    * shape (SURVEY.md C-family note).
+  val EARTH_R: Double = graft.core.GeoMetrics.EARTH_RADIUS_M
+  val M_PER_DEG: Double = EARTH_R * math.Pi / 180.0
+
+  /** Haversine meters between micro-degree coordinate columns, from Spark
+    * builtins only (codegen'd; the DuckDB oracle mirrors the formula text).
+    */
+  def haversineMeters(lon1: Column, lat1: Column, lon2: Column, lat2: Column): Column = {
+    def rad(c: Column) = radians(c.cast("double") / lit(1000000.0))
+    val a = pow(sin((rad(lat2) - rad(lat1)) / 2), 2) +
+      cos(rad(lat1)) * cos(rad(lat2)) * pow(sin((rad(lon2) - rad(lon1)) / 2), 2)
+    lit(2.0 * EARTH_R) * asin(least(lit(1.0), sqrt(a)))
+  }
+
+  /** Micro-degree (lonHalf, latHalf) of a bbox covering the haversine disk
+    * of `radiusMeters` at latitude `latMicro` — the standard spherical-cap
+    * bounding box: Δφ = r/R, Δλ = asin(sin(r/R)/cos φ), full lon range when
+    * the cap reaches a pole (public formula, e.g. Matuschek's bounding-box
+    * note). +1 µdeg guard on each half for the rounding.
+    */
+  def haversineBBoxHalf(latMicro: Long, radiusMeters: Double): (Long, Long) = {
+    val dPhiDeg = radiusMeters / M_PER_DEG
+    val latHalf = math.min(180000000L, math.ceil(dPhiDeg * 1e6).toLong + 1)
+    val phiAbsDeg = math.abs(latMicro).toDouble / 1e6
+    val sinR = math.sin(radiusMeters / EARTH_R)
+    val cosPhi = math.cos(math.toRadians(phiAbsDeg))
+    if (phiAbsDeg + dPhiDeg >= 90.0 || sinR >= cosPhi) (180000000L, latHalf)
+    else {
+      val dLamDeg = math.toDegrees(math.asin(sinR / cosPhi))
+      (math.min(180000000L, math.ceil(dLamDeg * 1e6).toLong + 1), latHalf)
+    }
+  }
+
+  /** Lower bound (meters) on the haversine distance from a query at
+    * `latMicro` to any point ≥ r whole cells away (Chebyshev) at `level`.
+    * Collapses to 0 when the latitude band reaches a pole — callers must
+    * then keep expanding (r ≥ maxR terminates).
+    */
+  def haversineRingBound(latMicro: Long, r: Int, level: Int): Double = {
+    val latSpanDeg = (FixedPoint.LAT_RANGE >> level).toDouble / 1e6
+    val lonSpanDeg = (FixedPoint.LON_RANGE >> level).toDouble / 1e6
+    val dLat = r * latSpanDeg * M_PER_DEG
+    val bandDeg = math.abs(latMicro).toDouble / 1e6 + (r + 1) * latSpanDeg
+    if (bandDeg >= 90.0) 0.0
+    else {
+      val cosBand = math.cos(math.toRadians(bandDeg))
+      val dLon = 2 * EARTH_R * math.asin(math.min(1.0,
+        cosBand * math.sin(math.toRadians(r * lonSpanDeg) / 2)))
+      math.min(dLat, dLon)
+    }
+  }
+
+  /** Same bound as a Column over the query-latitude column (for the
+    * distributed-query-side join's per-row retirement test).
+    */
+  private def haversineRingBoundCol(latCol: Column, r: Int, level: Int): Column = {
+    val latSpanDeg = (FixedPoint.LAT_RANGE >> level).toDouble / 1e6
+    val lonSpanDeg = (FixedPoint.LON_RANGE >> level).toDouble / 1e6
+    val dLat = lit(r * latSpanDeg * M_PER_DEG)
+    val bandDeg = abs(latCol).cast("double") / lit(1e6) + lit((r + 1) * latSpanDeg)
+    val dLon = lit(2 * EARTH_R) * asin(least(lit(1.0),
+      cos(radians(bandDeg)) * lit(math.sin(math.toRadians(r * lonSpanDeg) / 2))))
+    when(bandDeg >= 90.0, lit(0.0)).otherwise(least(dLat, dLon))
+  }
+
+  private def requireMetric(metric: String): Boolean = metric match {
+    case "planar" => true
+    case "haversine" => false
+    case other => throw new IllegalArgumentException(
+      s"metric must be planar|haversine, got $other")
+  }
+
+  /** distance column + its output name for a metric. */
+  private def distCol(metric: String): (Column, String) =
+    if (requireMetric(metric))
+      ((col("_plon") - col("_qlon")) * (col("_plon") - col("_qlon")) +
+        (col("_plat") - col("_qlat")) * (col("_plat") - col("_qlat")), "d2")
+    else
+      (haversineMeters(col("_qlon"), col("_qlat"), col("_plon"), col("_plat")), "d_m")
+
+  /** Exact radius (range) join: all points within `radius` of each query
+    * point — planar micro-degrees (int64-exact d², oracle-friendly) or
+    * haversine meters. One broadcast equi-join on the cells covering each
+    * query's disk bbox (superset of the disk), then the exact distance
+    * filter.
     */
   def radiusJoin(spark: SparkSession, points: DataFrame, idCol: Column,
                  lonCol: Column, latCol: Column, queries: Seq[QueryPt],
-                 radiusMicro: Long, level: Int): DataFrame = {
+                 radiusMicro: Long = 0L, level: Int,
+                 metric: String = "planar", radiusMeters: Double = 0.0): DataFrame = {
     import spark.implicits._
+    val planar = requireMetric(metric)
+    require(if (planar) radiusMicro > 0 else radiusMeters > 0,
+      "pass radiusMicro for planar, radiusMeters for haversine")
+    def wrapLon(v: Long): Long =
+      java.lang.Math.floorMod(v + 180000000L, 360000000L) - 180000000L
     val cells = queries.flatMap { q =>
-      val b = graft.core.BBoxM(q.lonm - radiusMicro, q.latm - radiusMicro,
-        q.lonm + radiusMicro, q.latm + radiusMicro)
-      ZGrid.bboxCells(level, b).map { case (x, y) =>
+      val (lonHalf, latHalf) =
+        if (planar) (radiusMicro, radiusMicro)
+        else haversineBBoxHalf(q.latm, radiusMeters)
+      val latLo = q.latm - latHalf; val latHi = q.latm + latHalf
+      // planar never wraps (distance across the seam is large in that
+      // metric); a geodesic disk DOES wrap at ±180 — Seam.bboxCells splits
+      // the wrapped interval into two in-world ranges
+      val it =
+        if (planar || 2 * lonHalf >= FixedPoint.LON_RANGE)
+          ZGrid.bboxCells(level, graft.core.BBoxM(
+            if (planar) q.lonm - lonHalf else FixedPoint.LON_MIN, latLo,
+            if (planar) q.lonm + lonHalf else FixedPoint.LON_MIN + FixedPoint.LON_RANGE, latHi))
+        else Seam.bboxCells(level, graft.core.BBoxM(
+          wrapLon(q.lonm - lonHalf), latLo, wrapLon(q.lonm + lonHalf), latHi))
+      it.map { case (x, y) =>
         (q.qid, q.lonm, q.latm, graft.core.Morton.encode(x, y))
       }
     }
     val cellsDf = cells.toDF("qid", "_qlon", "_qlat", "_pcell")
-    val d2 = (lonCol - col("_qlon")) * (lonCol - col("_qlon")) +
-             (latCol - col("_qlat")) * (latCol - col("_qlat"))
-    points.select(idCol.as("neighbor_id"), lonCol, latCol)
-      .withColumn("_pcell", zcell(lonCol, latCol, level))
+    val src = points.select(idCol.as("neighbor_id"), lonCol.as("_plon"), latCol.as("_plat"))
+      .withColumn("_pcell", zcell(col("_plon"), col("_plat"), level))
       .join(broadcast(cellsDf), Seq("_pcell"))
-      .withColumn("d2", d2)
-      .where(col("d2") <= radiusMicro * radiusMicro)
-      .select("qid", "neighbor_id", "d2")
+    val (d, dName) = distCol(metric)
+    val filtered = src.withColumn(dName,  d)
+    (if (planar) filtered.where(col(dName) <= radiusMicro * radiusMicro)
+     else filtered.where(col(dName) <= radiusMeters))
+      .select("qid", "neighbor_id", dName)
   }
 
   /** DataFrame × DataFrame exact radius join — the distributed-query-side
     * twin of [[radiusJoin]]: each query row explodes to the cell square
-    * covering its radius bbox (one round, radius is fixed), equi-join on
-    * cell, exact integer d² filter. The cell cover is a superset of the
-    * circle, so correctness never depends on the ring bound — only the
-    * candidate count does.
+    * covering its disk bbox (one round, radius is fixed), equi-join on
+    * cell, exact distance filter. The cell cover is a superset of the
+    * disk, so correctness never depends on the ring bound — only the
+    * candidate count does. For haversine the ring radius is sized from the
+    * query table's max |lat| (one tiny pre-agg): conservative for
+    * low-latitude queries, correct for all.
     */
   def radiusJoinDf(spark: SparkSession, points: DataFrame, pId: Column,
                    pLon: Column, pLat: Column, queries: DataFrame, qId: Column,
-                   qLon: Column, qLat: Column, radiusMicro: Long,
-                   level: Int): DataFrame = {
-    val rx = radiusMicro / (FixedPoint.LON_RANGE >> level)
-    val ry = radiusMicro / (FixedPoint.LAT_RANGE >> level)
+                   qLon: Column, qLat: Column, radiusMicro: Long = 0L,
+                   level: Int, metric: String = "planar",
+                   radiusMeters: Double = 0.0): DataFrame = {
+    val planar = requireMetric(metric)
+    require(if (planar) radiusMicro > 0 else radiusMeters > 0,
+      "pass radiusMicro for planar, radiusMeters for haversine")
+    val (lonHalf, latHalf) =
+      if (planar) (radiusMicro, radiusMicro)
+      else {
+        val maxAbsLat = queries.agg(max(abs(qLat.cast("long")))).collect()(0).getLong(0)
+        haversineBBoxHalf(maxAbsLat, radiusMeters)
+      }
+    val rx = lonHalf / (FixedPoint.LON_RANGE >> level)
+    val ry = latHalf / (FixedPoint.LAT_RANGE >> level)
     val rr = (math.max(rx, ry) + 1).toInt
+    // geodesic disks wrap in longitude (±180 seam, polar caps) — wrapX
+    // makes the ring modulo-2^level on the x axis; planar clamps
     val cand = queries.select(qId.as("qid"), qLon.as("_qlon"), qLat.as("_qlat"))
-      .withColumn("_pcell", explode(ringCells(col("_qlon"), col("_qlat"), level, rr)))
-    val d2 = (col("_plon") - col("_qlon")) * (col("_plon") - col("_qlon")) +
-             (col("_plat") - col("_qlat")) * (col("_plat") - col("_qlat"))
-    points.select(pId.as("neighbor_id"), pLon.as("_plon"), pLat.as("_plat"))
+      .withColumn("_pcell", explode(ringCells(col("_qlon"), col("_qlat"), level, rr,
+        wrapX = !planar)))
+    val src = points.select(pId.as("neighbor_id"), pLon.as("_plon"), pLat.as("_plat"))
       .withColumn("_pcell", zcell(col("_plon"), col("_plat"), level))
       .join(cand, Seq("_pcell"))
-      .withColumn("d2", d2)
-      .where(col("d2") <= radiusMicro * radiusMicro)
-      .select("qid", "neighbor_id", "d2")
+    val (d, dName) = distCol(metric)
+    val filtered = src.withColumn(dName, d)
+    (if (planar) filtered.where(col(dName) <= radiusMicro * radiusMicro)
+     else filtered.where(col(dName) <= radiusMeters))
+      .select("qid", "neighbor_id", dName)
+  }
+
+  /** heap top-k per query over a joined candidate frame carrying
+    * (qid, _qlat, neighbor_id, distance) — returns the per-query sorted
+    * array frame (qid, _qlat, _tk) for retirement tests plus the exploded
+    * (qid, neighbor_id, rank, d) rows.
+    */
+  private def topKFrames(joined: DataFrame, metric: String, k: Int)
+      : (DataFrame, DataFrame) = {
+    val (d, dName) = distCol(metric)
+    val arr = joined.withColumn(dName, d)
+      .groupBy("qid", "_qlat")
+      .agg(knnTopK(struct(col(dName).as("d"), col("neighbor_id").as("id")), k).as("_tk"))
+    val rows = arr.select(col("qid"), posexplode(col("_tk")))
+      .select(col("qid"), col("col.id").as("neighbor_id"),
+        (col("pos") + 1).cast("int").as("rank"), col("col.d").as(dName))
+    (arr, rows)
   }
 
   /** Exact k nearest `points` rows for every query point.
@@ -95,13 +239,15 @@ object Knn {
     * @param queries  small driver-side query set (broadcast each round)
     * @param level    grid level for ring expansion (cells ≈ point spacing·k)
     * @param r0       initial radius guess (≥1 saves rounds when k > density)
-    * @return (qid, neighbor_id, rank, d2) — exactly k rows per query unless
-    *         the table holds fewer than k rows in total
+    * @return (qid, neighbor_id, rank, d2|d_m) — exactly k rows per query
+    *         unless the table holds fewer than k rows in total
     */
   def knnJoin(spark: SparkSession, points: DataFrame, idCol: Column,
               lonCol: Column, latCol: Column, queries: Seq[QueryPt], k: Int,
-              level: Int, r0: Int = 1, cellPrefilter: Boolean = true): DataFrame = {
+              level: Int, r0: Int = 1, cellPrefilter: Boolean = true,
+              metric: String = "planar"): DataFrame = {
     import spark.implicits._
+    val planar = requireMetric(metric)
     require(k >= 1 && queries.nonEmpty)
     val n = 1L << level
     val minSpan = math.min(FixedPoint.LON_RANGE >> level, FixedPoint.LAT_RANGE >> level)
@@ -112,11 +258,8 @@ object Knn {
 
     def candidateCells(r: Int): Seq[(Long, Long, Long, Long)] = // (qid,qlon,qlat,cell)
       queries.flatMap { q =>
-        val qx = ZGrid.xAt(level, q.lonm); val qy = ZGrid.yAt(level, q.latm)
-        for {
-          x <- math.max(0L, qx - r) to math.min(n - 1, qx + r)
-          y <- math.max(0L, qy - r) to math.min(n - 1, qy + r)
-        } yield (q.qid, q.lonm, q.latm, graft.core.Morton.encode(x, y))
+        ZGrid.ringCells(level, q.lonm, q.latm, r, !planar) // geodesic wraps x
+          .map(cell => (q.qid, q.lonm, q.latm, cell))
       }
 
     def topk(r: Int): DataFrame = {
@@ -125,14 +268,7 @@ object Knn {
       // plan-time cell prefilter: lets a cell-clustered scan prune row groups
       val src = if (cellPrefilter && cells.size <= 100000)
         pts.where(col("_pcell").isInCollection(cells.map(_._4).distinct)) else pts
-      val d2 = (col("_plon") - col("_qlon")) * (col("_plon") - col("_qlon")) +
-               (col("_plat") - col("_qlat")) * (col("_plat") - col("_qlat"))
-      val w = Window.partitionBy("qid").orderBy(col("d2"), col("neighbor_id"))
-      src.join(broadcast(cellsDf), Seq("_pcell"))
-        .withColumn("d2", d2)
-        .withColumn("rank", row_number().over(w))
-        .where(col("rank") <= k)
-        .select("qid", "neighbor_id", "rank", "d2")
+      topKFrames(src.join(broadcast(cellsDf), Seq("_pcell")), metric, k)._2
     }
 
     // straggler guard: past this ring size the candidate-cell list is more
@@ -142,14 +278,7 @@ object Knn {
 
     def bruteForce(): DataFrame = {
       val qDf = queries.map(q => (q.qid, q.lonm, q.latm)).toDF("qid", "_qlon", "_qlat")
-      val d2 = (col("_plon") - col("_qlon")) * (col("_plon") - col("_qlon")) +
-               (col("_plat") - col("_qlat")) * (col("_plat") - col("_qlat"))
-      val w = Window.partitionBy("qid").orderBy(col("d2"), col("neighbor_id"))
-      pts.join(broadcast(qDf))
-        .withColumn("d2", d2)
-        .withColumn("rank", row_number().over(w))
-        .where(col("rank") <= k)
-        .select("qid", "neighbor_id", "rank", "d2")
+      topKFrames(pts.join(broadcast(qDf)), metric, k)._2
     }
 
     var r = math.max(1, r0)
@@ -165,13 +294,18 @@ object Knn {
         // (driver-side |Q| control loop — for DataFrame-valued query sets
         // use knnJoinDf, which keeps the query table distributed)
         // control decision only: k small × |Q| small ⇒ tiny collect
-        val stats = result.groupBy("qid").agg(count(lit(1)).as("n"), max("d2").as("kd2"))
-          .collect().map(row => row.getLong(0) -> (row.getLong(1), row.getLong(2))).toMap
-        val bound = r.toLong * minSpan
+        val dName = if (planar) "d2" else "d_m"
+        val stats = result.groupBy("qid")
+          .agg(count(lit(1)).as("n"), max(dName).as("kd"))
+          .collect().map(row => row.getLong(0) ->
+            (row.getLong(1), if (planar) row.getLong(2).toDouble else row.getDouble(2))).toMap
         // strict <: an unexplored point at EXACTLY the bound distance could
-        // tie the kth neighbour's d2 and win the (d2, id) tie-break
+        // tie the kth neighbour's distance and win the (d, id) tie-break
         done = queries.forall { q =>
-          stats.get(q.qid).exists { case (cnt, kd2) => cnt == k && kd2 < bound * bound }
+          val bound =
+            if (planar) { val b = r.toLong * minSpan; (b * b).toDouble }
+            else haversineRingBound(q.latm, r, level)
+          stats.get(q.qid).exists { case (cnt, kd) => cnt == k && kd < bound }
         }
         if (!done) r = math.min(maxR, r * 2)
       }
@@ -187,23 +321,24 @@ object Knn {
     * Per round r: every ACTIVE query row explodes to its (2r+1)² ring cells
     * (codegen RingCellsExpr — a few long columns, no strings), equi-joins the
     * point table on cell (Catalyst/AQE picks broadcast vs sort-merge from the
-    * candidate side's size), then a per-query top-k window. Queries whose kth
-    * neighbour distance is strictly inside the explored ring
-    * (kd2 < (r·minSpan)²) are FINISHED: their rows are banked and they leave
-    * the next round — the iteration only ever re-scans for stragglers in
-    * sparse regions. Driver sees one scalar count per round (control only).
+    * candidate side's size), then the per-query k-heap aggregate. Queries
+    * whose kth neighbour distance is strictly inside the explored ring are
+    * FINISHED: their rows are banked and they leave the next round — the
+    * iteration only ever re-scans for stragglers in sparse regions. Driver
+    * sees one scalar count per round (control only).
     *
-    * Exactness argument matches [[knnJoin]]: any point outside Chebyshev cell
-    * radius r is ≥ r·minSpan away in the planar metric, and the strict < on
+    * Exactness argument matches [[knnJoin]], per metric; the strict < on
     * the bound forbids unexplored exact ties from displacing the kth row.
     */
   def knnJoinDf(spark: SparkSession, points: DataFrame, pId: Column,
                 pLon: Column, pLat: Column, queries: DataFrame, qId: Column,
                 qLon: Column, qLat: Column, k: Int, level: Int,
-                r0: Int = 1): DataFrame = {
+                r0: Int = 1, metric: String = "planar"): DataFrame = {
+    val planar = requireMetric(metric)
     require(k >= 1)
     val minSpan = math.min(FixedPoint.LON_RANGE >> level, FixedPoint.LAT_RANGE >> level)
     val maxR = (1L << level).toInt
+    val dName = if (planar) "d2" else "d_m"
 
     val pts = points.select(pId.as("neighbor_id"), pLon.as("_plon"), pLat.as("_plat"))
       .withColumn("_pcell", zcell(col("_plon"), col("_plat"), level))
@@ -221,25 +356,21 @@ object Knn {
     val maxRingCellsPerQuery = 100000L
     while (remaining > 0) {
       val ringTooBig = (2L * r + 1) * (2L * r + 1) > maxRingCellsPerQuery
-      val d2 = (col("_plon") - col("_qlon")) * (col("_plon") - col("_qlon")) +
-               (col("_plat") - col("_qlat")) * (col("_plat") - col("_qlat"))
-      val w = Window.partitionBy("qid").orderBy(col("d2"), col("neighbor_id"))
       val joined =
         if (ringTooBig) pts.join(broadcast(active)) // stragglers are few: broadcast × full scan
         else pts.join(active.withColumn("_pcell",
-          explode(ringCells(col("_qlon"), col("_qlat"), level, r))), Seq("_pcell"))
-      val topk = joined
-        .withColumn("d2", d2)
-        .withColumn("rank", row_number().over(w))
-        .where(col("rank") <= k)
-        .select("qid", "neighbor_id", "rank", "d2")
-      val bound = r.toLong * minSpan
+          explode(ringCells(col("_qlon"), col("_qlat"), level, r,
+            wrapX = !planar))), Seq("_pcell"))
+      val (arr, topk) = topKFrames(joined, metric, k)
       val doneIds =
         if (r >= maxR || ringTooBig) active.select("qid") // whole world explored
-        else topk.groupBy("qid")
-          .agg(count(lit(1)).as("_n"), max("d2").as("_kd2"))
-          .where(col("_n") === k && col("_kd2") < bound * bound)
-          .select("qid")
+        else {
+          val kth = element_at(col("_tk"), k).getField("d")
+          val bound =
+            if (planar) { val b = r.toLong * minSpan; lit(b * b) }
+            else haversineRingBoundCol(col("_qlat"), r, level)
+          arr.where(size(col("_tk")) === k && kth < bound).select("qid")
+        }
       // banked eagerly: k rows per finished query materialize once; a lazy
       // union would re-run every round's join at the final action (measured
       // equal at fixture scale, strictly worse at 100k-query scale)
@@ -250,7 +381,7 @@ object Knn {
       r = math.min(maxR, r * 2)
     }
     if (acc == null) active.select(col("qid"), col("qid").as("neighbor_id"),
-      lit(0).as("rank"), lit(0L).as("d2")).where(lit(false))
+      lit(0).as("rank"), (if (planar) lit(0L) else lit(0.0)).as(dName)).where(lit(false))
     else acc
   }
 }

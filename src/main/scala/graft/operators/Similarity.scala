@@ -45,6 +45,25 @@ object Similarity {
       .select(col("qid"), col("nid"), col("rank").cast("long").as("rank"), col("dot"))
   }
 
+  /** Brute-force exact top-k by quantized L2 distance (self excluded, ties
+    * → smaller neighbor id) — the exact reference for the IVF path, which
+    * ranks by L2 (the FAISS IndexIVFFlat contract); same broadcast shape as
+    * [[topKDot]]. |p−q|² = |p|² − 2p·q + |q|², exact int64.
+    */
+  def topKL2(points: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, k: Int): DataFrame = {
+    val p = points.select(col(idCol).as("nid"), quantize(col(vecCol)).as("pq"))
+      .withColumn("pn2", dotQ(col("pq"), col("pq")))
+    val q = queries.select(col(idCol).as("qid"), quantize(col(vecCol)).as("qq"))
+      .withColumn("qn2", dotQ(col("qq"), col("qq")))
+    val w = Window.partitionBy("qid").orderBy(col("d2"), col("nid"))
+    p.join(broadcast(q), col("qid") =!= col("nid"))
+      .withColumn("d2", col("pn2") - lit(2L) * dotQ(col("pq"), col("qq")) + col("qn2"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("rank").cast("long").as("rank"), col("d2"))
+  }
+
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
     * an integer in [-1e6, 1e6] from a splitmix-style avalanche — Spark-side
     * only (the ANN result is approximate; its gate is the recall spec, not
@@ -96,23 +115,33 @@ object Similarity {
       .select(col("qid"), col("nid"), col("rank").cast("long").as("rank"), col("dot"))
   }
 
-  /** IVF-style ANN: a deterministic coarse quantizer (the `nlist` corpus
-    * vectors with smallest xxhash64(id) serve as centroids — a uniform
-    * content-addressed sample; a real deployment would k-means these)
-    * partitions the corpus into inverted lists by nearest centroid
-    * (exact integer L2: |p−c|² = |p|² − 2p·c + |c|²); each query probes its
-    * `nprobe` nearest centroids' lists and re-ranks candidates exactly.
+  /** IVF-style ANN: a coarse quantizer partitions the corpus into inverted
+    * lists by nearest centroid (exact integer L2: |p−c|² = |p|² − 2p·c +
+    * |c|²); each query probes its `nprobe` nearest centroids' lists and
+    * re-ranks candidates exactly.
+    *
+    * Centroids: a deterministic content-hash sample seeds `lloydRounds`
+    * distributed Lloyd (k-means) iterations — assignment is the same
+    * nearest-centroid join the index uses, the mean step is one
+    * posexplode + groupBy(list, dim) avg, and only nlist×dims aggregated
+    * values reach the driver. On clustered corpora k-means centroids track
+    * cluster structure, so equal-nprobe recall is strictly higher than the
+    * raw hash sample (spec-gated in SimilaritySpec); means are rounded to
+    * the integer grid so the index stays integer-exact.
     *
     * Scale: this is the classic big-index layout — lists are the partition
     * key, so a query touches nprobe/nlist of the corpus; centroids are a
     * broadcast table. Centroid selection is a distributed top-`nlist`
     * (TakeOrderedAndProject) — only the ≤nlist centroid rows ever reach
     * the driver, and `nlist = 0` (the default) auto-scales to √n, the
-    * classic IVF sizing. Approximate (recall gated in SimilaritySpec).
+    * classic IVF sizing. (At 10^12 rows √n centroids no longer fit a
+    * broadcast — a deployment shards the centroid table and two-stage
+    * joins the assignment; the list layout is unchanged.) Approximate
+    * (recall gated in SimilaritySpec + the q53 driver bound row).
     */
   def ivfTopK(spark: SparkSession, points: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int,
-              nlist: Int = 0, nprobe: Int = 4): DataFrame = {
+              nlist: Int = 0, nprobe: Int = 4, lloydRounds: Int = 2): DataFrame = {
     import spark.implicits._
     val p = points.select(col(idCol).as("nid"), quantize(col(vecCol)).as("pq"))
     val numLists =
@@ -120,9 +149,10 @@ object Similarity {
       else math.max(16, math.sqrt(points.count().toDouble).toInt)
     // deterministic distributed sample: top-nlist by content hash — a
     // per-partition heap + driver merge of nlist rows, never a full collect
-    val cents = p.orderBy(xxhash64(col("nid")), col("nid")).limit(numLists)
-      .select(col("nid").as("cid"), col("pq").as("cq"))
-      .collect().map(r => (r.get(0), r.getSeq[Long](1).toArray))
+    var cents: Array[(Any, Array[Long])] =
+      p.orderBy(xxhash64(col("nid")), col("nid")).limit(numLists)
+        .select(col("nid").as("cid"), col("pq").as("cq"))
+        .collect().map(r => (r.get(0), r.getSeq[Long](1).toArray))
 
     def l2ToCent(vq: Column, cq: Array[Long]): Column = {
       val cLit = array(cq.map(lit): _*)
@@ -136,6 +166,26 @@ object Similarity {
       df.withColumn("_cents", array_sort(array(scored: _*)))
         .withColumn("_c", explode(slice(col("_cents"), 1, n)))
         .withColumn("list_id", col("_c.cid")).drop("_cents", "_c")
+    }
+
+    // Lloyd refinement: mean of each list's members becomes the centroid;
+    // empty lists keep their seed (they stay probeable). Integer rounding
+    // collapses sub-ulp summation-order jitter, so assignments are stable.
+    for (_ <- 1 to lloydRounds) {
+      val means = nearestCents(p, "pq", 1)
+        .select(col("list_id"), posexplode(col("pq")).as(Seq("_d", "_v")))
+        .groupBy("list_id", "_d").agg(avg(col("_v")).as("_m"))
+        .collect()
+      val byList = means.groupBy(_.get(0))
+      cents = cents.map { case (cid, cq) =>
+        byList.get(cid) match {
+          case Some(rows) =>
+            val nc = cq.clone()
+            rows.foreach(r => nc(r.getInt(1)) = Math.round(r.getDouble(2)))
+            (cid, nc)
+          case None => (cid, cq)
+        }
+      }
     }
 
     // L2 metric throughout (lists assigned by L2 ⇒ ranking must be L2 too,

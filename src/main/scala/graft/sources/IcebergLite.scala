@@ -99,13 +99,53 @@ object IcebergLite {
     // implementation re-READ the whole batch per append (write-side read
     // amplification at scale)
     val stats = footerStats(spark, dataDir)
-    val files = old ++ stats
-    val version = cur + 1
+    commitSnapshot(dir, cur, old ++ stats)
+  }
+
+  /** Copy-on-write row-level DELETE (the Iceberg verb the dedup pipeline
+    * ends in — "drop these near-duplicate rows"): rewrites ONLY the data
+    * files that contain matching rows (one pushdown-filtered scan finds
+    * them), producing a new snapshot that keeps every untouched file
+    * by reference. Old versions stay time-travelable — the rewritten
+    * files are new objects, nothing is mutated in place.
+    *
+    * Returns the new version, or the current version unchanged when no
+    * row matches (no empty commit).
+    *
+    * At scale: match detection is a predicate-pushdown scan (parquet
+    * row-group stats prune most files when the predicate correlates with
+    * the clustering key), and the rewrite reads/writes only touched files —
+    * the same write amplification profile as Iceberg's copy-on-write mode.
+    */
+  def deleteWhere(spark: SparkSession, dir: String, predicate: Column,
+                  statsCol: Column): Int = {
+    val cur = currentVersion(dir)
+    require(cur > 0, s"no snapshots in $dir")
+    val snap = snapshot(dir, cur)
+    def norm(p: String): String = new java.net.URI(p).getPath
+    val touched = spark.read.parquet(snap.files.map(_.path): _*)
+      .where(predicate)
+      .select(input_file_name().as("_f")).distinct()
+      .collect().map(r => norm(r.getString(0))).toSet
+    if (touched.isEmpty) return cur
+    val (rewrite, keep) = snap.files.partition(f => touched.contains(norm(f.path)))
+    val batch = java.util.UUID.randomUUID().toString.take(8)
+    val dataDir = s"$dir/data/$batch"
+    spark.read.parquet(rewrite.map(_.path): _*)
+      .where(!predicate)
+      .withColumn("_stats", statsCol)
+      .write.mode("error").parquet(dataDir)
+    val files = keep ++ footerStats(spark, dataDir)
+    commitSnapshot(dir, cur, files)
+  }
+
+  private def commitSnapshot(dir: String, parentVersion: Int, files: Seq[FileEntry]): Int = {
+    val version = parentVersion + 1
     val sid = java.util.UUID.randomUUID().toString
     val body = files.map(f =>
       s"""    {"path": "${f.path}", "rows": ${f.rows}, "min": ${f.min}, "max": ${f.max}}""")
       .mkString("[\n", ",\n", "\n  ]")
-    val parent = if (cur > 0) s""",\n  "parent": $cur""" else ""
+    val parent = if (parentVersion > 0) s""",\n  "parent": $parentVersion""" else ""
     val json = s"""{\n  "version": $version,\n  "snapshot_id": "$sid"$parent,\n  "files": $body\n}\n"""
     Files.createDirectories(metaDir(dir))
     writeAtomic(metaDir(dir).resolve(f"v$version%05d.json"), json)

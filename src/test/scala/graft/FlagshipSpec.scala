@@ -131,6 +131,58 @@ class FlagshipSpec extends AnyFunSuite {
     assert(salted == base)
   }
 
+  test("distributed-polygon-side join: joinDf == join, driver-free cover, seam specs work") {
+    val imgs = Fixtures.images(spark, 1000)
+      .withColumn("lon", phashLon(col("phash")))
+      .withColumn("lat", phashLat(col("phash")))
+    val specs = Fixtures.polygons ++ graft.oracle.Derive.seamSpecs
+    val base = SpatialJoin.join(spark, imgs, col("lon"), col("lat"), specs)
+      .select("image_id", "poly_id").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // polygon side as a TABLE of (poly_id, wkb) — cover + refine distributed
+    val polyDf = Fixtures.polygonsDf(spark, specs)
+    val viaDf = SpatialJoin.joinDf(spark, imgs, col("lon"), col("lat"), polyDf)
+      .select("image_id", "poly_id").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(viaDf === base)
+    // no row-by-row duplicates either (seam halves must not double-match)
+    val cnt = SpatialJoin.joinDf(spark, imgs, col("lon"), col("lat"), polyDf).count()
+    assert(cnt === SpatialJoin.join(spark, imgs, col("lon"), col("lat"), specs).count())
+  }
+
+  test("tile clip: distributed plan, pieces stay in-tile, areas sum to the polygon") {
+    val df = SpatialJoin.clipPolysToTiles(spark, Fixtures.polygons, z = 8)
+    // the per-polygon tile loop + JTS intersection must run in a flatMap on
+    // executors, not a driver loop materialized as a LocalTableScan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("SerializeFromObject") || plan.contains("MapPartitions"),
+      s"clip must be a distributed flatMap:\n$plan")
+    val rows = df.collect()
+    val byPoly = rows.groupBy(_.getString(0))
+    val specs = Fixtures.polygons.map(s => s.poly_id -> s.poly).toMap
+    for ((pid, tiles) <- byPoly) {
+      val jts = graft.core.Jts.toJtsEvenOdd(specs(pid))
+      var areaSum = 0.0
+      for (t <- tiles) {
+        val clipped = graft.core.Jts.fromWkb(t.getAs[Array[Byte]]("clipped_wkb"))
+        val cb = graft.core.ZGrid.cellBBox(8, t.getLong(2), 255L - t.getLong(3))
+        val tileBox = graft.core.Jts.bboxToJts(cb)
+        assert(tileBox.covers(clipped) || tileBox.buffer(1.0).covers(clipped),
+          s"$pid tile (${t.getLong(2)}, ${t.getLong(3)}): clip escapes its tile")
+        if (t.getInt(5) == 2) areaSum += clipped.getArea
+      }
+      val full = jts.getArea
+      // tile bboxes are INTEGER-inclusive ([lo, nextLo-1]): every integer
+      // micro-degree point belongs to exactly one tile, but the continuous
+      // 1-µdeg strip between consecutive integers belongs to none — so the
+      // geometric areas sum a hair under the polygon (≤ perimeter × 1 µdeg
+      // per tile crossing, ~1e-5 relative here); never over
+      assert(areaSum <= full * (1 + 1e-12),
+        s"$pid: tile pieces must not overlap (sum=$areaSum full=$full)")
+      assert(full - areaSum <= 1e-4 * math.max(1.0, full),
+        s"$pid: tile pieces must cover the polygon up to the 1-µdeg strips " +
+          s"(sum=$areaSum full=$full)")
+    }
+  }
+
   test("manifest pruning: files outside the query cells are skipped") {
     Fixtures.images(spark, N) // ensure written
     val manifest = s"data/images_$N/_graft_manifest.json"

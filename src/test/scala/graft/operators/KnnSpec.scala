@@ -134,6 +134,120 @@ class KnnSpec extends AnyFunSuite {
     }
   }
 
+  test("haversine radius join equals exhaustive scan at high latitude") {
+    // the planar metric is ~2x too narrow E-W at 60N; the haversine metric
+    // with the spherical-cap bbox cover must find every in-radius point.
+    // Expected set computed with the SAME Column formula over a cross join
+    // (bit-identical evaluation — this test gates cover correctness).
+    val rnd = new scala.util.Random(31)
+    val pts = (0L until 1200L).map(i =>
+      (i, rnd.nextLong(340000000L) - 170000000L,
+        55000000L + rnd.nextLong(24000000L))) // lat 55..79 deg N
+    val qs = (0L until 12L).map(j =>
+      (j, rnd.nextLong(340000000L) - 170000000L, 58000000L + rnd.nextLong(18000000L)))
+    val rMeters = 900000.0
+    val df = spark.createDataFrame(pts).toDF("id", "lonm", "latm")
+    val qdf = spark.createDataFrame(qs).toDF("qid", "lonm", "latm")
+    val got = Knn.radiusJoinDf(spark, df, col("id"), col("lonm"), col("latm"),
+        qdf, col("qid"), col("lonm"), col("latm"),
+        level = 5, metric = "haversine", radiusMeters = rMeters)
+      .select("qid", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exp = qdf.withColumnRenamed("lonm", "_qlon").withColumnRenamed("latm", "_qlat")
+      .crossJoin(df.withColumnRenamed("lonm", "_plon").withColumnRenamed("latm", "_plat"))
+      .where(Knn.haversineMeters(col("_qlon"), col("_qlat"), col("_plon"), col("_plat")) <= rMeters)
+      .select("qid", "id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exp.nonEmpty)
+    assert(got === exp)
+    // the driver-query-side variant agrees
+    val got2 = Knn.radiusJoin(spark, df, col("id"), col("lonm"), col("latm"),
+        qs.map(q => Knn.QueryPt(q._1, q._2, q._3)),
+        level = 5, metric = "haversine", radiusMeters = rMeters)
+      .select("qid", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got2 === exp)
+  }
+
+  test("haversine kNN join equals exhaustive ranking at high latitude") {
+    val rnd = new scala.util.Random(57)
+    val pts = (0L until 900L).map(i =>
+      (i, rnd.nextLong(340000000L) - 170000000L, rnd.nextLong(160000000L) - 80000000L))
+    val qs = Seq((0L, 10000000L, 75000000L), (1L, -150000000L, 78000000L),
+      (2L, 60000000L, -70000000L), (3L, 0L, 0L), (4L, 179000000L, 60000000L))
+    val df = spark.createDataFrame(pts).toDF("id", "lonm", "latm")
+    val qdf = spark.createDataFrame(qs).toDF("qid", "lonm", "latm")
+    // expected via the same Column formula: cross join + rank
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("_d"), col("id"))
+    val exp = qdf.withColumnRenamed("lonm", "_qlon").withColumnRenamed("latm", "_qlat")
+      .crossJoin(df.withColumnRenamed("lonm", "_plon").withColumnRenamed("latm", "_plat"))
+      .withColumn("_d", Knn.haversineMeters(col("_qlon"), col("_qlat"), col("_plon"), col("_plat")))
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= 6)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rank")) -> r.getAs[Long]("id")).toMap
+    for ((name, res) <- Seq(
+        "df" -> Knn.knnJoinDf(spark, df, col("id"), col("lonm"), col("latm"),
+          qdf, col("qid"), col("lonm"), col("latm"), k = 6, level = 5, metric = "haversine"),
+        "seq" -> Knn.knnJoin(spark, df, col("id"), col("lonm"), col("latm"),
+          qs.map(q => Knn.QueryPt(q._1, q._2, q._3)), k = 6, level = 5, metric = "haversine"))) {
+      val got = res.collect()
+        .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rank")) -> r.getAs[Long]("neighbor_id")).toMap
+      assert(got === exp, name)
+    }
+  }
+
+  test("haversine cover wraps: seam and polar-cap queries find far-lon points") {
+    // query at lon 179.5E must reach points at 179.5W (the ±180 seam), and
+    // a near-pole query's cap spans ALL longitudes — both require the
+    // wrapped x-ring (the planar clamp misses them, the round-3 q0i bug)
+    val pts = Seq(
+      (1L, -179500000L, 60000000L),  // ~55 km across the seam from q0
+      (2L, 10000000L, -89000000L),   // near south pole, lon 10E
+      (3L, 0L, 0L))
+    val qs = Seq(
+      (0L, 179500000L, 60000000L),   // seam query
+      (9L, -170000000L, -89200000L)) // polar query, lon 170W
+    val df = spark.createDataFrame(pts).toDF("id", "lonm", "latm")
+    val qdf = spark.createDataFrame(qs).toDF("qid", "lonm", "latm")
+    val rM = 300000.0 // 300 km
+    for (got <- Seq(
+        Knn.radiusJoinDf(spark, df, col("id"), col("lonm"), col("latm"),
+          qdf, col("qid"), col("lonm"), col("latm"),
+          level = 6, metric = "haversine", radiusMeters = rM),
+        Knn.radiusJoin(spark, df, col("id"), col("lonm"), col("latm"),
+          qs.map(q => Knn.QueryPt(q._1, q._2, q._3)),
+          level = 6, metric = "haversine", radiusMeters = rM))) {
+      val rows = got.select("qid", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rows === Set((0L, 1L), (9L, 2L)), rows.toString)
+    }
+    // kNN across the seam: q0's nearest neighbour must be point 1
+    val knn = Knn.knnJoinDf(spark, df, col("id"), col("lonm"), col("latm"),
+        qdf, col("qid"), col("lonm"), col("latm"), k = 1, level = 6, metric = "haversine")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(knn(0L) === 1L)
+    assert(knn(9L) === 2L)
+  }
+
+  test("q0i boundary margin: no fixture distance sits near the radius") {
+    // the q0i oracle re-evaluates haversine in DuckDB's libm; a row could
+    // only flip if some (query, point) distance were within libm's ulp
+    // (~1e-9 relative) of the 1.5e6 m radius — verify the margin is huge
+    val dir = "/root/testdata/sf0.01"
+    val cust = spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey"),
+        graft.oracle.Derive.lonMicro(col("c_custkey")).as("_plon"),
+        graft.oracle.Derive.latMicro(col("c_custkey")).as("_plat"))
+    val nat = spark.read.parquet(s"$dir/nation.parquet")
+      .select(graft.oracle.Derive.lonMicro(col("n_nationkey")).as("_qlon"),
+        graft.oracle.Derive.latMicro(col("n_nationkey")).as("_qlat"))
+    val margin = nat.crossJoin(cust)
+      .select(abs(Knn.haversineMeters(col("_qlon"), col("_qlat"),
+        col("_plon"), col("_plat")) - lit(1500000.0)).as("m"))
+      .agg(min("m")).collect()(0).getDouble(0)
+    assert(margin > 1.0, s"closest distance to the q0i radius: $margin m")
+  }
+
   test("k exceeding the table size returns the whole table ranked") {
     val pts = Seq((1L, 0L, 0L), (2L, 1000000L, 0L), (3L, -2000000L, 500000L))
     val df = spark.createDataFrame(pts).toDF("id", "lonm", "latm")

@@ -78,6 +78,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(mean >= 0.8, s"mean recall $mean, per-query $recalls")
   }
 
+  test("Lloyd centroids beat the hash-sample baseline at equal nprobe") {
+    // measured on the DRIVER's embeddings corpus (where the q53 bound runs)
+    // rather than the synthetic 20-cluster fixture: there the hash-sampled
+    // seeds already sit inside every tight cluster, so Lloyd has nothing to
+    // fix; on the real mixed corpus k-means pulls centroids toward density
+    // and equal-nprobe recall rises (round-2 verdict #3)
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val q = emb.where(col("vec_id") % 100 === 0)
+    val exact = Similarity.topKL2(emb, q, "vec_id", "embedding", 10)
+      .select("qid", "nid").cache()
+    val nExact = exact.count()
+    def meanRecall(lloyd: Int): Double = {
+      val ann = Similarity.ivfTopK(spark, emb, q, "vec_id", "embedding",
+        k = 10, nprobe = 8, lloydRounds = lloyd).select("qid", "nid")
+      exact.join(ann, Seq("qid", "nid"), "left_semi").count().toDouble / nExact
+    }
+    val base = meanRecall(0)
+    val refined = meanRecall(2)
+    assert(refined > base, s"lloyd=$refined must beat hash-sample=$base")
+  }
+
   test("cosine near-dup pairs: same-cluster pairs found, cross-cluster excluded") {
     val small = vecs.take(50).toDF("vec_id", "embedding") // clusters 0..19, 2-3 members
     val got = Similarity.cosineNearDupPairs(small, "vec_id", "embedding", 0.95)

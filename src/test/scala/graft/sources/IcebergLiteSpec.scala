@@ -31,6 +31,32 @@ class IcebergLiteSpec extends AnyFunSuite {
     assert(IcebergLite.snapshot(dir, 3).parent === Some(2))
   }
 
+  test("deleteWhere: copy-on-write, untouched files kept by reference, time travel intact") {
+    val dir = Files.createTempDirectory("iclite3").toString
+    val key = expr("lonm")
+    // two appends → two data files with disjoint id ranges
+    IcebergLite.append(spark, dir, pts(0, 100), key)
+    IcebergLite.append(spark, dir, pts(1000, 100), key)
+    val before = IcebergLite.snapshot(dir, 2).files
+    // delete rows only in the SECOND batch (ids 1040..1049)
+    val v3 = IcebergLite.deleteWhere(spark, dir, col("id").between(1040, 1049), key)
+    assert(v3 === 3)
+    val after = IcebergLite.snapshot(dir, 3).files
+    // batch-1 files survive by reference (no rewrite)
+    assert(before.map(_.path).toSet.intersect(after.map(_.path).toSet).nonEmpty,
+      "untouched files must be reused, not rewritten")
+    // current read excludes exactly the deleted rows
+    val ids = IcebergLite.read(spark, dir).select("id").collect().map(_.getLong(0)).toSet
+    assert(ids.size === 190)
+    assert((1040L to 1049L).forall(i => !ids.contains(i)))
+    // time travel: v2 still has all 200 rows; v1 has 100
+    assert(IcebergLite.read(spark, dir, asOfVersion = 2).count() === 200)
+    assert(IcebergLite.read(spark, dir, asOfVersion = 1).count() === 100)
+    // deleting nothing is a no-op commit (version unchanged)
+    assert(IcebergLite.deleteWhere(spark, dir, col("id") === 999999L, key) === 3)
+    assert(IcebergLite.currentVersion(dir) === 3)
+  }
+
   test("stats pruning skips files outside the query cells") {
     val dir = Files.createTempDirectory("iclite2").toString
     val z = 8
