@@ -248,6 +248,17 @@ class KnnSpec extends AnyFunSuite {
     assert(margin > 1.0, s"closest distance to the q0i radius: $margin m")
   }
 
+  test("kNN plan: heap aggregate replaced the row_number window (no sort)") {
+    val pts = (0L until 500L).map(i => (i, i * 600000L - 150000000L, (i % 100) * 1500000L - 75000000L))
+    val df = spark.createDataFrame(pts).toDF("id", "lonm", "latm")
+    val res = Knn.knnJoin(spark, df, col("id"), col("lonm"), col("latm"),
+      Seq(Knn.QueryPt(0, 0L, 0L)), k = 5, level = 4)
+    val plan = res.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"row_number window must be gone:\n$plan")
+    assert(plan.contains("ObjectHashAggregate"),
+      s"per-query top-k must be the typed heap aggregate:\n$plan")
+  }
+
   test("k exceeding the table size returns the whole table ranked") {
     val pts = Seq((1L, 0L, 0L), (2L, 1000000L, 0L), (3L, -2000000L, 500000L))
     val df = spark.createDataFrame(pts).toDF("id", "lonm", "latm")
