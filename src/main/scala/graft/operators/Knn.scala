@@ -217,20 +217,41 @@ object Knn {
   }
 
   /** heap top-k per query over a joined candidate frame carrying
-    * (qid, _qlat, neighbor_id, distance) — returns the per-query sorted
-    * array frame (qid, _qlat, _tk) for retirement tests plus the exploded
-    * (qid, neighbor_id, rank, d) rows.
+    * (qid, _qlat, neighbor_id, distance). Returns the per-query stats
+    * frame (qid, _qlat, _n = result count, _kd = kth distance when _n==k)
+    * for retirement tests, plus the exploded (qid, neighbor_id, rank, d)
+    * rows.
+    *
+    * Long neighbour ids take the bounded k-heap aggregate (map-side
+    * partials, no sort node); other id types fall back to the window
+    * (the heap's buffer is two primitive longs per entry by design —
+    * boxing arbitrary ids there would forfeit the win).
     */
   private def topKFrames(joined: DataFrame, metric: String, k: Int)
       : (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.types.LongType
     val (d, dName) = distCol(metric)
-    val arr = joined.withColumn(dName, d)
-      .groupBy("qid", "_qlat")
-      .agg(knnTopK(struct(col(dName).as("d"), col("neighbor_id").as("id")), k).as("_tk"))
-    val rows = arr.select(col("qid"), posexplode(col("_tk")))
-      .select(col("qid"), col("col.id").as("neighbor_id"),
-        (col("pos") + 1).cast("int").as("rank"), col("col.d").as(dName))
-    (arr, rows)
+    val withD = joined.withColumn(dName, d)
+    if (joined.schema("neighbor_id").dataType == LongType) {
+      val arr = withD
+        .groupBy("qid", "_qlat")
+        .agg(knnTopK(struct(col(dName).as("d"), col("neighbor_id").as("id")), k).as("_tk"))
+      val rows = arr.select(col("qid"), posexplode(col("_tk")))
+        .select(col("qid"), col("col.id").as("neighbor_id"),
+          (col("pos") + 1).cast("int").as("rank"), col("col.d").as(dName))
+      val stats = arr.select(col("qid"), col("_qlat"), size(col("_tk")).as("_n"),
+        when(size(col("_tk")) === k, element_at(col("_tk"), k).getField("d")).as("_kd"))
+      (stats, rows)
+    } else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col(dName), col("neighbor_id"))
+      val rows = withD
+        .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+        .select(col("qid"), col("_qlat"), col("neighbor_id"), col("rank"), col(dName))
+      val stats = rows.groupBy(col("qid"), col("_qlat"))
+        .agg(count(lit(1)).as("_n"), max(when(col("rank") === k, col(dName))).as("_kd"))
+      (stats, rows.drop("_qlat"))
+    }
   }
 
   /** Exact k nearest `points` rows for every query point.
@@ -361,15 +382,14 @@ object Knn {
         else pts.join(active.withColumn("_pcell",
           explode(ringCells(col("_qlon"), col("_qlat"), level, r,
             wrapX = !planar))), Seq("_pcell"))
-      val (arr, topk) = topKFrames(joined, metric, k)
+      val (stats, topk) = topKFrames(joined, metric, k)
       val doneIds =
         if (r >= maxR || ringTooBig) active.select("qid") // whole world explored
         else {
-          val kth = element_at(col("_tk"), k).getField("d")
           val bound =
             if (planar) { val b = r.toLong * minSpan; lit(b * b) }
             else haversineRingBoundCol(col("_qlat"), r, level)
-          arr.where(size(col("_tk")) === k && kth < bound).select("qid")
+          stats.where(col("_n") === k && col("_kd") < bound).select("qid")
         }
       // banked eagerly: k rows per finished query materialize once; a lazy
       // union would re-run every round's join at the final action (measured

@@ -248,6 +248,25 @@ class KnnSpec extends AnyFunSuite {
     assert(margin > 1.0, s"closest distance to the q0i radius: $margin m")
   }
 
+  test("string neighbour ids take the window fallback and stay exact") {
+    val pts = (0L until 400L).map(i =>
+      (f"p$i%04d", i * 800000L - 150000000L, (i % 80) * 1800000L - 70000000L))
+    val df = spark.createDataFrame(pts).toDF("pid", "lonm", "latm")
+    val qs = Seq((0L, 0L, 0L), (1L, -140000000L, -60000000L))
+    val qdf = spark.createDataFrame(qs).toDF("qid", "lonm", "latm")
+    val got = Knn.knnJoinDf(spark, df, col("pid"), col("lonm"), col("latm"),
+        qdf, col("qid"), col("lonm"), col("latm"), k = 5, level = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(2)) -> r.getString(1)).toMap
+    for ((qid, qx, qy) <- qs) {
+      val exp = pts.map { case (id, x, y) =>
+        (id, (x - qx) * (x - qx) + (y - qy) * (y - qy))
+      }.sortBy { case (id, d2) => (d2, id) }.take(5).map(_._1)
+      exp.zipWithIndex.foreach { case (id, i) =>
+        assert(got((qid, i + 1)) === id, s"q$qid rank ${i + 1}")
+      }
+    }
+  }
+
   test("kNN plan: heap aggregate replaced the row_number window (no sort)") {
     val pts = (0L until 500L).map(i => (i, i * 600000L - 150000000L, (i % 100) * 1500000L - 75000000L))
     val df = spark.createDataFrame(pts).toDF("id", "lonm", "latm")
