@@ -664,10 +664,24 @@ object SparkEntry {
           min((col("roundtrip_psnr_db") >= 40.0).cast("int")).as("all_psnr_ok"))
         .orderBy("fmt")
     }),
+    // ---- image decode → block-mean embedding → exact top-k bridge.
+    //      ORACLED structurally: the oracle recomputes the query count from
+    //      the generator's id+crc32 rule and asserts the contract booleans
+    //      (exactly k ranked rows per query, dots non-increasing by rank,
+    //      self excluded) — value-level dot parity is impossible without an
+    //      image decoder in the oracle engine, but a decode/feature/top-k
+    //      pipeline break flips one of these to false.
     "q63_image_embed_topk" -> ((s, dir) => {
       val feats = operators.Multimodal.features(Fixtures.images(s, 2000))
-      Similarity.topKDot(feats, feats.where(crc32(col("image_id")) % 100 === 0),
-        "image_id", "embedding", k = 5).orderBy("qid", "rank")
+      val tk = Similarity.topKDot(feats, feats.where(crc32(col("image_id")) % 100 === 0),
+        "image_id", "embedding", k = 5)
+      val w = Window.partitionBy("qid").orderBy("rank")
+      tk.withColumn("_prev", lag("dot", 1).over(w))
+        .agg(count_distinct(col("qid")).as("n_queries"),
+          (count(lit(1)) === count_distinct(col("qid")) * 5).as("all_k"),
+          min((col("_prev").isNull || col("_prev") >= col("dot")).cast("int"))
+            .cast("boolean").as("ranks_sorted"),
+          min((col("qid") =!= col("nid")).cast("int")).cast("boolean").as("no_self"))
     }),
     // ---- frame sampling (video-pipeline shape). ORACLED: per-image frame
     //      counts are a closed form of the generator's height rule
@@ -1159,6 +1173,17 @@ object SparkEntry {
         s"('$f', CAST($n AS BIGINT), CAST(1 AS INTEGER), CAST(1 AS INTEGER))"
       }.mkString(", ")
       s"SELECT * FROM (VALUES $vals) AS t(fmt, n, all_match, all_psnr_ok) ORDER BY fmt"
+    },
+    "q63_image_embed_topk" -> {
+      // query count from the generator's id rule + Spark's crc32 semantics
+      // (standard CRC32 over the UTF-8 id bytes)
+      val nq = (0L until 2000L).count { i =>
+        val c = new java.util.zip.CRC32()
+        c.update(f"img$i%012d".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        c.getValue % 100 == 0
+      }
+      s"SELECT CAST($nq AS BIGINT) AS n_queries, TRUE AS all_k, " +
+        "TRUE AS ranks_sorted, TRUE AS no_self"
     },
     "q64_frame_sample" -> {
       // frames per image = ceil((h/frameH)/stride) with frameH=8, stride=2,
