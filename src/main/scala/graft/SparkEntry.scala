@@ -926,24 +926,30 @@ object SparkEntry {
     "q33_interval_join" -> {
       val snapList = snapTimes.map(t => s"'$t'").mkString("[", ", ", "]")
       s"""WITH snaps AS (SELECT unnest($snapList) AS snap_ts),
-         |iv AS (SELECT event_id, epoch(ts) AS s,
-         |  epoch(ts) + (event_id % 7 + 1) * 3600 AS e FROM events)
+         |iv AS (SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS s,
+         |  CAST(floor(epoch(ts)) AS BIGINT) + (event_id % 7 + 1) * 3600 AS e FROM events)
          |SELECT sn.snap_ts, iv.event_id
          |FROM iv JOIN snaps sn
          |  ON epoch(CAST(sn.snap_ts AS TIMESTAMP)) BETWEEN iv.s AND iv.e
          |ORDER BY snap_ts, event_id""".stripMargin
     },
+    // floor(epoch(ts)): Spark's ts.cast(long) TRUNCATES to whole seconds —
+    // fractional-second epochs here would disagree on intervals that only
+    // touch after truncation (caught at sf0.1: one boundary pair)
     "q35_interval_overlap" ->
-      """WITH base AS (SELECT event_id, epoch(ts) AS s,
-        |  epoch(ts) + (event_id % 7 + 1) * 3600 AS e
+      """WITH base AS (SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS s,
+        |  CAST(floor(epoch(ts)) AS BIGINT) + (event_id % 7 + 1) * 3600 AS e
         |  FROM events WHERE user_id % 20 = 0),
         |a AS (SELECT event_id AS id_a, s, e FROM base WHERE event_id % 2 = 0),
         |b AS (SELECT event_id AS id_b, s, e FROM base WHERE event_id % 2 = 1)
         |SELECT a.id_a, b.id_b FROM a JOIN b ON a.s <= b.e AND b.s <= a.e
         |ORDER BY id_a, id_b""".stripMargin,
+    // floor(epoch(ts)) matches Spark's whole-second ts.cast(long) — a
+    // fractional gap of exactly ~1800.x s could otherwise split sessions
+    // differently (same truncation hazard the sf0.1 run caught on q35)
     "q20_sessionize" ->
       """WITH g AS (SELECT user_id, ts, event_id,
-        |  CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+        |  CASE WHEN floor(epoch(ts)) - floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) > 1800
         |       THEN 1 ELSE 0 END AS gap FROM events),
         |s AS (SELECT user_id, ts,
         |  CAST(sum(gap) OVER (PARTITION BY user_id ORDER BY ts, event_id
