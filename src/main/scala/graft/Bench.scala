@@ -87,6 +87,13 @@ object Bench {
       val t = BenchCore.timed {
         try fn(spark, sfDir).count() catch { case _: Throwable => () }
       }
+      // isolation between sequential queries sharing one JVM: a full GC
+      // lets the ContextCleaner drop finished broadcasts / localCheckpoint
+      // blocks NOW instead of mid-way through the next timed query —
+      // without it, later queries absorb earlier queries' cleanup (the
+      // heavier round-3 ANN/verify queries inflated untouched queries by
+      // 30-90% in-suite while fresh-JVM isolation showed no regression)
+      System.gc()
       name -> t
     }
     val qs = (results :+ ("flagship_join_tiles_16m" -> tFlag))

@@ -19,10 +19,12 @@ import graft.functions.KnnTopKAgg.knnTopK
   *   Stop when every query holds k neighbours whose kth distance is
   *   strictly under the lower bound of any unexplored cell.
   *
-  * Per-query top-k is a BOUNDED K-HEAP aggregate (KnnTopKAgg): map-side
-  * partial heaps (O(k) state), ≤ k pairs per query per map partition on the
-  * shuffle, no sort node — the `row_number` window it replaced sorted every
-  * query's full candidate set (round-2 verdict #8).
+  * Per-query top-k: codegen window sort by default, or the BOUNDED K-HEAP
+  * aggregate (KnnTopKAgg, `topKVia = "heap"`): map-side partial heaps
+  * (O(k) state) put ≤ k pairs per query per map partition on the shuffle,
+  * no sort node (round-2 verdict #8). MEASURED at fixture and 8M scale the
+  * codegen window wins or ties (see topKFrames doc) — the heap is the
+  * opt-in for huge per-query candidate sets where shuffle volume rules.
   *
   * Distance metrics (`metric` parameter):
   *   - "planar" (default): squared planar micro-degree distance —
@@ -222,17 +224,32 @@ object Knn {
     * for retirement tests, plus the exploded (qid, neighbor_id, rank, d)
     * rows.
     *
-    * Long neighbour ids take the bounded k-heap aggregate (map-side
-    * partials, no sort node); other id types fall back to the window
-    * (the heap's buffer is two primitive longs per entry by design —
-    * boxing arbitrary ids there would forfeit the win).
+    * `topKVia` picks the implementation — MEASURED trade-off, not
+    * assumed: "window" (default) is whole-stage-codegen sort + row_number
+    * and wins 2–2.5× at fixture candidate sizes (q06 1.3 s vs 3.3 s
+    * isolated; even at 8M points the heap is a wash, 4.1 vs 4.4 s);
+    * "heap" (long ids only) is the bounded k-heap aggregate whose win is
+    * SHUFFLE VOLUME — map-side partials put ≤ k rows per query per map
+    * partition on the exchange instead of every candidate, which matters
+    * when per-query candidate sets are huge (dense cells × large k), a
+    * regime the sandbox fixtures cannot produce.
     */
-  private def topKFrames(joined: DataFrame, metric: String, k: Int)
+  private def topKFrames(joined: DataFrame, metric: String, k: Int,
+                         topKVia: String)
       : (DataFrame, DataFrame) = {
     import org.apache.spark.sql.types.LongType
     val (d, dName) = distCol(metric)
     val withD = joined.withColumn(dName, d)
-    if (joined.schema("neighbor_id").dataType == LongType) {
+    val useHeap = topKVia match {
+      case "heap" =>
+        require(joined.schema("neighbor_id").dataType == LongType,
+          "heap top-k requires long neighbour ids")
+        true
+      case "window" => false
+      case other => throw new IllegalArgumentException(
+        s"topKVia must be window|heap, got $other")
+    }
+    if (useHeap) {
       val arr = withD
         .groupBy("qid", "_qlat")
         .agg(knnTopK(struct(col(dName).as("d"), col("neighbor_id").as("id")), k).as("_tk"))
@@ -266,7 +283,7 @@ object Knn {
   def knnJoin(spark: SparkSession, points: DataFrame, idCol: Column,
               lonCol: Column, latCol: Column, queries: Seq[QueryPt], k: Int,
               level: Int, r0: Int = 1, cellPrefilter: Boolean = true,
-              metric: String = "planar"): DataFrame = {
+              metric: String = "planar", topKVia: String = "window"): DataFrame = {
     import spark.implicits._
     val planar = requireMetric(metric)
     require(k >= 1 && queries.nonEmpty)
@@ -289,7 +306,7 @@ object Knn {
       // plan-time cell prefilter: lets a cell-clustered scan prune row groups
       val src = if (cellPrefilter && cells.size <= 100000)
         pts.where(col("_pcell").isInCollection(cells.map(_._4).distinct)) else pts
-      topKFrames(src.join(broadcast(cellsDf), Seq("_pcell")), metric, k)._2
+      topKFrames(src.join(broadcast(cellsDf), Seq("_pcell")), metric, k, topKVia)._2
     }
 
     // straggler guard: past this ring size the candidate-cell list is more
@@ -299,7 +316,7 @@ object Knn {
 
     def bruteForce(): DataFrame = {
       val qDf = queries.map(q => (q.qid, q.lonm, q.latm)).toDF("qid", "_qlon", "_qlat")
-      topKFrames(pts.join(broadcast(qDf)), metric, k)._2
+      topKFrames(pts.join(broadcast(qDf)), metric, k, topKVia)._2
     }
 
     var r = math.max(1, r0)
@@ -354,7 +371,8 @@ object Knn {
   def knnJoinDf(spark: SparkSession, points: DataFrame, pId: Column,
                 pLon: Column, pLat: Column, queries: DataFrame, qId: Column,
                 qLon: Column, qLat: Column, k: Int, level: Int,
-                r0: Int = 1, metric: String = "planar"): DataFrame = {
+                r0: Int = 1, metric: String = "planar",
+                topKVia: String = "window"): DataFrame = {
     val planar = requireMetric(metric)
     require(k >= 1)
     val minSpan = math.min(FixedPoint.LON_RANGE >> level, FixedPoint.LAT_RANGE >> level)
@@ -382,7 +400,7 @@ object Knn {
         else pts.join(active.withColumn("_pcell",
           explode(ringCells(col("_qlon"), col("_qlat"), level, r,
             wrapX = !planar))), Seq("_pcell"))
-      val (stats, topk) = topKFrames(joined, metric, k)
+      val (stats, topk) = topKFrames(joined, metric, k, topKVia)
       val doneIds =
         if (r >= maxR || ringTooBig) active.select("qid") // whole world explored
         else {

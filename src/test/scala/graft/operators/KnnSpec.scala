@@ -62,15 +62,17 @@ class KnnSpec extends AnyFunSuite {
     }
     val df = spark.createDataFrame(pts).toDF("id", "lonm", "latm")
     val qdf = spark.createDataFrame(qs).toDF("qid", "lonm", "latm")
-    val got = Knn.knnJoinDf(spark, df, col("id"), col("lonm"), col("latm"),
-        qdf, col("qid"), col("lonm"), col("latm"), k = 7, level = 5)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
-      .groupBy(_._1)
-    assert(got.size === 40)
-    for ((qid, qx, qy) <- qs) {
-      val exp = bruteForce(pts, Knn.QueryPt(qid, qx, qy), 7)
-      val act = got(qid).sortBy(_._3).map(r => (r._2, r._4)).toSeq
-      assert(act === exp, s"query $qid")
+    for (via <- Seq("window", "heap")) {
+      val got = Knn.knnJoinDf(spark, df, col("id"), col("lonm"), col("latm"),
+          qdf, col("qid"), col("lonm"), col("latm"), k = 7, level = 5, topKVia = via)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+        .groupBy(_._1)
+      assert(got.size === 40)
+      for ((qid, qx, qy) <- qs) {
+        val exp = bruteForce(pts, Knn.QueryPt(qid, qx, qy), 7)
+        val act = got(qid).sortBy(_._3).map(r => (r._2, r._4)).toSeq
+        assert(act === exp, s"query $qid via $via")
+      }
     }
   }
 
@@ -267,15 +269,25 @@ class KnnSpec extends AnyFunSuite {
     }
   }
 
-  test("kNN plan: heap aggregate replaced the row_number window (no sort)") {
+  test("heap top-k opt-in: no window/sort in plan, rows identical to window") {
+    // topKVia = "heap" is the at-scale shuffle-volume configuration
+    // (<= k rows per query per map partition); the codegen window stays the
+    // measured default (2-2.5x faster at fixture candidate sizes, a wash
+    // at 8M points — BENCH/BASELINE.md round-3 A/B)
     val pts = (0L until 500L).map(i => (i, i * 600000L - 150000000L, (i % 100) * 1500000L - 75000000L))
     val df = spark.createDataFrame(pts).toDF("id", "lonm", "latm")
-    val res = Knn.knnJoin(spark, df, col("id"), col("lonm"), col("latm"),
-      Seq(Knn.QueryPt(0, 0L, 0L)), k = 5, level = 4)
-    val plan = res.queryExecution.executedPlan.toString
-    assert(!plan.contains("Window"), s"row_number window must be gone:\n$plan")
+    val qs = Seq(Knn.QueryPt(0, 0L, 0L), Knn.QueryPt(1, -100000000L, 40000000L))
+    val viaHeap = Knn.knnJoin(spark, df, col("id"), col("lonm"), col("latm"),
+      qs, k = 5, level = 4, topKVia = "heap")
+    val plan = viaHeap.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"heap mode must carry no window:\n$plan")
     assert(plan.contains("ObjectHashAggregate"),
-      s"per-query top-k must be the typed heap aggregate:\n$plan")
+      s"heap mode must aggregate via the typed heap:\n$plan")
+    val viaWindow = Knn.knnJoin(spark, df, col("id"), col("lonm"), col("latm"),
+      qs, k = 5, level = 4)
+    val a = viaHeap.collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(1), r.getLong(3))).toSet
+    val b = viaWindow.collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(1), r.getLong(3))).toSet
+    assert(a === b)
   }
 
   test("k exceeding the table size returns the whole table ranked") {
