@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 32g on this 128 GiB box: at 8g the 66-query bench suite accumulates
+  // old-gen pressure (localCheckpoint blocks + broadcasts awaiting the
+  // ContextCleaner) and unrelated queries inflate 2-4x mid-suite —
+  // measured total 110.7 s at 8g vs 64.7 s at 32g, same commit, quiet
+  // machine. Heap is lazily committed, so small runs don't pay for it.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )

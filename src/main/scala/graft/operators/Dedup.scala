@@ -230,28 +230,34 @@ object Dedup {
       val viaNeighbour = edges
         .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("label", "nl"), "dst")
         .groupBy(col("src").as("id")).agg(min("nl").as("cand"))
+      // the pre-propagation label rides along as _old so the convergence
+      // probe below is a projection+filter over the checkpointed blocks —
+      // NOT a shuffle join of prop against labels (which cost one extra
+      // exchange per round)
       val prop = labels.join(viaNeighbour, Seq("id"), "left")
-        .select(col("id"), least(col("label"), coalesce(col("cand"), col("label"))).as("label"))
+        .select(col("id"),
+          least(col("label"), coalesce(col("cand"), col("label"))).as("label"),
+          col("label").as("_old"))
+        .localCheckpoint()
+      // Convergence is probed on the PLAIN propagation: prop == labels is a
+      // fixpoint of min-propagation, which labels every node with its
+      // component minimum (stability across each edge forces per-component
+      // constants; the component min always keeps its own id). The shortcut
+      // below can therefore never change a converged state — probing first
+      // means the detect round (and every round of a near-clique corpus,
+      // which converges AND detects within 3 plain rounds) skips the
+      // self-join entirely.
+      converged = prop.where(col("label") =!= col("_old")).limit(1).count() == 0
       // shortcut: follow one more hop through the label table (labels are
       // node ids, so label(label) is defined); least() keeps monotonicity.
-      // Applied only from round 4 on — near-clique dup corpora converge
-      // AND detect convergence within 3 plain rounds and never pay the
-      // extra join (measured 2.3× on q52 when applied every round); deep
-      // chains still get O(log) convergence. prop is checkpointed first so
-      // the propagation pass feeding both sides of the self-join runs
-      // once, not twice.
-      val next =
-        if (round < 3) prop.localCheckpoint()
-        else {
-          val p = prop.localCheckpoint()
-          p.join(p.select(col("id").as("label"), col("label").as("_ll")), Seq("label"), "left")
-            .select(col("id"), least(col("label"), coalesce(col("_ll"), col("label"))).as("label"))
-            .localCheckpoint() // truncate the iterative lineage
-        }
-      val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
-        .where(col("label") =!= col("old")).limit(1).count()
-      labels = next
-      converged = changed == 0
+      // Applied only from round 4 on (measured 2.3× on q52 when applied
+      // every round); deep chains still get O(log diameter) convergence.
+      labels =
+        if (converged || round < 3) prop.drop("_old")
+        else prop
+          .join(prop.select(col("id").as("label"), col("label").as("_ll")), Seq("label"), "left")
+          .select(col("id"), least(col("label"), coalesce(col("_ll"), col("label"))).as("label"))
+          .localCheckpoint() // truncate the iterative lineage
       round += 1
     }
     require(converged,

@@ -1,8 +1,11 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
 
 /** Embedding similarity search for training-data pipelines: brute-force
   * top-k as the exact baseline, hyperplane-LSH bucketing as the
@@ -122,9 +125,11 @@ object Similarity {
     *
     * Centroids: a deterministic content-hash sample seeds `lloydRounds`
     * distributed Lloyd (k-means) iterations — assignment is the same
-    * nearest-centroid join the index uses, the mean step is one
-    * posexplode + groupBy(list, dim) avg, and only nlist×dims aggregated
-    * values reach the driver. On clustered corpora k-means centroids track
+    * broadcast nearest-centroid kernel the index uses, the mean step
+    * aggregates per-partition (count, vector-sum) partials (shuffle and
+    * driver collect scale with partitions×nlist×dims, never with n), and
+    * training runs on a hash-capped ~[[TRAIN_PER_LIST]]·nlist sample, the
+    * FAISS convention. On clustered corpora k-means centroids track
     * cluster structure, so equal-nprobe recall is strictly higher than the
     * raw hash sample (spec-gated in SimilaritySpec); means are rounded to
     * the integer grid so the index stays integer-exact.
@@ -143,58 +148,75 @@ object Similarity {
               idCol: String, vecCol: String, k: Int,
               nlist: Int = 0, nprobe: Int = 4, lloydRounds: Int = 2): DataFrame = {
     import spark.implicits._
+    // persisted: the index build is inherently multi-pass (seeds + one
+    // assignment per Lloyd round + the final list assignment) — cache the
+    // quantized vectors once instead of re-scanning parquet per pass.
+    // Blocks are dropped by the ContextCleaner when the result's lineage
+    // is garbage-collected.
     val p = points.select(col(idCol).as("nid"), quantize(col(vecCol)).as("pq"))
+      .persist()
+    val n = p.count() // also materializes the cache
     val numLists =
       if (nlist > 0) nlist
-      else math.max(16, math.sqrt(points.count().toDouble).toInt)
+      else math.max(16, math.sqrt(n.toDouble).toInt)
     // deterministic distributed sample: top-nlist by content hash — a
-    // per-partition heap + driver merge of nlist rows, never a full collect
-    var cents: Array[(Any, Array[Long])] =
+    // per-partition heap + driver merge of nlist rows, never a full collect.
+    // Centroids are identified by ARRAY INDEX from here on (list_id: int) —
+    // ids are internal to the index, and primitive ints keep the
+    // assignment kernel and the lists⋈probes equi-join allocation-free.
+    var cents: Array[Array[Long]] =
       p.orderBy(xxhash64(col("nid")), col("nid")).limit(numLists)
-        .select(col("nid").as("cid"), col("pq").as("cq"))
-        .collect().map(r => (r.get(0), r.getSeq[Long](1).toArray))
-
-    def l2ToCent(vq: Column, cq: Array[Long]): Column = {
-      val cLit = array(cq.map(lit): _*)
-      // |v|² − 2 v·c + |c|² ; |v|² constant per row ⇒ rank by (−2 v·c + |c|²)
-      lit(cq.map(x => x * x).sum) - lit(2L) * dotQ(vq, cLit)
-    }
-    def nearestCents(df: DataFrame, vq: String, n: Int): DataFrame = {
-      val scored = cents.map { case (cid, cq) =>
-        struct(l2ToCent(col(vq), cq).as("d"), lit(cid).as("cid"))
-      }
-      df.withColumn("_cents", array_sort(array(scored: _*)))
-        .withColumn("_c", explode(slice(col("_cents"), 1, n)))
-        .withColumn("list_id", col("_c.cid")).drop("_cents", "_c")
-    }
+        .select(col("pq")).collect().map(_.getSeq[Long](0).toArray)
 
     // Lloyd refinement: mean of each list's members becomes the centroid;
     // empty lists keep their seed (they stay probeable). Integer rounding
     // collapses sub-ulp summation-order jitter, so assignments are stable.
+    // FAISS-style training cap: k-means only needs a sample to place
+    // centroids — train on a deterministic content-hash subset of
+    // ~TRAIN_PER_LIST·nlist vectors so the Lloyd passes stop scaling with
+    // corpus size (the full corpus is only assigned ONCE, for the lists).
+    val trainFrac = math.min(1.0, TRAIN_PER_LIST.toDouble * numLists / math.max(1L, n))
+    val train = (if (trainFrac < 1.0)
+      p.where(pmod(xxhash64(col("nid")), lit(1000000L)) < lit((trainFrac * 1e6).toLong))
+    else p).select(col("pq")).as[Array[Long]]
     for (_ <- 1 to lloydRounds) {
-      val means = nearestCents(p, "pq", 1)
-        .select(col("list_id"), posexplode(col("pq")).as(Seq("_d", "_v")))
-        .groupBy("list_id", "_d").agg(avg(col("_v")).as("_m"))
-        .collect()
-      val byList = means.groupBy(_.get(0))
-      cents = cents.map { case (cid, cq) =>
-        byList.get(cid) match {
-          case Some(rows) =>
-            val nc = cq.clone()
-            rows.foreach(r => nc(r.getInt(1)) = Math.round(r.getDouble(2)))
-            (cid, nc)
-          case None => (cid, cq)
+      val bc = spark.sparkContext.broadcast(cents)
+      // per-partition partial (count, vector-sum) per list: the shuffle and
+      // the driver collect scale with partitions×nlist×dims — never with n
+      val partials = train.mapPartitions { it =>
+        val cs = bc.value
+        val cn2 = cs.map(sqNorm)
+        val dims = if (cs.nonEmpty) cs(0).length else 0
+        val cnt = new Array[Long](cs.length)
+        val sums = Array.ofDim[Long](cs.length, dims)
+        it.foreach { v =>
+          val j = nearestCentIdx(v, cs, cn2)
+          cnt(j) += 1
+          var d = 0
+          while (d < dims) { sums(j)(d) += v(d); d += 1 }
         }
-      }
+        Iterator.range(0, cs.length).filter(cnt(_) > 0)
+          .map(j => (j, cnt(j), sums(j)))
+      }.toDF("list_id", "cnt", "sums")
+      val means = partials
+        .select(col("list_id"), col("cnt"), posexplode(col("sums")).as(Seq("_d", "_s")))
+        .groupBy("list_id", "_d")
+        .agg((sum(col("_s")).cast("double") / sum(col("cnt"))).as("_m"))
+        .collect()
+      val next = cents.map(_.clone())
+      means.foreach(r => next(r.getInt(0))(r.getInt(1)) = Math.round(r.getDouble(2)))
+      cents = next
     }
 
     // L2 metric throughout (lists assigned by L2 ⇒ ranking must be L2 too,
     // the FAISS IndexIVFFlat contract): |p−q|² = |p|² − 2p·q + |q|², exact
     // int64 on quantized vectors
-    val lists = nearestCents(p, "pq", 1)
+    val bcFinal = spark.sparkContext.broadcast(cents)
+    val lists = withNearestLists(p, "pq", 1, bcFinal)
       .withColumn("pn2", dotQ(col("pq"), col("pq")))
-    val probes = nearestCents(
-      queries.select(col(idCol).as("qid"), quantize(col(vecCol)).as("qq")), "qq", nprobe)
+    val probes = withNearestLists(
+      queries.select(col(idCol).as("qid"), quantize(col(vecCol)).as("qq")),
+      "qq", nprobe, bcFinal)
       .withColumn("qn2", dotQ(col("qq"), col("qq")))
     val w = Window.partitionBy("qid").orderBy(col("d2"), col("nid"))
     lists.join(broadcast(probes), Seq("list_id"))
@@ -203,6 +225,84 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("qid"), col("nid"), col("rank").cast("long").as("rank"), col("d2"))
+  }
+
+  /** k-means training sample size per centroid (FAISS trains IVF coarse
+    * quantizers on ≤ max_points_per_centroid·nlist vectors for the same
+    * reason: centroid placement needs a sample, not the corpus).
+    */
+  val TRAIN_PER_LIST = 256
+
+  private def sqNorm(c: Array[Long]): Long = {
+    var s = 0L; var i = 0
+    while (i < c.length) { s += c(i) * c(i); i += 1 }
+    s
+  }
+
+  /** |c|² − 2 v·c — L2 rank surrogate (|v|² is constant per row). */
+  private def relDist(v: Array[Long], c: Array[Long], n2: Long): Long = {
+    var dot = 0L; var i = 0
+    while (i < v.length) { dot += v(i) * c(i); i += 1 }
+    n2 - 2L * dot
+  }
+
+  private def nearestCentIdx(v: Array[Long], cs: Array[Array[Long]],
+                             cn2: Array[Long]): Int = {
+    var best = 0; var bestD = Long.MaxValue; var j = 0
+    while (j < cs.length) {
+      val d = relDist(v, cs(j), cn2(j))
+      if (d < bestD) { bestD = d; best = j } // strict < : ties → lower index
+      j += 1
+    }
+    best
+  }
+
+  /** Indices of the n L2-nearest centroids, ascending (distance, index) —
+    * insertion into a bounded array (n ≤ nprobe, single digits).
+    */
+  private def topNCentIdx(v: Array[Long], cs: Array[Array[Long]],
+                          cn2: Array[Long], n: Int): Array[Int] = {
+    val m = math.min(n, cs.length)
+    val bd = Array.fill(m)(Long.MaxValue)
+    val bi = new Array[Int](m)
+    var j = 0
+    while (j < cs.length) {
+      val d = relDist(v, cs(j), cn2(j))
+      if (d < bd(m - 1)) { // strict: an equal-distance later index never displaces
+        var pos = m - 1
+        while (pos > 0 && d < bd(pos - 1)) {
+          bd(pos) = bd(pos - 1); bi(pos) = bi(pos - 1); pos -= 1
+        }
+        bd(pos) = d; bi(pos) = j
+      }
+      j += 1
+    }
+    bi
+  }
+
+  /** Append `list_id` (int — centroid index): the n nearest centroids per
+    * row. Centroids travel as ONE broadcast array into a primitive
+    * mapPartitions loop rather than as literal-array Columns — the literal
+    * form embedded nlist×dims constants in the plan, so every Lloyd pass
+    * recompiled a multi-MB janino class (measured 3× wall on q53), and a
+    * codegen Expression cannot capture a broadcast. This is the MLlib
+    * KMeans layout: centroids ship once per executor, assignment is a
+    * shuffle-free narrow pass.
+    */
+  private def withNearestLists(df: DataFrame, vq: String, n: Int,
+      bc: Broadcast[Array[Array[Long]]]): DataFrame = {
+    val outSchema = df.schema.add("list_id", IntegerType, nullable = false)
+    val enc = RowEncoder.encoderFor(outSchema)
+    val iVq = df.schema.fieldIndex(vq)
+    df.mapPartitions { it =>
+      val cs = bc.value
+      val cn2 = cs.map(sqNorm)
+      it.flatMap { r =>
+        val v = r.getSeq[Long](iVq).toArray
+        val base = r.toSeq
+        topNCentIdx(v, cs, cn2, n).iterator.map(j => Row.fromSeq(base :+ j))
+      }
+    }(enc)
   }
 
   /** Cosine near-duplicate pairs: cos(a,b) ≥ threshold, evaluated without
