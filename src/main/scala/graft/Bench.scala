@@ -49,6 +49,18 @@ object BenchCore {
     ts(ts.length / 2)
   }
 
+  /** (steal, busy) jiffies from /proc/stat — this sandbox's hypervisor
+    * steals up to ~31% of busy time in bad windows (BASELINE.md caveat),
+    * so benchmark output self-reports contention: steal/(steal+busy)
+    * over the measured interval tells a reader whether a slow number was
+    * the plan or the host. Returns (0,0) where /proc/stat is unreadable.
+    */
+  def cpuJiffies(): (Long, Long) = try {
+    val l = scala.io.Source.fromFile("/proc/stat").getLines().next().trim
+      .split("\\s+").drop(1).map(_.toLong)
+    (if (l.length > 7) l(7) else 0L, l(0) + l(2))
+  } catch { case _: Throwable => (0L, 0L) }
+
   def session(cpus: String): SparkSession = {
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -75,6 +87,7 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString)
     val spark = BenchCore.session(cpus)
+    val (steal0, busy0) = BenchCore.cpuJiffies()
 
     Fixtures.images(spark, FLAGSHIP_ROWS) // generate outside timing
     val totalRows = FLAGSHIP_ROWS * FLAGSHIP_REPLICATE
@@ -99,7 +112,11 @@ object Bench {
     val qs = (results :+ ("flagship_join_tiles_16m" -> tFlag))
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum + tFlag
-    println(s"""{"metric":"flagship join+tiling throughput","value":${f"$mRowsPerSec%.3f"},"unit":"Mrows/s","total_sec":${f"$total%.3f"},"queries":$qs,"cpus":"$cpus","sf":"$sfDir"}""")
+    val (steal1, busy1) = BenchCore.cpuJiffies()
+    val stealPct =
+      if (busy1 > busy0) 100.0 * (steal1 - steal0) / math.max(1L, (steal1 - steal0) + (busy1 - busy0))
+      else 0.0
+    println(s"""{"metric":"flagship join+tiling throughput","value":${f"$mRowsPerSec%.3f"},"unit":"Mrows/s","total_sec":${f"$total%.3f"},"host_steal_pct":${f"$stealPct%.1f"},"queries":$qs,"cpus":"$cpus","sf":"$sfDir"}""")
     spark.stop()
   }
 }

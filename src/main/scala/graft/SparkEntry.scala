@@ -198,6 +198,21 @@ object SparkEntry {
       graft.sources.IcebergLite.read(s, tbl)
         .select("c_custkey", "lonm", "latm").orderBy("c_custkey")
     }),
+    // ---- A1 layout maintenance: many micro-batch appends → one compaction
+    //      rewrite (bin-pack + cluster on the zcell stats key). Rows must be
+    //      IDENTICAL to the plain source — compaction changes layout only.
+    //      File-count reduction + pruning improvement gated in IcebergLiteSpec.
+    "q0m_iceberg_compact" -> ((s, dir) => {
+      val tbl = java.nio.file.Files.createTempDirectory("graft_iclite_q0m").toString
+      val pts = customerPts(s, dir)
+      val key = graft.functions.GraftFunctions.zcell(col("lonm"), col("latm"), 12)
+      (0 until 6).foreach { i =>
+        graft.sources.IcebergLite.append(s, tbl, pts.where(col("c_custkey") % 6 === i), key)
+      }
+      graft.sources.IcebergLite.compact(s, tbl, targetFileRows = 600L)
+      graft.sources.IcebergLite.read(s, tbl)
+        .select("c_custkey", "lonm", "latm").orderBy("c_custkey")
+    }),
     // ---- raster tile pyramid: per-tile counts rolled up the zoom stack —
     //      a z-order parent is a plain right-shift (each zoom level drops
     //      2 interleaved bits), so the pyramid is three shifted groupBys,
@@ -813,6 +828,10 @@ object SparkEntry {
       s"""SELECT c_custkey, ${Derive.lonSql("c_custkey")} AS lonm,
          |${Derive.latSql("c_custkey")} AS latm
          |FROM customer WHERE NOT c_custkey % 10 = 3 ORDER BY c_custkey""".stripMargin,
+    "q0m_iceberg_compact" ->
+      s"""SELECT c_custkey, ${Derive.lonSql("c_custkey")} AS lonm,
+         |${Derive.latSql("c_custkey")} AS latm
+         |FROM customer ORDER BY c_custkey""".stripMargin,
     "q0a_radius_join" ->
       s"""WITH q AS (SELECT CAST(n_nationkey AS BIGINT) AS qid, ${Derive.lonSql("n_nationkey")} AS qlon,
          |  ${Derive.latSql("n_nationkey")} AS qlat FROM nation),

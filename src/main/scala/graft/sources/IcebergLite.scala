@@ -139,6 +139,42 @@ object IcebergLite {
     commitSnapshot(dir, cur, files)
   }
 
+  /** Compaction + clustering rewrite (Iceberg's `rewrite_data_files` with
+    * the bin-pack/sort strategy): data files smaller than `targetFileRows`
+    * are read back, range-partitioned and sorted on the `_stats`
+    * clustering key they already carry, and rewritten as
+    * ceil(rows/targetFileRows) right-sized files; files already at target
+    * size are kept BY REFERENCE. The new snapshot sees identical rows —
+    * compaction is pure layout maintenance — while per-file [min,max]
+    * ranges become near-disjoint, so `pruneRead` keeps fewer files for
+    * the same query cells (spec-gated). Old versions still time-travel to
+    * the pre-compaction layout; nothing is mutated in place.
+    *
+    * At scale this is the standard small-file problem verb: many
+    * micro-batch appends → one range-shuffle of only the small-file
+    * subset (large files never rewritten ⇒ write amplification bounded
+    * by the small fraction), metadata from footers only.
+    *
+    * Returns the new version, or the current one when <2 files qualify.
+    */
+  def compact(spark: SparkSession, dir: String,
+              targetFileRows: Long = 1L << 20): Int = {
+    val cur = currentVersion(dir)
+    require(cur > 0, s"no snapshots in $dir")
+    val snap = snapshot(dir, cur)
+    val (small, keep) = snap.files.partition(_.rows < targetFileRows)
+    if (small.size < 2) return cur
+    val totalRows = small.map(_.rows).sum
+    val outFiles = math.max(1L, (totalRows + targetFileRows - 1) / targetFileRows).toInt
+    val batch = java.util.UUID.randomUUID().toString.take(8)
+    val dataDir = s"$dir/data/$batch"
+    spark.read.parquet(small.map(_.path): _*)
+      .repartitionByRange(outFiles, col("_stats"))
+      .sortWithinPartitions(col("_stats"))
+      .write.mode("error").parquet(dataDir)
+    commitSnapshot(dir, cur, keep ++ footerStats(spark, dataDir))
+  }
+
   private def commitSnapshot(dir: String, parentVersion: Int, files: Seq[FileEntry]): Int = {
     val version = parentVersion + 1
     val sid = java.util.UUID.randomUUID().toString

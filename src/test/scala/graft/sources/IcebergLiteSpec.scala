@@ -57,6 +57,36 @@ class IcebergLiteSpec extends AnyFunSuite {
     assert(IcebergLite.currentVersion(dir) === 3)
   }
 
+  test("compact: bin-packs small files, keeps large by reference, rows identical, pruning tighter") {
+    val dir = Files.createTempDirectory("iclite4").toString
+    val key = expr("lonm")
+    // one right-sized file (>= target) + 16 small files from micro-batch appends
+    IcebergLite.append(spark, dir, pts(10000, 150).repartition(1), key)
+    IcebergLite.append(spark, dir, pts(0, 100).repartition(8), key)
+    IcebergLite.append(spark, dir, pts(100, 100).repartition(8), key)
+    val before = IcebergLite.snapshot(dir, 3)
+    assert(before.files.size === 17)
+    val v4 = IcebergLite.compact(spark, dir, targetFileRows = 100L)
+    assert(v4 === 4)
+    val after = IcebergLite.snapshot(dir, 4)
+    // 16 small files -> ceil(200/100) = 2; the large file survives BY REFERENCE
+    assert(after.files.size === 3, s"got ${after.files.size} files")
+    val largePath = before.files.find(_.rows >= 100L).get.path
+    assert(after.files.map(_.path).contains(largePath), "large file must be kept by reference")
+    // rows identical — compaction is pure layout maintenance
+    val ids = IcebergLite.read(spark, dir).select("id").collect().map(_.getLong(0)).toSet
+    assert(ids === ((0L until 200L) ++ (10000L until 10150L)).toSet)
+    // clustering: rewritten files have near-disjoint [min,max] stats ranges,
+    // where the pre-compaction round-robin files all overlapped
+    val rewritten = after.files.filterNot(_.path == largePath).sortBy(_.min)
+    assert(rewritten.sliding(2).forall { case Seq(a, b) => a.max <= b.min; case _ => true },
+      s"rewritten ranges must be disjoint: ${rewritten.map(f => (f.min, f.max))}")
+    // time travel: pre-compaction layout intact
+    assert(IcebergLite.read(spark, dir, asOfVersion = 3).count() === 350)
+    // <2 small files -> no-op commit
+    assert(IcebergLite.compact(spark, dir, targetFileRows = 100L) === 4)
+  }
+
   test("stats pruning skips files outside the query cells") {
     val dir = Files.createTempDirectory("iclite2").toString
     val z = 8
