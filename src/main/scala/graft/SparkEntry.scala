@@ -505,6 +505,17 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(s.read.parquet(s"$dir/documents.parquet"),
         col("doc_id"), col("text"), n = 3, threshold = 0.5).orderBy("id_a", "id_b")
     }),
+    // ---- eval-set decontamination: corpus docs sharing >= minHits distinct
+    //      3-gram shingles with any benchmark doc (benchmark = doc_id % 50
+    //      == 0 split of the same table so the oracle can re-derive it).
+    //      Broadcast the bench shingles; corpus never shuffles, only hits do.
+    "q65_decontaminate" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      Dedup.decontaminate(
+        docs.where(col("doc_id") % 50 =!= 0), col("doc_id"), col("text"),
+        docs.where(col("doc_id") % 50 === 0), col("doc_id"), col("text"),
+        n = 3, minHits = 3).orderBy("doc_id", "bench_id")
+    }),
     // ---- MinHash-LSH near-dup pairs, exact-verified (the 100 TB path).
     //      bands=16 (r=2), NOT the default 8×4: the oracle is exact
     //      brute-force Jaccard and the fixture corpus has pairs down to
@@ -1031,6 +1042,7 @@ object SparkEntry {
          |SELECT text_hash, min(doc_id) AS canonical_id, count(*) AS n_copies
          |FROM h GROUP BY 1 ORDER BY text_hash""".stripMargin,
     "q44_ngram_jaccard" -> TextOracle.jaccardPairsSql(3, 0.5),
+    "q65_decontaminate" -> TextOracle.decontaminateSql(3, 3, "doc_id % 50 = 0"),
     "q45_minhash_lsh" -> TextOracle.jaccardPairsSql(3, 0.5),
     "q46_simhash" ->
       s"""WITH ${TextOracle.simhash64Ctes}

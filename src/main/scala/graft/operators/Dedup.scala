@@ -153,6 +153,35 @@ object Dedup {
     verifyPairs(cand, sh, threshold)
   }
 
+  /** Eval-set DECONTAMINATION (the published GPT-3/PaLM-style n-gram overlap
+    * rule): one row per (corpus doc, benchmark doc) pair sharing at least
+    * `minHits` distinct word n-gram shingles, with the exact shared count —
+    * the pipeline then drops (or audits) every doc_id that appears.
+    *
+    * Scale shape — and why this is NOT ngramJaccardPairs with a low
+    * threshold: the benchmark side is an eval set, dim-sized by nature, so
+    * its exploded (bench_id, shingle-hash) rows are BROADCAST. The corpus
+    * side explodes map-side straight into the broadcast hash join — corpus
+    * text and shingles never shuffle — and the only exchange is the final
+    * (doc_id, bench_id) count over HIT rows, which are rare by construction.
+    * At 100 TB: one scan of the corpus, shuffle ∝ |hits|. Shingle identity
+    * is the mod-P rolling hash (same ~1e-9/pair collision trade as the
+    * Jaccard verify path; both sides' arrays are distinct, so the count is
+    * the exact distinct-intersection size under that hash).
+    */
+  def decontaminate(corpus: DataFrame, idCol: Column, textCol: Column,
+                    bench: DataFrame, benchIdCol: Column, benchTextCol: Column,
+                    n: Int = 3, minHits: Int = 1): DataFrame = {
+    val corpusSh = shingleHashes(corpus, idCol, textCol, n)
+      .select(col("doc_id"), explode(col("gha")).as("h"))
+    val benchSh = shingleHashes(bench, benchIdCol, benchTextCol, n)
+      .select(col("doc_id").as("bench_id"), explode(col("gha")).as("h"))
+    corpusSh.join(broadcast(benchSh), "h")
+      .groupBy("doc_id", "bench_id")
+      .agg(count(lit(1)).as("n_hits"))
+      .where(col("n_hits") >= minHits)
+  }
+
   /** MinHash-LSH near-dup pairs: k=32 signature, `bands` bands of k/bands
     * rows; candidate pairs share at least one full band; candidates are then
     * VERIFIED with the exact Jaccard join above, so the output contains no

@@ -86,6 +86,22 @@ object TextOracle {
        |FROM pr WHERE CAST(c AS DOUBLE) / CAST(sz_a + sz_b - c AS DOUBLE) >= $threshold
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** Decontamination oracle: corpus = documents NOT matching `benchPred`,
+    * benchmark = documents matching it; shared-distinct-n-gram counts by
+    * STRING intersection (the Spark side counts by mod-P hash — identical
+    * short of a ~1e-9/pair collision, the same trade jaccardPairsSql makes).
+    */
+  def decontaminateSql(n: Int, minHits: Int, benchPred: String): String =
+    s"""WITH ${toksCte()},
+       |${ngramsCte(n)},
+       |b AS (SELECT doc_id AS bench_id, g FROM ng WHERE ($benchPred) AND len(g) > 0),
+       |c AS (SELECT doc_id, g FROM ng WHERE NOT ($benchPred) AND len(g) > 0),
+       |pr AS (SELECT c.doc_id, b.bench_id,
+       |  CAST(len(list_intersect(c.g, b.g)) AS BIGINT) AS n_hits
+       |  FROM c CROSS JOIN b)
+       |SELECT doc_id, bench_id, n_hits FROM pr WHERE n_hits >= $minHits
+       |ORDER BY doc_id, bench_id""".stripMargin
+
   /** Quantized embedding CTE `e(vec_id, q)` (mirrors Similarity.quantize);
     * `dims` is fixed per table (driver embeddings: 64).
     */

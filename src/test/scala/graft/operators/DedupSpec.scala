@@ -117,6 +117,32 @@ class DedupSpec extends AnyFunSuite {
     assert(e.getMessage.contains("converge"))
   }
 
+  test("decontaminate: exact shared-shingle counts vs brute force, bench side broadcast") {
+    // benchmark = the 6 planted near-dups (ids 100..105) — each is near-copy
+    // of a corpus doc, so contamination is guaranteed; plus brute-force
+    // parity over ALL (corpus, bench) pairs at minHits=2
+    val (bench, corpus) = docs.partition(_._1 >= 100L)
+    val got = Dedup.decontaminate(
+        corpus.toDF("doc_id", "text"), col("doc_id"), col("text"),
+        bench.toDF("doc_id", "text"), col("doc_id"), col("text"),
+        n = 3, minHits = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val expect = (for {
+      (ic, tc) <- corpus; (ib, tb) <- bench
+      c = (ngramSet(tc, 3) intersect ngramSet(tb, 3)).size if c >= 2
+    } yield (ic, ib, c.toLong)).toSet
+    assert(got === expect)
+    // every near-dup source doc (0..5) must be flagged against its copy
+    assert((0L until 6L).forall(i => got.exists(h => h._1 == i && h._2 == 100L + i)))
+    // plan: bench side broadcast — corpus shingles must NOT sort-merge
+    val s = Dedup.decontaminate(
+      corpus.toDF("doc_id", "text"), col("doc_id"), col("text"),
+      bench.toDF("doc_id", "text"), col("doc_id"), col("text"), 3, 2)
+      .queryExecution.executedPlan.toString
+    assert(s.contains("BroadcastHashJoin"), s.take(500))
+    assert(!s.contains("SortMergeJoin"), s.take(500))
+  }
+
   test("near-dup plans contain no cartesian or nested-loop joins") {
     val df = docs.toDF("doc_id", "text")
     for (plan <- Seq(
