@@ -213,6 +213,23 @@ object SparkEntry {
       graft.sources.IcebergLite.read(s, tbl)
         .select("c_custkey", "lonm", "latm").orderBy("c_custkey")
     }),
+    // ---- A1 upsert verb: copy-on-write MERGE — updates shift lon for every
+    //      7th customer, inserts clone every 11th under a shifted key; only
+    //      files holding matched keys rewrite (gated in IcebergLiteSpec).
+    "q0n_iceberg_merge" -> ((s, dir) => {
+      val tbl = java.nio.file.Files.createTempDirectory("graft_iclite_q0n").toString
+      val pts = customerPts(s, dir)
+      val key = graft.functions.GraftFunctions.zcell(col("lonm"), col("latm"), 12)
+      graft.sources.IcebergLite.append(s, tbl, pts.where(col("c_custkey") % 2 === 0), key)
+      graft.sources.IcebergLite.append(s, tbl, pts.where(col("c_custkey") % 2 === 1), key)
+      val upserts = pts.where(col("c_custkey") % 7 === 0)
+          .withColumn("lonm", col("lonm") + 1000L)
+        .unionByName(pts.where(col("c_custkey") % 11 === 0)
+          .withColumn("c_custkey", col("c_custkey") + 1000000L))
+      graft.sources.IcebergLite.merge(s, tbl, upserts, "c_custkey", key)
+      graft.sources.IcebergLite.read(s, tbl)
+        .select("c_custkey", "lonm", "latm").orderBy("c_custkey")
+    }),
     // ---- raster tile pyramid: per-tile counts rolled up the zoom stack —
     //      a z-order parent is a plain right-shift (each zoom level drops
     //      2 interleaved bits), so the pyramid is three shifted groupBys,
@@ -843,6 +860,14 @@ object SparkEntry {
       s"""SELECT c_custkey, ${Derive.lonSql("c_custkey")} AS lonm,
          |${Derive.latSql("c_custkey")} AS latm
          |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q0n_iceberg_merge" ->
+      s"""WITH base AS (SELECT c_custkey, ${Derive.lonSql("c_custkey")} AS lonm,
+         |  ${Derive.latSql("c_custkey")} AS latm FROM customer),
+         |merged AS (
+         |  SELECT c_custkey, lonm, latm FROM base WHERE NOT c_custkey % 7 = 0
+         |  UNION ALL SELECT c_custkey, lonm + 1000, latm FROM base WHERE c_custkey % 7 = 0
+         |  UNION ALL SELECT c_custkey + 1000000, lonm, latm FROM base WHERE c_custkey % 11 = 0)
+         |SELECT c_custkey, lonm, latm FROM merged ORDER BY c_custkey""".stripMargin,
     "q0a_radius_join" ->
       s"""WITH q AS (SELECT CAST(n_nationkey AS BIGINT) AS qid, ${Derive.lonSql("n_nationkey")} AS qlon,
          |  ${Derive.latSql("n_nationkey")} AS qlat FROM nation),

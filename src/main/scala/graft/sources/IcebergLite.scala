@@ -139,6 +139,48 @@ object IcebergLite {
     commitSnapshot(dir, cur, files)
   }
 
+  /** Copy-on-write MERGE/upsert by key (Iceberg's `MERGE INTO … WHEN MATCHED
+    * THEN UPDATE WHEN NOT MATCHED THEN INSERT` in its copy-on-write mode):
+    * every row of `updates` lands in the new snapshot — replacing any
+    * existing row with the same `key`, or as a new row. Only the data files
+    * that CONTAIN a matching key are rewritten (their non-matching rows are
+    * kept, matching rows dropped — the update row itself arrives with the
+    * freshly-written updates batch); every untouched file survives by
+    * reference, and old versions still time-travel.
+    *
+    * At scale: match detection is one pushdown-filtered semi-join scan with
+    * the (dim-sized) update keyset broadcast, the rewrite reads/writes only
+    * touched files, and the updates batch is a plain append — the same
+    * write-amplification profile as deleteWhere, plus one small write.
+    *
+    * Returns the new version; `updates.isEmpty` is a no-op (no empty commit).
+    */
+  def merge(spark: SparkSession, dir: String, updates: DataFrame, key: String,
+            statsCol: Column): Int = {
+    val cur = currentVersion(dir)
+    require(cur > 0, s"no snapshots in $dir")
+    if (updates.isEmpty) return cur
+    val snap = snapshot(dir, cur)
+    def norm(p: String): String = new java.net.URI(p).getPath
+    val updKeys = updates.select(col(key)).distinct()
+    val touched = spark.read.parquet(snap.files.map(_.path): _*)
+      .select(col(key), input_file_name().as("_f"))
+      .join(broadcast(updKeys), key, "left_semi")
+      .select("_f").distinct()
+      .collect().map(r => norm(r.getString(0))).toSet
+    val (rewrite, keep) = snap.files.partition(f => touched.contains(norm(f.path)))
+    val survivors =
+      if (rewrite.isEmpty) updates
+      else spark.read.parquet(rewrite.map(_.path): _*).drop("_stats")
+        .join(broadcast(updKeys), key, "left_anti")
+        .unionByName(updates)
+    val batch = java.util.UUID.randomUUID().toString.take(8)
+    val dataDir = s"$dir/data/$batch"
+    survivors.withColumn("_stats", statsCol)
+      .write.mode("error").parquet(dataDir)
+    commitSnapshot(dir, cur, keep ++ footerStats(spark, dataDir))
+  }
+
   /** Compaction + clustering rewrite (Iceberg's `rewrite_data_files` with
     * the bin-pack/sort strategy): data files smaller than `targetFileRows`
     * are read back, range-partitioned and sorted on the `_stats`

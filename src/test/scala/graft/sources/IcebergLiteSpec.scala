@@ -57,6 +57,36 @@ class IcebergLiteSpec extends AnyFunSuite {
     assert(IcebergLite.currentVersion(dir) === 3)
   }
 
+  test("merge: upsert rewrites only matched files, inserts append, time travel intact") {
+    val dir = Files.createTempDirectory("iclite5").toString
+    val key = expr("lonm")
+    IcebergLite.append(spark, dir, pts(0, 100), key)
+    IcebergLite.append(spark, dir, pts(1000, 100), key)
+    val before = IcebergLite.snapshot(dir, 2).files
+    // updates hit ONLY the second batch (ids 1010..1014, lonm sentinel),
+    // plus a brand-new id 5000 (pure insert)
+    val updates = ((1010L to 1014L).map(i => (i, 777L, 0L)) :+ ((5000L, 888L, 0L)))
+      .toDF("id", "lonm", "latm")
+    val v3 = IcebergLite.merge(spark, dir, updates, "id", key)
+    assert(v3 === 3)
+    val after = IcebergLite.snapshot(dir, 3).files
+    // batch-1 files survive by reference
+    assert(before.map(_.path).toSet.intersect(after.map(_.path).toSet).nonEmpty,
+      "files without matched keys must be reused, not rewritten")
+    val rows = IcebergLite.read(spark, dir).select("id", "lonm")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.size === 201) // 200 original + 1 insert
+    assert((1010L to 1014L).forall(i => rows(i) === 777L), "matched rows updated")
+    assert(rows(5000L) === 888L, "unmatched update row inserted")
+    assert(rows(1020L) === 1020L * 1000000L - 170000000L, "sibling rows in rewritten files survive")
+    // time travel: pre-merge state intact
+    assert(IcebergLite.read(spark, dir, asOfVersion = 2)
+      .where(col("id") === 1010L).select("lonm").collect().head.getLong(0)
+      === 1010L * 1000000L - 170000000L)
+    // empty updates -> no-op commit
+    assert(IcebergLite.merge(spark, dir, updates.limit(0), "id", key) === 3)
+  }
+
   test("compact: bin-packs small files, keeps large by reference, rows identical, pruning tighter") {
     val dir = Files.createTempDirectory("iclite4").toString
     val key = expr("lonm")
