@@ -29,7 +29,8 @@ import scala.jdk.CollectionConverters._
 object IcebergLite {
   final case class FileEntry(path: String, rows: Long, min: Long, max: Long)
   final case class Snapshot(version: Int, snapshotId: String, parent: Option[Int],
-                            files: Seq[FileEntry])
+                            files: Seq[FileEntry],
+                            streamMarker: Option[(String, Long)] = None)
 
   private def metaDir(dir: String): Path = Paths.get(dir, "metadata")
 
@@ -47,7 +48,26 @@ object IcebergLite {
       FileEntry(m.group(1), m.group(2).toLong, m.group(3).toLong, m.group(4).toLong)).toSeq
     val sid = """"snapshot_id": "([^"]+)"""".r.findFirstMatchIn(txt).get.group(1)
     val parent = """"parent": (\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toInt)
-    Snapshot(version, sid, parent, files)
+    val marker = """"stream_name": "([^"]+)", "stream_batch": (-?\d+)""".r
+      .findFirstMatchIn(txt).map(m => (m.group(1), m.group(2).toLong))
+    Snapshot(version, sid, parent, files, marker)
+  }
+
+  /** Highest streaming batchId committed for `name`, or -1 — read from the
+    * snapshot chain itself (the marker rides inside the atomic commit, so
+    * there is no window where data landed but the marker didn't). With a
+    * single streaming writer the match is at or near the chain head.
+    */
+  def lastStreamBatch(dir: String, name: String): Long = {
+    var v = currentVersion(dir)
+    while (v > 0) {
+      val s = snapshot(dir, v)
+      s.streamMarker match {
+        case Some((n, b)) if n == name => return b
+        case _ => v = s.parent.getOrElse(0)
+      }
+    }
+    -1L
   }
 
   /** Row counts + `_stats` long-column min/max per file, read from parquet
@@ -86,7 +106,8 @@ object IcebergLite {
   /** Append `df` as a new snapshot; `statsCol` supplies per-file min/max
     * (pass the clustering key). Returns the new version number.
     */
-  def append(spark: SparkSession, dir: String, df: DataFrame, statsCol: Column): Int = {
+  def append(spark: SparkSession, dir: String, df: DataFrame, statsCol: Column,
+             streamMarker: Option[(String, Long)] = None): Int = {
     val cur = currentVersion(dir)
     val old = if (cur > 0) snapshot(dir, cur).files else Seq.empty
     val batch = java.util.UUID.randomUUID().toString.take(8)
@@ -99,7 +120,7 @@ object IcebergLite {
     // implementation re-READ the whole batch per append (write-side read
     // amplification at scale)
     val stats = footerStats(spark, dataDir)
-    commitSnapshot(dir, cur, old ++ stats)
+    commitSnapshot(dir, cur, old ++ stats, streamMarker)
   }
 
   /** Copy-on-write row-level DELETE (the Iceberg verb the dedup pipeline
@@ -217,14 +238,17 @@ object IcebergLite {
     commitSnapshot(dir, cur, keep ++ footerStats(spark, dataDir))
   }
 
-  private def commitSnapshot(dir: String, parentVersion: Int, files: Seq[FileEntry]): Int = {
+  private def commitSnapshot(dir: String, parentVersion: Int, files: Seq[FileEntry],
+                             streamMarker: Option[(String, Long)] = None): Int = {
     val version = parentVersion + 1
     val sid = java.util.UUID.randomUUID().toString
     val body = files.map(f =>
       s"""    {"path": "${f.path}", "rows": ${f.rows}, "min": ${f.min}, "max": ${f.max}}""")
       .mkString("[\n", ",\n", "\n  ]")
     val parent = if (parentVersion > 0) s""",\n  "parent": $parentVersion""" else ""
-    val json = s"""{\n  "version": $version,\n  "snapshot_id": "$sid"$parent,\n  "files": $body\n}\n"""
+    val marker = streamMarker.map { case (n, b) =>
+      s""",\n  "stream_name": "$n", "stream_batch": $b""" }.getOrElse("")
+    val json = s"""{\n  "version": $version,\n  "snapshot_id": "$sid"$parent$marker,\n  "files": $body\n}\n"""
     Files.createDirectories(metaDir(dir))
     writeAtomic(metaDir(dir).resolve(f"v$version%05d.json"), json)
     writeAtomic(metaDir(dir).resolve("_current"), version.toString)

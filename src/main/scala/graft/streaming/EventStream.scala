@@ -74,6 +74,37 @@ object EventStream {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** Per-micro-batch writer for an IcebergLite table, EXACTLY-ONCE under
+    * foreachBatch's at-least-once replay contract: the streaming batchId is
+    * committed INSIDE the snapshot (atomic with the pointer rename), so a
+    * batch replayed after a crash — or a duplicate delivery — is detected
+    * via `lastStreamBatch` and skipped; there is no window where the data
+    * landed but the marker didn't. Exposed separately from `icebergSink` so
+    * replay behavior is directly testable.
+    */
+  def icebergBatchWriter(dir: String, statsCol: org.apache.spark.sql.Column,
+                         queryName: String): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) =>
+      if (batchId > graft.sources.IcebergLite.lastStreamBatch(dir, queryName) &&
+          !batch.isEmpty) {
+        graft.sources.IcebergLite.append(batch.sparkSession, dir, batch, statsCol,
+          streamMarker = Some((queryName, batchId)))
+      }
+
+  /** Streaming ingest INTO the table layer: readStream → foreachBatch →
+    * IcebergLite snapshots. Every micro-batch becomes one table version
+    * (time-travelable, stats-pruned like any batch append); downstream batch
+    * jobs see consistent snapshot-isolated reads while ingestion runs.
+    */
+  def icebergSink(stream: DataFrame, dir: String,
+                  statsCol: org.apache.spark.sql.Column, queryName: String,
+                  checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .queryName(queryName)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(icebergBatchWriter(dir, statsCol, queryName))
+      .start()
+
   /** File-source wrapper: stream the driver `events` parquet dir. */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
     val schema = spark.read.parquet(dir).schema
