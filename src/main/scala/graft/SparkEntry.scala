@@ -647,6 +647,29 @@ object SparkEntry {
       d.groupBy("split").agg(count(lit(1)).as("n"),
           min("doc_id").as("first_id")).orderBy("split")
     }),
+    // ---- the WHOLE training-data pipeline as one job: quality gate →
+    //      exact dedup (min-id per normalized text) → eval-set
+    //      decontamination → deterministic split. Every stage is an
+    //      already-oracled operator; this query proves they COMPOSE (the
+    //      thing a real user runs) and the oracle recomputes the full chain.
+    "q66_pipeline_e2e" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val kept = TextAnalysis.quality(docs, col("doc_id"), col("text"))
+        .where(col("keep")).select("doc_id")
+      val deduped = Dedup.keepFirst(docs.join(kept, "doc_id"),
+        col("doc_id"), TextAnalysis.normalize(col("text")))
+      val corpus = deduped.where(col("doc_id") % 50 =!= 0)
+      val contaminated = Dedup.decontaminate(
+          corpus, col("doc_id"), col("text"),
+          docs.where(col("doc_id") % 50 === 0), col("doc_id"), col("text"),
+          n = 3, minHits = 3)
+        .select("doc_id").distinct()
+      corpus.join(contaminated, Seq("doc_id"), "left_anti")
+        .withColumn("bucket", TextAnalysis.hashBucket(col("doc_id"), "split-v1"))
+        .withColumn("split", when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val").otherwise("test"))
+        .select("doc_id", "lang", "split").orderBy("doc_id")
+    }),
     // ---- vocabulary building: corpus term frequencies, top-50 tokens
     //      (tokenizer-prep shape: explode → count → top-k)
     "q56_vocab" -> ((s, dir) => {
@@ -1133,6 +1156,35 @@ object SparkEntry {
          |            ELSE 'test' END AS split,
          |  count(*) AS n, min(doc_id) AS first_id
          |FROM b GROUP BY 1 ORDER BY split""".stripMargin
+    },
+    "q66_pipeline_e2e" -> {
+      val stopList = TextAnalysis.stopwords.map(w => s"'$w'").mkString(", ")
+      val norm = "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
+      val bucket = TextOracle.charHashSql("CAST(doc_id AS VARCHAR) || ':split-v1'") + " % 100"
+      s"""WITH ${TextOracle.toksCte()},
+         |sc AS (SELECT d.doc_id AS doc_id,
+         |  CAST(len(t) AS INTEGER) AS n_tokens,
+         |  CAST(length(d.text) AS INTEGER) AS n_chars,
+         |  CAST(length(regexp_replace(d.text, '[^A-Za-z]', '', 'g')) AS INTEGER) AS n_alpha,
+         |  CAST(coalesce(list_sum(list_transform(t, x -> length(x))), 0) AS INTEGER) AS n_tok_chars
+         |  FROM documents d JOIN toks ON d.doc_id = toks.doc_id),
+         |keepers AS (SELECT doc_id FROM sc
+         |  WHERE n_tokens >= 10 AND n_tokens <= 100000
+         |    AND (CASE WHEN n_tokens > 0 THEN CAST(n_tok_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE) ELSE 0.0 END) BETWEEN 2.0 AND 12.0
+         |    AND (CASE WHEN n_chars > 0 THEN CAST(n_alpha AS DOUBLE) / CAST(n_chars AS DOUBLE) ELSE 0.0 END) >= 0.5),
+         |dedup AS (SELECT min(d.doc_id) AS doc_id FROM documents d
+         |  JOIN keepers USING (doc_id) GROUP BY $norm),
+         |corpus0 AS (SELECT doc_id FROM dedup WHERE doc_id % 50 <> 0),
+         |${TextOracle.ngramsCte(3)},
+         |b AS (SELECT doc_id AS bench_id, g FROM ng WHERE doc_id % 50 = 0 AND len(g) > 0),
+         |c AS (SELECT doc_id, g FROM ng JOIN corpus0 USING (doc_id) WHERE len(g) > 0),
+         |cont AS (SELECT DISTINCT c.doc_id FROM c CROSS JOIN b
+         |  WHERE len(list_intersect(c.g, b.g)) >= 3),
+         |fin AS (SELECT doc_id FROM corpus0 WHERE doc_id NOT IN (SELECT doc_id FROM cont))
+         |SELECT d.doc_id, d.lang,
+         |  CASE WHEN $bucket < 80 THEN 'train' WHEN $bucket < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM documents d JOIN fin USING (doc_id) ORDER BY d.doc_id""".stripMargin
     },
     "q56_vocab" ->
       s"""WITH ${TextOracle.toksCte(textExpr = "lower(text)")},
