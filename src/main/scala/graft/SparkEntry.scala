@@ -556,6 +556,21 @@ object SparkEntry {
         .withColumn("hamming", col("hamming").cast("int"))
         .orderBy("id_a", "id_b")
     }),
+    // ---- image-dedup shape: banded hamming pairs over a PRECOMPUTED long
+    //      hash column (pHashes computed once at ingest). The hash here is
+    //      integer-derived so the oracle brute-forces the same bits: docs in
+    //      the same div-8 group share a charHash64 base, perturbed by the
+    //      low-3-bit residue — planted near-dups at hamming 1..3, of which
+    //      only <= 2 must survive the verify.
+    "q67_phash_neardup" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("ph", graft.functions.TextFunctions.charHash64(
+            expr("cast(doc_id div 8 as string)"))
+          .bitwiseXOR(col("doc_id") % 8))
+      Dedup.hammingPairs(docs, col("doc_id"), col("ph"), maxDist = 2, bits = 60)
+        .withColumn("hamming", col("hamming").cast("int"))
+        .orderBy("id_a", "id_b")
+    }),
     // ---- brute-force exact top-k similarity (quantized dot product)
     "q48_embed_topk" -> ((s, dir) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
@@ -1101,6 +1116,14 @@ object SparkEntry {
          |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
          |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3 ORDER BY id_a, id_b""".stripMargin,
+    "q67_phash_neardup" ->
+      s"""WITH h AS (SELECT doc_id,
+         |  xor(${TextOracle.charHash64Sql("CAST(doc_id // 8 AS VARCHAR)")}, doc_id % 8) AS ph
+         |  FROM documents)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.ph, b.ph)) AS INTEGER) AS hamming
+         |FROM h a JOIN h b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.ph, b.ph)) <= 2 ORDER BY id_a, id_b""".stripMargin,
     "q48_embed_topk" ->
       s"""WITH ${TextOracle.quantCte()},
          |q AS (SELECT * FROM e WHERE vec_id % 100 = 0),

@@ -319,14 +319,36 @@ object Dedup {
     * default cap would break the documented guarantee at scale.
     */
   def simhashPairs(df: DataFrame, idCol: Column, textCol: Column,
-                   maxDist: Int = 3, maxBucket: Long = 0L): DataFrame = {
+                   maxDist: Int = 3, maxBucket: Long = 0L): DataFrame =
+    hammingPairs(simhashDocs(df, idCol, textCol), col("doc_id"), col("simhash"),
+      maxDist, graft.core.TextHash.SIMHASH64_BITS, maxBucket)
+
+  /** Generic banded Hamming-distance pair join over a PRECOMPUTED long hash
+    * column — the shape perceptual-hash image dedup takes at scale: pHashes
+    * are computed once at ingest (decode is the expensive part), stored as a
+    * 64-bit column, and near-duplicate frames/images are pairs within
+    * `maxDist` bit flips. Same band pigeonhole as simhashPairs (of which
+    * this is the extracted core): `maxDist+1` bands over the low `bits`
+    * bits — ≤ maxDist flips cannot touch every band, so one-band equality
+    * gives EXACT recall, and bit_count(a^b) verifies candidates exactly.
+    * All hash values must fit in `bits` bits (callers with full 64-bit
+    * hashes pass bits = 64; sign bit participates like any other).
+    *
+    * Scale: maxDist+1 narrow keys per row; quadratic only inside
+    * identical-band buckets; `maxBucket` stays an OPT-IN recall trade
+    * (default 0 = exact) for the same reason documented on simhashPairs.
+    */
+  def hammingPairs(df: DataFrame, idCol: Column, hashCol: Column,
+                   maxDist: Int = 3, bits: Int = 64,
+                   maxBucket: Long = 0L): DataFrame = {
+    require(bits >= maxDist + 1 && bits <= 64, s"bits=$bits out of range")
     val bands = maxDist + 1
-    val bits = graft.core.TextHash.SIMHASH64_BITS
-    val sh = simhashDocs(df, idCol, textCol)
+    val sh = df.select(idCol.as("doc_id"), hashCol.as("simhash"))
     val banded = sh.select(col("doc_id"), col("simhash"), explode(array(
         (0 until bands).map { b =>
           val lo = b * bits / bands; val hi = (b + 1) * bits / bands
-          val mask = ((1L << (hi - lo)) - 1) << lo
+          val width = hi - lo
+          val mask = (if (width == 64) -1L else (1L << width) - 1) << lo
           struct(lit(b).as("band"), (col("simhash").bitwiseAND(lit(mask))).as("bb"))
         }: _*)).as("k"))
       .select(col("doc_id"), col("simhash"), col("k.band"), col("k.bb"))

@@ -143,6 +143,32 @@ class DedupSpec extends AnyFunSuite {
     assert(!s.contains("SortMergeJoin"), s.take(500))
   }
 
+  test("hammingPairs: exact vs brute force over planted 64-bit hashes, string ids") {
+    import spark.implicits._
+    // 20 base hashes spread over the full 64-bit range (sign bit exercised),
+    // each with planted perturbations at hamming 1..5; maxDist=3 must keep
+    // exactly the <=3 pairs
+    val rnd = new scala.util.Random(11)
+    val rows: Seq[(String, Long)] = (0 until 20).flatMap { g =>
+      val base = rnd.nextLong()
+      Seq(s"img${g}_0" -> base,
+        s"img${g}_1" -> (base ^ 1L),
+        s"img${g}_2" -> (base ^ (1L << 63) ^ (1L << 30)),
+        s"img${g}_5" -> (base ^ 0x1FL << 40))
+    }
+    val got = Dedup.hammingPairs(rows.toDF("id", "h"), col("id"), col("h"),
+        maxDist = 3, bits = 64)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    val expect = (for {
+      (ia, ha) <- rows; (ib, hb) <- rows if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (ia, ib, d)).toSet
+    assert(got === expect)
+    assert(expect.exists(_._3 == 1) && expect.exists(_._3 == 3))
+    // the hamming-5 rows pair with nothing in their group at maxDist 3
+    assert(!got.exists(p => p._1.endsWith("_5") || p._2.endsWith("_5")))
+  }
+
   test("near-dup plans contain no cartesian or nested-loop joins") {
     val df = docs.toDF("doc_id", "text")
     for (plan <- Seq(

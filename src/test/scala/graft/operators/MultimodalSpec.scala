@@ -23,6 +23,39 @@ class MultimodalSpec extends AnyFunSuite {
     assert(lumas.forall(l => l > 40 && l < 210))
   }
 
+  test("image near-dup: perturbed copies found by banded hamming over stored avgHash") {
+    import spark.implicits._
+    // real image path: decode-time avgHash64 stored as a column, then the
+    // generic banded hamming join — the at-scale pHash dedup shape. Planted
+    // copies perturb ONE 8x8 block mean past the hash threshold (hamming 1);
+    // unrelated fixture images stay far apart.
+    val base = imgs.limit(40).select("image_id", "bytes", "w", "h", "fmt").collect()
+    val rows = base.flatMap { r =>
+      val (id, bytes, w, h, fmt) = (r.getString(0), r.getAs[Array[Byte]](1),
+        r.getInt(2), r.getInt(3), r.getString(4))
+      val px = ImageCodec.decode(bytes, fmt, w, h)
+      val dup = px.clone()
+      // push the first block well past the global mean in either direction
+      val bw = w / 8; val bh = h / 8
+      val target: Byte = if ((ImageCodec.avgHash64(px, w, h) & 1L) != 0) 0 else -1
+      for (y <- 0 until bh; x <- 0 until bw) dup(y * w + x) = target
+      Seq(id -> ImageCodec.avgHash64(px, w, h),
+        s"${id}_dup" -> ImageCodec.avgHash64(dup, w, h))
+    }.toSeq
+    val got = Dedup.hammingPairs(rows.toDF("image_id", "phash"),
+        col("image_id"), col("phash"), maxDist = 1, bits = 64)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    val expect = (for {
+      (ia, ha) <- rows; (ib, hb) <- rows if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 1
+    } yield (ia, ib, d)).toSet
+    assert(got === expect)
+    // every planted copy is found against its source
+    for ((id, _) <- rows if !id.endsWith("_dup"))
+      assert(got.exists(p => p._1 == id && p._2 == s"${id}_dup"),
+        s"planted near-dup for $id not found")
+  }
+
   test("resize preserves the 8x8 block structure of fixture images") {
     val r = Multimodal.resize(imgs.limit(64), 32, 32)
     val joined = r.withColumnRenamed("bytes", "rbytes")
