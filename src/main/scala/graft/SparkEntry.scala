@@ -731,6 +731,12 @@ object SparkEntry {
       TextAnalysis.quality(s.read.parquet(s"$dir/documents.parquet"),
         col("doc_id"), col("text")).orderBy("doc_id")
     }),
+    // ---- Gopher repetition rules: duplicate-bigram fraction + top-bigram
+    //      share, one codegen kernel pass (sort + run-length, no HashMap)
+    "q68_repetition" -> ((s, dir) => {
+      TextAnalysis.repetition(s.read.parquet(s"$dir/documents.parquet"),
+        col("doc_id"), col("text")).orderBy("doc_id")
+    }),
     // ---- multimodal image ops over the fixture image table (binary column
     //      + typed metadata; real raw/png decode). ORACLED: per-fmt counts
     //      derive from the generator's fmt rule (VALUES from the same
@@ -1252,6 +1258,25 @@ object SparkEntry {
     "q61_checkpoint_agg" ->
       """SELECT o_custkey, count(*) AS n_orders FROM orders
         |GROUP BY 1 ORDER BY o_custkey""".stripMargin,
+    // non-distinct bigram counts by STRING grouping (Spark counts the mod-P
+    // rolling hash — same ~1e-9 collision trade as the Jaccard oracles);
+    // ratios are single divisions of identical exact integers in both engines
+    "q68_repetition" ->
+      s"""WITH ${TextOracle.toksCte()},
+         |bg AS (SELECT doc_id, CASE WHEN len(t) >= 2
+         |  THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+         |  ELSE CAST([] AS VARCHAR[]) END AS g FROM toks),
+         |st AS (SELECT doc_id, CAST(len(g) AS BIGINT) AS n_grams,
+         |  CAST(len(list_distinct(g)) AS BIGINT) AS n_distinct,
+         |  CAST(coalesce(list_max(list_transform(list_distinct(g),
+         |    x -> len(list_filter(g, y -> y = x)))), 0) AS BIGINT) AS top_cnt FROM bg),
+         |m AS (SELECT *,
+         |  CASE WHEN n_grams > 0 THEN CAST(n_grams - n_distinct AS DOUBLE) / CAST(n_grams AS DOUBLE) ELSE 0.0 END AS dup_frac,
+         |  CASE WHEN n_grams > 0 THEN CAST(top_cnt AS DOUBLE) / CAST(n_grams AS DOUBLE) ELSE 0.0 END AS top_frac
+         |  FROM st)
+         |SELECT doc_id, n_grams, n_distinct, top_cnt, dup_frac, top_frac,
+         |  (dup_frac <= 0.05 AND top_frac <= 0.06) AS repetition_keep
+         |FROM m ORDER BY doc_id""".stripMargin,
     // rect ∩ tile is closed-form rect algebra: tile bounds at z=8 are exact
     // integers (360e6/256 = 1406250, 180e6/256 = 703125); strict overlap on
     // both axes ⟺ the engine's dim-2 (areal) intersection filter

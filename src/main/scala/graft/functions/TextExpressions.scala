@@ -175,6 +175,48 @@ object ShingleBridge {
 
   def minhashFromHashes(arr: ArrayData): ArrayData =
     new GenericArrayData(graft.core.TextHash.minhashSig(arr.toLongArray()))
+
+  /** One-pass Gopher-repetition stats over a token array: [total n-grams,
+    * distinct n-grams, most-frequent n-gram's count] by the same rolling
+    * mod-P shingle hash as `shingleHashes`, but WITHOUT the dedup — counts
+    * need multiplicity. Sort + run-length scan instead of a hash map: no
+    * boxing, and the top count is the longest equal run.
+    */
+  def repetitionStats(arr: ArrayData, n: Int): ArrayData = {
+    val cnt = arr.numElements()
+    val m = cnt - n + 1
+    if (m <= 0) return new GenericArrayData(Array(0L, 0L, 0L))
+    val toks = new Array[String](cnt)
+    var i = 0
+    while (i < cnt) { toks(i) = arr.getUTF8String(i).toString; i += 1 }
+    val hs = new Array[Long](m)
+    i = 0
+    while (i < m) {
+      var acc = SEED
+      var j = 0
+      while (j < n) {
+        if (j > 0) acc = (acc * BASE + ' ') % P
+        val t = toks(i + j)
+        var k = 0
+        while (k < t.length) { acc = (acc * BASE + t.charAt(k)) % P; k += 1 }
+        j += 1
+      }
+      hs(i) = acc
+      i += 1
+    }
+    java.util.Arrays.sort(hs)
+    var distinct = 0L
+    var top = 0L
+    var run = 0L
+    i = 0
+    while (i < m) {
+      if (i == 0 || hs(i) != hs(i - 1)) { distinct += 1; run = 1L }
+      else run += 1
+      if (run > top) top = run
+      i += 1
+    }
+    new GenericArrayData(Array(m.toLong, distinct, top))
+  }
 }
 
 case class ShingleHashesExpr(child: Expression, n: Int) extends UnaryExpression {
@@ -189,6 +231,17 @@ case class ShingleHashesExpr(child: Expression, n: Int) extends UnaryExpression 
 }
 
 /** MinHash signature straight from a shingle-hash array. */
+case class RepetitionStatsExpr(child: Expression, n: Int) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "repetition_stats"
+  override protected def nullSafeEval(v: Any): Any =
+    ShingleBridge.repetitionStats(v.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleBridge$$.MODULE$$.repetitionStats($c, $n)")
+  override protected def withNewChildInternal(c: Expression): RepetitionStatsExpr = copy(child = c)
+}
+
 case class MinhashFromHashesExpr(child: Expression) extends UnaryExpression {
   override def nullIntolerant: Boolean = true
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -288,6 +341,8 @@ object TextFunctions {
   def dotQ(a: Column, b: Column): Column = column(DotQExpr(expression(a), expression(b)))
   def shingleHashes(tokens: Column, n: Int): Column =
     column(ShingleHashesExpr(expression(tokens), n))
+  def repetitionStats(tokens: Column, n: Int): Column =
+    column(RepetitionStatsExpr(expression(tokens), n))
   def minhashFromHashes(hashes: Column): Column =
     column(MinhashFromHashesExpr(expression(hashes)))
   def hyperplaneBuckets(quantVec: Column, planeMatrix: Array[Array[Long]],

@@ -83,6 +83,33 @@ object TextAnalysis {
         col("alpha_ratio") >= 0.5)
   }
 
+  /** Gopher-style REPETITION metrics (the published repetition-removal
+    * rules boilerplate/spam filters run before training): per doc, the
+    * duplicate-n-gram fraction and the most-frequent n-gram's share of all
+    * n-grams, plus the keep flag at the given thresholds. All three counts
+    * come from ONE codegen kernel pass over the token array (sort +
+    * run-length; the HOF pipeline would re-tokenize per element — the
+    * measured ~19 µs/shingle interpreted tax). Narrow, no shuffle: at
+    * 100 TB this is a map-only scan like the other quality ops. Ratios are
+    * single divisions of exact integer counts (oracle-parity rule).
+    */
+  def repetition(df: DataFrame, idCol: Column, textCol: Column, n: Int = 2,
+                 maxDupFrac: Double = 0.05, maxTopFrac: Double = 0.06): DataFrame =
+    df.select(idCol.as("doc_id"),
+        graft.functions.TextFunctions.repetitionStats(Dedup.tokens(textCol), n).as("_r"))
+      .select(col("doc_id"),
+        element_at(col("_r"), 1).as("n_grams"),
+        element_at(col("_r"), 2).as("n_distinct"),
+        element_at(col("_r"), 3).as("top_cnt"))
+      .withColumn("dup_frac", when(col("n_grams") > 0,
+        (col("n_grams") - col("n_distinct")).cast("double") / col("n_grams").cast("double"))
+        .otherwise(lit(0.0)))
+      .withColumn("top_frac", when(col("n_grams") > 0,
+        col("top_cnt").cast("double") / col("n_grams").cast("double"))
+        .otherwise(lit(0.0)))
+      .withColumn("repetition_keep",
+        col("dup_frac") <= maxDupFrac && col("top_frac") <= maxTopFrac)
+
   /** Token counts: whitespace tokens + BPE-ish word-piece regex matches
     * (letter runs, digit runs, single punctuation marks).
     */

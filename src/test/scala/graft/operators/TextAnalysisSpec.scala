@@ -28,6 +28,34 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(4L) === "de") // all-zero tie → first language in sorted order
   }
 
+  test("repetition metrics: hand-computed + brute-force parity on random docs") {
+    // "a b a b a b c" → bigrams: ab ba ab ba ab bc = 6 total, 3 distinct,
+    // top ("a b") = 3
+    val hand = Seq((1L, "a b a b a b c"), (2L, "x"), (3L, "p q r s"))
+      .toDF("doc_id", "text")
+    val h = TextAnalysis.repetition(hand, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(6))).toMap
+    assert(h(1L) === ((6L, 3L, 3L, false))) // dup_frac 0.5, top 0.5
+    assert(h(2L) === ((0L, 0L, 0L, true)))  // no bigrams → keep
+    assert(h(3L) === ((3L, 3L, 1L, false))) // top_frac 1/3 > 0.06
+    // brute force over random small-vocab docs (repetition guaranteed)
+    val rnd = new scala.util.Random(13)
+    val vocab = Vector("aa", "bb", "cc")
+    val docs = (0L until 30L).map(i =>
+      i -> Seq.fill(5 + rnd.nextInt(40))(vocab(rnd.nextInt(3))).mkString(" "))
+    val got = TextAnalysis.repetition(docs.toDF("doc_id", "text"),
+        col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    for ((i, t) <- docs) {
+      val bg = t.split(" ").sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+      val counts = bg.groupBy(identity).view.mapValues(_.size)
+      val exp = (bg.size.toLong, counts.size.toLong,
+        if (bg.isEmpty) 0L else counts.values.max.toLong)
+      assert(got(i) === exp, s"doc $i: '$t'")
+    }
+  }
+
   test("quality metrics: hand-computed doc") {
     val df = Seq((1L, "the quick brown fox jumps over a lazy dog again today ok")).toDF("doc_id", "text")
     val r = TextAnalysis.quality(df, col("doc_id"), col("text")).collect().head
