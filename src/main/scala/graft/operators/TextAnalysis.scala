@@ -95,8 +95,14 @@ object TextAnalysis {
     */
   def repetition(df: DataFrame, idCol: Column, textCol: Column, n: Int = 2,
                  maxDupFrac: Double = 0.05, maxTopFrac: Double = 0.06): DataFrame =
+    // explode(array(..)) = a Generate node, deliberately: a plain alias gets
+    // re-inlined by CollapseProject and the kernel would run once per
+    // downstream reference (~10x/row through the ratio/keep columns —
+    // measured 150 s on 8M captions); Generate is a projection barrier,
+    // so the kernel runs exactly once per row
     df.select(idCol.as("doc_id"),
-        graft.functions.TextFunctions.repetitionStats(Dedup.tokens(textCol), n).as("_r"))
+        explode(array(graft.functions.TextFunctions.repetitionStats(
+          Dedup.tokens(textCol), n))).as("_r"))
       .select(col("doc_id"),
         element_at(col("_r"), 1).as("n_grams"),
         element_at(col("_r"), 2).as("n_distinct"),
@@ -151,8 +157,13 @@ object TextAnalysis {
     * standard pre-dedup canonicalization; DuckDB twin uses the same regex
     * chain with the 'g' flag.
     */
+  /** Normalization contract (== the DuckDB oracle twin):
+    * `trim(regexp_replace(regexp_replace(lower(s), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))`
+    * — executed as ONE codegen byte pass (functions.NormBridge), not two
+    * java regex NFAs per row; parity spec-gated against the regex chain.
+    */
   def normalize(textCol: Column): Column =
-    trim(regexp_replace(regexp_replace(lower(textCol), "[^a-z0-9 ]", ""), " +", " "))
+    graft.functions.TextFunctions.normalizeText(textCol)
 
   /** Document fingerprints: full-text rolling hash + min-shingle hash
     * (content-defined, order-robust to prefix edits).

@@ -175,6 +175,9 @@ object IcebergLite {
     * write-amplification profile as deleteWhere, plus one small write.
     *
     * Returns the new version; `updates.isEmpty` is a no-op (no empty commit).
+    * Caller contract: `updates` must be key-unique — duplicate keys in the
+    * batch all land (this layer does not pick a winner; dedupe upstream,
+    * e.g. keepFirst, exactly as Iceberg's MERGE rejects multi-matches).
     */
   def merge(spark: SparkSession, dir: String, updates: DataFrame, key: String,
             statsCol: Column): Int = {

@@ -56,6 +56,25 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("normalize kernel: byte parity with the regex chain, incl. unicode and space runs") {
+    val regexChain: org.apache.spark.sql.Column => org.apache.spark.sql.Column = c =>
+      trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", ""), " +", " "))
+    val rnd = new scala.util.Random(17)
+    val alphabet = "aZ9 !.,#_-é世İß\t\n" // é 世 İ ß tab nl
+    val adversarial = Seq("", " ", "   ", "a", " a ", "A!B", "a  b",
+      "x!! !y", "İstanbul ßpass", "café 世界", "a.b,c;d")
+    val fuzz = (0 until 300).map(_ =>
+      Seq.fill(rnd.nextInt(40))(alphabet(rnd.nextInt(alphabet.length))).mkString)
+    val df = (adversarial ++ fuzz).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "t")
+    val rows = df.select(col("id"), TextAnalysis.normalize(col("t")).as("k"),
+        regexChain(col("t")).as("r"))
+      .collect()
+    for (r <- rows)
+      assert(r.getString(1) === r.getString(2),
+        s"id=${r.getLong(0)}: kernel '${r.getString(1)}' != regex '${r.getString(2)}'")
+  }
+
   test("quality metrics: hand-computed doc") {
     val df = Seq((1L, "the quick brown fox jumps over a lazy dog again today ok")).toDF("doc_id", "text")
     val r = TextAnalysis.quality(df, col("doc_id"), col("text")).collect().head
