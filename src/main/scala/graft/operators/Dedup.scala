@@ -171,12 +171,21 @@ object Dedup {
     */
   def decontaminate(corpus: DataFrame, idCol: Column, textCol: Column,
                     bench: DataFrame, benchIdCol: Column, benchTextCol: Column,
-                    n: Int = 3, minHits: Int = 1): DataFrame = {
+                    n: Int = 3, minHits: Int = 1,
+                    maxBroadcastBenchDocs: Long = 1000000L): DataFrame = {
     val corpusSh = shingleHashes(corpus, idCol, textCol, n)
       .select(col("doc_id"), explode(col("gha")).as("h"))
     val benchSh = shingleHashes(bench, benchIdCol, benchTextCol, n)
       .select(col("doc_id").as("bench_id"), explode(col("gha")).as("h"))
-    corpusSh.join(broadcast(benchSh), "h")
+    // eval sets are dim-sized (~1M docs × ~100 shingles × 16 B ≈ 1.6 GB
+    // broadcast ceiling); past that the broadcast would OOM executors with
+    // an opaque error, so fall back to a shuffled hash join on the shingle
+    // hash — corpus shingles then shuffle once (still no text movement)
+    val benchCount = bench.count()
+    val joined =
+      if (benchCount <= maxBroadcastBenchDocs) corpusSh.join(broadcast(benchSh), "h")
+      else corpusSh.join(benchSh.hint("shuffle_hash"), "h")
+    joined
       .groupBy("doc_id", "bench_id")
       .agg(count(lit(1)).as("n_hits"))
       .where(col("n_hits") >= minHits)

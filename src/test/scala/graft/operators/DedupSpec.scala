@@ -141,6 +141,13 @@ class DedupSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(s.contains("BroadcastHashJoin"), s.take(500))
     assert(!s.contains("SortMergeJoin"), s.take(500))
+    // past the broadcast ceiling: identical rows via the shuffled-hash path
+    val gotBig = Dedup.decontaminate(
+        corpus.toDF("doc_id", "text"), col("doc_id"), col("text"),
+        bench.toDF("doc_id", "text"), col("doc_id"), col("text"),
+        n = 3, minHits = 2, maxBroadcastBenchDocs = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(gotBig === expect)
   }
 
   test("hammingPairs: exact vs brute force over planted 64-bit hashes, string ids") {
