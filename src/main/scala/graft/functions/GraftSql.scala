@@ -56,6 +56,9 @@ object GraftSql {
     "min_shingle_hash" -> (es => MinShingleHashExpr(es(0))),
     "shingle_hashes" -> (es => ShingleHashesExpr(es(0), intLit(es(1), "shingle_hashes n"))),
     "minhash_from_hashes" -> (es => MinhashFromHashesExpr(es(0))),
+    "normalize_text" -> (es => NormalizeTextExpr(Cast(es(0), StringType))),
+    "repetition_stats" -> (es => RepetitionStatsExpr(es(0),
+      intLit(es(1), "repetition_stats n"))),
     "dot_q" -> (es => DotQExpr(es(0), es(1))),
     // the sketch aggregates read their child as Double/UTF8String internally
     // — cast HERE so spark.sql calls on INT/DECIMAL columns behave like the

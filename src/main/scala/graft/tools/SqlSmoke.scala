@@ -10,10 +10,12 @@ object SqlSmoke {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().getOrCreate()
     val r = spark.sql(
-      "SELECT char_hash('abc') AS ch, zcell(1000000L, 2000000L, 12) AS zc").collect().head
+      "SELECT char_hash('abc') AS ch, zcell(1000000L, 2000000L, 12) AS zc, " +
+        "normalize_text(' A!!b  C ') AS nt").collect().head
     require(r.getLong(0) == graft.core.TextHash.charHash("abc"), "char_hash mismatch")
     require(r.getLong(1) == graft.core.ZGrid.cellAt(12, 1000000L, 2000000L), "zcell mismatch")
-    println(s"SQLSMOKE OK ch=${r.getLong(0)} zc=${r.getLong(1)}")
+    require(r.getString(2) == "ab c", "normalize_text mismatch")
+    println(s"SQLSMOKE OK ch=${r.getLong(0)} zc=${r.getLong(1)} nt='${r.getString(2)}'")
     spark.stop()
   }
 }

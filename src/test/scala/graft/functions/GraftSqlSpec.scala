@@ -29,6 +29,15 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(r.getLong(4) === 2L * 5 + 3L * 7)
   }
 
+  test("normalize_text and repetition_stats via SQL match the kernels") {
+    val r = spark.sql(
+      """SELECT normalize_text(' A!!b  C ') AS nt,
+        |repetition_stats(array('a','b','a','b','a','b','c'), 2) AS rs""".stripMargin)
+      .collect().head
+    assert(r.getString(0) === "ab c")
+    assert(r.getSeq[Long](1) === Seq(6L, 3L, 3L))
+  }
+
   test("SQL zcell over a table equals the Column API") {
     import spark.implicits._
     Seq((1L, -20000000L, 10000000L), (2L, 5000000L, -5000000L))
