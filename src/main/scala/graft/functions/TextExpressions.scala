@@ -263,6 +263,72 @@ object NormBridge {
   }
 }
 
+/** One-pass quality counts over the RAW text bytes, integer-identical to
+  * the HOF pipeline in TextAnalysis.quality (which interprets 3 lambda
+  * passes per row): [n_chars, n_tokens, n_alpha, n_stop, n_tok_chars].
+  * Exactness notes: `length()` counts code points — counted here by
+  * skipping UTF-8 continuation bytes; `split(text, "\\s+")` uses Java's
+  * ASCII-only \s, matched byte-for-byte; [A-Za-z] and the stopword set are
+  * pure ASCII so multi-byte chars can never alias them.
+  */
+object QualityBridge {
+  private val stopBytes: Array[Array[Byte]] =
+    Array("the", "a", "and", "of", "to", "in", "is", "on", "for", "with")
+      .map(_.getBytes("UTF-8"))
+
+  def qualityStats(s: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    val b = s.getBytes
+    var nChars = 0L; var nTokens = 0L; var nAlpha = 0L
+    var nStop = 0L; var nTokChars = 0L
+    var inToken = false
+    var tokStart = 0
+    var tokChars = 0L
+    def endToken(endExcl: Int): Unit = {
+      nTokens += 1
+      nTokChars += tokChars
+      val len = endExcl - tokStart
+      var k = 0
+      while (k < stopBytes.length) {
+        val sw = stopBytes(k)
+        if (sw.length == len) {
+          var j = 0
+          while (j < len && b(tokStart + j) == sw(j)) j += 1
+          if (j == len) { nStop += 1; k = stopBytes.length }
+          else k += 1
+        } else k += 1
+      }
+    }
+    var i = 0
+    while (i < b.length) {
+      val c = b(i)
+      val isCont = (c & 0xC0) == 0x80
+      if (!isCont) nChars += 1
+      if ((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')) nAlpha += 1
+      val isWs = c == ' ' || c == '\t' || c == '\n' || c == 0x0B || c == '\f' || c == '\r'
+      if (isWs) {
+        if (inToken) { endToken(i); inToken = false }
+      } else {
+        if (!inToken) { inToken = true; tokStart = i; tokChars = 0L }
+        if (!isCont) tokChars += 1
+      }
+      i += 1
+    }
+    if (inToken) endToken(b.length)
+    new GenericArrayData(Array(nChars, nTokens, nAlpha, nStop, nTokChars))
+  }
+}
+
+case class QualityStatsExpr(child: Expression) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "quality_stats"
+  override protected def nullSafeEval(v: Any): Any =
+    QualityBridge.qualityStats(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.QualityBridge$$.MODULE$$.qualityStats($c)")
+  override protected def withNewChildInternal(c: Expression): QualityStatsExpr = copy(child = c)
+}
+
 case class NormalizeTextExpr(child: Expression) extends UnaryExpression {
   override def nullIntolerant: Boolean = true
   override def dataType: DataType = StringType
@@ -388,6 +454,8 @@ object TextFunctions {
     column(RepetitionStatsExpr(expression(tokens), n))
   def normalizeText(s: Column): Column =
     column(NormalizeTextExpr(expression(s)))
+  def qualityStats(s: Column): Column =
+    column(QualityStatsExpr(expression(s)))
   def minhashFromHashes(hashes: Column): Column =
     column(MinhashFromHashesExpr(expression(hashes)))
   def hyperplaneBuckets(quantVec: Column, planeMatrix: Array[Array[Long]],

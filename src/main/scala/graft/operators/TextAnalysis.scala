@@ -56,17 +56,21 @@ object TextAnalysis {
   val stopwords: Seq[String] =
     Seq("the", "a", "and", "of", "to", "in", "is", "on", "for", "with")
 
-  def quality(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
-    val toks = col("_t")
-    val stop = stopwords
-    df.select(idCol.as("doc_id"), textCol.as("_text"), Dedup.tokens(textCol).as("_t"))
+  def quality(df: DataFrame, idCol: Column, textCol: Column): DataFrame =
+    // counts from ONE codegen byte pass (functions.QualityBridge) — the
+    // previous split/filter/transform/aggregate HOF chain ran interpreted
+    // lambdas 3x per row (same lesson as normalize; parity spec-gated
+    // against the HOF build, oracle unchanged). explode(array(..)) pins
+    // the kernel to one evaluation (CollapseProject re-inline).
+    df.select(idCol.as("doc_id"),
+        explode(array(graft.functions.TextFunctions.qualityStats(textCol))).as("_q"))
       .select(
         col("doc_id"),
-        length(col("_text")).as("n_chars"),
-        size(toks).as("n_tokens"),
-        length(regexp_replace(col("_text"), "[^A-Za-z]", "")).as("n_alpha"),
-        size(filter(toks, t => t.isInCollection(stop))).as("n_stop"),
-        aggregate(transform(toks, t => length(t)), lit(0), (acc, x) => acc + x).as("n_tok_chars"))
+        element_at(col("_q"), 1).cast("int").as("n_chars"),
+        element_at(col("_q"), 2).cast("int").as("n_tokens"),
+        element_at(col("_q"), 3).cast("int").as("n_alpha"),
+        element_at(col("_q"), 4).cast("int").as("n_stop"),
+        element_at(col("_q"), 5).cast("int").as("n_tok_chars"))
       .withColumn("mean_token_len",
         when(col("n_tokens") > 0,
           col("n_tok_chars").cast("double") / col("n_tokens").cast("double"))
@@ -81,7 +85,6 @@ object TextAnalysis {
         col("n_tokens") >= 10 && col("n_tokens") <= 100000 &&
         col("mean_token_len") >= 2.0 && col("mean_token_len") <= 12.0 &&
         col("alpha_ratio") >= 0.5)
-  }
 
   /** Gopher-style REPETITION metrics (the published repetition-removal
     * rules boilerplate/spam filters run before training): per doc, the

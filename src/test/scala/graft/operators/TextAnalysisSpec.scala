@@ -75,6 +75,33 @@ class TextAnalysisSpec extends AnyFunSuite {
         s"id=${r.getLong(0)}: kernel '${r.getString(1)}' != regex '${r.getString(2)}'")
   }
 
+  test("quality kernel: integer parity with the HOF build, incl. unicode and odd whitespace") {
+    import org.apache.spark.sql.Column
+    // the pre-kernel HOF pipeline, verbatim — the parity reference
+    def hof(textCol: Column) = Seq(
+      length(textCol),
+      size(filter(split(textCol, "\\s+"), t => t =!= lit(""))),
+      length(regexp_replace(textCol, "[^A-Za-z]", "")),
+      size(filter(filter(split(textCol, "\\s+"), t => t =!= lit("")),
+        t => t.isInCollection(TextAnalysis.stopwords))),
+      aggregate(transform(filter(split(textCol, "\\s+"), t => t =!= lit("")),
+        t => length(t)), lit(0), (acc, x) => acc + x))
+    val rnd = new scala.util.Random(23)
+    val alphabet = "the a of Zq9 !.\t\n\r é世ß"
+    val adversarial = Seq("", " ", "the", " the ", "a  the\tof", "é世 the é",
+      "xy", "tab\ttab", "The THE the")
+    val fuzz = (0 until 300).map(_ =>
+      Seq.fill(rnd.nextInt(50))(alphabet(rnd.nextInt(alphabet.length))).mkString)
+    val df = (adversarial ++ fuzz).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "t")
+    val kernel = TextAnalysis.quality(df, col("id"), col("t"))
+      .select("doc_id", "n_chars", "n_tokens", "n_alpha", "n_stop", "n_tok_chars")
+      .collect().map(r => r.getLong(0) -> (1 to 5).map(r.getInt)).toMap
+    val ref = df.select(col("id") +: hof(col("t")): _*)
+      .collect().map(r => r.getLong(0) -> (1 to 5).map(r.getInt)).toMap
+    assert(kernel === ref)
+  }
+
   test("quality metrics: hand-computed doc") {
     val df = Seq((1L, "the quick brown fox jumps over a lazy dog again today ok")).toDF("doc_id", "text")
     val r = TextAnalysis.quality(df, col("doc_id"), col("text")).collect().head
