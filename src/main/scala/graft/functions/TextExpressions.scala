@@ -318,6 +318,111 @@ object QualityBridge {
   }
 }
 
+/** Marker-word language scores in ONE pass: unicode-lower the text (same
+  * lowering as `lower()`), tokenize on ASCII \s, and count exact-equality
+  * hits against each language's marker byte strings. Scores returned in
+  * the caller-provided marker-table order — argmax/tie-break stays in the
+  * (cheap, post-barrier) Column layer so the documented rule lives in one
+  * place. Replaces 25 interpreted `size(filter(...))` lambda scans per row.
+  */
+object LangBridge {
+  def scores(s: org.apache.spark.unsafe.types.UTF8String,
+             markers: Array[Array[Array[Byte]]]): ArrayData = {
+    val b = s.toLowerCase.getBytes
+    val out = new Array[Long](markers.length)
+    var i = 0
+    var tokStart = -1
+    def endToken(endExcl: Int): Unit = {
+      val len = endExcl - tokStart
+      var l = 0
+      while (l < markers.length) {
+        val ws = markers(l)
+        var k = 0
+        while (k < ws.length) {
+          val w = ws(k)
+          if (w.length == len) {
+            var j = 0
+            while (j < len && b(tokStart + j) == w(j)) j += 1
+            if (j == len) { out(l) += 1; k = ws.length }
+            else k += 1
+          } else k += 1
+        }
+        l += 1
+      }
+    }
+    while (i < b.length) {
+      val c = b(i)
+      val isWs = c == ' ' || c == '\t' || c == '\n' || c == 0x0B || c == '\f' || c == '\r'
+      if (isWs) { if (tokStart >= 0) { endToken(i); tokStart = -1 } }
+      else if (tokStart < 0) tokStart = i
+      i += 1
+    }
+    if (tokStart >= 0) endToken(b.length)
+    new GenericArrayData(out)
+  }
+}
+
+case class LangScoresExpr(child: Expression, markers: Array[Array[Array[Byte]]])
+    extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "lang_scores"
+  override protected def nullSafeEval(v: Any): Any =
+    LangBridge.scores(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], markers)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("langMarkers", markers, "byte[][][]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.LangBridge$$.MODULE$$.scores($c, $ref)")
+  }
+  override protected def withNewChildInternal(c: Expression): LangScoresExpr = copy(child = c)
+}
+
+/** Whitespace-token and wordpiece-match counts in one byte pass:
+  * [n_ws_tokens, n_wordpieces], where wordpieces follow the regex
+  * `[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]` — letter runs + digit runs + one
+  * match per remaining non-\s CODE POINT (continuation bytes skipped).
+  * Replaces a java.util.regex scan per row.
+  */
+object WordPieceBridge {
+  def counts(s: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    val b = s.getBytes
+    var nTok = 0L; var nWp = 0L
+    var inTok = false
+    var prev = 0 // 0 = none/other, 1 = letter, 2 = digit
+    var i = 0
+    while (i < b.length) {
+      val c = b(i)
+      val isCont = (c & 0xC0) == 0x80
+      val isWs = c == ' ' || c == '\t' || c == '\n' || c == 0x0B || c == '\f' || c == '\r'
+      val cat =
+        if ((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')) 1
+        else if (c >= '0' && c <= '9') 2
+        else 0
+      if (isWs) {
+        if (inTok) { nTok += 1; inTok = false }
+        prev = 0
+      } else {
+        inTok = true
+        if (cat == 0) { if (!isCont) nWp += 1; prev = 0 }
+        else { if (cat != prev) nWp += 1; prev = cat }
+      }
+      i += 1
+    }
+    if (inTok) nTok += 1
+    new GenericArrayData(Array(nTok, nWp))
+  }
+}
+
+case class WordPieceCountsExpr(child: Expression) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "wordpiece_counts"
+  override protected def nullSafeEval(v: Any): Any =
+    WordPieceBridge.counts(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WordPieceBridge$$.MODULE$$.counts($c)")
+  override protected def withNewChildInternal(c: Expression): WordPieceCountsExpr = copy(child = c)
+}
+
 case class QualityStatsExpr(child: Expression) extends UnaryExpression {
   override def nullIntolerant: Boolean = true
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -456,6 +561,10 @@ object TextFunctions {
     column(NormalizeTextExpr(expression(s)))
   def qualityStats(s: Column): Column =
     column(QualityStatsExpr(expression(s)))
+  def langScores(s: Column, markers: Array[Array[Array[Byte]]]): Column =
+    column(LangScoresExpr(expression(s), markers))
+  def wordpieceCounts(s: Column): Column =
+    column(WordPieceCountsExpr(expression(s)))
   def minhashFromHashes(hashes: Column): Column =
     column(MinhashFromHashesExpr(expression(hashes)))
   def hyperplaneBuckets(quantVec: Column, planeMatrix: Array[Array[Long]],

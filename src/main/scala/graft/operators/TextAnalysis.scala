@@ -34,11 +34,14 @@ object TextAnalysis {
     * as `len(list_filter(toks, x -> x = w))`.
     */
   def langId(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
-    // tokens materialized once (see Dedup.shingleHashes perf note)
-    val toks = col("_t")
-    val scored = df.select(idCol.as("doc_id"), Dedup.tokens(lower(textCol)).as("_t"))
-      .select(col("doc_id") +: langMarkers.map { case (lang, ws) =>
-        ws.map(w => size(filter(toks, t => t === lit(w)))).reduce(_ + _).as(s"score_$lang")
+    // all 25 marker counts from ONE codegen pass (functions.LangBridge) —
+    // the previous 25 interpreted size(filter(...)) lambda scans were
+    // 13.8 s at 8M docs; Generate barrier pins the kernel to one eval
+    val markerBytes = langMarkers.map(_._2.map(_.getBytes("UTF-8")).toArray).toArray
+    val scored = df.select(idCol.as("doc_id"),
+        explode(array(graft.functions.TextFunctions.langScores(textCol, markerBytes))).as("_s"))
+      .select(col("doc_id") +: langMarkers.zipWithIndex.map { case ((lang, _), i) =>
+        element_at(col("_s"), i + 1).cast("int").as(s"score_$lang")
       }: _*)
     val best = langMarkers.map(_._1).sorted.map(l =>
       struct(col(s"score_$l").as("s"), lit(l).as("l")))
@@ -123,10 +126,15 @@ object TextAnalysis {
     * (letter runs, digit runs, single punctuation marks).
     */
   val WordPieceRegex = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  // one codegen byte pass (functions.WordPieceBridge), semantics identical
+  // to size(tokens) + regexp_count(WordPieceRegex) — parity spec-gated;
+  // the java.util.regex scan was 24.3 s at 8M docs
   def tokenCounts(df: DataFrame, idCol: Column, textCol: Column): DataFrame =
     df.select(idCol.as("doc_id"),
-      size(Dedup.tokens(textCol)).as("n_ws_tokens"),
-      regexp_count(textCol, lit(WordPieceRegex)).as("n_wordpieces"))
+        explode(array(graft.functions.TextFunctions.wordpieceCounts(textCol))).as("_w"))
+      .select(col("doc_id"),
+        element_at(col("_w"), 1).cast("int").as("n_ws_tokens"),
+        element_at(col("_w"), 2).cast("int").as("n_wordpieces"))
 
   /** Vocabulary statistics AT SCALE: mergeable SpaceSaving heavy-hitters
     * summary per group (graft.functions.HeavyHittersAgg) instead of an

@@ -63,6 +63,14 @@ object ProfilePipeline {
       caps.withColumn("bucket", TextAnalysis.hashBucket(col("doc_id"), "split-v1"))
         .where(col("bucket") < 80).count()
     }
+    t("langId only") {
+      TextAnalysis.langId(caps, col("doc_id"), col("text"))
+        .groupBy("pred_lang").count().collect().length
+    }
+    t("tokenCounts only") {
+      TextAnalysis.tokenCounts(caps, col("doc_id"), col("text"))
+        .agg(sum("n_wordpieces")).collect().head.getLong(0)
+    }
     spark.stop()
   }
 }

@@ -75,6 +75,32 @@ class TextAnalysisSpec extends AnyFunSuite {
         s"id=${r.getLong(0)}: kernel '${r.getString(1)}' != regex '${r.getString(2)}'")
   }
 
+  test("langId kernel: score parity with the HOF build; tokenCounts parity with the regex") {
+    val rnd = new scala.util.Random(29)
+    val alphabet = Seq("the", "der", "le", "el", "的", "Zq9", "a.b", "x!", "世界",
+      "THE", "Der", "", " ", "\t")
+    val docs = (0L until 400L).map(i =>
+      i -> Seq.fill(rnd.nextInt(25))(alphabet(rnd.nextInt(alphabet.length))).mkString(" "))
+    val df = docs.toDF("doc_id", "text")
+    // langId: kernel scores vs the interpreted size(filter(...)) build
+    val toks = Dedup.tokens(lower(col("text")))
+    val refScores = df.select(col("doc_id") +: TextAnalysis.langMarkers.map { case (lang, ws) =>
+        ws.map(w => size(filter(toks, t => t === lit(w)))).reduce(_ + _).as(s"score_$lang")
+      }: _*)
+      .collect().map(r => r.getLong(0) -> (1 to 5).map(r.getInt)).toMap
+    val got = TextAnalysis.langId(df, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> (1 to 5).map(r.getInt)).toMap
+    assert(got === refScores)
+    // tokenCounts: kernel vs size(tokens) + regexp_count
+    val refTc = df.select(col("doc_id"),
+        size(Dedup.tokens(col("text"))).as("a"),
+        regexp_count(col("text"), lit(TextAnalysis.WordPieceRegex)).cast("int").as("b"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    val gotTc = TextAnalysis.tokenCounts(df, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(gotTc === refTc)
+  }
+
   test("quality kernel: integer parity with the HOF build, incl. unicode and odd whitespace") {
     import org.apache.spark.sql.Column
     // the pre-kernel HOF pipeline, verbatim — the parity reference
