@@ -522,6 +522,16 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(s.read.parquet(s"$dir/documents.parquet"),
         col("doc_id"), col("text"), n = 3, threshold = 0.5).orderBy("id_a", "id_b")
     }),
+    // ---- incremental-ingestion near-dedup: new batch (odd doc ids) vs
+    //      existing corpus (even ids) — cross-set MinHash-LSH, exact-verified.
+    //      16x2 banding for the same recall-by-construction reason as q45.
+    "q69_cross_dedup" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      Dedup.minhashLshPairsCross(
+        docs.where(col("doc_id") % 2 === 1), col("doc_id"), col("text"),
+        docs.where(col("doc_id") % 2 === 0), col("doc_id"), col("text"),
+        n = 3, threshold = 0.5, bands = 16).orderBy("id_a", "id_b")
+    }),
     // ---- eval-set decontamination: corpus docs sharing >= minHits distinct
     //      3-gram shingles with any benchmark doc (benchmark = doc_id % 50
     //      == 0 split of the same table so the oracle can re-derive it).
@@ -1116,6 +1126,16 @@ object SparkEntry {
          |FROM h GROUP BY 1 ORDER BY text_hash""".stripMargin,
     "q44_ngram_jaccard" -> TextOracle.jaccardPairsSql(3, 0.5),
     "q65_decontaminate" -> TextOracle.decontaminateSql(3, 3, "doc_id % 50 = 0"),
+    "q69_cross_dedup" ->
+      s"""WITH ${TextOracle.toksCte()},
+         |${TextOracle.ngramsCte(3)},
+         |nz AS (SELECT doc_id, g FROM ng WHERE len(g) > 0),
+         |pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  len(list_intersect(a.g, b.g)) AS c, len(a.g) AS sz_a, len(b.g) AS sz_b
+         |  FROM nz a JOIN nz b ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0)
+         |SELECT id_a, id_b, CAST(c AS DOUBLE) / CAST(sz_a + sz_b - c AS DOUBLE) AS jaccard
+         |FROM pr WHERE CAST(c AS DOUBLE) / CAST(sz_a + sz_b - c AS DOUBLE) >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
     "q45_minhash_lsh" -> TextOracle.jaccardPairsSql(3, 0.5),
     "q46_simhash" ->
       s"""WITH ${TextOracle.simhash64Ctes}

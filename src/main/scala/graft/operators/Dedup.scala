@@ -224,6 +224,53 @@ object Dedup {
     verifyPairs(cand, sh0.select("doc_id", "gha", "sz"), threshold)
   }
 
+  /** CROSS-corpus MinHash-LSH near-dup pairs — the incremental-ingestion
+    * verb: which docs of a NEW batch near-duplicate something in the
+    * EXISTING corpus ("don't re-train on what we already have"). Same
+    * banding + exact-verify machinery as `minhashLshPairs`, but the band
+    * join is batch×corpus, not a self-join — output is one (batch id_a,
+    * corpus id_b, jaccard) row per pair with J ≥ threshold; `id_a` always
+    * comes from `batch`. Ids must be unique ACROSS both sets (the verify
+    * map is keyed by id).
+    *
+    * Scale: identical posture to the self-join path — banding is a narrow
+    * (band, bandHash) shuffle on both sides, the corpus side's signatures
+    * are computed per run here; an ingestion pipeline would persist the
+    * corpus (sig, gha) table once (e.g. as an IcebergLite table) and
+    * append to it per accepted batch, making each increment's cost
+    * O(batch) + one bucket join.
+    */
+  def minhashLshPairsCross(batch: DataFrame, batchIdCol: Column, batchTextCol: Column,
+                           corpus: DataFrame, corpusIdCol: Column, corpusTextCol: Column,
+                           n: Int, threshold: Double, bands: Int = 8,
+                           maxBucket: Int = 10000): DataFrame = {
+    val r = graft.core.TextHash.MINHASH_K / bands
+    def prep(df: DataFrame, idCol: Column, textCol: Column): (DataFrame, DataFrame) = {
+      val sh = shingleHashes(df, idCol, textCol, n)
+        .withColumn("sig", graft.functions.TextFunctions.minhashFromHashes(col("gha")))
+      val banded = sh.select(col("doc_id"), explode(
+          array((0 until bands).map(b =>
+            struct(lit(b).as("band"), hash(lit(b), slice(col("sig"), b * r + 1, r)).as("bh"))): _*)
+        ).as("bb"))
+        .select(col("doc_id"), col("bb.band"), col("bb.bh"))
+      (sh, banded)
+    }
+    val (shA, bandedA) = prep(batch, batchIdCol, batchTextCol)
+    val (shB, bandedB) = prep(corpus, corpusIdCol, corpusTextCol)
+    // bucket cap on the CORPUS side (the boilerplate crowd lives there)
+    val inB =
+      if (maxBucket > 0) {
+        val ok = bandedB.groupBy("band", "bh").agg(count(lit(1)).as("bn"))
+          .where(col("bn") <= maxBucket)
+        bandedB.join(ok.select("band", "bh"), Seq("band", "bh"))
+      } else bandedB
+    val cand = bandedA.as("a").join(inB.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b")).distinct()
+    verifyPairs(cand, shA.select("doc_id", "gha", "sz")
+      .unionByName(shB.select("doc_id", "gha", "sz")), threshold)
+  }
+
   /** The deduplicated corpus: keep exactly one row (min id) per distinct
     * key — the op a pipeline actually runs after exact dedup analysis.
     * One hash-aggregate + semi-join; no text moves through the shuffle.

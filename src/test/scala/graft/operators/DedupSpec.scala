@@ -117,6 +117,29 @@ class DedupSpec extends AnyFunSuite {
     assert(e.getMessage.contains("converge"))
   }
 
+  test("cross-corpus LSH near-dup: batch x corpus pairs equal brute force, no self pairs") {
+    // batch = the planted near-dups + exact dups (ids >= 100), corpus = base
+    val (batch, corpus) = docs.partition(_._1 >= 100L)
+    val got = Dedup.minhashLshPairsCross(
+        batch.toDF("doc_id", "text"), col("doc_id"), col("text"),
+        corpus.toDF("doc_id", "text"), col("doc_id"), col("text"),
+        n = 3, threshold = 0.5, bands = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val expect = (for {
+      (ia, ta) <- batch; (ib, tb) <- corpus
+      ga = ngramSet(ta, 3); gb = ngramSet(tb, 3) if ga.nonEmpty && gb.nonEmpty
+      c = (ga intersect gb).size
+      j = c.toDouble / (ga.size + gb.size - c).toDouble if j >= 0.5
+    } yield (ia, ib, j)).toSet
+    assert(got === expect)
+    // every planted batch doc must hit its base twin (ids 100..105 -> 0..5,
+    // 206..208 exact copies of 6..8)
+    assert((0L until 6L).forall(i => got.exists(p => p._1 == 100L + i && p._2 == i)))
+    assert((6L until 9L).forall(i => got.exists(p => p._1 == 200L + i && p._2 == i)))
+    // id_a strictly from the batch side
+    assert(got.forall(_._1 >= 100L))
+  }
+
   test("decontaminate: exact shared-shingle counts vs brute force, bench side broadcast") {
     // benchmark = the 6 planted near-dups (ids 100..105) — each is near-copy
     // of a corpus doc, so contamination is guaranteed; plus brute-force
