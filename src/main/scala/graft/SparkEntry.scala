@@ -655,6 +655,24 @@ object SparkEntry {
         .select(col("n_queries"),
           (col("_h").cast("double") >= lit(0.8) * col("_n").cast("double")).as("recall_ok"))
     }),
+    // ---- persisted IVF index (build-once/query-many): build writes the
+    //      partition-pruned list table, query reads ONLY probed lists; same
+    //      recall-bound contract vs in-job exact L2 as q53. Equality with
+    //      the one-shot path + physical pruning gated in SimilaritySpec.
+    "q6a_ivf_index" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val q = emb.where(col("vec_id") % 100 === 0)
+      val idx = java.nio.file.Files.createTempDirectory("graft_ivf_q6a").toString
+      Similarity.ivfBuildSave(s, emb, "vec_id", "embedding", idx, lloydRounds = 2)
+      val ann = Similarity.ivfQueryIndex(s, idx, q, "vec_id", "embedding",
+        k = 10, nprobe = 24)
+      val exact = Similarity.topKL2(emb, q, "vec_id", "embedding", k = 10)
+      val hits = exact.join(ann.select("qid", "nid"), Seq("qid", "nid"), "left_semi")
+      exact.agg(count_distinct(col("qid")).as("n_queries"), count(lit(1)).as("_n"))
+        .crossJoin(hits.agg(count(lit(1)).as("_h")))
+        .select(col("n_queries"),
+          (col("_h").cast("double") >= lit(0.8) * col("_n").cast("double")).as("recall_ok"))
+    }),
     // ---- deterministic stratified sampling: per-language rates via
     //      content-addressed hash buckets (reproducible, shuffle-proof)
     "q57_stratified_sample" -> ((s, dir) => {
@@ -1348,6 +1366,9 @@ object SparkEntry {
       """SELECT count(*) AS n_queries, TRUE AS recall_ok
         |FROM embeddings WHERE vec_id % 100 = 0""".stripMargin,
     "q53_ivf_topk" ->
+      """SELECT count(*) AS n_queries, TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id % 100 = 0""".stripMargin,
+    "q6a_ivf_index" ->
       """SELECT count(*) AS n_queries, TRUE AS recall_ok
         |FROM embeddings WHERE vec_id % 100 = 0""".stripMargin,
     "q62_image_meta" -> {

@@ -147,7 +147,6 @@ object Similarity {
   def ivfTopK(spark: SparkSession, points: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int,
               nlist: Int = 0, nprobe: Int = 4, lloydRounds: Int = 2): DataFrame = {
-    import spark.implicits._
     // persisted: the index build is inherently multi-pass (seeds + one
     // assignment per Lloyd round + the final list assignment) — cache the
     // quantized vectors once instead of re-scanning parquet per pass.
@@ -159,6 +158,22 @@ object Similarity {
     val numLists =
       if (nlist > 0) nlist
       else math.max(16, math.sqrt(n.toDouble).toInt)
+    val cents = ivfTrain(spark, p, numLists, lloydRounds)
+    val bcFinal = spark.sparkContext.broadcast(cents)
+    val lists = withNearestLists(p, "pq", 1, bcFinal)
+      .withColumn("pn2", dotQ(col("pq"), col("pq")))
+    ivfRank(lists, ivfProbes(spark, queries, idCol, vecCol, nprobe, bcFinal), k)
+  }
+
+  /** Centroid training, shared by the one-shot and persisted-index paths:
+    * deterministic content-hash seeds + `lloydRounds` distributed k-means
+    * iterations over a hash-capped sample. `p` must be (nid, pq) and
+    * persisted by the caller.
+    */
+  private def ivfTrain(spark: SparkSession, p: DataFrame, numLists: Int,
+                       lloydRounds: Int): Array[Array[Long]] = {
+    import spark.implicits._
+    val n = p.count()
     // deterministic distributed sample: top-nlist by content hash — a
     // per-partition heap + driver merge of nlist rows, never a full collect.
     // Centroids are identified by ARRAY INDEX from here on (list_id: int) —
@@ -208,16 +223,23 @@ object Similarity {
       cents = next
     }
 
-    // L2 metric throughout (lists assigned by L2 ⇒ ranking must be L2 too,
-    // the FAISS IndexIVFFlat contract): |p−q|² = |p|² − 2p·q + |q|², exact
-    // int64 on quantized vectors
-    val bcFinal = spark.sparkContext.broadcast(cents)
-    val lists = withNearestLists(p, "pq", 1, bcFinal)
-      .withColumn("pn2", dotQ(col("pq"), col("pq")))
-    val probes = withNearestLists(
+    cents
+  }
+
+  /** Query-side probe table: (qid, qq, qn2, list_id × nprobe). */
+  private def ivfProbes(spark: SparkSession, queries: DataFrame, idCol: String,
+                        vecCol: String, nprobe: Int,
+                        bc: org.apache.spark.broadcast.Broadcast[Array[Array[Long]]]): DataFrame =
+    withNearestLists(
       queries.select(col(idCol).as("qid"), quantize(col(vecCol)).as("qq")),
-      "qq", nprobe, bcFinal)
+      "qq", nprobe, bc)
       .withColumn("qn2", dotQ(col("qq"), col("qq")))
+
+  /** Exact L2 re-rank of probed lists (lists assigned by L2 ⇒ ranking must
+    * be L2 too, the FAISS IndexIVFFlat contract): |p−q|² = |p|² − 2p·q +
+    * |q|², exact int64 on quantized vectors.
+    */
+  private def ivfRank(lists: DataFrame, probes: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("qid").orderBy(col("d2"), col("nid"))
     lists.join(broadcast(probes), Seq("list_id"))
       .where(col("qid") =!= col("nid"))
@@ -225,6 +247,55 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("qid"), col("nid"), col("rank").cast("long").as("rank"), col("d2"))
+  }
+
+  /** Build the IVF index ONCE and persist it as a partition-pruned table:
+    * `<dir>/lists` is parquet PARTITIONED BY list_id (one directory per
+    * inverted list — a query batch physically reads only its probed
+    * lists), `<dir>/centroids` is the ≤nlist coarse-quantizer table. This
+    * is the build-once/query-many shape a real ANN deployment runs — the
+    * corpus is scanned once at build; each later query batch costs
+    * O(probed fraction), not O(corpus). Returns numLists.
+    */
+  def ivfBuildSave(spark: SparkSession, points: DataFrame, idCol: String,
+                   vecCol: String, dir: String, nlist: Int = 0,
+                   lloydRounds: Int = 2): Int = {
+    import spark.implicits._
+    val p = points.select(col(idCol).as("nid"), quantize(col(vecCol)).as("pq"))
+      .persist()
+    val n = p.count()
+    val numLists =
+      if (nlist > 0) nlist
+      else math.max(16, math.sqrt(n.toDouble).toInt)
+    val cents = ivfTrain(spark, p, numLists, lloydRounds)
+    val bc = spark.sparkContext.broadcast(cents)
+    withNearestLists(p, "pq", 1, bc)
+      .withColumn("pn2", dotQ(col("pq"), col("pq")))
+      .write.mode("error").partitionBy("list_id").parquet(s"$dir/lists")
+    cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("list_id", "cvec")
+      .repartition(1).write.mode("error").parquet(s"$dir/centroids")
+    numLists
+  }
+
+  /** Query a persisted IVF index: probes resolve against the (re-read)
+    * centroid table, then ONLY the probed list partitions are scanned —
+    * `isin` over the partition column prunes at the file-listing level
+    * (spec asserts inputFiles shrink). Same ranking contract as ivfTopK.
+    */
+  def ivfQueryIndex(spark: SparkSession, dir: String, queries: DataFrame,
+                    idCol: String, vecCol: String, k: Int,
+                    nprobe: Int = 4): DataFrame = {
+    val centRows = spark.read.parquet(s"$dir/centroids")
+      .orderBy("list_id").collect()
+    val cents = centRows.map(_.getSeq[Long](1).toArray)
+    val bc = spark.sparkContext.broadcast(cents)
+    val probes = ivfProbes(spark, queries, idCol, vecCol, nprobe, bc)
+      .localCheckpoint() // probe set computed once: reused for pruning + join
+    val probed = probes.select("list_id").distinct().collect().map(_.getInt(0))
+    val lists = spark.read.parquet(s"$dir/lists")
+      .where(col("list_id").isInCollection(probed.toSeq))
+    ivfRank(lists, probes, k)
   }
 
   /** k-means training sample size per centroid (FAISS trains IVF coarse

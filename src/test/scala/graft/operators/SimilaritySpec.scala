@@ -78,6 +78,41 @@ class SimilaritySpec extends AnyFunSuite {
     assert(mean >= 0.8, s"mean recall $mean, per-query $recalls")
   }
 
+  test("persisted IVF index: query equals the one-shot path; probed-list partition pruning is real") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_index").toString
+    val numLists = Similarity.ivfBuildSave(spark, df, "vec_id", "embedding", dir,
+      nlist = 25, lloydRounds = 2)
+    assert(numLists === 25)
+    val viaIndex = Similarity.ivfQueryIndex(spark, dir, queries, "vec_id", "embedding",
+        k = 5, nprobe = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // same centroid pipeline is deterministic -> identical rows
+    val oneShot = Similarity.ivfTopK(spark, df, queries, "vec_id", "embedding",
+        k = 5, nlist = 25, nprobe = 6, lloydRounds = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaIndex === oneShot)
+    // pruning: single query, nprobe=2 -> 2 of 25 list partitions. The
+    // operator's plan must push the probed set as a PartitionFilter, and a
+    // scan with that filter must physically read fewer files (numFiles
+    // metric — inputFiles ignores filters, so it can't prove this).
+    val one = queries.where(col("vec_id") === 0L)
+    val probedRead = Similarity.ivfQueryIndex(spark, dir, one, "vec_id", "embedding",
+      k = 5, nprobe = 2)
+    assert(probedRead.collect().length === 5)
+    val planStr = probedRead.queryExecution.executedPlan.toString
+    assert(planStr.contains("PartitionFilters") && planStr.contains("list_id"),
+      planStr.take(800))
+    val pruned = spark.read.parquet(s"$dir/lists")
+      .where(col("list_id").isInCollection(Seq(0, 1)))
+    pruned.collect()
+    val scan = pruned.queryExecution.executedPlan.collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.get
+    val allFiles = spark.read.parquet(s"$dir/lists").inputFiles.length
+    assert(scan.metrics("numFiles").value < allFiles,
+      s"partition filter must shrink the file set: ${scan.metrics("numFiles").value} of $allFiles")
+  }
+
   test("Lloyd centroids beat the hash-sample baseline at equal nprobe") {
     // measured on the DRIVER's embeddings corpus (where the q53 bound runs)
     // rather than the synthetic 20-cluster fixture: there the hash-sampled
