@@ -278,6 +278,27 @@ object Similarity {
     numLists
   }
 
+  /** Append new vectors to a persisted IVF index WITHOUT retraining:
+    * assign against the existing centroid table and append into the same
+    * partitioned list layout (new parquet files inside the probed-by-query
+    * list directories — the FAISS `add` verb). Centroids stay fixed, so
+    * earlier assignments remain valid; periodic `ivfBuildSave` retrains
+    * when drift accumulates (the deployment convention). Returns the
+    * number of vectors appended.
+    */
+  def ivfAppend(spark: SparkSession, dir: String, points: DataFrame,
+                idCol: String, vecCol: String): Long = {
+    val cents = spark.read.parquet(s"$dir/centroids")
+      .orderBy("list_id").collect().map(_.getSeq[Long](1).toArray)
+    val bc = spark.sparkContext.broadcast(cents)
+    val p = points.select(col(idCol).as("nid"), quantize(col(vecCol)).as("pq"))
+    val assigned = withNearestLists(p, "pq", 1, bc)
+      .withColumn("pn2", dotQ(col("pq"), col("pq")))
+      .localCheckpoint() // count + write from one assignment pass
+    assigned.write.mode("append").partitionBy("list_id").parquet(s"$dir/lists")
+    assigned.count()
+  }
+
   /** Query a persisted IVF index: probes resolve against the (re-read)
     * centroid table, then ONLY the probed list partitions are scanned —
     * `isin` over the partition column prunes at the file-listing level

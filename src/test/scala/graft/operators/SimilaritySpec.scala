@@ -111,6 +111,17 @@ class SimilaritySpec extends AnyFunSuite {
     val allFiles = spark.read.parquet(s"$dir/lists").inputFiles.length
     assert(scan.metrics("numFiles").value < allFiles,
       s"partition filter must shrink the file set: ${scan.metrics("numFiles").value} of $allFiles")
+    // incremental add: append clones of vectors 0..4 under new ids — each
+    // appended vector lands in its source's list (same nearest centroid),
+    // so a k=5 query that ranked the source must now rank the clone at d2=0
+    val clones = vecs.take(5).map { case (i, v) => (10000L + i) -> v }
+      .toDF("vec_id", "embedding")
+    assert(Similarity.ivfAppend(spark, dir, clones, "vec_id", "embedding") === 5L)
+    val after = Similarity.ivfQueryIndex(spark, dir,
+        df.where(col("vec_id") === 0L), "vec_id", "embedding", k = 1, nprobe = 1)
+      .collect()
+    assert(after.length === 1)
+    assert(after.head.getLong(1) === 10000L, s"clone must be the 0-distance top hit: ${after.toSeq}")
   }
 
   test("Lloyd centroids beat the hash-sample baseline at equal nprobe") {
