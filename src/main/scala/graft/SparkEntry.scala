@@ -673,6 +673,16 @@ object SparkEntry {
         .select(col("n_queries"),
           (col("_h").cast("double") >= lit(0.8) * col("_n").cast("double")).as("recall_ok"))
     }),
+    // ---- leakage-safe split: near-dup clusters are atomic — all members
+    //      share one split, so a near-copy of a train doc can never leak
+    //      into val/test (pairs = the q52 LSH set; singletons self-cluster)
+    "q6b_leakage_safe_split" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val pairs = Dedup.minhashLshPairs(docs, col("doc_id"), col("text"),
+        n = 3, threshold = 0.5, bands = 16)
+      TextAnalysis.leakageSafeSplit(docs, col("doc_id"), pairs, "split-v1")
+        .orderBy("doc_id")
+    }),
     // ---- deterministic stratified sampling: per-language rates via
     //      content-addressed hash buckets (reproducible, shuffle-proof)
     "q57_stratified_sample" -> ((s, dir) => {
@@ -1278,6 +1288,29 @@ object SparkEntry {
          |)
          |SELECT id AS doc_id, least(id, min(r)) AS cluster_id FROM reach
          |GROUP BY id ORDER BY doc_id""".stripMargin,
+    "q6b_leakage_safe_split" -> {
+      val bucket = TextOracle.charHashSql(
+        "CAST(coalesce(l.cluster_id, d.doc_id) AS VARCHAR) || ':split-v1'") + " % 100"
+      s"""WITH RECURSIVE ${TextOracle.toksCte()},
+         |${TextOracle.ngramsCte(3)},
+         |nz AS (SELECT doc_id, g FROM ng WHERE len(g) > 0),
+         |pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM nz a JOIN nz b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+         |        / CAST(len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) AS DOUBLE) >= 0.5),
+         |edges AS (SELECT id_a AS s, id_b AS d FROM pr UNION ALL SELECT id_b, id_a FROM pr),
+         |reach AS (
+         |  SELECT s AS id, d AS r FROM edges
+         |  UNION
+         |  SELECT w.id, e.d FROM reach w JOIN edges e ON w.r = e.s
+         |),
+         |lab AS (SELECT id AS doc_id, least(id, min(r)) AS cluster_id FROM reach GROUP BY id)
+         |SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id,
+         |  CASE WHEN $bucket < 80 THEN 'train' WHEN $bucket < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM documents d LEFT JOIN lab l ON d.doc_id = l.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+    },
     "q51_quality" -> {
       val stopList = TextAnalysis.stopwords.map(w => s"'$w'").mkString(", ")
       s"""WITH ${TextOracle.toksCte()},

@@ -176,6 +176,26 @@ object TextAnalysis {
   def normalize(textCol: Column): Column =
     graft.functions.TextFunctions.normalizeText(textCol)
 
+  /** LEAKAGE-SAFE train/val/test split: near-duplicate CLUSTERS are the
+    * atomic unit — every member of a connected near-dup component gets the
+    * split of its cluster id, so a near-copy of a training doc can never
+    * land in val/test (the train/eval contamination failure mode a plain
+    * per-doc hash split has). Singletons cluster as themselves. Same
+    * content-addressed bucket scheme as `hashBucket`, keyed by cluster.
+    *
+    * Scale: cluster labels come from the caller's pair set (LSH-sized, not
+    * corpus-sized); the corpus-side work is one left join + the hash map.
+    */
+  def leakageSafeSplit(df: DataFrame, idCol: Column, pairs: DataFrame,
+                       salt: String): DataFrame =
+    df.select(idCol.as("doc_id"))
+      .join(Dedup.dupClusters(pairs), Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("bucket", hashBucket(col("cluster_id"), salt))
+      .withColumn("split", when(col("bucket") < 80, "train")
+        .when(col("bucket") < 90, "val").otherwise("test"))
+      .select("doc_id", "cluster_id", "split")
+
   /** Document fingerprints: full-text rolling hash + min-shingle hash
     * (content-defined, order-robust to prefix edits).
     */

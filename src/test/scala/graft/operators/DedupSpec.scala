@@ -199,6 +199,24 @@ class DedupSpec extends AnyFunSuite {
     assert(!got.exists(p => p._1.endsWith("_5") || p._2.endsWith("_5")))
   }
 
+  test("leakage-safe split: every near-dup pair shares a split; singletons self-cluster") {
+    import spark.implicits._
+    val df = docs.toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(df, col("doc_id"), col("text"), 3, 0.5)
+    val split = TextAnalysis.leakageSafeSplit(df, col("doc_id"), pairs, "split-v1")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(split.size === docs.size)
+    // no leakage: both endpoints of every true near-dup pair share cluster AND split
+    for ((a, b, _) <- bruteJaccard(3, 0.5)) {
+      assert(split(a)._1 === split(b)._1, s"pair ($a,$b) split across clusters")
+      assert(split(a)._2 === split(b)._2, s"pair ($a,$b) leaked across splits")
+    }
+    // singletons keep their own id as cluster and the plain hash-bucket split
+    val pairedIds = bruteJaccard(3, 0.5).flatMap(p => Seq(p._1, p._2))
+    val singleton = docs.map(_._1).find(i => !pairedIds.contains(i)).get
+    assert(split(singleton)._1 === singleton)
+  }
+
   test("near-dup plans contain no cartesian or nested-loop joins") {
     val df = docs.toDF("doc_id", "text")
     for (plan <- Seq(
