@@ -215,6 +215,11 @@ class DedupSpec extends AnyFunSuite {
     val pairedIds = bruteJaccard(3, 0.5).flatMap(p => Seq(p._1, p._2))
     val singleton = docs.map(_._1).find(i => !pairedIds.contains(i)).get
     assert(split(singleton)._1 === singleton)
+    // empty pair set (a fully-unique corpus): everyone self-clusters
+    val none = TextAnalysis.leakageSafeSplit(df, col("doc_id"),
+        pairs.limit(0), "split-v1")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(none.size === docs.size && none.forall { case (d, c) => d == c })
   }
 
   test("near-dup plans contain no cartesian or nested-loop joins") {
