@@ -122,6 +122,9 @@ class SimilaritySpec extends AnyFunSuite {
       .collect()
     assert(after.length === 1)
     assert(after.head.getLong(1) === 10000L, s"clone must be the 0-distance top hit: ${after.toSeq}")
+    // degenerate: empty query batch -> empty result, no crash
+    assert(Similarity.ivfQueryIndex(spark, dir, queries.limit(0),
+      "vec_id", "embedding", k = 5, nprobe = 2).collect().isEmpty)
   }
 
   test("Lloyd centroids beat the hash-sample baseline at equal nprobe") {
