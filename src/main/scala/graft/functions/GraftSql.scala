@@ -59,6 +59,8 @@ object GraftSql {
     "normalize_text" -> (es => NormalizeTextExpr(Cast(es(0), StringType))),
     "repetition_stats" -> (es => RepetitionStatsExpr(es(0),
       intLit(es(1), "repetition_stats n"))),
+    "quality_stats" -> (es => QualityStatsExpr(Cast(es(0), StringType))),
+    "wordpiece_counts" -> (es => WordPieceCountsExpr(Cast(es(0), StringType))),
     "dot_q" -> (es => DotQExpr(es(0), es(1))),
     // the sketch aggregates read their child as Double/UTF8String internally
     // — cast HERE so spark.sql calls on INT/DECIMAL columns behave like the

@@ -38,6 +38,16 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(r.getSeq[Long](1) === Seq(6L, 3L, 3L))
   }
 
+  test("quality_stats and wordpiece_counts via SQL match the kernels") {
+    val r = spark.sql(
+      """SELECT quality_stats('the cat a1b!') AS qs,
+        |wordpiece_counts('a1b! x') AS wc""".stripMargin).collect().head
+    // 12 chars; tokens the/cat/a1b!; 8 letters; 1 stopword; tok_chars 3+3+4
+    assert(r.getSeq[Long](0) === Seq(12L, 3L, 8L, 1L, 10L))
+    // a1b! x -> ws tokens 2; wordpieces: a,1,b,! ,x = 5
+    assert(r.getSeq[Long](1) === Seq(2L, 5L))
+  }
+
   test("SQL zcell over a table equals the Column API") {
     import spark.implicits._
     Seq((1L, -20000000L, 10000000L), (2L, 5000000L, -5000000L))
