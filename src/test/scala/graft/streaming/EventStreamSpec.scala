@@ -104,6 +104,42 @@ class EventStreamSpec extends AnyFunSuite {
     assert(IcebergLite.lastStreamBatch(dir, "other") === -1L)
   }
 
+  test("text curation ops run unchanged under Structured Streaming (stream == batch)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.TextAnalysis
+    // quality + repetition are map-only codegen kernels, so the SAME
+    // operator calls run on a readStream: prove streamed rows == batch rows
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over a lazy dog again today ok"),
+      (2L, "spam spam spam spam spam spam spam spam spam spam spam spam"),
+      (3L, "x"),
+      (4L, "a proper sentence with mixed words and enough tokens to pass the gate"))
+    val mem = MemoryStream[(Long, String)]
+    val streamed = TextAnalysis.repetition(
+      TextAnalysis.quality(mem.toDS().toDF("doc_id", "text"),
+        col("doc_id"), col("text")).where(col("keep"))
+        .join(mem.toDS().toDF("doc_id", "text"), "doc_id"),
+      col("doc_id"), col("text"))
+    val q = streamed.writeStream.format("memory").queryName("curated")
+      .outputMode("append").start()
+    try {
+      mem.addData(docs.take(2): _*); q.processAllAvailable()
+      mem.addData(docs.drop(2): _*); q.processAllAvailable()
+      val got = spark.table("curated")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(6))).toSet
+      val batch = TextAnalysis.repetition(
+        TextAnalysis.quality(docs.toDF("doc_id", "text"),
+          col("doc_id"), col("text")).where(col("keep"))
+          .join(docs.toDF("doc_id", "text"), "doc_id"),
+        col("doc_id"), col("text"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(6))).toSet
+      assert(got === batch)
+      assert(got.exists(!_._3), "the spam doc must fail the repetition gate")
+    } finally q.stop()
+  }
+
   test("file-source stream over the driver events table produces rows") {
     // FileStreamSource wants a landing DIRECTORY; stage the single driver
     // file into one (read-only testdata stays untouched)
