@@ -543,6 +543,20 @@ object SparkEntry {
         docs.where(col("doc_id") % 50 === 0), col("doc_id"), col("text"),
         n = 3, minHits = 3).orderBy("doc_id", "bench_id")
     }),
+    // ---- SUBSTRING-level exact dedup (Lee et al. 2022): per-doc merged
+    //      dup-span stats over 8-token windows, first occurrence survives.
+    //      Detection is one hash-aggregate over positional window hashes;
+    //      only duplicated-window occurrences ever shuffle.
+    "q6c_substring_dedup" -> ((s, dir) => {
+      Dedup.substringDupSpans(s.read.parquet(s"$dir/documents.parquet"),
+        col("doc_id"), col("text"), L = 8).orderBy("doc_id")
+    }),
+    // ---- the CLEANED corpus from the same operator: dup-span tokens
+    //      removed, whitespace normalized (every doc appears).
+    "q6d_substring_clean" -> ((s, dir) => {
+      Dedup.dedupSubstrings(s.read.parquet(s"$dir/documents.parquet"),
+        col("doc_id"), col("text"), L = 8).orderBy("doc_id")
+    }),
     // ---- MinHash-LSH near-dup pairs, exact-verified (the 100 TB path).
     //      bands=16 (r=2), NOT the default 8×4: the oracle is exact
     //      brute-force Jaccard and the fixture corpus has pairs down to
@@ -849,6 +863,34 @@ object SparkEntry {
           .otherwise("NO_CHANGE"))
         .groupBy("kind").agg(count(lit(1)).as("cnt"))
         .orderBy("kind")
+    }),
+    // ---- H7/H8 FULL ContributionType enum (upstream: {CREATION, DELETION,
+    //      TAG_CHANGE, GEOMETRY_CHANGE} as an EnumSet): DELETION via the
+    //      tombstone convention (event_type='error' ⇒ visible=false; the
+    //      next visible version is a re-CREATION), TAG_CHANGE from the
+    //      props column, VALUE_CHANGE standing in for GEOMETRY_CHANGE —
+    //      both at once kept as the canonical joined set. State is one lag
+    //      deep by construction (comparisons only against a VISIBLE
+    //      predecessor), so the whole kernel is a single window pass.
+    "q6e_contribution_types" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val e = s.read.parquet(s"$dir/events.parquet")
+        .withColumn("prev_type", lag("event_type", 1).over(w))
+        .withColumn("prev_value", lag("value", 1).over(w))
+        .withColumn("prev_props", lag("props", 1).over(w))
+      val tomb = col("event_type") === lit("error")
+      val prevVisible = col("prev_type").isNotNull && col("prev_type") =!= lit("error")
+      e.withColumn("kinds",
+          when(tomb, when(prevVisible, lit("DELETION")).otherwise(lit("NO_CHANGE")))
+            .when(!prevVisible, lit("CREATION"))
+            .when(col("props") =!= col("prev_props") && col("value") =!= col("prev_value"),
+              lit("TAG_CHANGE+VALUE_CHANGE"))
+            .when(col("props") =!= col("prev_props"), lit("TAG_CHANGE"))
+            .when(col("value") =!= col("prev_value"), lit("VALUE_CHANGE"))
+            .otherwise(lit("NO_CHANGE")))
+        .groupBy("kinds")
+        .agg(count(lit(1)).as("cnt"), countDistinct("user_id").as("n_users"))
+        .orderBy("kinds")
     }))
 
   /** DuckDB twins (same table names = parquet basenames in sfDir). */
@@ -1153,6 +1195,8 @@ object SparkEntry {
          |SELECT text_hash, min(doc_id) AS canonical_id, count(*) AS n_copies
          |FROM h GROUP BY 1 ORDER BY text_hash""".stripMargin,
     "q44_ngram_jaccard" -> TextOracle.jaccardPairsSql(3, 0.5),
+    "q6c_substring_dedup" -> TextOracle.substringSpanStatsSql(8),
+    "q6d_substring_clean" -> TextOracle.substringCleanSql(8),
     "q65_decontaminate" -> TextOracle.decontaminateSql(3, 3, "doc_id % 50 = 0"),
     "q69_cross_dedup" ->
       s"""WITH ${TextOracle.toksCte()},
@@ -1442,5 +1486,23 @@ object SparkEntry {
         |SELECT CASE WHEN prev IS NULL THEN 'CREATION'
         |            WHEN value != prev THEN 'VALUE_CHANGE'
         |            ELSE 'NO_CHANGE' END AS kind, count(*) AS cnt
-        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q6e_contribution_types" ->
+      """WITH e AS (SELECT user_id, event_type, value, props,
+        |    lag(event_type) OVER w AS prev_type,
+        |    lag(value) OVER w AS prev_value,
+        |    lag(props) OVER w AS prev_props
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |k AS (SELECT user_id, CASE
+        |    WHEN event_type = 'error' THEN
+        |      CASE WHEN prev_type IS NOT NULL AND prev_type <> 'error'
+        |           THEN 'DELETION' ELSE 'NO_CHANGE' END
+        |    WHEN prev_type IS NULL OR prev_type = 'error' THEN 'CREATION'
+        |    WHEN props <> prev_props AND value <> prev_value THEN 'TAG_CHANGE+VALUE_CHANGE'
+        |    WHEN props <> prev_props THEN 'TAG_CHANGE'
+        |    WHEN value <> prev_value THEN 'VALUE_CHANGE'
+        |    ELSE 'NO_CHANGE' END AS kinds
+        |  FROM e)
+        |SELECT kinds, count(*) AS cnt, count(DISTINCT user_id) AS n_users
+        |FROM k GROUP BY kinds ORDER BY kinds""".stripMargin)
 }

@@ -176,6 +176,45 @@ object ShingleBridge {
   def minhashFromHashes(arr: ArrayData): ArrayData =
     new GenericArrayData(graft.core.TextHash.minhashSig(arr.toLongArray()))
 
+  /** POSITIONAL window hashes for substring-level dedup: out(i) = combined
+    * 60-bit rolling hash (charHash·P + charHash2 form) of the n-token window
+    * starting at token i — kept IN POSITION ORDER with multiplicity (no
+    * sort/dedup): the operator needs to know WHERE each duplicated window
+    * sits. The combined key matters here: a global "which window repeats"
+    * aggregate over ~10^7+ windows is far past the ~45k birthday bound of a
+    * single mod-P hash (same reasoning as Dedup.exactDedup's key).
+    */
+  def positionalWindowHashes(arr: ArrayData, n: Int): ArrayData = {
+    import graft.core.TextHash.{BASE2, SEED2}
+    val cnt = arr.numElements()
+    val m = cnt - n + 1
+    if (m <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val toks = new Array[String](cnt)
+    var i = 0
+    while (i < cnt) { toks(i) = arr.getUTF8String(i).toString; i += 1 }
+    val out = new Array[Long](m)
+    i = 0
+    while (i < m) {
+      var a1 = SEED
+      var a2 = SEED2
+      var j = 0
+      while (j < n) {
+        if (j > 0) { a1 = (a1 * BASE + ' ') % P; a2 = (a2 * BASE2 + ' ') % P }
+        val t = toks(i + j)
+        var k = 0
+        while (k < t.length) {
+          a1 = (a1 * BASE + t.charAt(k)) % P
+          a2 = (a2 * BASE2 + t.charAt(k)) % P
+          k += 1
+        }
+        j += 1
+      }
+      out(i) = a1 * P + a2
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** One-pass Gopher-repetition stats over a token array: [total n-grams,
     * distinct n-grams, most-frequent n-gram's count] by the same rolling
     * mod-P shingle hash as `shingleHashes`, but WITHOUT the dedup — counts
@@ -217,6 +256,18 @@ object ShingleBridge {
     }
     new GenericArrayData(Array(m.toLong, distinct, top))
   }
+}
+
+/** `positional_window_hashes(toks, n)` — see ShingleBridge.positionalWindowHashes. */
+case class PositionalWindowHashesExpr(child: Expression, n: Int) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "positional_window_hashes"
+  override protected def nullSafeEval(v: Any): Any =
+    ShingleBridge.positionalWindowHashes(v.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleBridge$$.MODULE$$.positionalWindowHashes($c, $n)")
+  override protected def withNewChildInternal(c: Expression): PositionalWindowHashesExpr = copy(child = c)
 }
 
 case class ShingleHashesExpr(child: Expression, n: Int) extends UnaryExpression {
@@ -555,6 +606,8 @@ object TextFunctions {
   def dotQ(a: Column, b: Column): Column = column(DotQExpr(expression(a), expression(b)))
   def shingleHashes(tokens: Column, n: Int): Column =
     column(ShingleHashesExpr(expression(tokens), n))
+  def positionalWindowHashes(tokens: Column, n: Int): Column =
+    column(PositionalWindowHashesExpr(expression(tokens), n))
   def repetitionStats(tokens: Column, n: Int): Column =
     column(RepetitionStatsExpr(expression(tokens), n))
   def normalizeText(s: Column): Column =

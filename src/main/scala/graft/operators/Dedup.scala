@@ -172,18 +172,26 @@ object Dedup {
   def decontaminate(corpus: DataFrame, idCol: Column, textCol: Column,
                     bench: DataFrame, benchIdCol: Column, benchTextCol: Column,
                     n: Int = 3, minHits: Int = 1,
-                    maxBroadcastBenchDocs: Long = 1000000L): DataFrame = {
+                    maxBroadcastBenchShingles: Long = 100000000L): DataFrame = {
     val corpusSh = shingleHashes(corpus, idCol, textCol, n)
       .select(col("doc_id"), explode(col("gha")).as("h"))
+    // cache the EXPLODED bench shingles once: the same materialization feeds
+    // both the broadcast-size probe and the join, so the bench lineage runs
+    // exactly once and the probe measures what is actually shipped. The cache
+    // is dim-sized by construction (eval sets); blocks are reclaimed by the
+    // ContextCleaner with the result's lineage.
     val benchSh = shingleHashes(bench, benchIdCol, benchTextCol, n)
       .select(col("doc_id").as("bench_id"), explode(col("gha")).as("h"))
-    // eval sets are dim-sized (~1M docs × ~100 shingles × 16 B ≈ 1.6 GB
-    // broadcast ceiling); past that the broadcast would OOM executors with
-    // an opaque error, so fall back to a shuffled hash join on the shingle
-    // hash — corpus shingles then shuffle once (still no text movement)
-    val benchCount = bench.count()
+      .persist()
+    // gate on SHINGLE volume, not doc count — long bench docs blow the
+    // broadcast budget well before any doc-count ceiling. Default budget
+    // 1e8 shingles ≈ 1.6 GB of (bench_id, h) rows; past it the broadcast
+    // would OOM executors with an opaque error, so fall back to a shuffled
+    // hash join on the shingle hash — corpus shingles then shuffle once
+    // (still no text movement)
+    val benchShingles = benchSh.count()
     val joined =
-      if (benchCount <= maxBroadcastBenchDocs) corpusSh.join(broadcast(benchSh), "h")
+      if (benchShingles <= maxBroadcastBenchShingles) corpusSh.join(broadcast(benchSh), "h")
       else corpusSh.join(benchSh.hint("shuffle_hash"), "h")
     joined
       .groupBy("doc_id", "bench_id")
@@ -421,5 +429,96 @@ object Dedup {
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
       .distinct()
       .where(col("hamming") <= maxDist)
+  }
+
+  /** SUBSTRING-level exact dedup marks (the Lee et al. 2022 "Deduplicating
+    * Training Data Makes Language Models Better" operator, public
+    * knowledge): every position whose L-token window repeats an EARLIER
+    * occurrence in corpus order — (doc_id, pos) ascending; the first
+    * occurrence survives — is a dup mark. The reference implementation is a
+    * suffix array on one machine; the distributed re-expression is windowed
+    * hashing: dup-window detection is ONE hash-aggregate over positional
+    * window hashes (map-side partial combine), and marked positions come
+    * back via a join that ships ONLY occurrences of duplicated windows
+    * (rare in a clean corpus — the exchange is ∝ dup volume, never
+    * ∝ corpus; text itself never shuffles).
+    *
+    * Output: one (doc_id, pos) row per marked window position, pos 1-based
+    * in the whitespace-token stream. Window identity is the combined 60-bit
+    * rolling hash (collision ~1e-18/pair; a single mod-P hash would
+    * birthday-collide from ~45k distinct windows — exactDedup's reasoning).
+    */
+  def substringDupMarks(df: DataFrame, idCol: Column, textCol: Column,
+                        L: Int): DataFrame = {
+    val wins = df
+      .select(idCol.as("doc_id"),
+        graft.functions.TextFunctions.positionalWindowHashes(tokens(textCol), L).as("wh"))
+      .where(size(col("wh")) > 0)
+      .select(col("doc_id"), posexplode(col("wh")).as(Seq("p0", "h")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("h"))
+    val firsts = wins.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("first"), count(lit(1)).as("cnt"))
+      .where(col("cnt") >= 2)
+    wins.join(firsts, "h")
+      .where(col("doc_id") =!= col("first.doc_id") || col("pos") =!= col("first.pos"))
+      .select(col("doc_id"), col("pos"))
+  }
+
+  /** Gaps-and-islands merge of marked windows [pos, pos+L−1] into per-doc
+    * token spans: a new island starts when pos − prev > L (overlap OR
+    * adjacency merges — the covered token range is contiguous either way).
+    * Returns (doc_id, isl, s = first pos, e = last pos, nw = window count);
+    * covered tokens per island = [s, e+L−1]. Runs per doc over MARKED
+    * positions only, after one shuffle on doc_id of those rare rows.
+    */
+  private def substringSpans(marks: DataFrame, L: Int): DataFrame = {
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    marks
+      .withColumn("prev", lag("pos", 1).over(byDoc))
+      .withColumn("brk",
+        when(col("prev").isNull || col("pos") - col("prev") > L, 1).otherwise(0))
+      .withColumn("isl",
+        sum("brk").over(byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "isl")
+      .agg(min("pos").as("s"), max("pos").as("e"), count(lit(1)).as("nw"))
+  }
+
+  /** Per-doc merged dup-span stats over [[substringDupMarks]]: one row per
+    * doc with ≥1 marked window — (doc_id, dup_windows, dup_spans,
+    * dup_tokens) where dup_tokens is the union size of the marked windows'
+    * token coverage, i.e. the volume substring dedup would delete.
+    */
+  def substringDupSpans(df: DataFrame, idCol: Column, textCol: Column,
+                        L: Int): DataFrame =
+    substringSpans(substringDupMarks(df, idCol, textCol, L), L)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("dup_spans"),
+        sum(col("e") - col("s") + L).cast("long").as("dup_tokens"),
+        sum("nw").cast("long").as("dup_windows"))
+
+  /** The CLEANED corpus: every doc with the tokens covered by its merged
+    * dup spans REMOVED (the first occurrence of each window survives
+    * elsewhere, so no content is lost corpus-wide); remaining tokens are
+    * re-joined with single spaces — whitespace is normalized by
+    * construction, for span-free docs too, so the output column is uniform.
+    *
+    * Scale: span lists are per-doc tiny (collect_list over the rare merged
+    * spans); the rewrite is a narrow map over one corpus scan plus one join
+    * against that rare span table.
+    */
+  def dedupSubstrings(df: DataFrame, idCol: Column, textCol: Column,
+                      L: Int): DataFrame = {
+    val spanLists = substringSpans(substringDupMarks(df, idCol, textCol, L), L)
+      .select(col("doc_id"), col("s"), (col("e") + (L - 1)).as("e"))
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("s"), col("e"))).as("sp"))
+    df.select(idCol.as("doc_id"), textCol.as("text"))
+      .join(spanLists, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("sp").isNull, concat_ws(" ", tokens(col("text"))))
+          .otherwise(concat_ws(" ",
+            filter(tokens(col("text")), (_, i) =>
+              !exists(col("sp"), sp => i + 1 >= sp("s") && i + 1 <= sp("e")))))
+          .as("clean_text"))
   }
 }

@@ -149,20 +149,24 @@ object Similarity {
               nlist: Int = 0, nprobe: Int = 4, lloydRounds: Int = 2): DataFrame = {
     // persisted: the index build is inherently multi-pass (seeds + one
     // assignment per Lloyd round + the final list assignment) — cache the
-    // quantized vectors once instead of re-scanning parquet per pass.
-    // Blocks are dropped by the ContextCleaner when the result's lineage
-    // is garbage-collected.
+    // quantized vectors once instead of re-scanning parquet per pass, and
+    // EXPLICITLY unpersist once the final list assignment has materialized
+    // (try/finally): repeated index builds in one long session must not pin
+    // executor storage memory waiting for the ContextCleaner.
     val p = points.select(col(idCol).as("nid"), quantize(col(vecCol)).as("pq"))
       .persist()
-    val n = p.count() // also materializes the cache
-    val numLists =
-      if (nlist > 0) nlist
-      else math.max(16, math.sqrt(n.toDouble).toInt)
-    val cents = ivfTrain(spark, p, numLists, lloydRounds)
-    val bcFinal = spark.sparkContext.broadcast(cents)
-    val lists = withNearestLists(p, "pq", 1, bcFinal)
-      .withColumn("pn2", dotQ(col("pq"), col("pq")))
-    ivfRank(lists, ivfProbes(spark, queries, idCol, vecCol, nprobe, bcFinal), k)
+    try {
+      val n = p.count() // also materializes the cache
+      val numLists =
+        if (nlist > 0) nlist
+        else math.max(16, math.sqrt(n.toDouble).toInt)
+      val cents = ivfTrain(spark, p, numLists, lloydRounds)
+      val bcFinal = spark.sparkContext.broadcast(cents)
+      val lists = withNearestLists(p, "pq", 1, bcFinal)
+        .withColumn("pn2", dotQ(col("pq"), col("pq")))
+        .localCheckpoint(eager = true) // final assignment runs off the cache NOW
+      ivfRank(lists, ivfProbes(spark, queries, idCol, vecCol, nprobe, bcFinal), k)
+    } finally p.unpersist(blocking = false)
   }
 
   /** Centroid training, shared by the one-shot and persisted-index paths:
@@ -263,19 +267,24 @@ object Similarity {
     import spark.implicits._
     val p = points.select(col(idCol).as("nid"), quantize(col(vecCol)).as("pq"))
       .persist()
-    val n = p.count()
-    val numLists =
-      if (nlist > 0) nlist
-      else math.max(16, math.sqrt(n.toDouble).toInt)
-    val cents = ivfTrain(spark, p, numLists, lloydRounds)
-    val bc = spark.sparkContext.broadcast(cents)
-    withNearestLists(p, "pq", 1, bc)
-      .withColumn("pn2", dotQ(col("pq"), col("pq")))
-      .write.mode("error").partitionBy("list_id").parquet(s"$dir/lists")
-    cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
-      .toDF("list_id", "cvec")
-      .repartition(1).write.mode("error").parquet(s"$dir/centroids")
-    numLists
+    // unpersist as soon as the last pass (the list write) completes — the
+    // writes below are actions, so everything consuming `p` runs inside the
+    // try; long sessions rebuilding indexes must not pin storage memory.
+    try {
+      val n = p.count()
+      val numLists =
+        if (nlist > 0) nlist
+        else math.max(16, math.sqrt(n.toDouble).toInt)
+      val cents = ivfTrain(spark, p, numLists, lloydRounds)
+      val bc = spark.sparkContext.broadcast(cents)
+      withNearestLists(p, "pq", 1, bc)
+        .withColumn("pn2", dotQ(col("pq"), col("pq")))
+        .write.mode("error").partitionBy("list_id").parquet(s"$dir/lists")
+      cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("list_id", "cvec")
+        .repartition(1).write.mode("error").parquet(s"$dir/centroids")
+      numLists
+    } finally p.unpersist(blocking = false)
   }
 
   /** Append new vectors to a persisted IVF index WITHOUT retraining:

@@ -102,6 +102,56 @@ object TextOracle {
        |SELECT doc_id, bench_id, n_hits FROM pr WHERE n_hits >= $minHits
        |ORDER BY doc_id, bench_id""".stripMargin
 
+  /** Substring-level dedup CTE chain (mirrors Dedup.substringDupMarks +
+    * substringSpans): positional L-token windows by STRING identity (the
+    * Spark side uses the 60-bit combined hash — identical short of a
+    * ~1e-18/pair collision), first occurrence in (doc_id, pos) order
+    * survives, overlapping/adjacent marked windows merge into islands.
+    * Yields CTE `sp(doc_id, isl, s, e, nw)` with e = LAST MARKED POS (not
+    * token end).
+    */
+  def substringSpanCtes(L: Int): String =
+    s"""${toksCte()},
+       |wins AS (SELECT doc_id, pw.pos AS pos, pw.w AS w FROM (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(t) - ${L - 2}),
+       |    i -> {'pos': i, 'w': array_to_string(t[i:i+${L - 1}], ' ')})) AS pw
+       |  FROM toks WHERE len(t) >= $L) z),
+       |marks AS (SELECT doc_id, pos FROM (
+       |    SELECT doc_id, pos,
+       |      row_number() OVER (PARTITION BY w ORDER BY doc_id, pos) AS rn,
+       |      count(*) OVER (PARTITION BY w) AS cnt
+       |    FROM wins) m WHERE cnt >= 2 AND rn > 1),
+       |isl AS (SELECT doc_id, pos,
+       |    sum(CASE WHEN prev IS NULL OR pos - prev > $L THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+       |  FROM (SELECT doc_id, pos,
+       |          lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+       |        FROM marks) p),
+       |sp AS (SELECT doc_id, isl, min(pos) AS s, max(pos) AS e, count(*) AS nw
+       |       FROM isl GROUP BY 1, 2)""".stripMargin
+
+  /** Per-doc merged dup-span stats (mirrors Dedup.substringDupSpans). */
+  def substringSpanStatsSql(L: Int): String =
+    s"""WITH ${substringSpanCtes(L)}
+       |SELECT doc_id, count(*) AS dup_spans,
+       |  CAST(sum(e - s + $L) AS BIGINT) AS dup_tokens,
+       |  CAST(sum(nw) AS BIGINT) AS dup_windows
+       |FROM sp GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Cleaned corpus (mirrors Dedup.dedupSubstrings): tokens covered by any
+    * merged span removed, remainder re-joined with single spaces.
+    */
+  def substringCleanSql(L: Int): String =
+    s"""WITH ${substringSpanCtes(L)},
+       |spl AS (SELECT doc_id, list({'s': s, 'e': e + ${L - 1}}) AS spn
+       |        FROM sp GROUP BY doc_id)
+       |SELECT tk.doc_id,
+       |  coalesce(array_to_string(list_filter(t, (x, i) ->
+       |    len(list_filter(coalesce(spn, []), r -> i >= r.s AND i <= r.e)) = 0), ' '),
+       |    '') AS clean_text
+       |FROM toks tk LEFT JOIN spl ON tk.doc_id = spl.doc_id
+       |ORDER BY tk.doc_id""".stripMargin
+
   /** Quantized embedding CTE `e(vec_id, q)` (mirrors Similarity.quantize);
     * `dims` is fixed per table (driver embeddings: 64).
     */

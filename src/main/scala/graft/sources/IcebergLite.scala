@@ -28,9 +28,14 @@ import scala.jdk.CollectionConverters._
   */
 object IcebergLite {
   final case class FileEntry(path: String, rows: Long, min: Long, max: Long)
+  /** `streams` carries the LATEST committed batchId per stream name, merged
+    * forward at every commit — so exactly-once lookup is O(1) metadata reads
+    * (one snapshot JSON), not a parent-chain walk that degrades to
+    * O(versions) on tables mixing batch appends with streaming.
+    */
   final case class Snapshot(version: Int, snapshotId: String, parent: Option[Int],
                             files: Seq[FileEntry],
-                            streamMarker: Option[(String, Long)] = None)
+                            streams: Map[String, Long] = Map.empty)
 
   private def metaDir(dir: String): Path = Paths.get(dir, "metadata")
 
@@ -48,26 +53,20 @@ object IcebergLite {
       FileEntry(m.group(1), m.group(2).toLong, m.group(3).toLong, m.group(4).toLong)).toSeq
     val sid = """"snapshot_id": "([^"]+)"""".r.findFirstMatchIn(txt).get.group(1)
     val parent = """"parent": (\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toInt)
-    val marker = """"stream_name": "([^"]+)", "stream_batch": (-?\d+)""".r
-      .findFirstMatchIn(txt).map(m => (m.group(1), m.group(2).toLong))
-    Snapshot(version, sid, parent, files, marker)
+    val streams = """"stream:([^"]+)": (-?\d+)""".r.findAllMatchIn(txt)
+      .map(m => m.group(1) -> m.group(2).toLong).toMap
+    Snapshot(version, sid, parent, files, streams)
   }
 
-  /** Highest streaming batchId committed for `name`, or -1 — read from the
-    * snapshot chain itself (the marker rides inside the atomic commit, so
-    * there is no window where data landed but the marker didn't). With a
-    * single streaming writer the match is at or near the chain head.
+  /** Highest streaming batchId committed for `name`, or -1. The per-stream
+    * map is merged forward at every commit (batch appends included), so this
+    * is ONE snapshot-JSON read regardless of table history length — and the
+    * marker still rides inside the atomic commit, so there is no window
+    * where data landed but the marker didn't.
     */
   def lastStreamBatch(dir: String, name: String): Long = {
-    var v = currentVersion(dir)
-    while (v > 0) {
-      val s = snapshot(dir, v)
-      s.streamMarker match {
-        case Some((n, b)) if n == name => return b
-        case _ => v = s.parent.getOrElse(0)
-      }
-    }
-    -1L
+    val v = currentVersion(dir)
+    if (v <= 0) -1L else snapshot(dir, v).streams.getOrElse(name, -1L)
   }
 
   /** Row counts + `_stats` long-column min/max per file, read from parquet
@@ -152,8 +151,13 @@ object IcebergLite {
     val (rewrite, keep) = snap.files.partition(f => touched.contains(norm(f.path)))
     val batch = java.util.UUID.randomUUID().toString.take(8)
     val dataDir = s"$dir/data/$batch"
+    // DELETE semantics: remove only rows where the predicate IS TRUE. A
+    // nullable predicate evaluates to NULL on some rows; !NULL is NULL which
+    // `where` drops — so the naive `.where(!predicate)` would silently delete
+    // NULL-predicate rows that share a file with a true match. Keep every row
+    // where the predicate is not TRUE.
     spark.read.parquet(rewrite.map(_.path): _*)
-      .where(!predicate)
+      .where(not(coalesce(predicate, lit(false))))
       .withColumn("_stats", statsCol)
       .write.mode("error").parquet(dataDir)
     val files = keep ++ footerStats(spark, dataDir)
@@ -249,8 +253,16 @@ object IcebergLite {
       s"""    {"path": "${f.path}", "rows": ${f.rows}, "min": ${f.min}, "max": ${f.max}}""")
       .mkString("[\n", ",\n", "\n  ]")
     val parent = if (parentVersion > 0) s""",\n  "parent": $parentVersion""" else ""
-    val marker = streamMarker.map { case (n, b) =>
-      s""",\n  "stream_name": "$n", "stream_batch": $b""" }.getOrElse("")
+    // merge the per-stream latest-batch map forward so EVERY snapshot carries
+    // the full map and lastStreamBatch is O(1) metadata reads
+    val parentStreams =
+      if (parentVersion > 0) snapshot(dir, parentVersion).streams else Map.empty[String, Long]
+    val streams = parentStreams ++ streamMarker.toMap
+    val marker =
+      if (streams.isEmpty) ""
+      else streams.toSeq.sortBy(_._1)
+        .map { case (n, b) => s""""stream:$n": $b""" }
+        .mkString(",\n  \"streams\": {", ", ", "}")
     val json = s"""{\n  "version": $version,\n  "snapshot_id": "$sid"$parent$marker,\n  "files": $body\n}\n"""
     Files.createDirectories(metaDir(dir))
     writeAtomic(metaDir(dir).resolve(f"v$version%05d.json"), json)

@@ -64,6 +64,60 @@ object EventStream {
       }
   }
 
+  final case class TaggedEvent(event_id: Long, ts: Timestamp, user_id: Long,
+                               event_type: String, value: Double, props: String)
+  final case class TypedContribution(user_id: Long, event_id: Long, ts: Timestamp,
+                                     kinds: String, value: Double)
+  final case class TypedState(lastValue: Double, lastProps: String,
+                              visible: Boolean, seen: Boolean)
+
+  /** FULL ContributionType classification under streaming — the upstream
+    * enum is {CREATION, DELETION, TAG_CHANGE, GEOMETRY_CHANGE} as an
+    * EnumSet [ref: oshdb-util/…/celliterator/ContributionType]; the graft's
+    * events table has no OSM visible-flag, so the DELETION convention is:
+    * `event_type == tombstoneType` marks the entity deleted (visible=false).
+    * Rules, per entity (user_id), versions in (ts, event_id) order:
+    *   - first visible version, or first after a tombstone ⇒ CREATION
+    *     (re-creation after deletion is CREATION, as upstream);
+    *   - tombstone while visible ⇒ DELETION; tombstone of nothing ⇒
+    *     NO_CHANGE (upstream emits no contribution; a row keeps parity
+    *     with the batch twin auditable);
+    *   - visible→visible: TAG_CHANGE if props changed, VALUE_CHANGE if
+    *     value changed — BOTH when both (the EnumSet); neither ⇒ NO_CHANGE.
+    * `kinds` is the canonical '+'-joined sorted set, e.g.
+    * "TAG_CHANGE+VALUE_CHANGE".
+    */
+  def typedContributions(events: Dataset[TaggedEvent],
+                         tombstoneType: String = "error"): Dataset[TypedContribution] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[TypedState, TypedContribution](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, it: Iterator[TaggedEvent], state: GroupState[TypedState]) =>
+          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var st = state.getOption.getOrElse(TypedState(0.0, "", visible = false, seen = false))
+          val out = sorted.map { e =>
+            val tomb = e.event_type == tombstoneType
+            val kinds =
+              if (tomb) { if (st.seen && st.visible) Seq("DELETION") else Seq("NO_CHANGE") }
+              else if (!st.seen || !st.visible) Seq("CREATION")
+              else {
+                val k = (if (e.props != st.lastProps) Seq("TAG_CHANGE") else Nil) ++
+                  (if (e.value != st.lastValue) Seq("VALUE_CHANGE") else Nil)
+                if (k.isEmpty) Seq("NO_CHANGE") else k
+              }
+            // a tombstone keeps the last visible tags/value irrelevant: the
+            // next visible version is a CREATION and compares against nothing
+            st =
+              if (tomb) st.copy(visible = false, seen = true)
+              else TypedState(e.value, e.props, visible = true, seen = true)
+            TypedContribution(userId, e.event_id, e.ts, kinds.sorted.mkString("+"), e.value)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** Streaming ingest dedup: drop re-deliveries of the same key within the
     * watermark horizon — the standard exactly-once-ish ingestion guard in
     * front of a training-data pipeline. State = one entry per key within

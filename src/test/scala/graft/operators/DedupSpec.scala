@@ -168,7 +168,7 @@ class DedupSpec extends AnyFunSuite {
     val gotBig = Dedup.decontaminate(
         corpus.toDF("doc_id", "text"), col("doc_id"), col("text"),
         bench.toDF("doc_id", "text"), col("doc_id"), col("text"),
-        n = 3, minHits = 2, maxBroadcastBenchDocs = 1L)
+        n = 3, minHits = 2, maxBroadcastBenchShingles = 1L)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(gotBig === expect)
   }
@@ -220,6 +220,82 @@ class DedupSpec extends AnyFunSuite {
         pairs.limit(0), "split-v1")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(none.size === docs.size && none.forall { case (d, c) => d == c })
+  }
+
+  // ---- substring-level dedup (Lee et al. 2022 semantics) ----
+
+  /** Brute-force reference: windows by STRING identity, first occurrence in
+    * (doc_id, pos) order survives, merged spans via linear scan.
+    */
+  private def bruteSubstring(corpus: Seq[(Long, String)], L: Int)
+      : (Map[Long, (Long, Long, Long)], Map[Long, String]) = {
+    val toks = corpus.map { case (id, t) => id -> t.split("\\s+").filter(_.nonEmpty).toVector }
+    val occ = for {
+      (id, tv) <- toks if tv.length >= L
+      p <- 1 to (tv.length - L + 1)
+    } yield (tv.slice(p - 1, p + L - 1).mkString(" "), id, p)
+    val marks = occ.groupBy(_._1).values.filter(_.size >= 2)
+      .flatMap(os => os.sortBy(o => (o._2, o._3)).tail).map(o => (o._2, o._3))
+      .toSeq.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val stats = marks.map { case (id, ps) =>
+      var spans = 0L; var dupTok = 0L
+      var s = -1000; var prev = -1000
+      def close(e: Int): Unit = if (s > 0) { spans += 1; dupTok += e + L - s }
+      ps.foreach { p =>
+        if (p - prev > L) { close(prev); s = p }
+        prev = p
+      }
+      close(prev)
+      id -> (spans, dupTok, ps.size.toLong)
+    }
+    val cleaned = toks.map { case (id, tv) =>
+      val ps = marks.getOrElse(id, Seq.empty)
+      val covered = ps.flatMap(p => p until (p + L)).toSet
+      id -> tv.zipWithIndex.collect { case (t, i) if !covered.contains(i + 1) => t }.mkString(" ")
+    }.toMap
+    (stats, cleaned)
+  }
+
+  private val subDocs: Seq[(Long, String)] = {
+    val rnd = new scala.util.Random(13)
+    val vocab = Vector("ant", "bee", "cat", "dog", "elk", "fox", "gnu", "hen",
+      "ibis", "jay", "kiwi", "lynx", "mole", "newt", "owl", "pug")
+    // unique bases — 16-word vocab, 40-60 tokens: window collisions by
+    // chance are possible; plant GUARANTEED dups on top
+    val base = (0L until 20L).map { i =>
+      i -> Seq.fill(40 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    val passage = base(0)._2.split(" ").slice(5, 21).mkString(" ") // 16 tokens of doc 0
+    val boiler = "COPYRIGHT notice ALL rights RESERVED by THE publisher XX"   // 9 tokens
+    Seq(
+      100L -> s"$passage trailing words here",                  // copies doc0's passage
+      101L -> s"prefix words $boiler suffix ${base(1)._2}",     // boilerplate + unique
+      102L -> s"other start $boiler tail end ${base(2)._2}",    // boilerplate again
+      103L -> (base(3)._2 + " " + base(3)._2),                  // SELF-repetition
+      104L -> "short doc under window",                         // < L tokens
+    ) ++ base
+  }
+
+  test("substring dedup: spans/stats/cleaned text equal string-identity brute force") {
+    val L = 8
+    val df = subDocs.toDF("doc_id", "text")
+    val (wantStats, wantClean) = bruteSubstring(subDocs, L)
+    val gotStats = Dedup.substringDupSpans(df, col("doc_id"), col("text"), L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(gotStats === wantStats)
+    // the planted shapes are actually exercised
+    assert(gotStats.contains(100L), "copied passage doc must be marked")
+    assert(gotStats.contains(102L) || gotStats.contains(101L), "boilerplate repeat marked")
+    assert(gotStats.contains(103L), "self-repetition marked (second copy)")
+    assert(!gotStats.contains(104L), "sub-window doc can't be marked")
+    assert(gotStats.contains(0L) === wantStats.contains(0L)) // first-occurrence rule
+    val gotClean = Dedup.dedupSubstrings(df, col("doc_id"), col("text"), L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(gotClean === wantClean)
+    // no content lost corpus-wide: every marked window's text still exists
+    // somewhere (its first occurrence)
+    val allCleanTok = gotClean.values.flatMap(_.split(" ")).filter(_.nonEmpty).toSet
+    assert(subDocs.flatMap(_._2.split("\\s+")).filter(_.nonEmpty).toSet === allCleanTok)
   }
 
   test("near-dup plans contain no cartesian or nested-loop joins") {

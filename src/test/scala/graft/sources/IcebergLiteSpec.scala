@@ -57,6 +57,38 @@ class IcebergLiteSpec extends AnyFunSuite {
     assert(IcebergLite.currentVersion(dir) === 3)
   }
 
+  test("deleteWhere: NULL-predicate rows survive (DELETE removes only WHERE-TRUE rows)") {
+    val dir = Files.createTempDirectory("iclite6").toString
+    val key = expr("lonm")
+    // one file mixing: a matching row (flag=1), non-matching rows (flag=0),
+    // and NULL-flag rows — the DELETE predicate `flag = 1` is NULL on those,
+    // and a naive `.where(!pred)` would silently drop them with the match
+    val rows = Seq(
+      (1L, 10L, 0L, Some(1L)), (2L, 20L, 0L, Some(0L)),
+      (3L, 30L, 0L, None), (4L, 40L, 0L, None))
+      .toDF("id", "lonm", "latm", "flag")
+    IcebergLite.append(spark, dir, rows.repartition(1), key)
+    IcebergLite.deleteWhere(spark, dir, col("flag") === 1L, key)
+    val ids = IcebergLite.read(spark, dir).select("id").collect().map(_.getLong(0)).toSet
+    assert(ids === Set(2L, 3L, 4L), s"NULL-predicate rows must survive, got $ids")
+  }
+
+  test("lastStreamBatch: O(1) lookup survives interleaved batch appends, per-stream") {
+    val dir = Files.createTempDirectory("iclite7").toString
+    val key = expr("lonm")
+    IcebergLite.append(spark, dir, pts(0, 10), key, streamMarker = Some(("ing", 0L)))
+    // many plain batch appends AFTER the stream commit — the per-stream map
+    // must ride forward so the lookup needs only the head snapshot
+    (1 to 5).foreach(i => IcebergLite.append(spark, dir, pts(i * 100L, 10), key))
+    IcebergLite.append(spark, dir, pts(900, 10), key, streamMarker = Some(("other", 7L)))
+    assert(IcebergLite.lastStreamBatch(dir, "ing") === 0L)
+    assert(IcebergLite.lastStreamBatch(dir, "other") === 7L)
+    assert(IcebergLite.lastStreamBatch(dir, "missing") === -1L)
+    // head snapshot alone carries the FULL map (the O(1) property itself)
+    val head = IcebergLite.snapshot(dir, IcebergLite.currentVersion(dir))
+    assert(head.streams === Map("ing" -> 0L, "other" -> 7L))
+  }
+
   test("merge: upsert rewrites only matched files, inserts append, time travel intact") {
     val dir = Files.createTempDirectory("iclite5").toString
     val key = expr("lonm")

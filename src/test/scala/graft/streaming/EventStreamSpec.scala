@@ -38,6 +38,60 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("typedContributions: full ContributionType enum incl. DELETION / TAG_CHANGE / re-creation") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // user 1 exercises every arm; user 2 exercises tombstone-of-nothing
+    val b1 = Seq(
+      TaggedEvent(1, ts(0, 10), 1, "a", 1.0, "{k:1}"),     // CREATION
+      TaggedEvent(2, ts(0, 20), 1, "a", 1.0, "{k:1}"),     // NO_CHANGE
+      TaggedEvent(3, ts(0, 30), 1, "a", 2.0, "{k:1}"),     // VALUE_CHANGE
+      TaggedEvent(4, ts(0, 40), 1, "a", 2.0, "{k:2}"),     // TAG_CHANGE
+      TaggedEvent(8, ts(0, 10), 2, "error", 0.0, "{}"))    // tombstone of nothing
+    val b2 = Seq(
+      TaggedEvent(5, ts(0, 50), 1, "a", 3.0, "{k:3}"),     // TAG+VALUE (both)
+      TaggedEvent(6, ts(1, 0), 1, "error", 0.0, "{}"),     // DELETION
+      TaggedEvent(7, ts(1, 10), 1, "a", 9.0, "{k:1}"),     // re-CREATION
+      TaggedEvent(9, ts(0, 20), 2, "error", 0.0, "{}"),    // tombstone again
+      TaggedEvent(10, ts(0, 30), 2, "b", 1.0, "{k:1}"))    // CREATION after tombs
+    val want = Map(
+      1L -> "CREATION", 2L -> "NO_CHANGE", 3L -> "VALUE_CHANGE",
+      4L -> "TAG_CHANGE", 5L -> "TAG_CHANGE+VALUE_CHANGE",
+      6L -> "DELETION", 7L -> "CREATION",
+      8L -> "NO_CHANGE", 9L -> "NO_CHANGE", 10L -> "CREATION")
+    val mem = MemoryStream[TaggedEvent]
+    val q = typedContributions(mem.toDS())
+      .writeStream.format("memory").queryName("typed_contrib").outputMode("append").start()
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      val got = spark.table("typed_contrib")
+        .select("event_id", "kinds").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got === want)
+    } finally q.stop()
+    // batch twin (the q6e kernel shape) classifies identically on the union
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val e = (b1 ++ b2).toDS().toDF()
+      .withColumn("prev_type", lag("event_type", 1).over(w))
+      .withColumn("prev_value", lag("value", 1).over(w))
+      .withColumn("prev_props", lag("props", 1).over(w))
+    val tomb = col("event_type") === lit("error")
+    val prevVisible = col("prev_type").isNotNull && col("prev_type") =!= lit("error")
+    val batchGot = e.withColumn("kinds",
+        when(tomb, when(prevVisible, lit("DELETION")).otherwise(lit("NO_CHANGE")))
+          .when(!prevVisible, lit("CREATION"))
+          .when(col("props") =!= col("prev_props") && col("value") =!= col("prev_value"),
+            lit("TAG_CHANGE+VALUE_CHANGE"))
+          .when(col("props") =!= col("prev_props"), lit("TAG_CHANGE"))
+          .when(col("value") =!= col("prev_value"), lit("VALUE_CHANGE"))
+          .otherwise(lit("NO_CHANGE")))
+      .select("event_id", "kinds").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(batchGot === want, "stream and batch classification must agree")
+  }
+
   test("tumbling event-time counts equal the batch groupBy on the same data") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
