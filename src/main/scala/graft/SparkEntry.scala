@@ -141,6 +141,31 @@ object SparkEntry {
           polys.schema, SpatialJoin.geoBindings))
         .select("poly_id", "kind", "geom_type", "n_vertices").orderBy("poly_id")
     }),
+    // ---- H1 fallback + B5 `geometry:other` arm: a mixed-geometry table
+    //      (closed rects → polygon, hole/island specs → multipolygon, OPEN
+    //      relations → GeometryCollection via RingAssembly.relationGeometry,
+    //      the upstream non-multipolygon-relation behavior) filtered with
+    //      the DSL's GeometryTypeFilter classes. `geometry:polygon` matches
+    //      Polygon AND MultiPolygon (the upstream class semantic);
+    //      vertices:(..8) then excludes the 12-vertex multis, so all three
+    //      classes discriminate. ORACLED: every output column is a
+    //      generator-rule constant (ids, kinds, JTS type names, vertex
+    //      counts).
+    "q6h_geometry_other" -> ((s, dir) => {
+      import s.implicits._
+      val polyRows = (Derive.rectSpecs ++ Derive.multiSpecs).toSeq.map(sp =>
+        (sp.poly_id, sp.kind, graft.core.Jts.toWkb(graft.core.Jts.toJtsEvenOdd(sp.poly))))
+      val otherRows = Derive.openRels.toSeq.map { case (id, ways) =>
+        (id, "open",
+          graft.core.Jts.toWkb(graft.core.RingAssembly.relationGeometry(ways.toSeq)))
+      }
+      val df = (polyRows ++ otherRows).toDF("poly_id", "kind", "wkb")
+      val g = SpatialJoin.withGeoMetrics(df)
+      g.where(graft.filter.FilterDsl.toColumn(
+          "geometry:other or (geometry:polygon and vertices:(..8))",
+          g.schema, SpatialJoin.geoBindings))
+        .select("poly_id", "kind", "geom_type", "n_vertices").orderBy("poly_id")
+    }),
     // ---- H2/C5: vector side of raster↔vector — polygons clipped to
     //      web-tile bboxes (distributed JTS ∩ flatMap). ORACLED: over the
     //      rect fixture set rect ∩ tile = rect, so the clipped envelope is
@@ -680,6 +705,63 @@ object SparkEntry {
       Similarity.ivfBuildSave(s, emb, "vec_id", "embedding", idx, lloydRounds = 2)
       val ann = Similarity.ivfQueryIndex(s, idx, q, "vec_id", "embedding",
         k = 10, nprobe = 24)
+      val exact = Similarity.topKL2(emb, q, "vec_id", "embedding", k = 10)
+      val hits = exact.join(ann.select("qid", "nid"), Seq("qid", "nid"), "left_semi")
+      exact.agg(count_distinct(col("qid")).as("n_queries"), count(lit(1)).as("_n"))
+        .crossJoin(hits.agg(count(lit(1)).as("_h")))
+        .select(col("n_queries"),
+          (col("_h").cast("double") >= lit(0.8) * col("_n").cast("double")).as("recall_ok"))
+    }),
+    // ---- STREAMING curation, driver-green (§2 row J): the quality →
+    //      repetition gate chain (incl. the stream-stream join) runs as a
+    //      Structured Streaming job over a file source with
+    //      Trigger.AvailableNow, lands in an IcebergLite table through the
+    //      EXACTLY-ONCE foreachBatch sink (batchId inside the snapshot
+    //      commit), and the query returns the TABLE read-back — so the
+    //      oracle checks the whole stream→sink→snapshot path against the
+    //      batch twin SQL (stream==batch for these map-only kernels is
+    //      additionally spec-gated in EventStreamSpec).
+    "q6g_stream_curate" -> ((s, dir) => {
+      import java.nio.file.{Files, Paths}
+      // FileStreamSource wants a landing DIRECTORY; stage the single
+      // driver file into one (read-only testdata stays untouched)
+      val staged = Files.createTempDirectory("graft_q6g_src")
+      Files.copy(Paths.get(s"$dir/documents.parquet"),
+        staged.resolve("documents-0.parquet"))
+      val tbl = Files.createTempDirectory("graft_q6g_tbl").toString
+      val ckpt = Files.createTempDirectory("graft_q6g_ck").toString
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val stream = s.readStream.schema(schema).parquet(staged.toString)
+      val kept = TextAnalysis.quality(stream, col("doc_id"), col("text"))
+        .where(col("keep")).select("doc_id")
+      val curated = TextAnalysis.repetition(
+          kept.join(stream.select(col("doc_id"), col("text")), "doc_id"),
+          col("doc_id"), col("text"))
+        .where(col("repetition_keep"))
+        .select("doc_id", "n_grams", "dup_frac")
+      val q = curated.writeStream
+        .queryName("q6g")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch(graft.streaming.EventStream.icebergBatchWriter(
+          tbl, col("doc_id"), "q6g"))
+        .start()
+      q.awaitTermination()
+      graft.sources.IcebergLite.read(s, tbl).orderBy("doc_id")
+    }),
+    // ---- PQ-COMPRESSED persisted IVF (FAISS IVFPQ shape): lists store m
+    //      one-byte codes per vector instead of the full vector; query =
+    //      partition-pruned scan + codegen ADC + exact re-rank of top-C
+    //      against the primary store. Same recall-bound contract as q6a;
+    //      the ≥4x on-disk shrink at equal recall is gated in
+    //      SimilaritySpec.
+    "q6f_ivf_pq" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val q = emb.where(col("vec_id") % 100 === 0)
+      val idx = java.nio.file.Files.createTempDirectory("graft_ivfpq_q6f").toString
+      Similarity.ivfPqBuildSave(s, emb, "vec_id", "embedding", idx, lloydRounds = 2)
+      val ann = Similarity.ivfPqQueryIndex(s, idx, emb, q, "vec_id", "embedding",
+        k = 10, nprobe = 24, rerankC = 100)
       val exact = Similarity.topKL2(emb, q, "vec_id", "embedding", k = 10)
       val hits = exact.join(ann.select("qid", "nid"), Seq("qid", "nid"), "left_semi")
       exact.agg(count_distinct(col("qid")).as("n_queries"), count(lit(1)).as("_n"))
@@ -1377,6 +1459,19 @@ object SparkEntry {
     "q61_checkpoint_agg" ->
       """SELECT o_custkey, count(*) AS n_orders FROM orders
         |GROUP BY 1 ORDER BY o_custkey""".stripMargin,
+    // generator-rule VALUES: survivors are the 4-vertex rects (polygon
+    // class, vertices<=8) and the open relations (GeometryCollection /
+    // `other`, total vertices = sum of member way lengths by construction)
+    "q6h_geometry_other" -> {
+      val rectRows = Derive.rects.map { case (id, _, _, _, _) =>
+        (id, "rect", "polygon", 4) }
+      val otherRows = Derive.openRels.map { case (id, ways) =>
+        (id, "open", "geometrycollection", ways.map(_.length).sum) }
+      val vals = (rectRows ++ otherRows).sortBy(_._1).map { case (i, k, t, n) =>
+        s"('$i', '$k', '$t', CAST($n AS INTEGER))"
+      }.mkString(", ")
+      s"SELECT * FROM (VALUES $vals) AS t(poly_id, kind, geom_type, n_vertices) ORDER BY poly_id"
+    },
     // non-distinct bigram counts by STRING grouping (Spark counts the mod-P
     // rolling hash — same ~1e-9 collision trade as the Jaccard oracles);
     // ratios are single divisions of identical exact integers in both engines
@@ -1448,6 +1543,41 @@ object SparkEntry {
     "q6a_ivf_index" ->
       """SELECT count(*) AS n_queries, TRUE AS recall_ok
         |FROM embeddings WHERE vec_id % 100 = 0""".stripMargin,
+    "q6f_ivf_pq" ->
+      """SELECT count(*) AS n_queries, TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id % 100 = 0""".stripMargin,
+    // batch twin of the streamed quality -> repetition curation chain (the
+    // q51 keep gate composed with the q68 repetition gate)
+    "q6g_stream_curate" -> {
+      val stopList = TextAnalysis.stopwords.map(w => s"'$w'").mkString(", ")
+      s"""WITH ${TextOracle.toksCte()},
+         |sc AS (SELECT d.doc_id AS doc_id, CAST(length(d.text) AS INTEGER) AS n_chars,
+         |  CAST(len(t) AS INTEGER) AS n_tokens,
+         |  CAST(length(regexp_replace(d.text, '[^A-Za-z]', '', 'g')) AS INTEGER) AS n_alpha,
+         |  CAST(coalesce(list_sum(list_transform(t, x -> length(x))), 0) AS INTEGER) AS n_tok_chars
+         |  FROM documents d JOIN toks ON d.doc_id = toks.doc_id),
+         |qm AS (SELECT doc_id,
+         |  (n_tokens >= 10 AND n_tokens <= 100000
+         |   AND CASE WHEN n_tokens > 0 THEN CAST(n_tok_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE) ELSE 0.0 END >= 2.0
+         |   AND CASE WHEN n_tokens > 0 THEN CAST(n_tok_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE) ELSE 0.0 END <= 12.0
+         |   AND CASE WHEN n_chars > 0 THEN CAST(n_alpha AS DOUBLE) / CAST(n_chars AS DOUBLE) ELSE 0.0 END >= 0.5) AS keep
+         |  FROM sc),
+         |bg AS (SELECT doc_id, CASE WHEN len(t) >= 2
+         |  THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+         |  ELSE CAST([] AS VARCHAR[]) END AS g FROM toks),
+         |st AS (SELECT doc_id, CAST(len(g) AS BIGINT) AS n_grams,
+         |  CAST(len(list_distinct(g)) AS BIGINT) AS n_distinct,
+         |  CAST(coalesce(list_max(list_transform(list_distinct(g),
+         |    x -> len(list_filter(g, y -> y = x)))), 0) AS BIGINT) AS top_cnt FROM bg),
+         |rm AS (SELECT doc_id, n_grams,
+         |  CASE WHEN n_grams > 0 THEN CAST(n_grams - n_distinct AS DOUBLE) / CAST(n_grams AS DOUBLE) ELSE 0.0 END AS dup_frac,
+         |  CASE WHEN n_grams > 0 THEN CAST(top_cnt AS DOUBLE) / CAST(n_grams AS DOUBLE) ELSE 0.0 END AS top_frac
+         |  FROM st)
+         |SELECT rm.doc_id, rm.n_grams, rm.dup_frac
+         |FROM qm JOIN rm ON qm.doc_id = rm.doc_id
+         |WHERE qm.keep AND rm.dup_frac <= 0.05 AND rm.top_frac <= 0.06
+         |ORDER BY rm.doc_id""".stripMargin
+    },
     "q62_image_meta" -> {
       // per-fmt counts from the generator's fmt RULE (not from running the
       // operator) — the decode-integrity booleans are asserted guarantees

@@ -91,6 +91,20 @@ object GeoMetrics {
     2 * EARTH_RADIUS_M * math.asin(math.min(1.0, math.sqrt(a)))
   }
 
+  /** OPEN polyline length (m) — haversine over consecutive vertices, no
+    * implicit closing edge (the upstream `length` metric for linear
+    * geometries [ref: oshdb-util/…/Geo.lengthOf]).
+    */
+  def lineLength(xs: Array[Long], ys: Array[Long]): Double = {
+    var s = 0.0
+    var i = 1
+    while (i < xs.length) {
+      s += haversine(xs(i - 1), ys(i - 1), xs(i), ys(i))
+      i += 1
+    }
+    s
+  }
+
   /** Ring perimeter (m) — closed implicitly like Raycast. */
   def ringLength(r: RingM): Double = {
     val n = r.xs.length

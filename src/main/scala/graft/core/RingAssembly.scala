@@ -81,6 +81,30 @@ object RingAssembly {
       }
     }
 
+  /** Relation members → geometry with the upstream FALLBACK arm [ref:
+    * oshdb-util/…/geometry/OSHDBGeometryBuilder: only multipolygon-typed
+    * relations build areal geometry; any other relation — or one whose
+    * member ways do not close into valid rings — yields a
+    * GeometryCollection of the member geometries]. Closed + valid rings
+    * become the even-odd (Multi)Polygon; anything else degrades to a
+    * GeometryCollection of the member ways as LineStrings — the
+    * `geometry:other` class in the filter DSL (GeometryTypeFilter's
+    * OTHER = GeometryCollection).
+    */
+  def relationGeometry(ways: Seq[Array[(Long, Long)]],
+                       fix: Boolean = false): Geometry =
+    multiPolyFromWays(ways, strict = true, fix = fix) match {
+      case Right(p) => Jts.toJtsEvenOdd(p)
+      case Left(_) =>
+        val lines = ways.map { w =>
+          Jts.factory.createLineString(
+            w.map { case (x, y) =>
+              new org.locationtech.jts.geom.Coordinate(x.toDouble, y.toDouble)
+            }.toArray)
+        }
+        Jts.factory.createGeometryCollection(lines.toArray)
+    }
+
   /** WKB (Polygon or MultiPolygon, micro-degree coordinates) → even-odd
     * [[PolyM]]. Invalid input is repaired via JTS GeometryFixer when
     * `fix`, else rejected.

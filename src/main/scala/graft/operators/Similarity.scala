@@ -5,7 +5,7 @@ import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.encoders.RowEncoder
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.{ArrayType, BinaryType, IntegerType, LongType}
 
 /** Embedding similarity search for training-data pipelines: brute-force
   * top-k as the exact baseline, hyperplane-LSH bucketing as the
@@ -160,7 +160,7 @@ object Similarity {
       val numLists =
         if (nlist > 0) nlist
         else math.max(16, math.sqrt(n.toDouble).toInt)
-      val cents = ivfTrain(spark, p, numLists, lloydRounds)
+      val cents = ivfTrain(spark, p, numLists, lloydRounds, nKnown = n)
       val bcFinal = spark.sparkContext.broadcast(cents)
       val lists = withNearestLists(p, "pq", 1, bcFinal)
         .withColumn("pn2", dotQ(col("pq"), col("pq")))
@@ -175,9 +175,9 @@ object Similarity {
     * persisted by the caller.
     */
   private def ivfTrain(spark: SparkSession, p: DataFrame, numLists: Int,
-                       lloydRounds: Int): Array[Array[Long]] = {
+                       lloydRounds: Int, nKnown: Long = -1L): Array[Array[Long]] = {
     import spark.implicits._
-    val n = p.count()
+    val n = if (nKnown >= 0) nKnown else p.count()
     // deterministic distributed sample: top-nlist by content hash — a
     // per-partition heap + driver merge of nlist rows, never a full collect.
     // Centroids are identified by ARRAY INDEX from here on (list_id: int) —
@@ -275,7 +275,7 @@ object Similarity {
       val numLists =
         if (nlist > 0) nlist
         else math.max(16, math.sqrt(n.toDouble).toInt)
-      val cents = ivfTrain(spark, p, numLists, lloydRounds)
+      val cents = ivfTrain(spark, p, numLists, lloydRounds, nKnown = n)
       val bc = spark.sparkContext.broadcast(cents)
       withNearestLists(p, "pq", 1, bc)
         .withColumn("pn2", dotQ(col("pq"), col("pq")))
@@ -326,6 +326,306 @@ object Similarity {
     val lists = spark.read.parquet(s"$dir/lists")
       .where(col("list_id").isInCollection(probed.toSeq))
     ivfRank(lists, probes, k)
+  }
+
+  // -------------------------------------------------------------------
+  // Product quantization (PQ) — compressed persisted IVF lists.
+  //
+  // Public knowledge: Jégou et al. 2011, "Product Quantization for Nearest
+  // Neighbor Search" (the FAISS IndexIVFPQ layout). The vector is split
+  // into m subvectors; each subspace gets its own ksub-centroid codebook;
+  // a corpus vector is stored as m one-byte codes (ksub ≤ 256) instead of
+  // dims×8-byte quantized longs. Queries evaluate the ASYMMETRIC distance
+  // (exact query vs quantized corpus): a per-query lookup table
+  // lut[sub·ksub+code] = |q_sub − c_sub,code|² makes each candidate cost m
+  // array reads (graft.functions.AdcDistExpr, codegen). ADC ranks are
+  // approximate, so the top-C ADC candidates are re-ranked EXACTLY against
+  // the full vectors from the primary store — the standard deployment
+  // shape (compressed index scans everything probed; exact math touches
+  // only C rows per query).
+  //
+  // Codebooks encode RESIDUALS p − c_list (FAISS by_residual=true, the
+  // IVFPQ default) — raw-vector codebooks were measured at 0.72 recall vs
+  // the flat index's 1.0 on the clustered spec fixture: same-cluster
+  // members collapse onto the same few codes, ADC ties break by id, and
+  // the true neighbors fall out of the re-rank window. Residuals are
+  // small and cluster-centered, so the same ksub codes resolve WITHIN a
+  // cluster; the query side pays one LUT per (query, probed list) instead
+  // of per query — still query-batch-sized.
+  // -------------------------------------------------------------------
+
+  /** Train the PQ codebook: cents(sub)(code) is a (dims/m)-dim int64
+    * sub-centroid. All m subspaces train in ONE distributed job per Lloyd
+    * round (partials keyed by (sub, code)); the sample is hash-capped at
+    * ~[[TRAIN_PER_LIST]]·ksub vectors, the FAISS convention. Means round
+    * to the integer grid so encoding and ADC stay exact-integer.
+    */
+  def pqTrain(spark: SparkSession, p: DataFrame, m: Int, ksub: Int,
+              lloydRounds: Int = 2, nKnown: Long = -1L): Array[Array[Array[Long]]] = {
+    import spark.implicits._
+    val n = if (nKnown >= 0) nKnown else p.count()
+    val ks = math.min(ksub.toLong, n).toInt
+    require(ks >= 1 && ks <= 256, s"ksub must be in [1,256], got $ks")
+    // deterministic content-hash seeds: ks full vectors, sliced per subspace
+    val seedRows = p.orderBy(xxhash64(col("nid")), col("nid")).limit(ks)
+      .select(col("pq")).collect().map(_.getSeq[Long](0).toArray)
+    val dims = seedRows(0).length
+    require(dims % m == 0, s"dims $dims not divisible by m=$m")
+    val dsub = dims / m
+    var cents: Array[Array[Array[Long]]] =
+      Array.tabulate(m, ks)((sub, c) => seedRows(c).slice(sub * dsub, (sub + 1) * dsub))
+
+    val trainFrac = math.min(1.0, TRAIN_PER_LIST.toDouble * ks / math.max(1L, n))
+    val train = (if (trainFrac < 1.0)
+      p.where(pmod(xxhash64(col("nid")), lit(1000000L)) < lit((trainFrac * 1e6).toLong))
+    else p).select(col("pq")).as[Array[Long]]
+    for (_ <- 1 to lloydRounds) {
+      val bc = spark.sparkContext.broadcast(cents)
+      val partials = train.mapPartitions { it =>
+        val cs = bc.value
+        val cnt = Array.ofDim[Long](m, ks)
+        val sums = Array.ofDim[Long](m, ks, dsub)
+        it.foreach { v =>
+          var sub = 0
+          while (sub < m) {
+            val c = nearestSubCode(v, sub * dsub, cs(sub))
+            cnt(sub)(c) += 1
+            var d = 0
+            while (d < dsub) { sums(sub)(c)(d) += v(sub * dsub + d); d += 1 }
+            sub += 1
+          }
+        }
+        for { sub <- Iterator.range(0, m); c <- Iterator.range(0, ks)
+              if cnt(sub)(c) > 0 } yield (sub, c, cnt(sub)(c), sums(sub)(c))
+      }.toDF("sub", "code", "cnt", "sums")
+      val means = partials
+        .select(col("sub"), col("code"), col("cnt"), posexplode(col("sums")).as(Seq("_d", "_s")))
+        .groupBy("sub", "code", "_d")
+        .agg((sum(col("_s")).cast("double") / sum(col("cnt"))).as("_m"))
+        .collect()
+      val next = cents.map(_.map(_.clone()))
+      means.foreach(r => next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = Math.round(r.getDouble(3)))
+      cents = next
+    }
+    cents
+  }
+
+  /** Nearest sub-centroid index for v[off, off+dsub) — exact int64 L2,
+    * strict < so ties go to the lower code. */
+  private def nearestSubCode(v: Array[Long], off: Int,
+                             subCents: Array[Array[Long]]): Int = {
+    var best = 0; var bestD = Long.MaxValue; var c = 0
+    while (c < subCents.length) {
+      val cent = subCents(c)
+      var d2 = 0L; var d = 0
+      while (d < cent.length) {
+        val diff = v(off + d) - cent(d); d2 += diff * diff; d += 1
+      }
+      if (d2 < bestD) { bestD = d2; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Append `<out>: array<long>` = v − c(list_id), the coarse-quantizer
+    * residual (needs a `list_id` column) — narrow primitive pass.
+    */
+  private def withResidual(df: DataFrame, vq: String, out: String,
+      bc: Broadcast[Array[Array[Long]]]): DataFrame = {
+    val outSchema = df.schema.add(out, ArrayType(LongType, containsNull = false), nullable = false)
+    val enc = RowEncoder.encoderFor(outSchema)
+    val iVq = df.schema.fieldIndex(vq)
+    val iList = df.schema.fieldIndex("list_id")
+    df.mapPartitions { it =>
+      val cs = bc.value
+      it.map { r =>
+        val v = r.getSeq[Long](iVq).toArray
+        val c = cs(r.getInt(iList))
+        val res = new Array[Long](v.length)
+        var d = 0
+        while (d < v.length) { res(d) = v(d) - c(d); d += 1 }
+        Row.fromSeq(r.toSeq :+ res.toSeq)
+      }
+    }(enc)
+  }
+
+  /** Append `codes: binary` (m one-byte PQ codes) — broadcast codebook into
+    * a narrow primitive pass, same layout rationale as [[withNearestLists]].
+    */
+  private def withPqCodes(df: DataFrame, vq: String,
+      bc: Broadcast[Array[Array[Array[Long]]]]): DataFrame = {
+    val outSchema = df.schema.add("codes", BinaryType, nullable = false)
+    val enc = RowEncoder.encoderFor(outSchema)
+    val iVq = df.schema.fieldIndex(vq)
+    df.mapPartitions { it =>
+      val cs = bc.value
+      val m = cs.length
+      val dsub = cs(0)(0).length
+      it.map { r =>
+        val v = r.getSeq[Long](iVq).toArray
+        val codes = new Array[Byte](m)
+        var sub = 0
+        while (sub < m) {
+          codes(sub) = nearestSubCode(v, sub * dsub, cs(sub)).toByte
+          sub += 1
+        }
+        Row.fromSeq(r.toSeq :+ codes)
+      }
+    }(enc)
+  }
+
+  /** ADC lookup table for one residual query vector: lut[sub·ksub+code] =
+    * |v_sub − c_sub,code|², exact int64.
+    */
+  private def adcLut(v: Array[Long], cs: Array[Array[Array[Long]]],
+                     ksub: Int): Array[Long] = {
+    val m = cs.length
+    val dsub = cs(0)(0).length
+    val lut = new Array[Long](m * ksub)
+    var sub = 0
+    while (sub < m) {
+      val subCents = cs(sub)
+      var c = 0
+      while (c < subCents.length) {
+        val cent = subCents(c)
+        var d2 = 0L; var d = 0
+        while (d < dsub) {
+          val diff = v(sub * dsub + d) - cent(d); d2 += diff * diff; d += 1
+        }
+        lut(sub * ksub + c) = d2
+        c += 1
+      }
+      sub += 1
+    }
+    lut
+  }
+
+  /** Build a PQ-COMPRESSED persisted IVF index: same partition-pruned
+    * layout as [[ivfBuildSave]] but each list row is (nid, codes[m bytes])
+    * instead of (nid, full vector, norm) — at dims=64 that is 16 B vs
+    * 520 B of vector payload per row, so at 10^12-vector scale list
+    * storage and probe-scan I/O shrink ~8× (≥4× gated on-disk in
+    * SimilaritySpec). `<dir>/pq_centroids` holds the m×ksub codebook.
+    * Returns numLists.
+    */
+  def ivfPqBuildSave(spark: SparkSession, points: DataFrame, idCol: String,
+                     vecCol: String, dir: String, nlist: Int = 0,
+                     m: Int = 16, ksub: Int = 256,
+                     lloydRounds: Int = 2): Int = {
+    import spark.implicits._
+    val p = points.select(col(idCol).as("nid"), quantize(col(vecCol)).as("pq"))
+      .persist()
+    try {
+      val n = p.count()
+      val numLists =
+        if (nlist > 0) nlist
+        else math.max(16, math.sqrt(n.toDouble).toInt)
+      val cents = ivfTrain(spark, p, numLists, lloydRounds, nKnown = n)
+      val bcCoarse = spark.sparkContext.broadcast(cents)
+      // residuals assigned once, shared by codebook training and encoding —
+      // localCheckpoint: training is multi-pass over this dim-capped table
+      val assigned = withResidual(withNearestLists(p, "pq", 1, bcCoarse),
+        "pq", "res", bcCoarse).localCheckpoint()
+      val pqCents = pqTrain(spark,
+        assigned.select(col("nid"), col("res").as("pq")), m, ksub, lloydRounds,
+        nKnown = n)
+      val bcPq = spark.sparkContext.broadcast(pqCents)
+      withPqCodes(assigned, "res", bcPq)
+        .select("nid", "codes", "list_id")
+        .write.mode("error").partitionBy("list_id").parquet(s"$dir/lists")
+      cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("list_id", "cvec")
+        .repartition(1).write.mode("error").parquet(s"$dir/centroids")
+      (for { sub <- pqCents.indices; c <- pqCents(sub).indices }
+        yield (sub, c, pqCents(sub)(c).toSeq))
+        .toDF("sub", "code", "cvec")
+        .repartition(1).write.mode("error").parquet(s"$dir/pq_centroids")
+      numLists
+    } finally p.unpersist(blocking = false)
+  }
+
+  /** Query a PQ-compressed persisted index: probed list partitions are
+    * pruned exactly as [[ivfQueryIndex]]; candidates rank by codegen ADC
+    * (m table lookups per row, no vector math), the top `rerankC` per
+    * query re-rank EXACTLY against the full vectors in `points` (the
+    * primary store — the index holds no vectors, that is the point). Same
+    * output contract as [[ivfQueryIndex]].
+    */
+  def ivfPqQueryIndex(spark: SparkSession, dir: String, points: DataFrame,
+                      queries: DataFrame, idCol: String, vecCol: String,
+                      k: Int, nprobe: Int = 4, rerankC: Int = 100): DataFrame = {
+    val cents = spark.read.parquet(s"$dir/centroids")
+      .orderBy("list_id").collect().map(_.getSeq[Long](1).toArray)
+    val pqRows = spark.read.parquet(s"$dir/pq_centroids")
+      .orderBy("sub", "code").collect()
+    val m = pqRows.map(_.getInt(0)).max + 1
+    val ksub = pqRows.map(_.getInt(1)).max + 1
+    val pqCents = Array.ofDim[Array[Long]](m, ksub)
+    pqRows.foreach(r => pqCents(r.getInt(0))(r.getInt(1)) = r.getSeq[Long](2).toArray)
+    val bcCoarse = spark.sparkContext.broadcast(cents)
+    val bcPq = spark.sparkContext.broadcast(pqCents)
+
+    // codes are RESIDUAL-encoded (p − c_list), so the ADC identity is
+    // |q − (c_list + code)|² = |(q − c_list) − code|²: one LUT per
+    // (query, probed list). The LUT (m·ksub longs ≈ 32 KB) must NOT ride
+    // the join as a column — a broadcast join copies build-side bytes into
+    // EVERY candidate output row, which materialized multi-GB through the
+    // top-C shuffle (measured 10× wall on the driver corpus). Instead the
+    // join carries only (qid, list_id), the query RESIDUALS ship once per
+    // executor as a broadcast map, and each scan partition builds the LUTs
+    // it needs lazily, caching per (qid, list_id).
+    val q0 = queries.select(col(idCol).cast("long").as("qid"),
+      quantize(col(vecCol)).as("qq"))
+    val probes = withResidual(withNearestLists(q0, "qq", nprobe, bcCoarse),
+        "qq", "qres", bcCoarse)
+      .withColumn("qn2", dotQ(col("qq"), col("qq")))
+      .localCheckpoint() // probe set computed once: pruning + join + re-rank
+    val probed = probes.select("list_id").distinct().collect().map(_.getInt(0))
+    val resMap = probes.select("qid", "list_id", "qres").collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getSeq[Long](2).toArray).toMap
+    val bcRes = spark.sparkContext.broadcast(resMap)
+    val lists = spark.read.parquet(s"$dir/lists")
+      .where(col("list_id").isInCollection(probed.toSeq))
+
+    import spark.implicits._
+    val adcCand = lists
+      .join(broadcast(probes.select("qid", "list_id")), Seq("list_id"))
+      .where(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), col("codes"), col("list_id"))
+      .as[(Long, Long, Array[Byte], Int)]
+      .mapPartitions { it =>
+        val cs = bcPq.value
+        val rm = bcRes.value
+        val luts = scala.collection.mutable.HashMap.empty[(Long, Int), Array[Long]]
+        it.map { case (qid, nid, codes, listId) =>
+          val lut = luts.getOrElseUpdate((qid, listId), adcLut(rm((qid, listId)), cs, ksub))
+          var adc = 0L; var sub = 0
+          while (sub < codes.length) {
+            adc += lut(sub * ksub + (codes(sub) & 0xFF)); sub += 1
+          }
+          (qid, nid, adc)
+        }
+      }.toDF("qid", "nid", "adc")
+    val wAdc = Window.partitionBy("qid").orderBy(col("adc"), col("nid"))
+    val cand = adcCand
+      .withColumn("crank", row_number().over(wAdc))
+      .where(col("crank") <= rerankC)
+      .select("qid", "nid")
+    // exact re-rank: fetch the C survivors' full vectors from the primary
+    // store — candidate side is query-batch-sized, so broadcast it and the
+    // big side streams through one hash join; query vectors re-join from
+    // the (small) probe table, deduped back to one row per query
+    val pFull = points.select(col(idCol).cast("long").as("nid"),
+        quantize(col(vecCol)).as("pq"))
+      .withColumn("pn2", dotQ(col("pq"), col("pq")))
+    val qVec = probes.select("qid", "qq", "qn2").dropDuplicates("qid")
+    val w = Window.partitionBy("qid").orderBy(col("d2"), col("nid"))
+    pFull.join(broadcast(cand), Seq("nid"))
+      .join(broadcast(qVec), Seq("qid"))
+      .withColumn("d2", col("pn2") - lit(2L) * dotQ(col("pq"), col("qq")) + col("qn2"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("rank").cast("long").as("rank"), col("d2"))
   }
 
   /** k-means training sample size per centroid (FAISS trains IVF coarse

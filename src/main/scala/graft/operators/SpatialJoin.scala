@@ -234,20 +234,45 @@ object SpatialJoin {
   def withGeoMetrics(polyDf: DataFrame): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
+    import org.locationtech.jts.geom.{GeometryCollection, LineString, MultiPolygon, Point, Polygon}
     val schema = StructType(polyDf.schema.fields ++ Array(
       StructField("area_m2", DoubleType), StructField("perimeter_m", DoubleType),
+      StructField("length_m", DoubleType),
       StructField("geom_type", StringType), StructField("n_vertices", IntegerType)))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
     val wkbIdx = polyDf.schema.fieldIndex("wkb")
     polyDf.mapPartitions { it =>
       it.map { r =>
         val g = Jts.fromWkb(r.getAs[Array[Byte]](wkbIdx))
-        val p = Jts.fromJtsAny(g) // Polygon OR MultiPolygon (H1)
-        // area from the STRUCTURED geometry (shell/hole known) — the
-        // flattened-ring areaOf would redo ring nesting via raycast,
-        // O(rings²·vertices²) on many-ring multipolygons
-        Row.fromSeq(r.toSeq ++ Seq(GeoMetrics.areaOfJts(g), GeoMetrics.perimeterOf(p),
-          g.getGeometryType.toLowerCase, p.rings.map(_.xs.length).sum))
+        // walk ANY geometry (upstream builds GeometryCollection for
+        // non-multipolygon relations — the `geometry:other` class): areal
+        // components contribute area + perimeter, linear components the
+        // `length` metric, and vertices count everywhere (closing
+        // duplicate dropped on rings, matching the polygon-only path)
+        var area = 0.0; var perim = 0.0; var len = 0.0; var nv = 0
+        def walk(gg: org.locationtech.jts.geom.Geometry): Unit = gg match {
+          case p: Polygon =>
+            // area from the STRUCTURED geometry (shell/hole known) — the
+            // flattened-ring areaOf would redo ring nesting via raycast,
+            // O(rings²·vertices²) on many-ring multipolygons
+            val pm = Jts.fromJtsAny(p)
+            area += GeoMetrics.areaOfJts(p)
+            perim += GeoMetrics.perimeterOf(pm)
+            nv += pm.rings.map(_.xs.length).sum
+          case mp: MultiPolygon =>
+            (0 until mp.getNumGeometries).foreach(i => walk(mp.getGeometryN(i)))
+          case ls: LineString =>
+            val cs = ls.getCoordinates
+            len += GeoMetrics.lineLength(cs.map(c => Math.round(c.x)), cs.map(c => Math.round(c.y)))
+            nv += cs.length
+          case pt: Point => nv += 1
+          case gc: GeometryCollection =>
+            (0 until gc.getNumGeometries).foreach(i => walk(gc.getGeometryN(i)))
+          case other =>
+            throw new IllegalArgumentException(s"unsupported geometry ${other.getGeometryType}")
+        }
+        walk(g)
+        Row.fromSeq(r.toSeq ++ Seq(area, perim, len, g.getGeometryType.toLowerCase, nv))
       }
     }(enc)
   }
@@ -259,10 +284,21 @@ object SpatialJoin {
     */
   def geoBindings: Map[String, (Column, org.apache.spark.sql.types.DataType)] = {
     import org.apache.spark.sql.types._
+    // `geometry` binds to the upstream GeometryTypeFilter CLASS, not the raw
+    // JTS type: polygon covers Polygon AND MultiPolygon (the documented
+    // upstream semantic), line covers (Multi)LineString, point covers
+    // (Multi)Point, and everything else — GeometryCollection from
+    // non-multipolygon relations — is `other`
+    val geoClass =
+      when(col("geom_type").isin("polygon", "multipolygon"), lit("polygon"))
+        .when(col("geom_type").isin("linestring", "multilinestring", "linearring"), lit("line"))
+        .when(col("geom_type").isin("point", "multipoint"), lit("point"))
+        .otherwise(lit("other"))
     Map(
-      "geometry" -> (col("geom_type"), StringType),
+      "geometry" -> (geoClass, StringType),
       "area" -> (col("area_m2"), DoubleType),
       "perimeter" -> (col("perimeter_m"), DoubleType),
+      "length" -> (col("length_m"), DoubleType),
       "vertices" -> (col("n_vertices"), IntegerType))
   }
 

@@ -85,6 +85,26 @@ object Derive {
     PolySpec(id, "multi", PolyM(Array(rectRing(shell), rectRing(hole), rectRing(island))))
   }
 
+  /** OPEN relations (H1 fallback arm): member ways that do NOT close into
+    * rings, so geometry construction degrades to a GeometryCollection of
+    * the member LineStrings — upstream's behavior for non-multipolygon
+    * relations [ref: oshdb-util/…/OSHDBGeometryBuilder] and the
+    * `geometry:other` class in the filter DSL. Deterministic micro-degree
+    * coordinates; total vertex count per id is a generator-rule constant
+    * the oracle recomputes (q6h).
+    */
+  val openRels: Array[(String, Array[Array[(Long, Long)]])] = Array(
+    ("o0", Array(
+      Array((10000000L, 10000000L), (12000000L, 10000000L), (12000000L, 12000000L)),
+      Array((13000000L, 13000000L), (15000000L, 13000000L)))),
+    ("o1", Array(
+      Array((-30000000L, 5000000L), (-28000000L, 6000000L),
+        (-26000000L, 5500000L), (-24000000L, 7000000L)))),
+    ("o2", Array(
+      Array((60000000L, -20000000L), (61000000L, -21000000L)),
+      Array((62000000L, -22000000L), (63000000L, -23000000L)),
+      Array((64000000L, -24000000L), (65000000L, -25000000L), (66000000L, -26000000L)))))
+
   /** DuckDB VALUES list matching [[multis]] (12 bounds per id). */
   def multisSqlValues: String = multis.map { case (id, a, h, b) =>
     s"('$id', ${a._1}, ${a._2}, ${a._3}, ${a._4}, ${h._1}, ${h._2}, ${h._3}, ${h._4}, " +

@@ -155,6 +155,44 @@ object CheckpointedRun {
     r.output
   }
 
+  /** One stage of a [[runPipeline]] chain. `keyCol` must make `transform`
+    * BUCKET-LOCAL over the stage's input: row-wise stages take any stable
+    * key; grouping stages must bucket by their GROUP key (e.g. an exact
+    * dedup that groups on normalized text buckets by that normalized text),
+    * so no group ever straddles a bucket boundary.
+    */
+  final case class Stage(name: String, keyCol: Column, numBuckets: Int,
+                         transform: DataFrame => DataFrame)
+
+  /** Multi-STAGE resumable pipeline: each stage is its own bucket-lineage
+    * checkpoint under `<root>/<stage.name>`, and every stage output is a
+    * real parquet boundary. A resume therefore (a) SKIPS fully complete
+    * stages without scanning their inputs at all — the boundary parquet is
+    * read directly, zero upstream recomputation (spec-asserted: completed
+    * stages gain no new attempt files) — and (b) resumes the first
+    * incomplete stage at bucket granularity. This is the composed q66
+    * curation chain's deployment shape: at 100 TB each boundary is exactly
+    * the "parquet write between stages" its lazy-composition note
+    * prescribes, plus per-bucket lineage and crash-idempotent overwrite.
+    */
+  def runPipeline(spark: SparkSession, input: DataFrame, stages: Seq[Stage],
+                  root: String, jobId: String): DataFrame = {
+    var cur = input
+    for (st <- stages) {
+      val dir = s"$root/${st.name}"
+      cur =
+        if (completedBuckets(dir).size >= st.numBuckets)
+          spark.read.parquet(s"$dir/data")
+        else
+          runToCompletion(spark, cur, st.keyCol, st.transform, st.numBuckets,
+            dir, s"$jobId.${st.name}")
+      // the stage's partition column must not leak into the next stage's
+      // input (each stage buckets by its OWN key)
+      cur = cur.drop("_bucket")
+    }
+    cur
+  }
+
   /** Sum of parquet footer record counts under `dir` — metadata only, no
     * data pages touched. 0 for a missing dir (bucket produced no rows).
     */

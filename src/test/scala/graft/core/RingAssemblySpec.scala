@@ -150,4 +150,25 @@ class RingAssemblySpec extends AnyFunSuite {
     val cover = PolyCover.coverAt(p, 14)
     assert(cover.nonEmpty)
   }
+
+  test("relationGeometry: closed ways -> polygon; open ways -> GeometryCollection (geometry:other)") {
+    val closed = Seq(
+      Array((0L, 0L), (100L, 0L), (100L, 100L)),
+      Array((100L, 100L), (0L, 100L), (0L, 0L)))
+    val g1 = RingAssembly.relationGeometry(closed)
+    assert(Set("Polygon", "MultiPolygon").contains(g1.getGeometryType))
+    // unclosed member ways degrade to the upstream GeometryCollection
+    // fallback, vertices preserved way-by-way
+    val open = Seq(
+      Array((0L, 0L), (100L, 0L), (100L, 100L)),
+      Array((500L, 500L), (600L, 500L)))
+    val g2 = RingAssembly.relationGeometry(open)
+    assert(g2.getGeometryType === "GeometryCollection")
+    assert(g2.getNumGeometries === 2)
+    assert(g2.getNumPoints === 5)
+    assert((0 until 2).forall(i => g2.getGeometryN(i).getGeometryType === "LineString"))
+    // WKB roundtrip keeps the collection (the table form q6h reads)
+    val rt = Jts.fromWkb(Jts.toWkb(g2))
+    assert(rt.getGeometryType === "GeometryCollection" && rt.getNumPoints === 5)
+  }
 }

@@ -137,4 +137,98 @@ class CheckpointSpec extends AnyFunSuite {
     // re-read) on top, i.e. ≥5
     assert(jobs.get() <= 3, s"expected <=3 jobs, saw ${jobs.get()}")
   }
+
+  test("staged pipeline (q66 chain): crash mid-stage resumes; completed stages not recomputed") {
+    import graft.operators.{Dedup, TextAnalysis}
+    val words = Vector("alpha", "bravo", "canyon", "delta", "ember", "forest",
+      "granite", "harbor", "island", "juniper", "kestrel", "lumen", "meadow",
+      "nectar", "onyx", "prairie")
+    def sentence(seed: Int, n: Int): String = {
+      val r = new scala.util.Random(seed)
+      Seq.fill(n)(words(r.nextInt(words.size))).mkString(" ")
+    }
+    // the q66 shapes: quality failures, normalized dups, bench contamination
+    val docs = (0L until 120L).map { i =>
+      val text =
+        if (i == 7L || i == 21L || i == 77L)
+          sentence((i - 1).toInt, 24).capitalize + "!" // normalized dup of i-1
+        else if (i % 17L == 3L) "x y"                  // fails the quality gate
+        else if (i == 51L)                             // shares >=3 shingles with bench doc 50
+          sentence(50, 24).split(" ").take(12).mkString(" ") + " " + sentence(5100, 12)
+        else sentence(i.toInt, 24)
+      (i, text)
+    }.toDF("doc_id", "text")
+    val bench = docs.where(col("doc_id") % 50 === 0)
+
+    val stages = Seq(
+      CheckpointedRun.Stage("quality", col("doc_id"), 4, d =>
+        d.join(TextAnalysis.quality(d, col("doc_id"), col("text"))
+          .where(col("keep")).select("doc_id"), "doc_id")),
+      // grouping stage: bucket by the GROUP key so dup groups stay bucket-local
+      CheckpointedRun.Stage("dedup", TextAnalysis.normalize(col("text")), 4, d =>
+        Dedup.keepFirst(d, col("doc_id"), TextAnalysis.normalize(col("text")))),
+      CheckpointedRun.Stage("decon", col("doc_id"), 4, d => {
+        val corpus = d.where(col("doc_id") % 50 =!= 0)
+        corpus.join(Dedup.decontaminate(corpus, col("doc_id"), col("text"),
+            bench, col("doc_id"), col("text"), n = 3, minHits = 3)
+          .select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+      }),
+      CheckpointedRun.Stage("split", col("doc_id"), 4, d =>
+        d.withColumn("bucket", TextAnalysis.hashBucket(col("doc_id"), "split-v1"))
+          .withColumn("split", when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "val").otherwise("test"))
+          .select("doc_id", "split")))
+
+    // the direct (q66-style lazy) chain — the rows the pipeline must match
+    val kept = TextAnalysis.quality(docs, col("doc_id"), col("text"))
+      .where(col("keep")).select("doc_id")
+    val deduped = Dedup.keepFirst(docs.join(kept, "doc_id"),
+      col("doc_id"), TextAnalysis.normalize(col("text"))).localCheckpoint()
+    val corpus = deduped.where(col("doc_id") % 50 =!= 0)
+    val direct = corpus.join(Dedup.decontaminate(corpus, col("doc_id"), col("text"),
+        bench, col("doc_id"), col("text"), n = 3, minHits = 3)
+      .select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+      .withColumn("bucket", TextAnalysis.hashBucket(col("doc_id"), "split-v1"))
+      .withColumn("split", when(col("bucket") < 80, "train")
+        .when(col("bucket") < 90, "val").otherwise("test"))
+      .select("doc_id", "split")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // the planted shapes actually bite
+    assert(!direct.exists(_._1 == 7L), "normalized dup must be dropped")
+    assert(!direct.exists(_._1 == 3L), "quality-failed doc must be dropped")
+    assert(!direct.exists(_._1 == 51L), "contaminated doc must be dropped")
+    assert(direct.nonEmpty)
+
+    // ---- crash injection: stages 1-2 complete, stage 3 dies after 2/4
+    //      buckets, then a cold resume runs the WHOLE pipeline
+    val root = freshDir("pipe")
+    CheckpointedRun.runPipeline(spark, docs, stages.take(2), root, "jp")
+    val s3 = stages(2)
+    val stage2Out = spark.read.parquet(s"$root/dedup/data").drop("_bucket")
+    CheckpointedRun.runAttempt(spark, stage2Out, s3.keyCol, s3.transform,
+      s3.numBuckets, s"$root/decon", "jp.decon", maxBuckets = 2)
+    def attempts(stage: String): Long = {
+      val d = Paths.get(s"$root/$stage/_lineage")
+      if (!Files.isDirectory(d)) 0L
+      else Files.list(d).iterator().asScala.count(_.getFileName.toString.endsWith(".json")).toLong
+    }
+    val (a1, a2) = (attempts("quality"), attempts("dedup"))
+    assert(CheckpointedRun.completedBuckets(s"$root/decon").size === 2)
+
+    val resumed = CheckpointedRun.runPipeline(spark, docs, stages, root, "jp")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(resumed === direct, "resumed pipeline must equal the direct q66 chain")
+    // ZERO recompute of completed stages: no new attempt files appeared
+    assert(attempts("quality") === a1 && attempts("dedup") === a2,
+      "completed stages must not gain attempts on resume")
+    // the crashed stage resumed with exactly one more attempt
+    assert(attempts("decon") === 2L)
+
+    // a second cold resume is a pure read — every stage complete, no new attempts
+    val aSplit = attempts("split")
+    val again = CheckpointedRun.runPipeline(spark, docs, stages, root, "jp")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(again === direct)
+    assert(attempts("decon") === 2L && attempts("split") === aSplit)
+  }
 }
