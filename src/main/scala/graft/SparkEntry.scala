@@ -823,6 +823,31 @@ object SparkEntry {
           .when(col("bucket") < 90, "val").otherwise("test"))
         .select("doc_id", "lang", "split").orderBy("doc_id")
     }),
+    // ---- LEARNED BPE vocabulary (Sennrich et al. 2016): 8 trained merges
+    //      over the corpus. The corpus-scale stage is ONE distributed
+    //      word-frequency aggregate; the merge loop runs on the driver over
+    //      that bounded sketch (the subword-nmt/fastBPE layout). The DuckDB
+    //      twin re-derives every round — pair counts, tie-break, and the
+    //      greedy run-position apply — from the raw table.
+    "q6i_bpe_train" -> ((s, dir) => {
+      import s.implicits._
+      TextAnalysis.bpeTrain(s.read.parquet(s"$dir/documents.parquet"),
+          col("text"), numMerges = 8)
+        .map(m => (m.rank, m.lhs, m.rhs, m.cnt)).toDF("rank", "lhs", "rhs", "cnt")
+        .orderBy("rank")
+    }),
+    // ---- distributed BPE ENCODE with the learned table: per-token merges
+    //      in rank order (same greedy rule as training ⇒ encoding the
+    //      training corpus reproduces the trainer's final state, which is
+    //      what the oracle recomputes); output = top-30 piece frequencies.
+    "q6j_bpe_encode" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val merges = TextAnalysis.bpeTrain(docs, col("text"), numMerges = 8)
+      TextAnalysis.bpeEncode(docs, col("doc_id"), col("text"), merges)
+        .select(explode(col("pieces")).as("piece"))
+        .groupBy("piece").agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("piece")).limit(30)
+    }),
     // ---- vocabulary building: corpus term frequencies, top-50 tokens
     //      (tokenizer-prep shape: explode → count → top-k)
     "q56_vocab" -> ((s, dir) => {
@@ -1278,6 +1303,8 @@ object SparkEntry {
          |FROM h GROUP BY 1 ORDER BY text_hash""".stripMargin,
     "q44_ngram_jaccard" -> TextOracle.jaccardPairsSql(3, 0.5),
     "q6c_substring_dedup" -> TextOracle.substringSpanStatsSql(8),
+    "q6i_bpe_train" -> TextOracle.bpeTrainSql(8),
+    "q6j_bpe_encode" -> TextOracle.bpeEncodeSql(8, 30),
     "q6d_substring_clean" -> TextOracle.substringCleanSql(8),
     "q65_decontaminate" -> TextOracle.decontaminateSql(3, 3, "doc_id % 50 = 0"),
     "q69_cross_dedup" ->

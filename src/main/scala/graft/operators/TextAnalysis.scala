@@ -196,6 +196,125 @@ object TextAnalysis {
         .when(col("bucket") < 90, "val").otherwise("test"))
       .select("doc_id", "cluster_id", "split")
 
+  // -------------------------------------------------------------------
+  // Learned BPE vocabulary (Sennrich et al. 2016, "Neural Machine
+  // Translation of Rare Words with Subword Units" — public knowledge).
+  //
+  // Layout: the only corpus-scale stage is ONE distributed aggregate (the
+  // distinct-word frequency table); the merge loop then runs on the
+  // driver over that BOUNDED sketch — natural-language vocabularies
+  // plateau at ~10^6–10^7 distinct words regardless of corpus size, which
+  // is exactly why every published BPE trainer (subword-nmt, fastBPE, the
+  // HF trainer) works off the word-frequency table rather than re-scanning
+  // the corpus per merge. The "each merge a distributed groupBy"
+  // alternative costs numMerges full corpus scans for identical output.
+  // Encoding (the per-document hot path) is fully distributed.
+  // -------------------------------------------------------------------
+
+  final case class BpeMerge(rank: Int, lhs: String, rhs: String, cnt: Long)
+
+  /** Code-point symbols of a word (matches DuckDB's w[i:i] slicing). */
+  private def symbolsOf(w: String): Array[String] =
+    w.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
+
+  /** ONE merge applied greedily left-to-right, non-overlapping — in a run
+    * of identical symbols, merges land at positions 0, 2, 4… of the run
+    * (the standard BPE apply rule; the q6i oracle reproduces it with an
+    * islands + odd-rank window).
+    */
+  private def applyMergeGreedy(syms: Array[String], l: String, r: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) { out += l + r; i += 2 }
+      else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** Train `numMerges` BPE merges over whitespace-tokenized, lowercased
+    * text. Pair counts weight by word frequency and count EVERY adjacent
+    * occurrence (overlaps included); ties break (count DESC, then
+    * lhs+US+rhs ASC) so the result is deterministic and the DuckDB twin
+    * recomputes it exactly (q6i). `maxVocab` guards the driver collect.
+    */
+  def bpeTrain(df: DataFrame, textCol: Column, numMerges: Int,
+               maxVocab: Long = 1000000L): Seq[BpeMerge] = {
+    val words = df.select(explode(Dedup.tokens(lower(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+    val rows = words.collect()
+    require(rows.length <= maxVocab,
+      s"${rows.length} distinct words exceed maxVocab=$maxVocab — raise the cap " +
+        "or pre-filter the corpus; the merge loop needs the word table in memory")
+    var table = rows.map(r => (symbolsOf(r.getString(0)), r.getLong(1)))
+    val out = Seq.newBuilder[BpeMerge]
+    var rank = 0
+    var exhausted = false
+    while (rank < numMerges && !exhausted) {
+      val cnt = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      table.foreach { case (syms, f) =>
+        var i = 0
+        while (i + 1 < syms.length) {
+          val k = (syms(i), syms(i + 1))
+          cnt.update(k, cnt.getOrElse(k, 0L) + f)
+          i += 1
+        }
+      }
+      if (cnt.isEmpty) exhausted = true
+      else {
+        val best = cnt.iterator.reduceLeft { (a, b) =>
+          val (ka, ca) = a; val (kb, cb) = b
+          if (cb > ca || (cb == ca &&
+              (kb._1 + '\u001f' + kb._2) < (ka._1 + '\u001f' + ka._2))) b else a
+        }
+        out += BpeMerge(rank, best._1._1, best._1._2, best._2)
+        table = table.map { case (syms, f) =>
+          (applyMergeGreedy(syms, best._1._1, best._1._2), f)
+        }
+        rank += 1
+      }
+    }
+    out.result()
+  }
+
+  /** Distributed BPE ENCODE with a learned merge table: per token, merges
+    * apply in rank order with the same greedy rule as training, so
+    * encoding the training corpus reproduces the trainer's final state
+    * (the q6j oracle leans on exactly this equivalence). Output:
+    * (doc_id, pieces array<string>). For production merge counts (30k+)
+    * swap the rank-ordered scan for a pair→rank heap per token — the
+    * public fastBPE layout; at oracle-scale K the scan is simpler and
+    * identical.
+    */
+  def bpeEncode(df: DataFrame, idCol: Column, textCol: Column,
+                merges: Seq[BpeMerge]): DataFrame = {
+    val spark = df.sparkSession
+    val ordered = merges.sortBy(_.rank).map(m => (m.lhs, m.rhs)).toArray
+    val bc = spark.sparkContext.broadcast(ordered)
+    val base = df.select(idCol.as("doc_id"), Dedup.tokens(lower(textCol)).as("toks"))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(
+      org.apache.spark.sql.types.StructType(base.schema.fields.init :+
+        org.apache.spark.sql.types.StructField("pieces",
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType, containsNull = false))))
+    base.mapPartitions { it =>
+      val ms = bc.value
+      it.map { r =>
+        val toks = r.getSeq[String](1)
+        val pieces = toks.flatMap { tok =>
+          var syms = symbolsOf(tok)
+          var k = 0
+          while (k < ms.length) {
+            val (l, rr) = ms(k)
+            syms = applyMergeGreedy(syms, l, rr)
+            k += 1
+          }
+          syms
+        }
+        org.apache.spark.sql.Row(r.get(0), pieces)
+      }
+    }(enc)
+  }
+
   /** Document fingerprints: full-text rolling hash + min-shingle hash
     * (content-defined, order-robust to prefix edits).
     */

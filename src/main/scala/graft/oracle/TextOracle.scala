@@ -152,6 +152,72 @@ object TextOracle {
        |FROM toks tk LEFT JOIN spl ON tk.doc_id = spl.doc_id
        |ORDER BY tk.doc_id""".stripMargin
 
+  /** K-round BPE training CTE chain (mirrors TextAnalysis.bpeTrain):
+    * lowercased whitespace words → frequency table → per round r:
+    * `b_r(l, r, cnt)` = the max-count adjacent symbol pair (ties → lhs+US+rhs
+    * ASC), then the greedy left-to-right apply — in a run of identical
+    * symbols the merge lands at run positions 0, 2, 4…, reproduced here by
+    * island detection over consecutive matching positions + odd row_number
+    * (a plain string replace() would false-match l as a symbol SUFFIX, so
+    * the apply works on the exploded symbol table). Leaves CTEs
+    * `b0..b${K-1}` and the final symbol state `s$K(w, pos, sym)` + `w(w, f)`.
+    */
+  def bpeCtes(k: Int, from: String = "documents", textExpr: String = "text"): String = {
+    val us = "chr(31)"
+    val head =
+      s"""wx AS MATERIALIZED (SELECT unnest(list_filter(string_split_regex(lower($textExpr), '\\s+'), x -> x <> '')) AS w FROM $from),
+         |w AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS f FROM wx GROUP BY 1),
+         |s0 AS MATERIALIZED (SELECT w, u.pos AS pos, u.sym AS sym FROM (
+         |  SELECT w, unnest(list_transform(range(1, length(w) + 1),
+         |    i -> {'pos': i, 'sym': w[i:i]})) AS u FROM w) z)""".stripMargin
+    val rounds = (0 until k).map { r =>
+      s"""b$r AS MATERIALIZED (SELECT l, r, CAST(cnt AS BIGINT) AS cnt FROM (
+         |  SELECT p.sym AS l, p.nxt AS r, sum(w.f) AS cnt
+         |  FROM (SELECT w, sym, lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt
+         |        FROM s$r) p JOIN w USING (w)
+         |  WHERE p.nxt IS NOT NULL GROUP BY 1, 2
+         |  ORDER BY cnt DESC, l || $us || r ASC LIMIT 1) z),
+         |m$r AS MATERIALIZED (SELECT w, pos, sym,
+         |  CASE WHEN sym = (SELECT l FROM b$r)
+         |        AND lead(sym) OVER (PARTITION BY w ORDER BY pos) = (SELECT r FROM b$r)
+         |       THEN 1 ELSE 0 END AS hit FROM s$r),
+         |h$r AS (SELECT w, pos, pos - row_number() OVER (PARTITION BY w ORDER BY pos) AS isl
+         |        FROM m$r WHERE hit = 1),
+         |st$r AS MATERIALIZED (SELECT w, pos FROM (
+         |  SELECT w, pos, row_number() OVER (PARTITION BY w, isl ORDER BY pos) AS rn
+         |  FROM h$r) z WHERE rn % 2 = 1),
+         |s${r + 1} AS MATERIALIZED (SELECT m.w AS w,
+         |  row_number() OVER (PARTITION BY m.w ORDER BY m.pos) AS pos,
+         |  CASE WHEN st.pos IS NOT NULL
+         |       THEN (SELECT l FROM b$r) || (SELECT r FROM b$r) ELSE m.sym END AS sym
+         |  FROM m$r m
+         |  LEFT JOIN st$r st ON m.w = st.w AND m.pos = st.pos
+         |  LEFT JOIN st$r pr ON m.w = pr.w AND m.pos = pr.pos + 1
+         |  WHERE pr.pos IS NULL)""".stripMargin
+    }
+    (head +: rounds).mkString(",\n")
+  }
+
+  /** The learned merge table (mirrors bpeTrain's return — q6i). */
+  def bpeTrainSql(k: Int): String = {
+    val rows = (0 until k).map(r =>
+      s"SELECT CAST($r AS INTEGER) AS rank, l AS lhs, r AS rhs, cnt FROM b$r")
+    s"""WITH ${bpeCtes(k)}
+       |${rows.mkString("", "\nUNION ALL\n", "")}
+       |ORDER BY rank""".stripMargin
+  }
+
+  /** Corpus piece frequencies after encoding with the learned merges
+    * (mirrors bpeEncode over the training corpus — q6j): encoding applies
+    * the merges in rank order with the same greedy rule as training, so
+    * the encoded corpus IS the trainer's final symbol state `s$K`.
+    */
+  def bpeEncodeSql(k: Int, topN: Int): String =
+    s"""WITH ${bpeCtes(k)}
+       |SELECT sym AS piece, CAST(sum(f) AS BIGINT) AS freq
+       |FROM s$k JOIN w USING (w)
+       |GROUP BY sym ORDER BY freq DESC, piece LIMIT $topN""".stripMargin
+
   /** Quantized embedding CTE `e(vec_id, q)` (mirrors Similarity.quantize);
     * `dims` is fixed per table (driver embeddings: 64).
     */

@@ -37,6 +37,12 @@ object SkewBench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // the skew scenario is a TABLE-SIZED build side (at 10^12 rows the
+      // polygon/cover side no longer broadcasts) — disable Spark's
+      // auto-broadcast in both planner and AQE so the join actually
+      // shuffles; otherwise BroadcastHashJoin hides the skew entirely
+      .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+      .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
       .config("spark.sql.adaptive.skewJoin.enabled", (mode == "aqe").toString)
       .config("spark.ui.enabled", "false")
     if (mode == "aqe") {

@@ -155,4 +155,37 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r.getLong(1) === TextHash.charHash(text))
     assert(r.getLong(2) === grams.map(TextHash.charHash).min)
   }
+
+  test("BPE train: overlap runs merge at run positions 0,2,4..; training exhausts; encode == train state") {
+    // hand-computed: words aa(x2), aaaa(x1); pair (a,a) counts EVERY
+    // adjacent occurrence = 2 + 3 = 5; greedy apply turns aaaa into
+    // [aa][aa] (positions 0 and 2 of the run), then (aa,aa) merges once
+    val docs = Seq((1L, "aa aa aaaa")).toDF("doc_id", "text")
+    val ms = TextAnalysis.bpeTrain(docs, col("text"), numMerges = 10)
+    assert(ms.map(m => (m.rank, m.lhs, m.rhs, m.cnt)) ===
+      Seq((0, "a", "a", 5L), (1, "aa", "aa", 1L)))
+    val enc = TextAnalysis.bpeEncode(docs, col("doc_id"), col("text"), ms)
+      .select(explode(col("pieces")).as("p")).groupBy("p").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(enc === Map("aa" -> 2L, "aaaa" -> 1L))
+    // zero merges: pieces are the code points
+    val raw = TextAnalysis.bpeEncode(docs, col("doc_id"), col("text"), Seq.empty)
+      .select(explode(col("pieces")).as("p")).collect().map(_.getString(0))
+    assert(raw.length === 8 && raw.forall(_ == "a"))
+  }
+
+  test("BPE: subword merges on a real-ish corpus; pieces concat back to their words") {
+    val docs = Seq(
+      (1L, "low lower lowest low lowly"),
+      (2L, "new newer newest new")).toDF("doc_id", "text")
+    val ms = TextAnalysis.bpeTrain(docs, col("text"), numMerges = 8)
+    assert(ms.length === 8)
+    // (l,o) and (o,w) both count 5; tie-break "l US o" < "o US w"
+    assert((ms.head.lhs, ms.head.rhs, ms.head.cnt) === ("l", "o", 5L))
+    // lossless: each doc's pieces concatenated == its tokens concatenated
+    val got = TextAnalysis.bpeEncode(docs, col("doc_id"), col("text"), ms)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).mkString).toMap
+    val want = Seq(1L -> "lowlowerlowestlowlowly", 2L -> "newnewernewestnew").toMap
+    assert(got === want)
+  }
 }
