@@ -110,7 +110,8 @@ object Fixtures {
   }
 
   /** fmt of image row i (same sharing rationale as [[dimsOf]]). */
-  def fmtOf(i: Long): String = if (i % 4 == 0) "png" else "raw"
+  def fmtOf(i: Long): String =
+    if (i % 4 == 0) "png" else if (i % 4 == 2) "webp" else "raw"
 
   def imageRow(i: Long): ImageRow = {
     val (lonM, latM) = locOf(i)
@@ -118,7 +119,11 @@ object Fixtures {
     val (w, h) = dimsOf(i)
     val px = ImageCodec.pixelsFromHash(phash, w, h)
     val fmt = fmtOf(i)
-    val bytes = if (fmt == "png") ImageCodec.encodePng(px, w, h) else px
+    val bytes = fmt match {
+      case "png"  => ImageCodec.encodePng(px, w, h)
+      case "webp" => ImageCodec.encodeWebp(px, w, h)
+      case _      => px
+    }
     val hc = Rand.mix(i ^ 0xfedcba9876543210L)
     val cityK = java.lang.Long.remainderUnsigned(hc, 8).toInt
     val caption = s"${adjs(java.lang.Long.remainderUnsigned(hc >>> 3, 8).toInt)} " +

@@ -48,15 +48,27 @@ object ImageCodec {
     bos.toByteArray
   }
 
-  /** Formats the in-JDK ImageIO stack decodes (no external libs). */
-  val RealFormats: Set[String] = Set("raw", "png", "jpg", "jpeg", "bmp", "gif")
+  /** Lossless WebP (VP8L) via the in-repo graft.core.Vp8l codec — real
+    * container + bitstream, subtract-green + color cache + LZ77.
+    */
+  def encodeWebp(pixels: Array[Byte], w: Int, h: Int): Array[Byte] =
+    graft.core.Vp8l.encodeGray(pixels, w, h)
 
-  /** Decode to row-major 8-bit gray pixels. png/jpeg/bmp/gif all go through
-    * javax.imageio (in-JDK); non-gray sources are converted via the
-    * standard luma draw.
+  /** Formats decoded for real: raw/png/jpg/bmp/gif via the in-JDK ImageIO
+    * stack, webp (VP8L) via graft.core.Vp8l. No external libs.
+    */
+  val RealFormats: Set[String] = Set("raw", "png", "jpg", "jpeg", "bmp", "gif", "webp")
+
+  /** Decode to row-major 8-bit gray pixels. png/jpeg/bmp/gif go through
+    * javax.imageio (in-JDK), webp through the VP8L decoder; non-gray
+    * sources are converted via the standard luma draw.
     */
   def decode(bytes: Array[Byte], fmt: String, w: Int, h: Int): Array[Byte] = fmt match {
     case "raw" => bytes
+    case "webp" =>
+      val (dw, dh, px) = graft.core.Vp8l.decodeGray(bytes)
+      require(dw == w && dh == h, s"webp dims ($dw,$dh) != metadata ($w,$h)")
+      px
     case f if RealFormats.contains(f.toLowerCase) =>
       val img0 = ImageIO.read(new ByteArrayInputStream(bytes))
       require(img0 != null, s"ImageIO failed to decode fmt=$fmt")

@@ -12,9 +12,11 @@ import graft.fixtures.ImageCodec
   * row, nothing heavy enters Catalyst expressions or the shuffle.
   *
   * Decode is REAL for every format the in-JDK javax.imageio stack reads —
-  * raw bytes, png, jpeg (lossy DCT), bmp, gif (ImageCodec.RealFormats);
-  * only formats with no JDK codec (webp/avif/…) hit `decodeStub`, the
-  * clearly marked extension point where a production build links libwebp.
+  * raw bytes, png, jpeg (lossy DCT), bmp, gif — and for lossless WebP via
+  * the in-repo VP8L codec (graft.core.Vp8l: real RIFF container, prefix
+  * codes, color cache, LZ77, all four transforms). Only formats with no
+  * decoder in this tree (avif/heic) hit `decodeStub`, the clearly marked
+  * extension point where a production build links libavif.
   * Everything around it (schema, batching, partition preservation,
   * verification metrics) is real and tested.
   *
@@ -25,7 +27,7 @@ import graft.fixtures.ImageCodec
   */
 object Multimodal {
 
-  /** Extension point for formats with no in-JDK codec (webp/avif/heic):
+  /** Extension point for formats with no decoder in this tree (avif/heic):
     * deterministic fake decode so the pipeline shape is exercised
     * end-to-end.
     */
@@ -39,8 +41,8 @@ object Multimodal {
 
   private def decodeAny(bytes: Array[Byte], fmt: String, w: Int, h: Int): Array[Byte] =
     if (ImageCodec.RealFormats.contains(fmt.toLowerCase))
-      ImageCodec.decode(bytes, fmt, w, h) // raw/png/jpeg/bmp/gif — real in-JDK decode
-    else decodeStub(bytes, fmt, w, h)     // webp/avif/… — no codec in this JDK
+      ImageCodec.decode(bytes, fmt, w, h) // raw/png/jpeg/bmp/gif/webp — real decode
+    else decodeStub(bytes, fmt, w, h)     // avif/heic — no codec in this tree
 
   private val metaSchema = StructType(Seq(
     StructField("image_id", StringType), StructField("fmt", StringType),
@@ -66,6 +68,7 @@ object Multimodal {
           val rehash = ImageCodec.avgHash64(px, w, h)
           val reenc = fmt match {
             case "png" => ImageCodec.decode(ImageCodec.encodePng(px, w, h), "png", w, h)
+            case "webp" => ImageCodec.decode(ImageCodec.encodeWebp(px, w, h), "webp", w, h)
             case "jpg" | "jpeg" => // genuinely lossy roundtrip — PSNR finite
               ImageCodec.decode(ImageCodec.encodeJpeg(px, w, h), "jpg", w, h)
             case _ => px

@@ -108,12 +108,26 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows.head.getInt(3) === w0.map(math.abs).max)
   }
 
-  test("stub decode path: no-JDK-codec fmt flows through the same plumbing") {
+  test("stub decode path: no-codec fmt (avif) flows through the same plumbing") {
     import spark.implicits._
-    val fake = Seq(("x1", Array[Byte](1, 2, 3), 16, 16, "webp", "cap", 0L))
+    val fake = Seq(("x1", Array[Byte](1, 2, 3), 16, 16, "avif", "cap", 0L))
       .toDF("image_id", "bytes", "w", "h", "fmt", "caption", "phash")
     val m = Multimodal.decodeMeta(fake).collect().head
     assert(m.getInt(4) === 256) // decoded to w*h pixels deterministically
+  }
+
+  test("webp decode is REAL (VP8L) and the lossless roundtrip PSNR is infinite") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 4).map { i =>
+      val px = Array.fill(32 * 32)(rnd.nextInt(256).toByte)
+      ("w" + i, ImageCodec.encodeWebp(px, 32, 32), 32, 32, "webp", "cap",
+        ImageCodec.avgHash64(px, 32, 32))
+    }
+    val df = rows.toDF("image_id", "bytes", "w", "h", "fmt", "caption", "phash")
+    val m = Multimodal.decodeMeta(df).collect()
+    assert(m.forall(_.getBoolean(7)), "phash of decoded webp must recompute exactly")
+    assert(m.forall(_.getDouble(8).isInfinity), "VP8L is lossless — PSNR must be infinite")
   }
 
   test("jpeg decode is REAL and lossy roundtrip clears the 40 dB gate") {
