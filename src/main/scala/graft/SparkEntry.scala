@@ -582,6 +582,67 @@ object SparkEntry {
       Dedup.dedupSubstrings(s.read.parquet(s"$dir/documents.parquet"),
         col("doc_id"), col("text"), L = 8).orderBy("doc_id")
     }),
+    // ---- SEGMENT-level keep-first dedup (C4 "dedupe lines, keep one copy"):
+    //      consecutive 8-token segments, first (doc_id, seg_no) occurrence
+    //      survives corpus-wide, doc rebuilt from kept segments. One
+    //      hash-aggregate keeper election + one doc_id reassembly — no
+    //      corpus-wide window/sort.
+    "q6k_segment_dedup" -> ((s, dir) => {
+      Dedup.segmentDedup(s.read.parquet(s"$dir/documents.parquet"),
+        col("doc_id"), col("text"), n = 8).orderBy("doc_id")
+    }),
+    // ---- CCNet-shape LM filtering, train side: bigram model (exact-integer
+    //      counts >= 2) trained on the doc_id%10<3 "trusted" split. One
+    //      distributed hash-aggregate, state = observed-bigram vocab.
+    "q6l_lm_train" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      TextAnalysis.lmTrain(docs.where(col("doc_id") % 10 < 3), col("text"),
+        minCount = 2L).orderBy("lhs", "rhs")
+    }),
+    // ---- and the corpus-wide score: per-doc bigram coverage against that
+    //      model (broadcast), keep at hit_rate >= 0.5. Every doc appears.
+    "q6m_lm_score" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val model = TextAnalysis.lmTrain(docs.where(col("doc_id") % 10 < 3),
+        col("text"), minCount = 2L)
+      TextAnalysis.lmScore(docs, col("doc_id"), col("text"), model,
+        minHitRate = 0.5).orderBy("doc_id")
+    }),
+    // ---- per-source cap (the "domain cap" rule): keep <= 20 docs per
+    //      source in content-addressed hash order — bounded-heap aggregate,
+    //      no window sort, skew-immune by construction.
+    "q6n_group_cap" -> ((s, dir) => {
+      TextAnalysis.groupCap(s.read.parquet(s"$dir/documents.parquet"),
+        col("doc_id"), col("source"), cap = 20, salt = "q6n")
+        .orderBy("grp", "rk")
+    }),
+    // ---- Bloom-filter approximate anti-join bound row: corpus =
+    //      doc_id%10<8 split, batch = all docs; the bucketed mergeable
+    //      filter (16 bits/key, k=7) marks definitely-new rows. Emits the
+    //      driver-checkable contract — zero false negatives (bloom
+    //      soundness) and FP withholding <= 5% of the truly-new set — plus
+    //      exact counts the oracle recomputes. The exact-membership twin
+    //      here is the verification fixture, not the production path (the
+    //      verb itself never joins the corpus).
+    "q6o_bloom_new" -> ((s, dir) => {
+      import graft.functions.TextFunctions.charHash64
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val corpus = docs.where(col("doc_id") % 10 < 8)
+      val defNew = Dedup.bloomNew(corpus, col("text"),
+        docs, col("doc_id"), col("text"), expectedCorpusKeys = 500L)
+      val memberIds = docs.select(col("doc_id"), charHash64(col("text")).as("k"))
+        .join(corpus.select(charHash64(col("text")).as("k")).distinct(), Seq("k"),
+          "left_semi").select("doc_id")
+      val nBatch = docs.count()
+      val nMembers = memberIds.count()
+      val nTrulyNew = nBatch - nMembers
+      val nDefNew = defNew.count()
+      val falseNegs = defNew.join(memberIds, Seq("doc_id"), "left_semi").count()
+      import s.implicits._
+      Seq((nBatch, nMembers, falseNegs == 0L,
+        nTrulyNew - nDefNew <= 0.05 * nTrulyNew))
+        .toDF("n_batch", "n_members", "no_false_negatives", "fpr_below_bound")
+    }),
     // ---- MinHash-LSH near-dup pairs, exact-verified (the 100 TB path).
     //      bands=16 (r=2), NOT the default 8×4: the oracle is exact
     //      brute-force Jaccard and the fixture corpus has pairs down to
@@ -1303,6 +1364,11 @@ object SparkEntry {
          |FROM h GROUP BY 1 ORDER BY text_hash""".stripMargin,
     "q44_ngram_jaccard" -> TextOracle.jaccardPairsSql(3, 0.5),
     "q6c_substring_dedup" -> TextOracle.substringSpanStatsSql(8),
+    "q6k_segment_dedup" -> TextOracle.segmentDedupSql(8),
+    "q6l_lm_train" -> TextOracle.lmTrainSql(2L, "doc_id % 10 < 3"),
+    "q6m_lm_score" -> TextOracle.lmScoreSql(2L, "doc_id % 10 < 3", 0.5),
+    "q6n_group_cap" -> TextOracle.groupCapSql("source", 20, "q6n"),
+    "q6o_bloom_new" -> TextOracle.bloomNewSql("c.doc_id % 10 < 8"),
     "q6i_bpe_train" -> TextOracle.bpeTrainSql(8),
     "q6j_bpe_encode" -> TextOracle.bpeEncodeSql(8, 30),
     "q6d_substring_clean" -> TextOracle.substringCleanSql(8),

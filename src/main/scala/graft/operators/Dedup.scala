@@ -521,4 +521,92 @@ object Dedup {
               !exists(col("sp"), sp => i + 1 >= sp("s") && i + 1 <= sp("e")))))
           .as("clean_text"))
   }
+
+  /** C4/RefinedWeb-style SEGMENT-level keep-first exact dedup (the "remove
+    * duplicated lines/paragraphs, keeping one copy" curation rule — Raffel
+    * et al. 2020 §2.2, Penedo et al. 2023; public knowledge). Distinct verb
+    * from [[substringDupMarks]]: that marks every LATER copy of any shared
+    * window; this partitions each doc into consecutive `n`-token segments
+    * (the "lines" of a corpus without newlines) and keeps exactly the FIRST
+    * occurrence of each distinct segment corpus-wide — first in (doc_id,
+    * seg_no) order, duplicates within one doc dedup too.
+    *
+    * Output: one row per non-empty doc — (doc_id, n_segs, n_kept,
+    * clean_text = the kept segments re-joined in order, "" if the whole doc
+    * was a later copy).
+    *
+    * Scale: two shuffles — one hash-aggregate on the 60-bit segment hash
+    * (min-struct keeper election; map-side combine, segments never carry
+    * text through this exchange beyond the seg string itself) and one
+    * groupBy doc_id for reassembly. No window over the corpus, no sort
+    * node; the keeper join is an equi-join on the hash. Same
+    * collision trade as [[exactDedup]] (~1e−18/pair on the combined hash).
+    */
+  def segmentDedup(df: DataFrame, idCol: Column, textCol: Column,
+                   n: Int = 8): DataFrame = {
+    val segs = df
+      .select(idCol.as("doc_id"), tokens(textCol).as("t"))
+      .where(size(col("t")) > 0)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), floor((size(col("t")) + (n - 1)) / n).cast("int") - 1),
+        i => concat_ws(" ", slice(col("t"), i * n + 1, lit(n))))).as(Seq("seg_no", "seg")))
+      .withColumn("h", charHash64(col("seg")))
+    val firsts = segs.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("seg_no"))).as("first"))
+    segs.join(firsts, "h")
+      .withColumn("kept",
+        col("doc_id") === col("first.doc_id") && col("seg_no") === col("first.seg_no"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_segs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("kept"),
+            struct(col("seg_no"), col("seg"))))),
+          s => s("seg"))).as("clean_text"))
+  }
+
+  /** Bloom-filter approximate anti-join — "which batch rows are DEFINITELY
+    * not in the corpus" — the no-corpus-shuffle membership verb of an
+    * ingestion loop (probe a 100 TB corpus-at-rest with a filter, not a
+    * join; Putze et al. 2007 blocked-bloom deployment shape).
+    *
+    * Returns the batch rows whose key is definitely new. Soundness: a Bloom
+    * filter has NO false negatives, so every returned row is truly absent
+    * from the corpus (spec-gated; q6o emits the driver-checkable bound row).
+    * False positives only WITHHOLD rows (rate sized by bitsPerKey —
+    * 16 bits/key, k=7 ≈ 4e−4); the withheld maybe-members go to exact
+    * verification in a real loop.
+    *
+    * Scale shape: corpus keys bucket by `pmod(key, buckets)`; each bucket
+    * builds its own mergeable filter (map-side partial OR), so total filter
+    * bytes spread across `buckets` rows instead of one driver blob. The
+    * batch side equi-joins that B-row table on the bucket id — broadcast
+    * here (B tiny); at 10^12 corpus keys raise `buckets` so each filter
+    * stays executor-sized and let AQE pick the join. The corpus is read
+    * once, shuffles only (bucket, 64-bit key) pairs into the aggregate, and
+    * the batch probe is one codegen zero-copy expression per row.
+    *
+    * `expectedCorpusKeys` sizes the filters (explicit, like an index build —
+    * an overestimate only wastes bits; an underestimate inflates the FP
+    * rate, never breaks soundness).
+    */
+  def bloomNew(corpus: DataFrame, corpusKey: Column,
+               batch: DataFrame, batchIdCol: Column, batchKey: Column,
+               expectedCorpusKeys: Long, buckets: Int = 16,
+               bitsPerKey: Int = 16, numHashes: Int = 7): DataFrame = {
+    import graft.functions.BloomAgg.{bloom, bloomContains}
+    val bits = graft.core.Bloom.sizeFor(
+      math.max(1L, expectedCorpusKeys / buckets), bitsPerKey)
+    val blooms = corpus
+      .select(charHash64(corpusKey).as("k"))
+      .groupBy(pmod(col("k"), lit(buckets.toLong)).as("b"))
+      .agg(bloom(col("k"), bits, numHashes).as("bf"))
+    batch
+      .select(batchIdCol.as("doc_id"), charHash64(batchKey).as("k"))
+      .withColumn("b", pmod(col("k"), lit(buckets.toLong)))
+      .join(broadcast(blooms), Seq("b"), "left")
+      // an empty bucket has no filter row → no corpus key hashes there → new
+      .where(!coalesce(bloomContains(col("bf"), col("k")), lit(false)))
+      .select("doc_id")
+  }
 }

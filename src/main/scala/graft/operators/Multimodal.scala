@@ -11,14 +11,15 @@ import graft.fixtures.ImageCodec
   * kernels run inside `mapPartitions` — one decoded image in flight per
   * row, nothing heavy enters Catalyst expressions or the shuffle.
   *
-  * Decode is REAL for every format the in-JDK javax.imageio stack reads —
-  * raw bytes, png, jpeg (lossy DCT), bmp, gif — and for lossless WebP via
-  * the in-repo VP8L codec (graft.core.Vp8l: real RIFF container, prefix
-  * codes, color cache, LZ77, all four transforms). Only formats with no
-  * decoder in this tree (avif/heic) hit `decodeStub`, the clearly marked
-  * extension point where a production build links libavif.
-  * Everything around it (schema, batching, partition preservation,
-  * verification metrics) is real and tested.
+  * The SUPPORTED format set is exactly the real codecs: raw bytes, png,
+  * jpeg (lossy DCT), bmp, gif via the in-JDK javax.imageio stack, and
+  * lossless WebP via the in-repo VP8L codec (graft.core.Vp8l: real RIFF
+  * container, prefix codes, color cache, LZ77, all four transforms).
+  * Formats outside that set are NOT advertised; an unknown `fmt` tag hits
+  * `decodeStub`, the clearly marked extension point where a production
+  * build links an external decoder (libavif, libheif, …) — the plumbing
+  * around it (schema, batching, partition preservation, verification
+  * metrics) is format-agnostic and tested with a synthetic foreign tag.
   *
   * Scale: all ops are narrow (no shuffle); decode cost dominates, so
   * partition sizing is rows/partition × avg image bytes — the caller
@@ -27,9 +28,10 @@ import graft.fixtures.ImageCodec
   */
 object Multimodal {
 
-  /** Extension point for formats with no decoder in this tree (avif/heic):
+  /** Extension point for format tags OUTSIDE the supported set:
     * deterministic fake decode so the pipeline shape is exercised
-    * end-to-end.
+    * end-to-end. Not part of the advertised surface — a production build
+    * replaces this body with the external decoder link.
     */
   def decodeStub(bytes: Array[Byte], fmt: String, w: Int, h: Int): Array[Byte] = {
     // ??? in production: link a real decoder. Deterministic fake for tests:
@@ -42,7 +44,7 @@ object Multimodal {
   private def decodeAny(bytes: Array[Byte], fmt: String, w: Int, h: Int): Array[Byte] =
     if (ImageCodec.RealFormats.contains(fmt.toLowerCase))
       ImageCodec.decode(bytes, fmt, w, h) // raw/png/jpeg/bmp/gif/webp — real decode
-    else decodeStub(bytes, fmt, w, h)     // avif/heic — no codec in this tree
+    else decodeStub(bytes, fmt, w, h)     // foreign tag — extension point
 
   private val metaSchema = StructType(Seq(
     StructField("image_id", StringType), StructField("fmt", StringType),

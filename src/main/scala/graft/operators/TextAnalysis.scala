@@ -324,4 +324,99 @@ object TextAnalysis {
       .select(col("doc_id"), col("text_hash"),
         when(size(col("_gha")) > 0, element_at(col("_gha"), 1))
           .otherwise(lit(-1L)).as("min_shingle")) // _gha sorted asc ⇒ [1] is min
+
+  // -------------------------------------------------------------------
+  // CCNet-shape LM quality filtering (Wenzek et al. 2020, public
+  // knowledge): train a language model on a trusted subset, score the
+  // whole corpus with it, filter on the score. The model here is a bigram
+  // coverage model with EXACT-INTEGER features (counts + single double
+  // divisions — the repo's oracle-parity discipline; a perplexity with
+  // transcendental log sums would not hash-match a DuckDB twin
+  // bit-for-bit, and the operator SHAPE — train-on-subset, broadcast
+  // model, map-side score, threshold — is identical).
+  // -------------------------------------------------------------------
+
+  /** Adjacent lowercased token pairs of each doc — EVERY occurrence, not
+    * distinct (each bigram instance is scored). Rows: (doc_id, lhs, rhs).
+    */
+  private def bigrams(df: DataFrame, idCol: Column, textCol: Column): DataFrame =
+    df.select(idCol.as("doc_id"), Dedup.tokens(lower(textCol)).as("t"))
+      .where(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("t")) - 1),
+        i => struct(element_at(col("t"), i).as("lhs"),
+          element_at(col("t"), i + 1).as("rhs")))).as("bg"))
+      .select(col("doc_id"), col("bg.lhs"), col("bg.rhs"))
+
+  /** Train the bigram table on `train`: (lhs, rhs, cnt) for every pair seen
+    * ≥ `minCount` times. ONE distributed hash-aggregate over the training
+    * subset — map-side combine, state bounded by the observed-bigram
+    * vocabulary (zipf-bounded ≪ corpus size, the same plateau argument as
+    * [[bpeTrain]]), no driver collect.
+    */
+  def lmTrain(train: DataFrame, textCol: Column, minCount: Long = 2L): DataFrame =
+    bigrams(train, lit(0L), textCol)
+      .groupBy("lhs", "rhs").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= minCount)
+
+  /** Score every doc against a trained bigram `model`: n_bigrams, n_hits
+    * (bigram instances present in the model), hit_weight (Σ model counts
+    * over hits — the exact-integer evidence mass), hit_rate = n_hits /
+    * n_bigrams, and keep at `minHitRate`. Docs with < 2 tokens score 0 / 0
+    * / 0.0 / keep=false.
+    *
+    * Scale: the model is broadcast (bounded by the trained-bigram table,
+    * NOT the corpus — same posture as the tag dictionary); the corpus makes
+    * one narrow pass exploding bigram instances, the join is map-side, and
+    * the per-doc aggregate combines partially. Past broadcast size, drop
+    * the hint and let AQE shuffle — semantics identical.
+    */
+  def lmScore(df: DataFrame, idCol: Column, textCol: Column, model: DataFrame,
+              minHitRate: Double = 0.5): DataFrame = {
+    val scored = bigrams(df, idCol, textCol)
+      .join(broadcast(model), Seq("lhs", "rhs"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("cnt").isNotNull, 1L).otherwise(0L)).as("n_hits"),
+        sum(coalesce(col("cnt"), lit(0L))).as("hit_weight"))
+    df.select(idCol.as("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        coalesce(col("hit_weight"), lit(0L)).as("hit_weight"))
+      .withColumn("hit_rate",
+        when(col("n_bigrams") > 0,
+          col("n_hits").cast("double") / col("n_bigrams").cast("double"))
+          .otherwise(lit(0.0)))
+      .withColumn("lm_keep", col("n_bigrams") > 0 && col("hit_rate") >= minHitRate)
+  }
+
+  /** Per-group document cap (the "domain cap" curation rule — bound any one
+    * source/domain/language's share of the corpus): keep at most `cap` docs
+    * per group, chosen in content-addressed hash order (charHash64 of
+    * id:salt — reproducible across runs/partitionings, no RNG state; ties
+    * on the astronomically-unlikely hash collision break by id).
+    *
+    * Output: (grp, rk 1-based in hash order, doc_id, sample_key).
+    *
+    * Scale: NOT a row_number window (that sorts every group's full
+    * membership on an exchange and serializes each group through one
+    * partition — the skew trap when one domain is half the corpus). The
+    * bounded k-heap aggregate (graft.functions.KnnTopKAgg) keeps O(cap)
+    * state per group with map-side partials: the shuffle carries ≤ cap rows
+    * per group per map partition and no sort node exists in the plan — the
+    * same replacement the kNN joins made (round-2 verdict #8).
+    */
+  def groupCap(df: DataFrame, idCol: Column, byCol: Column, cap: Int,
+               salt: String): DataFrame =
+    df.select(byCol.as("grp"), idCol.cast("long").as("doc_id"))
+      .withColumn("sk",
+        charHash64(concat(col("doc_id").cast("string"), lit(":" + salt))))
+      .groupBy("grp")
+      .agg(graft.functions.KnnTopKAgg.knnTopK(
+        struct(col("sk"), col("doc_id")), cap).as("_k"))
+      .select(col("grp"), posexplode(col("_k")))
+      .select(col("grp"), (col("pos") + 1).cast("long").as("rk"),
+        col("col.id").as("doc_id"), col("col.d").as("sample_key"))
 }

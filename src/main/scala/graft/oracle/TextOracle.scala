@@ -226,4 +226,94 @@ object TextOracle {
 
   def dotSql(a: String, b: String, dims: Int): String =
     s"CAST(list_sum(list_transform(range(1, ${dims + 1}), d -> $a[d] * $b[d])) AS BIGINT)"
+
+  /** Segment-level keep-first dedup twin (mirrors Dedup.segmentDedup):
+    * consecutive n-token segments, first occurrence in (doc_id, seg_no)
+    * order survives corpus-wide, kept segments re-join in order. Matching
+    * is by the SAME 60-bit hash the Spark side groups on, so keeper
+    * election is bit-identical (not merely collision-equivalent).
+    */
+  def segmentDedupSql(n: Int): String =
+    s"""WITH ${toksCte()},
+       |segs AS (SELECT doc_id, pw.i AS seg_no, pw.s AS seg FROM (
+       |  SELECT doc_id, unnest(list_transform(range(0, (len(t) + ${n - 1}) // $n),
+       |    i -> {'i': i, 's': array_to_string(t[i*$n+1 : i*$n+$n], ' ')})) AS pw
+       |  FROM toks WHERE len(t) > 0) z),
+       |k AS (SELECT doc_id, seg_no, seg,
+       |        row_number() OVER (PARTITION BY ${charHash64Sql("seg")}
+       |                           ORDER BY doc_id, seg_no) = 1 AS kept
+       |      FROM segs)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segs,
+       |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  coalesce(array_to_string(list(seg ORDER BY seg_no) FILTER (WHERE kept), ' '),
+       |    '') AS clean_text
+       |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Bigram CTE chain: `tr(lhs, rhs, cnt)` = the model trained on docs
+    * matching `trainPred` (every adjacent lowercased-token pair seen
+    * ≥ minCount times) and `bg(doc_id, lhs, rhs)` = every bigram instance
+    * of every doc (mirrors TextAnalysis.lmTrain / the score exploder).
+    */
+  def lmCtes(minCount: Long, trainPred: String): String =
+    s"""lt AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t FROM documents),
+       |bg AS (SELECT doc_id, u.lhs AS lhs, u.rhs AS rhs FROM (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(t)),
+       |    i -> {'lhs': t[i], 'rhs': t[i+1]})) AS u
+       |  FROM lt WHERE len(t) >= 2) z),
+       |tr AS (SELECT lhs, rhs, CAST(count(*) AS BIGINT) AS cnt FROM bg
+       |       WHERE doc_id IN (SELECT doc_id FROM documents WHERE $trainPred)
+       |       GROUP BY 1, 2 HAVING count(*) >= $minCount)""".stripMargin
+
+  /** The trained bigram table (mirrors lmTrain — q6l). */
+  def lmTrainSql(minCount: Long, trainPred: String): String =
+    s"""WITH ${lmCtes(minCount, trainPred)}
+       |SELECT lhs, rhs, cnt FROM tr ORDER BY lhs, rhs""".stripMargin
+
+  /** Per-doc LM coverage scores (mirrors lmScore — q6m). */
+  def lmScoreSql(minCount: Long, trainPred: String, minHitRate: Double): String =
+    s"""WITH ${lmCtes(minCount, trainPred)},
+       |sc AS (SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |    CAST(sum(CASE WHEN tr.cnt IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       |    CAST(sum(coalesce(tr.cnt, 0)) AS BIGINT) AS hit_weight
+       |  FROM bg LEFT JOIN tr ON bg.lhs = tr.lhs AND bg.rhs = tr.rhs
+       |  GROUP BY 1)
+       |SELECT d.doc_id, coalesce(sc.n_bigrams, 0) AS n_bigrams,
+       |  coalesce(sc.n_hits, 0) AS n_hits,
+       |  coalesce(sc.hit_weight, 0) AS hit_weight,
+       |  CASE WHEN coalesce(sc.n_bigrams, 0) > 0
+       |       THEN CAST(sc.n_hits AS DOUBLE) / CAST(sc.n_bigrams AS DOUBLE)
+       |       ELSE 0.0 END AS hit_rate,
+       |  coalesce(sc.n_bigrams, 0) > 0 AND
+       |    (CASE WHEN coalesce(sc.n_bigrams, 0) > 0
+       |          THEN CAST(sc.n_hits AS DOUBLE) / CAST(sc.n_bigrams AS DOUBLE)
+       |          ELSE 0.0 END) >= $minHitRate AS lm_keep
+       |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
+  /** Per-group cap twin (mirrors TextAnalysis.groupCap): rank in
+    * content-addressed hash order, ties by doc_id, keep rk ≤ cap.
+    */
+  def groupCapSql(grpExpr: String, cap: Int, salt: String): String =
+    s"""WITH h AS (SELECT $grpExpr AS grp, doc_id,
+       |    ${charHash64Sql(s"CAST(doc_id AS VARCHAR) || ':$salt'")} AS sample_key
+       |  FROM documents),
+       |r AS (SELECT grp, doc_id, sample_key,
+       |    row_number() OVER (PARTITION BY grp ORDER BY sample_key, doc_id) AS rk
+       |  FROM h)
+       |SELECT grp, CAST(rk AS BIGINT) AS rk, doc_id, sample_key
+       |FROM r WHERE rk <= $cap ORDER BY grp, rk""".stripMargin
+
+  /** Bloom anti-join bound-row twin (q6o): the oracle recomputes the exact
+    * batch/membership counts (string identity == the 60-bit key short of a
+    * ~1e−18 collision) and asserts the filter guarantees as literals — the
+    * same driver-handshake shape as the sketch/ANN bound rows.
+    */
+  def bloomNewSql(corpusPred: String): String =
+    s"""SELECT CAST(count(*) AS BIGINT) AS n_batch,
+       |  CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM documents c
+       |      WHERE ($corpusPred) AND c.text = d.text) THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_members,
+       |  TRUE AS no_false_negatives,
+       |  TRUE AS fpr_below_bound
+       |FROM documents d""".stripMargin
 }

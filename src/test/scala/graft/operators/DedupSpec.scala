@@ -322,4 +322,48 @@ class DedupSpec extends AnyFunSuite {
     } yield (ia, ib, j)).toSet
     assert(got === exp)
   }
+
+  test("segmentDedup: keep-first across docs, within-doc dups, trailing short segment") {
+    import spark.implicits._
+    // n=2 segments: doc1 = [a b][c d][e] ; doc2 = [a b][a b][x y]
+    // keep-first in (doc_id, seg_no) order: doc1 keeps all 3; both of
+    // doc2's "a b" segments are later copies of doc1's seg0 → only [x y]
+    // survives in doc2.
+    val df = Seq((1L, "a b c d e"), (2L, "a b a b x y"), (3L, "")) // empty doc excluded
+      .toDF("doc_id", "text")
+    val got = Dedup.segmentDedup(df, col("doc_id"), col("text"), n = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got === Map(
+      1L -> ((3L, 3L, "a b c d e")),
+      2L -> ((3L, 1L, "x y"))))
+  }
+
+  test("segmentDedup: within-one-doc keep-first and full-doc-duplicate wipeout") {
+    import spark.implicits._
+    val df = Seq(
+      (5L, "p q r s p q r s"),  // segs (n=4): [p q r s][p q r s] → keeps first
+      (9L, "p q r s")           // exact copy of the kept segment, later id → wiped
+    ).toDF("doc_id", "text")
+    val got = Dedup.segmentDedup(df, col("doc_id"), col("text"), n = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got === Map(
+      5L -> ((2L, 1L, "p q r s")),
+      9L -> ((1L, 0L, ""))))
+  }
+
+  test("bloomNew: sound (never returns a member), near-complete on the new side") {
+    import spark.implicits._
+    val corpus = (0L until 400L).map(i => (i, s"member text number $i"))
+      .toDF("doc_id", "text")
+    val batch = ((0L until 400L).map(i => (i, s"member text number $i")) ++
+      (1000L until 1400L).map(i => (i, s"fresh text number $i")))
+      .toDF("doc_id", "text")
+    val defNew = Dedup.bloomNew(corpus, col("text"), batch, col("doc_id"),
+      col("text"), expectedCorpusKeys = 400L)
+      .collect().map(_.getLong(0)).toSet
+    // soundness: no member id ever marked definitely-new
+    assert(defNew.forall(_ >= 1000L))
+    // completeness: >= 95% of truly-new rows pass (theory ~4e-4 FP withholding)
+    assert(defNew.size >= 380, s"only ${defNew.size}/400 new rows passed")
+  }
 }

@@ -108,9 +108,9 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows.head.getInt(3) === w0.map(math.abs).max)
   }
 
-  test("stub decode path: no-codec fmt (avif) flows through the same plumbing") {
+  test("stub decode path: a foreign fmt tag flows through the same plumbing") {
     import spark.implicits._
-    val fake = Seq(("x1", Array[Byte](1, 2, 3), 16, 16, "avif", "cap", 0L))
+    val fake = Seq(("x1", Array[Byte](1, 2, 3), 16, 16, "xyz-future-codec", "cap", 0L))
       .toDF("image_id", "bytes", "w", "h", "fmt", "caption", "phash")
     val m = Multimodal.decodeMeta(fake).collect().head
     assert(m.getInt(4) === 256) // decoded to w*h pixels deterministically

@@ -188,4 +188,47 @@ class TextAnalysisSpec extends AnyFunSuite {
     val want = Seq(1L -> "lowlowerlowestlowlowly", 2L -> "newnewernewestnew").toMap
     assert(got === want)
   }
+
+  test("LM coverage: train counts, hits vs misses, zero-bigram docs, threshold") {
+    val train = Seq(
+      (1L, "the cat sat the cat sat"),   // (the,cat)x2 (cat,sat)x2 (sat,the)x1
+      (2L, "the cat ran")).toDF("doc_id", "text") // (the,cat)x1 (cat,ran)x1
+    val model = TextAnalysis.lmTrain(train, col("text"), minCount = 2L)
+    val m = model.collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // minCount=2 keeps (the,cat)=3 and (cat,sat)=2 only
+    assert(m === Map(("the", "cat") -> 3L, ("cat", "sat") -> 2L))
+    val corpus = Seq(
+      (10L, "the cat sat"),     // 2 bigrams, 2 hits, weight 5
+      (11L, "dog ate food"),    // 2 bigrams, 0 hits
+      (12L, "solo"),            // 0 bigrams
+      (13L, "THE CAT sat")      // lowercased → 2 hits
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.lmScore(corpus, col("doc_id"), col("text"), model, 0.5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getBoolean(5)))).toMap
+    assert(got(10L) === ((2L, 2L, 5L, 1.0, true)))
+    assert(got(11L) === ((2L, 0L, 0L, 0.0, false)))
+    assert(got(12L) === ((0L, 0L, 0L, 0.0, false)))
+    assert(got(13L) === ((2L, 2L, 5L, 1.0, true)))
+  }
+
+  test("groupCap: bounded-heap per-group top-cap == row_number window reference") {
+    val df = (0L until 200L).map(i => (i, s"src${i % 5}")).toDF("doc_id", "source")
+    val cap = 7
+    val got = TextAnalysis.groupCap(df, col("doc_id"), col("source"), cap, "s")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // reference: full sort by (hash, id) per group, take cap
+    val want = (0L until 200L).map(i => (s"src${i % 5}", i))
+      .map { case (g, i) => (g, graft.core.TextHash.charHash64(s"$i:s"), i) }
+      .groupBy(_._1).toSeq.flatMap { case (g, rows) =>
+        rows.sortBy(r => (r._2, r._3)).take(cap).zipWithIndex
+          .map { case ((_, h, i), rk) => (g, (rk + 1).toLong, i, h) }
+      }.toSet
+    assert(got.length === 5 * cap)
+    assert(got.toSet === want)
+    // every group capped at exactly `cap`, ranks 1..cap
+    got.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.map(_._2).sorted.toSeq === (1L to cap).toSeq)
+    }
+  }
 }
