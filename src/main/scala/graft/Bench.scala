@@ -146,8 +146,13 @@ object ScalingBench {
     val rows = n * replicate
     val spark = BenchCore.session(cpus)
     Fixtures.images(spark, n)
+    val (steal0, busy0) = BenchCore.cpuJiffies()
     val t = BenchCore.medianTime(runs) { BenchCore.flagship(spark, n, replicate, mode).collect() }
-    println(s"""{"bench":"scaling","cpus":$cpus,"rows":$rows,"mode":"$mode","median_sec":${f"$t%.3f"},"mrows_per_sec":${f"${rows / t / 1e6}%.3f"}}""")
+    val (steal1, busy1) = BenchCore.cpuJiffies()
+    val stealPct =
+      if (busy1 > busy0) 100.0 * (steal1 - steal0) / math.max(1L, (steal1 - steal0) + (busy1 - busy0))
+      else 0.0
+    println(s"""{"bench":"scaling","cpus":$cpus,"rows":$rows,"mode":"$mode","median_sec":${f"$t%.3f"},"mrows_per_sec":${f"${rows / t / 1e6}%.3f"},"host_steal_pct":${f"$stealPct%.1f"}}""")
     spark.stop()
   }
 }

@@ -716,6 +716,14 @@ object SparkEntry {
       Similarity.cosineNearDupPairsExact(s.read.parquet(s"$dir/embeddings.parquet"),
         "vec_id", "embedding", threshold = 0.45).orderBy("id_a", "id_b")
     }),
+    // ---- SemDeDup: hash-seeded coarse clusters (oracle-exact seed rule),
+    //      within-cluster cosine prune — drop any vector with a lower-id
+    //      neighbor at cos >= 0.45 in its cluster; the prune join is equi on
+    //      list_id, never all-pairs.
+    "q6q_semantic_dedup" -> ((s, dir) => {
+      Similarity.semanticDedup(s.read.parquet(s"$dir/embeddings.parquet"),
+        "vec_id", "embedding", numLists = 8, threshold = 0.45).orderBy("vec_id")
+    }),
     // ---- canonical normalization (pre-dedup key) — hash parity checked
     "q54_normalize" -> ((s, dir) => {
       val d = s.read.parquet(s"$dir/documents.parquet")
@@ -973,6 +981,20 @@ object SparkEntry {
         .groupBy("fmt").agg(count(lit(1)).as("n"),
           min(col("phash_match").cast("int")).as("all_match"),
           min((col("roundtrip_psnr_db") >= 40.0).cast("int")).as("all_psnr_ok"))
+        .orderBy("fmt")
+    }),
+    // ---- JOINT image+caption curation (the axes-A+B composition): planted
+    //      re-uploads (rows 0..499 re-labeled with an xdup- prefix, same
+    //      bytes/phash/caption) → exact phash dedup with min-id canonical
+    //      election → real-decode integrity gates → min-resolution filter on
+    //      DECODED pixels → caption wordpiece accounting of the kept set.
+    //      Oracle: per-fmt VALUES derived from the SAME generator rules
+    //      (locOf/dimsOf/fmtOf/captionOf) without decoding anything.
+    "q6p_image_curate" -> ((s, dir) => {
+      val base = Fixtures.images(s, 5000)
+      val dups = base.where(col("image_id") < lit(f"img${500L}%012d"))
+        .withColumn("image_id", concat(lit("xdup-"), col("image_id")))
+      operators.Multimodal.curateImages(base.unionByName(dups), minPixels = 2048)
         .orderBy("fmt")
     }),
     // ---- image decode → block-mean embedding → exact top-k bridge.
@@ -1416,6 +1438,31 @@ object SparkEntry {
          |SELECT id_a, id_b, dot FROM p
          |WHERE dot > 0 AND CAST(dot AS DOUBLE) * CAST(dot AS DOUBLE) >= 0.45 * 0.45 * CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
          |ORDER BY id_a, id_b""".stripMargin,
+    "q6q_semantic_dedup" -> {
+      // the whole pipeline re-derived in SQL: hash-ordered seeds, exact
+      // int-L2 nearest-seed assignment (ties → lower seed index), within-
+      // cluster cosine prune with the verifyCosine double convention
+      val h = TextOracle.charHash64Sql("CAST(vec_id AS VARCHAR)")
+      def dot(a: String, b: String) = TextOracle.dotSql(a, b, 64)
+      s"""WITH ${TextOracle.quantCte()},
+         |n AS (SELECT vec_id, q, ${dot("q", "q")} AS n2 FROM e),
+         |sd AS (SELECT vec_id, q FROM e ORDER BY $h, vec_id LIMIT 8),
+         |s0 AS (SELECT row_number() OVER (ORDER BY $h, vec_id) - 1 AS j, q AS cq FROM sd),
+         |seeds AS (SELECT j, cq, ${dot("cq", "cq")} AS cn2 FROM s0),
+         |ar AS (SELECT n.vec_id, n.q, n.n2, s.j,
+         |  s.cn2 - 2 * ${dot("n.q", "s.cq")} AS d FROM n CROSS JOIN seeds s),
+         |asg AS (SELECT vec_id, q, n2, CAST(j AS INTEGER) AS list_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, j) AS rn FROM ar) z
+         |  WHERE rn = 1),
+         |dr AS (SELECT DISTINCT b.vec_id FROM asg a JOIN asg b
+         |  ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+         |  WHERE ${dot("a.q", "b.q")} > 0 AND
+         |    CAST(${dot("a.q", "b.q")} AS DOUBLE) * CAST(${dot("a.q", "b.q")} AS DOUBLE) >=
+         |    0.45 * 0.45 * CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE))
+         |SELECT asg.vec_id, asg.list_id, dr.vec_id IS NULL AS kept
+         |FROM asg LEFT JOIN dr ON asg.vec_id = dr.vec_id
+         |ORDER BY asg.vec_id""".stripMargin
+    },
     "q54_normalize" -> {
       val norm = "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
       s"""SELECT doc_id, ${TextOracle.charHashSql(norm)} AS norm_hash,
@@ -1680,6 +1727,40 @@ object SparkEntry {
         s"('$f', CAST($n AS BIGINT), CAST(1 AS INTEGER), CAST(1 AS INTEGER))"
       }.mkString(", ")
       s"SELECT * FROM (VALUES $vals) AS t(fmt, n, all_match, all_psnr_ok) ORDER BY fmt"
+    },
+    "q6p_image_curate" -> {
+      // per-fmt curation report derived from the generator rules alone
+      // (locOf → phash, dimsOf → pixels, fmtOf, captionOf → wordpieces);
+      // the decode-integrity gates are asserted guarantees like q62's
+      import graft.fixtures.Fixtures
+      val wpRe = graft.operators.TextAnalysis.WordPieceRegex.r
+      // (i, image_id) rows incl. the planted xdup- re-uploads of 0..499
+      val rows = (0L until 5000L).flatMap { i =>
+        val id = f"img$i%012d"
+        if (i < 500) Seq((i, id), (i, s"xdup-$id")) else Seq((i, id))
+      }
+      val phashOf = (i: Long) => {
+        val (lo, la) = Fixtures.locOf(i); graft.core.PhashLoc.encode(lo, la)
+      }
+      val canonicalIds = rows.groupBy { case (i, _) => phashOf(i) }
+        .values.map(g => g.minBy(_._2)).toSet
+      val fmts = rows.map { case (i, _) => Fixtures.fmtOf(i) }.distinct.sorted
+      val vals = fmts.map { f =>
+        val all = rows.filter { case (i, _) => Fixtures.fmtOf(i) == f }
+        val canon = all.filter(canonicalIds.contains)
+        val kept = canon.filter { case (i, _) =>
+          val (w, h) = Fixtures.dimsOf(i); w * h >= 2048
+        }
+        val wp = kept.map { case (i, _) =>
+          wpRe.findAllIn(Fixtures.captionOf(i)).size.toLong
+        }.sum
+        s"('$f', CAST(${all.size} AS BIGINT), CAST(${canon.size} AS BIGINT), " +
+          s"CAST(${all.size - canon.size} AS BIGINT), CAST(${kept.size} AS BIGINT), " +
+          s"CAST($wp AS BIGINT), CAST(1 AS INTEGER), CAST(1 AS INTEGER))"
+      }.mkString(", ")
+      s"SELECT * FROM (VALUES $vals) AS t(fmt, n_rows, n_canonical, " +
+        "n_dups_removed, n_kept_minres, wp_tokens_kept, all_decode_ok, " +
+        "all_psnr_ok) ORDER BY fmt"
     },
     "q63_image_embed_topk" -> {
       // query count from the generator's id rule + Spark's crc32 semantics

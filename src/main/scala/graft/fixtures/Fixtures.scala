@@ -113,6 +113,14 @@ object Fixtures {
   def fmtOf(i: Long): String =
     if (i % 4 == 0) "png" else if (i % 4 == 2) "webp" else "raw"
 
+  /** caption of image row i (same sharing rationale as [[dimsOf]]). */
+  def captionOf(i: Long): String = {
+    val hc = Rand.mix(i ^ 0xfedcba9876543210L)
+    val cityK = java.lang.Long.remainderUnsigned(hc, 8).toInt
+    s"${adjs(java.lang.Long.remainderUnsigned(hc >>> 3, 8).toInt)} " +
+      s"${nouns(java.lang.Long.remainderUnsigned(hc >>> 17, 8).toInt)} near city_$cityK #$i"
+  }
+
   def imageRow(i: Long): ImageRow = {
     val (lonM, latM) = locOf(i)
     val phash = PhashLoc.encode(lonM, latM)
@@ -124,11 +132,7 @@ object Fixtures {
       case "webp" => ImageCodec.encodeWebp(px, w, h)
       case _      => px
     }
-    val hc = Rand.mix(i ^ 0xfedcba9876543210L)
-    val cityK = java.lang.Long.remainderUnsigned(hc, 8).toInt
-    val caption = s"${adjs(java.lang.Long.remainderUnsigned(hc >>> 3, 8).toInt)} " +
-      s"${nouns(java.lang.Long.remainderUnsigned(hc >>> 17, 8).toInt)} near city_$cityK #$i"
-    ImageRow(f"img$i%012d", bytes, w, h, fmt, caption, phash)
+    ImageRow(f"img$i%012d", bytes, w, h, fmt, captionOf(i), phash)
   }
 
   /** Build (or reuse cached) the images table at the exact input_hint shape,

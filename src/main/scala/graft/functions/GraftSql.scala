@@ -72,7 +72,10 @@ object GraftSql {
     "knn_topk" -> (es => KnnTopKAgg(es(0), intLit(es(1), "knn_topk k"))),
     "heavy_hitters" -> (es => HeavyHittersAgg(Cast(es(0), StringType),
       if (es.length > 1) intLit(es(1), "heavy_hitters k") else 200,
-      if (es.length > 2) intLit(es(2), "heavy_hitters m") else 20)))
+      if (es.length > 2) intLit(es(2), "heavy_hitters m") else 20)),
+    "bloom_agg" -> (es => BloomAgg(es(0), intLit(es(1), "bloom_agg numBits"),
+      if (es.length > 2) intLit(es(2), "bloom_agg numHashes") else 7)),
+    "bloom_contains" -> (es => BloomContainsExpr(es(0), es(1))))
 
   /** Register everything into an existing session (temp functions). */
   def registerAll(spark: SparkSession): Unit =

@@ -201,4 +201,46 @@ object Multimodal {
         }
       }(enc)
   }
+
+  /** JOINT image+caption curation over an ingest table (the input_hint
+    * shape): exact image dedup by the stored 64-bit phash (min-image_id
+    * canonical election — the re-upload/mirror case), decode-integrity
+    * gates from [[decodeMeta]] (recomputed avgHash must equal the stored
+    * phash; re-encode roundtrip PSNR ≥ 40 dB), a minimum-resolution filter
+    * on the DECODED pixel count, and caption token accounting over the
+    * canonical survivors. Output: one compact report row per fmt —
+    * (fmt, n_rows, n_canonical, n_dups_removed, n_kept_minres,
+    * wp_tokens_kept, all_decode_ok, all_psnr_ok) — the curation report an
+    * ingest loop checks before training.
+    *
+    * Scale: the dedup is ONE hash-aggregate on the 64-bit phash — no pixel
+    * bytes ever shuffle (the canonical join is (phash, image_id) against
+    * the aggregate's tiny output); decode runs once per row in narrow
+    * mapPartitions; every gate aggregates with map-side partials. At 10^12
+    * rows the phash aggregate is the only exchange and it carries 16 bytes
+    * per distinct image.
+    */
+  def curateImages(images: DataFrame, minPixels: Int = 2048): DataFrame = {
+    val canon = images.groupBy("phash")
+      .agg(min("image_id").as("image_id"), count(lit(1)).as("n_copies"))
+    val meta = decodeMeta(images)
+    val gates = meta.groupBy("fmt")
+      .agg(min(col("phash_match").cast("int")).as("all_decode_ok"),
+        min((col("roundtrip_psnr_db") >= 40.0).cast("int")).as("all_psnr_ok"))
+    val rowsPerFmt = images.groupBy("fmt").agg(count(lit(1)).as("n_rows"))
+    val canonStats = images
+      .join(canon, Seq("phash", "image_id")) // canonical full rows only
+      .join(meta.select("image_id", "n_pixels"), Seq("image_id"))
+      .withColumn("wp", element_at(
+        graft.functions.TextFunctions.wordpieceCounts(col("caption")), 2))
+      .groupBy("fmt")
+      .agg(count(lit(1)).as("n_canonical"),
+        sum(when(col("n_pixels") >= minPixels, 1L).otherwise(0L)).as("n_kept_minres"),
+        sum(when(col("n_pixels") >= minPixels, col("wp")).otherwise(0L)).as("wp_tokens_kept"))
+    rowsPerFmt.join(canonStats, "fmt").join(gates, "fmt")
+      .select(col("fmt"), col("n_rows"), col("n_canonical"),
+        (col("n_rows") - col("n_canonical")).as("n_dups_removed"),
+        col("n_kept_minres"), col("wp_tokens_kept"),
+        col("all_decode_ok"), col("all_psnr_ok"))
+  }
 }

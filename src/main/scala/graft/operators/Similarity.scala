@@ -732,6 +732,53 @@ object Similarity {
           lit(threshold * threshold) * col("na").cast("double") * col("nb").cast("double"))
       .select(col("id_a"), col("id_b"), col("dot"))
 
+  /** SemDeDup (Abbas et al. 2023 — public knowledge): coarse-cluster the
+    * embedding corpus, then WITHIN each cluster drop every vector that has
+    * a lower-id neighbor at cosine ≥ threshold; survivors are the semantic
+    * representatives the corpus keeps. One row per input:
+    * (vec_id, list_id, kept).
+    *
+    * Clustering here is the no-refinement coarse quantizer: `numLists`
+    * seed vectors picked in content-addressed hash order (charHash64 of
+    * the id — deterministic, oracle-reproducible), every vector assigned
+    * to its exact-int-L2-nearest seed (ties → lower seed index, the same
+    * rule as the IVF kernel). A production deployment clusters through the
+    * TRAINED ivf centroid table (ivfBuildSave) instead — the prune
+    * semantics are identical; the hash-seed rule is what makes the q6q
+    * DuckDB twin bit-exact.
+    *
+    * Scale: assignment is the shuffle-free broadcast kernel the IVF index
+    * uses; the prune is an equi-join on list_id (never all-pairs) —
+    * Σ|cluster|² work, the published algorithm's cost model: size
+    * `numLists` ∝ n/targetClusterSize (the paper's k ≈ √n convention) so
+    * each cluster's block stays executor-sized.
+    */
+  def semanticDedup(points: DataFrame, idCol: String, vecCol: String,
+                    numLists: Int, threshold: Double): DataFrame = {
+    val spark = points.sparkSession
+    val p = points.select(col(idCol).as("vec_id"), quantize(col(vecCol)).as("q"))
+    val seeds = p
+      .orderBy(graft.functions.TextFunctions.charHash64(
+        col("vec_id").cast("string")), col("vec_id"))
+      .limit(numLists).select("q").collect().map(_.getSeq[Long](0).toArray)
+    val bc = spark.sparkContext.broadcast(seeds)
+    val asg = withNearestLists(p, "q", 1, bc)
+      .withColumn("n2", dotQ(col("q"), col("q")))
+      .localCheckpoint(eager = true) // assignment feeds both join sides once
+    val a = asg.select(col("list_id"), col("vec_id").as("id_a"),
+      col("q").as("qa"), col("n2").as("na"))
+    val b = asg.select(col("list_id"), col("vec_id").as("id_b"),
+      col("q").as("qb"), col("n2").as("nb"))
+    val dropped = verifyCosine(
+        a.join(b, Seq("list_id")).where(col("id_a") < col("id_b")), threshold)
+      .select(col("id_b").as("vec_id")).distinct()
+      .withColumn("_drop", lit(true))
+    asg.select(col("vec_id"), col("list_id"))
+      .join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("list_id"),
+        col("_drop").isNull.as("kept"))
+  }
+
   /** Hyperplane-LSH candidate pairs: `tables` independent sign-bit bucket
     * codes of `planes` bits each; candidates = same-(table,bucket) id pairs,
     * distinct'd on ids only (vectors re-joined afterwards — the distinct

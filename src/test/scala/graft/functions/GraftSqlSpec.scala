@@ -86,6 +86,21 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(hh.getSeq[org.apache.spark.sql.Row](0).length === 3)
   }
 
+  test("bloom_agg + bloom_contains via SQL: no false negatives, scalar probe works") {
+    spark.range(0, 500).selectExpr("id AS k").createOrReplaceTempView("bloomsql")
+    // build in SQL, probe in SQL — members all probe true (no false negatives)
+    val misses = spark.sql(
+      """WITH f AS (SELECT bloom_agg(k, 8192, 7) AS bf FROM bloomsql)
+        |SELECT count(*) AS miss FROM bloomsql, f
+        |WHERE NOT bloom_contains(f.bf, bloomsql.k)""".stripMargin).collect().head.getLong(0)
+    assert(misses === 0L)
+    // grouped form (the bucketed deployment shape) returns one filter per group
+    val grouped = spark.sql(
+      "SELECT k % 4 AS b, bloom_agg(k, 2048) AS bf FROM bloomsql GROUP BY 1").collect()
+    assert(grouped.length === 4)
+    assert(grouped.forall(_.getAs[Array[Byte]](1).length === 8 + 2048 / 8))
+  }
+
   test("non-literal plan-time argument fails with a clear message") {
     import spark.implicits._
     Seq((1L, 4)).toDF("lonm", "lvl").createOrReplaceTempView("badargs")

@@ -108,6 +108,30 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows.head.getInt(3) === w0.map(math.abs).max)
   }
 
+  test("curateImages: planted re-uploads dedup, gates hold, min-res filter and caption tokens exact") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    // 6 distinct images (2 big 64x64, 4 small 32x32) + 2 exact re-uploads
+    val base = (0 until 6).map { i =>
+      val (w, h) = if (i < 2) (64, 64) else (32, 32)
+      val px = Array.fill(w * h)(rnd.nextInt(256).toByte)
+      (f"img$i%03d", px, w, h, "raw", s"cap num $i #$i", ImageCodec.avgHash64(px, w, h))
+    }
+    val dups = base.take(2).map { case (id, px, w, h, f, c, p) => (s"xdup-$id", px, w, h, f, c, p) }
+    val df = (base ++ dups).toDF("image_id", "bytes", "w", "h", "fmt", "caption", "phash")
+    val r = Multimodal.curateImages(df, minPixels = 2048).collect()
+    assert(r.length === 1)
+    val row = r.head
+    assert(row.getString(0) === "raw")
+    assert(row.getLong(1) === 8L)  // n_rows
+    assert(row.getLong(2) === 6L)  // n_canonical
+    assert(row.getLong(3) === 2L)  // n_dups_removed
+    assert(row.getLong(4) === 2L)  // n_kept_minres (only the 64x64 pair)
+    // caption "cap num i #i": wordpieces = cap, num, i, #, i = 5 each
+    assert(row.getLong(5) === 10L)
+    assert(row.getInt(6) === 1 && row.getInt(7) === 1)
+  }
+
   test("stub decode path: a foreign fmt tag flows through the same plumbing") {
     import spark.implicits._
     val fake = Seq(("x1", Array[Byte](1, 2, 3), 16, 16, "xyz-future-codec", "cap", 0L))

@@ -284,4 +284,45 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(capped.subsetOf(brute))
   }
+
+  test("semanticDedup == in-JVM reference on planted clusters; prune stays within-cluster") {
+    val rnd = new scala.util.Random(5)
+    def jitter(base: Array[Float]): Array[Float] =
+      base.map(v => v + (rnd.nextFloat() - 0.5f) * 0.05f)
+    val ca = Array(1f, 0f, 0f, 0f); val cb = Array(0f, 1f, 0f, 0f)
+    val rows: Seq[(Long, Array[Float])] =
+      (0L until 10L).map(i => i -> jitter(ca)) ++
+      (10L until 20L).map(i => i -> jitter(cb)) ++
+      Seq(20L -> Array(0.8f, 0.75f, 0f, 0f)) // cross-cluster bridge vector
+    val df = rows.toDF("vec_id", "embedding")
+    val got = Similarity.semanticDedup(df, "vec_id", "embedding",
+        numLists = 2, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2))).sortBy(_._1).toSeq
+    // in-JVM reference replicating the full contract: hash-ordered seeds,
+    // int-L2 nearest-seed assignment (ties -> lower index), within-cluster
+    // cosine prune against any lower-id neighbor
+    val q = rows.map { case (i, v) =>
+      i -> v.map(x => math.floor(x.toDouble * 1e6 + 0.5).toLong)
+    }.toMap
+    def dot(u: Array[Long], v: Array[Long]): Long =
+      u.zip(v).map { case (x, y) => x * y }.sum
+    val ids = rows.map(_._1)
+    val seeds = ids.sortBy(i => (graft.core.TextHash.charHash64(i.toString), i))
+      .take(2).map(q)
+    def assign(v: Array[Long]): Int =
+      seeds.map(c => dot(c, c) - 2 * dot(v, c)).zipWithIndex
+        .minBy { case (d, j) => (d, j) }._2
+    val asg = ids.map(i => i -> assign(q(i))).toMap
+    val t2 = 0.8 * 0.8
+    val dropped = ids.filter(bId => ids.exists(aId =>
+      aId < bId && asg(aId) == asg(bId) && {
+        val d = dot(q(aId), q(bId))
+        d > 0 && d.toDouble * d.toDouble >=
+          t2 * dot(q(aId), q(aId)).toDouble * dot(q(bId), q(bId)).toDouble
+      })).toSet
+    val want = ids.sorted.map(i => (i, asg(i), !dropped.contains(i)))
+    assert(got === want)
+    assert(dropped.nonEmpty, "tight clusters must prune")
+    assert(ids.count(i => !dropped.contains(i)) >= 3) // representatives survive
+  }
 }
