@@ -724,6 +724,56 @@ object SparkEntry {
       Similarity.semanticDedup(s.read.parquet(s"$dir/embeddings.parquet"),
         "vec_id", "embedding", numLists = 8, threshold = 0.45).orderBy("vec_id")
     }),
+    // ---- GPT-style sequence packing manifest: docs concatenated in
+    //      content-addressed order (1 EOS each), cut into 512-token
+    //      windows; per doc its global offset + first/last sequence.
+    //      Global cumsum is the two-pass partition-offset form — no
+    //      single-partition window anywhere.
+    "q6r_pack_sequences" -> ((s, dir) => {
+      TextAnalysis.packSequences(s.read.parquet(s"$dir/documents.parquet"),
+        col("doc_id"), col("text"), seqLen = 512, salt = "q6r").orderBy("doc_id")
+    }),
+    // ---- domain-mixture resampling: integer ppm rates per source —
+    //      upsample src0 2.5x, halve src1, drop src2, 1.3x src3, keep the
+    //      rest; content-addressed draws, map-side only.
+    "q6s_mixture_sample" -> ((s, dir) => {
+      TextAnalysis.mixtureSample(s.read.parquet(s"$dir/documents.parquet"),
+        col("doc_id"), col("source"),
+        ratesPpm = Map("src0" -> 2500000L, "src1" -> 500000L,
+          "src2" -> 0L, "src3" -> 1300000L),
+        defaultPpm = 1000000L, salt = "q6s").orderBy("doc_id", "copy_no")
+    }),
+    // ---- PII redaction over deterministically PII-augmented text (the
+    //      fixture corpus carries none, so the query plants emails /
+    //      phones / IPs from doc_id — the oracle rebuilds the same text);
+    //      counts from the original, scrub hash+length of the result.
+    "q6t_redact_pii" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val aug = concat(col("text"),
+        when(col("doc_id") % 4 === 0,
+            concat(lit(" mail user"), col("doc_id").cast("string"),
+              lit("@example.com now")))
+          .when(col("doc_id") % 4 === 1, lit(" call 555-123-4567 or 555-000-1234"))
+          .when(col("doc_id") % 4 === 2,
+            concat(lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
+              lit(".7 net")))
+          .otherwise(lit("")))
+      TextAnalysis.redactPii(d, col("doc_id"), aug).orderBy("doc_id")
+    }),
+    // ---- cross-modal alignment gate (CLIP-score filter shape): pair the
+    //      even/odd embedding rows as (image, caption) sides, keep pairs
+    //      with quantized-int cosine >= 0.1 — map-only after the pairing
+    //      join; at ingest both embeddings arrive on one row (no join).
+    "q6u_alignment_filter" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val a = e.where(col("vec_id") % 2 === 0)
+        .select(col("vec_id").as("pair_id"), col("embedding").as("img_emb"))
+      val b = e.where(col("vec_id") % 2 === 1)
+        .select((col("vec_id") - 1).as("pair_id"), col("embedding").as("cap_emb"))
+      Similarity.alignmentFilter(a.join(b, Seq("pair_id")),
+        col("pair_id"), col("img_emb"), col("cap_emb"), threshold = 0.1)
+        .orderBy("pair_id")
+    }),
     // ---- canonical normalization (pre-dedup key) — hash parity checked
     "q54_normalize" -> ((s, dir) => {
       val d = s.read.parquet(s"$dir/documents.parquet")
@@ -1463,6 +1513,18 @@ object SparkEntry {
          |FROM asg LEFT JOIN dr ON asg.vec_id = dr.vec_id
          |ORDER BY asg.vec_id""".stripMargin
     },
+    "q6r_pack_sequences" -> TextOracle.packSequencesSql(512, "q6r"),
+    "q6s_mixture_sample" -> TextOracle.mixtureSampleSql(
+      Map("src0" -> 2500000L, "src1" -> 500000L, "src2" -> 0L,
+        "src3" -> 1300000L), 1000000L, "q6s"),
+    "q6t_redact_pii" -> TextOracle.redactPiiSql(
+      """text || CASE WHEN doc_id % 4 = 0
+        |    THEN ' mail user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+        |  WHEN doc_id % 4 = 1 THEN ' call 555-123-4567 or 555-000-1234'
+        |  WHEN doc_id % 4 = 2
+        |    THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7 net'
+        |  ELSE '' END""".stripMargin),
+    "q6u_alignment_filter" -> TextOracle.alignmentFilterSql(0.1, 64),
     "q54_normalize" -> {
       val norm = "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
       s"""SELECT doc_id, ${TextOracle.charHashSql(norm)} AS norm_hash,

@@ -890,4 +890,33 @@ object Similarity {
       .join(p.select(col("id").as("id_b"), col("q").as("qb"), col("n2").as("nb")), Seq("id_b"))
     verifyCosine(cands, threshold)
   }
+
+  /** Cross-modal alignment filter (the CLIP-score curation gate, LAION
+    * shape): every row carries TWO embeddings of the same item — image-side
+    * and caption-side, produced by the bi-encoder at ingest — and survives
+    * iff their cosine clears `threshold`. Same numeric contract as every
+    * ranking metric here: both vectors quantized to int64, exact integer
+    * dot and norms, the threshold test `dot > 0 && dot² ≥ t²·na·nb` in
+    * double (the verifyCosine rule), so the DuckDB twin reproduces the
+    * keep set bit-exactly.
+    *
+    * Scale: map-only — no shuffle, no state; at 10^12 pairs this pipelines
+    * with decode/dedup in one pass over the ingest batch. Rows where either
+    * side is a zero vector score dot ≤ 0 and are dropped (aligned=false),
+    * matching the convention that degenerate embeddings never pass a
+    * similarity gate.
+    */
+  def alignmentFilter(pairs: DataFrame, idCol: Column, vecACol: Column,
+                      vecBCol: Column, threshold: Double): DataFrame = {
+    val qa = quantize(vecACol)
+    val qb = quantize(vecBCol)
+    pairs.select(idCol.cast("long").as("pair_id"),
+        dotQ(qa, qb).as("dot"),
+        dotQ(qa, qa).as("na"),
+        dotQ(qb, qb).as("nb"))
+      .withColumn("aligned",
+        col("dot") > 0 &&
+          col("dot").cast("double") * col("dot").cast("double") >=
+            lit(threshold * threshold) * col("na").cast("double") * col("nb").cast("double"))
+  }
 }

@@ -419,4 +419,132 @@ object TextAnalysis {
       .select(col("grp"), posexplode(col("_k")))
       .select(col("grp"), (col("pos") + 1).cast("long").as("rk"),
         col("col.id").as("doc_id"), col("col.d").as("sample_key"))
+
+  /** GPT-style sequence packing (concat-then-chunk, the standard
+    * pretraining layout): documents are laid end-to-end in a deterministic
+    * content-addressed order (charHash64 of the id + salt, ties by id) with
+    * one EOS token appended per doc, and the resulting token stream is cut
+    * into fixed `seqLen` windows. Output is one row per doc — its global
+    * token offset and the first/last training sequence it lands in — i.e.
+    * the packing MANIFEST a loader shards on.
+    *
+    * Scale: the only global state is the running token offset. A naive
+    * `sum().over(Window.orderBy(...))` is a single-partition window —
+    * instead this range-partitions on the sample key, cumulative-sums
+    * WITHIN partitions in parallel, and adds per-partition offsets (a
+    * partition-count-sized collect — scalar metadata, not data; the same
+    * two-pass trick as TagDictionary.build). Token counts come from the
+    * one-pass wordpieceCounts byte kernel (whitespace convention), so the
+    * scan is map-only before the range exchange.
+    *
+    * Determinism: content-addressed order makes the manifest stable under
+    * re-runs, input repartitioning and input row order — the property a
+    * resumable packing job actually needs (spec-gated).
+    */
+  def packSequences(df: DataFrame, idCol: Column, textCol: Column,
+                    seqLen: Int, salt: String): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    val base = df.select(idCol.cast("long").as("doc_id"),
+        (element_at(wordpieceCounts(textCol), 1).cast("long") + 1L).as("n_tok"))
+      .withColumn("sample_key",
+        charHash64(concat(col("doc_id").cast("string"), lit(":" + salt))))
+    val spark = df.sparkSession
+    val parts = math.max(2, spark.sparkContext.defaultParallelism / 2)
+    val ranged = base
+      .repartitionByRange(parts, col("sample_key"), col("doc_id"))
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint() // pin the layout: offsets and ranks must agree
+    val counts = ranged.groupBy("_pid").agg(sum("n_tok").as("s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until parts).scanLeft(0L)((acc, p) => acc + counts.getOrElse(p, 0L))
+    val offsetExpr = (0 until parts).foldLeft(lit(0L)) { (e, p) =>
+      when(col("_pid") === p, lit(offsets(p))).otherwise(e)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("_pid").orderBy("sample_key", "doc_id")
+    ranged
+      .withColumn("tok_start", offsetExpr + sum("n_tok").over(w) - col("n_tok"))
+      // `div` (integral), never `/`+cast — long/int division through double
+      // silently loses exactness past 2^53 global tokens, which a 100 TB
+      // corpus actually reaches
+      .select(col("doc_id"), col("n_tok"), col("sample_key"), col("tok_start"),
+        expr(s"tok_start div $seqLen").as("seq_first"),
+        expr(s"(tok_start + n_tok - 1) div $seqLen").as("seq_last"),
+        (col("tok_start") % seqLen).as("offset_in_seq"))
+  }
+
+  /** Domain-mixture resampling: re-weight the corpus to target per-domain
+    * rates, expressed as exact integers in parts-per-million so both the
+    * distributed path and the SQL twin evaluate the SAME integer predicate
+    * (no float sampling probabilities on a keep decision — house rule).
+    * A rate of 1_000_000 keeps every row once; below it down-samples;
+    * above it UP-samples: every doc emits `rate / 1e6` guaranteed copies
+    * plus one more iff its uniform draw `u = charHash64(id:salt) mod 1e6`
+    * falls below the fractional remainder. Content-addressed draws make
+    * the sample a pure function of (id, salt) — stable under re-runs,
+    * repartitioning and resumption, and disjoint salts give independent
+    * draws (the DoReMi / Pile-style mixture-application step).
+    *
+    * Scale: map-side only — a literal map lookup, one hash, one
+    * `explode(sequence(...))`; no shuffle, no RNG state. Output carries
+    * `copy_no` (0-based) so downstream packing can distinguish epochs of
+    * an up-sampled doc.
+    */
+  def mixtureSample(df: DataFrame, idCol: Column, domainCol: Column,
+                    ratesPpm: Map[String, Long], defaultPpm: Long,
+                    salt: String): DataFrame = {
+    require(defaultPpm >= 0 && ratesPpm.values.forall(_ >= 0), "rates must be >= 0")
+    val M = 1000000L
+    val rateExpr = ratesPpm.toSeq.sortBy(_._1).foldLeft(lit(defaultPpm)) {
+      case (e, (dom, ppm)) => when(domainCol === dom, lit(ppm)).otherwise(e)
+    }
+    df.select(idCol.cast("long").as("doc_id"), domainCol.as("domain"),
+        rateExpr.as("ppm"),
+        pmod(charHash64(concat(idCol.cast("string"), lit(":" + salt))), lit(M)).as("u"))
+      .withColumn("n_copies",
+        expr(s"ppm div $M") +
+          when(col("u") < col("ppm") % M, 1L).otherwise(0L))
+      .where(col("n_copies") > 0)
+      .select(col("doc_id"), col("domain"), col("u"),
+        explode(sequence(lit(0L), col("n_copies") - 1L)).as("copy_no"))
+  }
+
+  /** Email pattern — RE2-safe (no backrefs / lookarounds), identical
+    * semantics under java.util.regex and DuckDB's RE2.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
+  /** North-American-style phone: ddd-ddd-dddd. */
+  val PhoneRe = "[0-9][0-9][0-9]-[0-9][0-9][0-9]-[0-9][0-9][0-9][0-9]"
+  /** Dotted-quad IPv4 (syntactic — no octet range check, per C4 practice). */
+  val Ipv4Re = "[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+"
+
+  /** PII redaction (the C4/CCNet-style scrub that runs before training):
+    * replaces emails, phone numbers and IPv4 addresses with typed
+    * placeholder tokens and counts each category from the ORIGINAL text.
+    * Replacement order is fixed email → ip → phone (an email eats its
+    * dotted host before the IP pattern can see it; the remaining patterns
+    * are disjoint). Patterns are RE2-compatible by construction so the
+    * DuckDB twin runs the byte-identical scrub.
+    *
+    * Scale: map-only — three codegen'd regexp passes per row, no shuffle;
+    * at 100 TB this pipelines with the other per-doc quality scans.
+    * Output keeps the row narrow (hash + length of the redacted text, the
+    * q54 discipline); callers wanting the text itself use `redactedText`.
+    */
+  def redactedText(textCol: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(textCol, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
+  def redactPii(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
+    val red = redactedText(textCol)
+    df.select(idCol.cast("long").as("doc_id"),
+      regexp_count(textCol, lit(EmailRe)).cast("long").as("n_emails"),
+      regexp_count(textCol, lit(Ipv4Re)).cast("long").as("n_ips"),
+      regexp_count(textCol, lit(PhoneRe)).cast("long").as("n_phones"),
+      charHash(red).as("red_hash"),
+      length(red).cast("long").as("red_len"))
+  }
 }

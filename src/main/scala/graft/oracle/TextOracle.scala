@@ -316,4 +316,78 @@ object TextOracle {
        |  TRUE AS no_false_negatives,
        |  TRUE AS fpr_below_bound
        |FROM documents d""".stripMargin
+
+  /** Sequence-packing twin (mirrors TextAnalysis.packSequences): same
+    * ws-token+EOS counts, same content-addressed order, one window cumsum
+    * (the oracle MAY use the single-partition form the distributed path
+    * must avoid — DuckDB is single-node by definition).
+    */
+  def packSequencesSql(seqLen: Int, salt: String): String =
+    s"""WITH ${toksCte()},
+       |tk AS (SELECT doc_id, CAST(len(t) + 1 AS BIGINT) AS n_tok,
+       |    ${charHash64Sql(s"CAST(doc_id AS VARCHAR) || ':$salt'")} AS sample_key
+       |  FROM toks),
+       |c AS (SELECT doc_id, n_tok, sample_key,
+       |    sum(n_tok) OVER (ORDER BY sample_key, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS tok_start
+       |  FROM tk)
+       |SELECT doc_id, n_tok, sample_key, CAST(tok_start AS BIGINT) AS tok_start,
+       |  CAST(tok_start // $seqLen AS BIGINT) AS seq_first,
+       |  CAST((tok_start + n_tok - 1) // $seqLen AS BIGINT) AS seq_last,
+       |  CAST(tok_start % $seqLen AS BIGINT) AS offset_in_seq
+       |FROM c ORDER BY doc_id""".stripMargin
+
+  /** Mixture-resampling twin (mirrors TextAnalysis.mixtureSample): the
+    * same integer ppm rates, the same content-addressed uniform draw,
+    * copies expanded with unnest(range(...)).
+    */
+  def mixtureSampleSql(ratesPpm: Map[String, Long], defaultPpm: Long,
+                       salt: String): String = {
+    val arms = ratesPpm.toSeq.sortBy(_._1)
+      .map { case (d, r) => s"WHEN '$d' THEN CAST($r AS BIGINT)" }.mkString(" ")
+    s"""WITH h AS (SELECT doc_id, source AS domain,
+       |    CASE source $arms ELSE CAST($defaultPpm AS BIGINT) END AS ppm,
+       |    ${charHash64Sql(s"CAST(doc_id AS VARCHAR) || ':$salt'")} % 1000000 AS u
+       |  FROM documents),
+       |n AS (SELECT doc_id, domain, u,
+       |    ppm // 1000000 + CASE WHEN u < ppm % 1000000 THEN 1 ELSE 0 END AS n_copies
+       |  FROM h)
+       |SELECT doc_id, domain, u, CAST(unnest(range(0, n_copies)) AS BIGINT) AS copy_no
+       |FROM n WHERE n_copies > 0 ORDER BY doc_id""".stripMargin
+  }
+
+  /** PII-redaction twin (mirrors TextAnalysis.redactPii): byte-identical
+    * RE2-safe patterns, same email → ip → phone replacement order, counts
+    * from the original text; redacted text reported as hash + length.
+    */
+  def redactPiiSql(textExpr: String): String = {
+    import graft.operators.TextAnalysis.{EmailRe, Ipv4Re, PhoneRe}
+    val red = s"regexp_replace(regexp_replace(regexp_replace($textExpr, " +
+      s"'$EmailRe', '<EMAIL>', 'g'), '$Ipv4Re', '<IP>', 'g'), '$PhoneRe', '<PHONE>', 'g')"
+    s"""SELECT doc_id,
+       |  CAST(len(regexp_extract_all($textExpr, '$EmailRe')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all($textExpr, '$Ipv4Re')) AS BIGINT) AS n_ips,
+       |  CAST(len(regexp_extract_all($textExpr, '$PhoneRe')) AS BIGINT) AS n_phones,
+       |  ${charHashSql(red)} AS red_hash,
+       |  CAST(length($red) AS BIGINT) AS red_len
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  /** Cross-modal alignment twin (mirrors Similarity.alignmentFilter over
+    * the even/odd embedding pairing): quantized int dot/norms, the
+    * verifyCosine double threshold rule.
+    */
+  def alignmentFilterSql(threshold: Double, dims: Int): String = {
+    val t2 = s"$threshold * $threshold"
+    s"""WITH ${quantCte()},
+       |p AS (SELECT a.vec_id AS pair_id, a.q AS qa, b.q AS qb
+       |  FROM e a JOIN e b ON b.vec_id = a.vec_id + 1 WHERE a.vec_id % 2 = 0),
+       |d AS (SELECT pair_id, ${dotSql("qa", "qb", dims)} AS dot,
+       |    ${dotSql("qa", "qa", dims)} AS na, ${dotSql("qb", "qb", dims)} AS nb
+       |  FROM p)
+       |SELECT pair_id, dot, na, nb,
+       |  (dot > 0 AND CAST(dot AS DOUBLE) * CAST(dot AS DOUBLE) >=
+       |    $t2 * CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS aligned
+       |FROM d ORDER BY pair_id""".stripMargin
+  }
 }

@@ -325,4 +325,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(dropped.nonEmpty, "tight clusters must prune")
     assert(ids.count(i => !dropped.contains(i)) >= 3) // representatives survive
   }
+
+  test("alignmentFilter: identical / orthogonal / opposite / zero / threshold edge") {
+    val rows = Seq(
+      (1L, Array(1.0f, 0f, 0f), Array(1.0f, 0f, 0f)),   // cos 1 → aligned
+      (2L, Array(1.0f, 0f, 0f), Array(0f, 1.0f, 0f)),   // cos 0 → not (dot !> 0)
+      (3L, Array(1.0f, 0f, 0f), Array(-1.0f, 0f, 0f)),  // cos −1 → not
+      (4L, Array(1.0f, 0f, 0f), Array(0f, 0f, 0f)),     // zero side → not
+      (5L, Array(1.0f, 0f, 0f), Array(1.0f, 1.0f, 0f)), // cos ≈ .707 ≥ .7
+      (6L, Array(1.0f, 1.0f, 0f), Array(-1.0f, 1.0f, 1f))) // cos ≈ 0 → not
+    val df = rows.toDF("pair_id", "a", "b")
+    val got = Similarity.alignmentFilter(df, col("pair_id"), col("a"), col("b"), 0.7)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(got === Map(1L -> true, 2L -> false, 3L -> false,
+      4L -> false, 5L -> true, 6L -> false))
+    // exact integer twin: dot/norms reproduce the quantized reference
+    val vals = Similarity.alignmentFilter(df, col("pair_id"), col("a"), col("b"), 0.7)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    def qz(v: Array[Float]) = v.map(x => math.floor(x.toDouble * 1e6 + 0.5).toLong)
+    rows.foreach { case (i, a, b) =>
+      val (qa, qb) = (qz(a), qz(b))
+      def d(u: Array[Long], v: Array[Long]) = u.zip(v).map { case (x, y) => x * y }.sum
+      assert(vals(i) === ((d(qa, qb), d(qa, qa), d(qb, qb))))
+    }
+  }
 }

@@ -231,4 +231,83 @@ class TextAnalysisSpec extends AnyFunSuite {
       assert(rs.map(_._2).sorted.toSeq === (1L to cap).toSeq)
     }
   }
+
+  test("packSequences: matches sequential in-JVM reference; stable under repartition") {
+    val docs = (0L until 300L).map(i =>
+      (i, (0 until (i % 17).toInt).map(j => s"w$j").mkString(" ")))
+    val df = docs.toDF("doc_id", "text")
+    val seqLen = 16
+    // reference: sort by (hash, id), running offset, floor-div windows
+    val ordered = docs.map { case (i, t) =>
+      val nTok = t.split("\\s+").count(_.nonEmpty) + 1
+      (TextHash.charHash64(s"$i:s"), i, nTok.toLong)
+    }.sortBy(r => (r._1, r._2))
+    var off = 0L
+    val want = ordered.map { case (h, i, n) =>
+      val r = (i, n, h, off, off / seqLen, (off + n - 1) / seqLen, off % seqLen)
+      off += n; r
+    }.toSet
+    val got = TextAnalysis.packSequences(df, col("doc_id"), col("text"), seqLen, "s")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    assert(got === want)
+    // manifest is a pure function of content — input layout must not matter
+    val shuffled = TextAnalysis.packSequences(
+        df.repartition(7, col("text")), col("doc_id"), col("text"), seqLen, "s")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    assert(shuffled === got)
+    // stream is gapless: offsets tile [0, total) exactly
+    assert(got.toSeq.map(_._2).sum === got.toSeq.map(r => r._4 + r._2).max)
+    assert(got.toSeq.sortBy(_._4).sliding(2).forall {
+      case Seq(a, b) => a._4 + a._2 == b._4; case _ => true
+    })
+  }
+
+  test("mixtureSample: integer ppm semantics — drop / down / keep / upsample") {
+    val df = (0L until 400L).map(i => (i, s"d${i % 4}")).toDF("doc_id", "source")
+    val rates = Map("d0" -> 0L, "d1" -> 500000L, "d3" -> 2300000L)
+    val got = TextAnalysis.mixtureSample(df, col("doc_id"), col("source"),
+        rates, defaultPpm = 1000000L, salt = "mx")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val byDoc = got.groupBy(_._1)
+    def uOf(i: Long) = math.floorMod(TextHash.charHash64(s"$i:mx"), 1000000L)
+    (0L until 400L).foreach { i =>
+      val dom = s"d${i % 4}"
+      val ppm = rates.getOrElse(dom, 1000000L)
+      val wantCopies = ppm / 1000000L + (if (uOf(i) < ppm % 1000000L) 1L else 0L)
+      val copies = byDoc.get(i).map(_.length.toLong).getOrElse(0L)
+      assert(copies === wantCopies, s"doc $i dom $dom")
+      if (copies > 0) // copy_no dense 0..n-1 (epoch labels for the packer)
+        assert(byDoc(i).map(_._4).sorted.toSeq === (0L until copies).toSeq)
+    }
+    assert(!got.exists(_._2 == "d0"))                       // rate 0 → gone
+    assert(byDoc.filter(_._2.head._2 == "d3").forall(_._2.length >= 2)) // ≥2x
+  }
+
+  test("redactPii: hand cases — placement, order email→ip→phone, counts") {
+    val df = Seq(
+      (1L, "reach me at bob.smith+x@sub.example.org thanks"),
+      (2L, "server 192.168.0.1 and 10.0.0.7 rebooted"),
+      (3L, "call 555-123-4567 or 555-000-1234 today"),
+      (4L, "mixed a@b.co at 1.2.3.4 tel 111-222-3333"),
+      (5L, "nothing to scrub here"),
+      (6L, "v1.2.3 is not an ip but 1.2.3.4.5 contains one")).toDF("doc_id", "text")
+    val red = df.select(col("doc_id"),
+        TextAnalysis.redactedText(col("text")).as("r")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(red(1L) === "reach me at <EMAIL> thanks")
+    assert(red(2L) === "server <IP> and <IP> rebooted")
+    assert(red(3L) === "call <PHONE> or <PHONE> today")
+    assert(red(4L) === "mixed <EMAIL> at <IP> tel <PHONE>")
+    assert(red(5L) === "nothing to scrub here")
+    assert(red(6L) === "v1.2.3 is not an ip but <IP>.5 contains one")
+    val counts = TextAnalysis.redactPii(df, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(counts(1L) === ((1L, 0L, 0L)))
+    assert(counts(2L) === ((0L, 2L, 0L)))
+    assert(counts(3L) === ((0L, 0L, 2L)))
+    assert(counts(4L) === ((1L, 1L, 1L)))
+    assert(counts(5L) === ((0L, 0L, 0L)))
+  }
 }
