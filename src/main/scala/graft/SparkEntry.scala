@@ -733,6 +733,14 @@ object SparkEntry {
       TextAnalysis.packSequences(s.read.parquet(s"$dir/documents.parquet"),
         col("doc_id"), col("text"), seqLen = 512, salt = "q6r").orderBy("doc_id")
     }),
+    // ---- packed-sequence materialization: the same stream as q6r cut
+    //      into 512-token rows; one row per sequence, tokens fingerprinted
+    //      in stream order. Text rides the single range exchange; the only
+    //      other shuffle is the token→sequence groupBy.
+    "q6v_pack_tokens" -> ((s, dir) => {
+      TextAnalysis.packTokens(s.read.parquet(s"$dir/documents.parquet"),
+        col("doc_id"), col("text"), seqLen = 512, salt = "q6r").orderBy("seq_id")
+    }),
     // ---- domain-mixture resampling: integer ppm rates per source —
     //      upsample src0 2.5x, halve src1, drop src2, 1.3x src3, keep the
     //      rest; content-addressed draws, map-side only.
@@ -1514,6 +1522,7 @@ object SparkEntry {
          |ORDER BY asg.vec_id""".stripMargin
     },
     "q6r_pack_sequences" -> TextOracle.packSequencesSql(512, "q6r"),
+    "q6v_pack_tokens" -> TextOracle.packTokensSql(512, "q6r"),
     "q6s_mixture_sample" -> TextOracle.mixtureSampleSql(
       Map("src0" -> 2500000L, "src1" -> 500000L, "src2" -> 0L,
         "src3" -> 1300000L), 1000000L, "q6s"),

@@ -446,11 +446,29 @@ object TextAnalysis {
     require(seqLen > 0, s"seqLen must be positive, got $seqLen")
     val base = df.select(idCol.cast("long").as("doc_id"),
         (element_at(wordpieceCounts(textCol), 1).cast("long") + 1L).as("n_tok"))
-      .withColumn("sample_key",
-        charHash64(concat(col("doc_id").cast("string"), lit(":" + salt))))
-    val spark = df.sparkSession
+    withGlobalOffsets(base, salt)
+      // `div` (integral), never `/`+cast — long/int division through double
+      // silently loses exactness past 2^53 global tokens, which a 100 TB
+      // corpus actually reaches
+      .select(col("doc_id"), col("n_tok"), col("sample_key"), col("tok_start"),
+        expr(s"tok_start div $seqLen").as("seq_first"),
+        expr(s"(tok_start + n_tok - 1) div $seqLen").as("seq_last"),
+        (col("tok_start") % seqLen).as("offset_in_seq"))
+  }
+
+  /** Shared packing core: attach the GLOBAL token offset (`tok_start`) to a
+    * (doc_id, n_tok, extras…) frame in content-addressed (charHash64(id:salt),
+    * id) order. Two-pass partition-offset cumsum — range exchange, parallel
+    * in-partition windows, a partition-count-sized collect of per-partition
+    * sums; extras ride the one range shuffle (so materialization never
+    * re-joins the corpus).
+    */
+  private def withGlobalOffsets(base: DataFrame, salt: String): DataFrame = {
+    val spark = base.sparkSession
     val parts = math.max(2, spark.sparkContext.defaultParallelism / 2)
     val ranged = base
+      .withColumn("sample_key",
+        charHash64(concat(col("doc_id").cast("string"), lit(":" + salt))))
       .repartitionByRange(parts, col("sample_key"), col("doc_id"))
       .withColumn("_pid", spark_partition_id())
       .localCheckpoint() // pin the layout: offsets and ranks must agree
@@ -462,15 +480,42 @@ object TextAnalysis {
     }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("_pid").orderBy("sample_key", "doc_id")
-    ranged
-      .withColumn("tok_start", offsetExpr + sum("n_tok").over(w) - col("n_tok"))
-      // `div` (integral), never `/`+cast — long/int division through double
-      // silently loses exactness past 2^53 global tokens, which a 100 TB
-      // corpus actually reaches
-      .select(col("doc_id"), col("n_tok"), col("sample_key"), col("tok_start"),
-        expr(s"tok_start div $seqLen").as("seq_first"),
-        expr(s"(tok_start + n_tok - 1) div $seqLen").as("seq_last"),
-        (col("tok_start") % seqLen).as("offset_in_seq"))
+    ranged.withColumn("tok_start", offsetExpr + sum("n_tok").over(w) - col("n_tok"))
+  }
+
+  /** End-of-document sentinel appended to every doc's token stream. */
+  val EosToken = "</s>"
+
+  /** Packed-sequence MATERIALIZATION (the step after the [[packSequences]]
+    * manifest): emits one row per fixed-length training sequence —
+    * `(seq_id, n_filled, seq_hash)` where `seq_hash` fingerprints the
+    * space-joined tokens in stream order (rows stay narrow; a shard writer
+    * would emit the token array instead of its hash). Tokens are the
+    * whitespace convention + one [[EosToken]] per doc, identical to the
+    * manifest's counts, so `packTokens` and `packSequences` describe the
+    * same stream (spec-gated).
+    *
+    * Scale: the doc text rides the ONE range exchange of the offset pass
+    * (no manifest re-join), tokens explode map-side, and the only other
+    * shuffle is the groupBy(seq_id) that moves each token to its sequence —
+    * the irreducible data motion of materialization. Every sequence is
+    * exactly seqLen tokens except the final partial one (invariant tested).
+    */
+  def packTokens(df: DataFrame, idCol: Column, textCol: Column,
+                 seqLen: Int, salt: String): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    val base = df.select(idCol.cast("long").as("doc_id"),
+      concat(filter(split(textCol, "\\s+"), x => x =!= ""),
+        array(lit(EosToken))).as("t"))
+      .withColumn("n_tok", size(col("t")).cast("long"))
+    withGlobalOffsets(base, salt)
+      .select(col("tok_start"), posexplode(col("t")))
+      .select((col("tok_start") + col("pos")).as("gpos"), col("col").as("tok"))
+      .groupBy(expr(s"gpos div $seqLen").as("seq_id"))
+      .agg(count(lit(1)).as("n_filled"),
+        charHash(concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("gpos"), col("tok")))),
+            s => s.getField("tok")))).as("seq_hash"))
   }
 
   /** Domain-mixture resampling: re-weight the corpus to target per-domain

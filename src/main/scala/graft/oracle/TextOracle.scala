@@ -337,6 +337,32 @@ object TextOracle {
        |  CAST(tok_start % $seqLen AS BIGINT) AS offset_in_seq
        |FROM c ORDER BY doc_id""".stripMargin
 
+  /** Pack-materialization twin (mirrors TextAnalysis.packTokens): rebuild
+    * the global token stream (same order, same EOS convention), cut at
+    * seqLen, fingerprint each sequence's space-joined tokens in stream
+    * order with the shared rolling hash.
+    */
+  def packTokensSql(seqLen: Int, salt: String): String =
+    s"""WITH ${toksCte()},
+       |tk AS (SELECT doc_id, list_append(t, '${graft.operators.TextAnalysis.EosToken}') AS t2,
+       |    CAST(len(t) + 1 AS BIGINT) AS n_tok,
+       |    ${charHash64Sql(s"CAST(doc_id AS VARCHAR) || ':$salt'")} AS sample_key
+       |  FROM toks),
+       |c AS (SELECT doc_id, t2, sample_key,
+       |    sum(n_tok) OVER (ORDER BY sample_key, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS tok_start
+       |  FROM tk),
+       |ex AS (SELECT unnest(list_transform(range(1, len(t2) + 1),
+       |    i -> {'p': tok_start + i - 1, 'tok': t2[i]})) AS u FROM c),
+       |ps AS (SELECT u.p AS gpos, u.tok AS tok FROM ex),
+       |sq AS (SELECT gpos // $seqLen AS seq_id,
+       |    CAST(count(*) AS BIGINT) AS n_filled,
+       |    string_agg(tok, ' ' ORDER BY gpos) AS s
+       |  FROM ps GROUP BY 1)
+       |SELECT CAST(seq_id AS BIGINT) AS seq_id, n_filled,
+       |  ${charHashSql("s")} AS seq_hash
+       |FROM sq ORDER BY seq_id""".stripMargin
+
   /** Mixture-resampling twin (mirrors TextAnalysis.mixtureSample): the
     * same integer ppm rates, the same content-addressed uniform draw,
     * copies expanded with unnest(range(...)).

@@ -264,6 +264,32 @@ class TextAnalysisSpec extends AnyFunSuite {
     })
   }
 
+  test("packTokens: sequences tile the stream exactly and hash-match an in-JVM rebuild") {
+    val docs = (0L until 120L).map(i =>
+      (i, (0 until (i % 11).toInt).map(j => s"t${i}x$j").mkString(" ")))
+    val df = docs.toDF("doc_id", "text")
+    val seqLen = 16
+    // rebuild the stream sequentially: hash order, ws tokens + EOS each
+    val stream = docs
+      .map { case (i, t) => (TextHash.charHash64(s"$i:s"), i,
+        t.split("\\s+").filter(_.nonEmpty) :+ TextAnalysis.EosToken) }
+      .sortBy(r => (r._1, r._2)).flatMap(_._3)
+    val want = stream.grouped(seqLen).zipWithIndex.map { case (chunk, i) =>
+      (i.toLong, chunk.length.toLong, TextHash.charHash(chunk.mkString(" ")))
+    }.toSeq
+    val got = TextAnalysis.packTokens(df, col("doc_id"), col("text"), seqLen, "s")
+      .orderBy("seq_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === want)
+    // every sequence full except possibly the last; ids dense from 0
+    assert(got.map(_._1) === got.indices.map(_.toLong))
+    assert(got.dropRight(1).forall(_._2 == seqLen))
+    // stream length conservation vs the manifest
+    val manifestTotal = TextAnalysis.packSequences(df, col("doc_id"), col("text"), seqLen, "s")
+      .agg(sum("n_tok")).collect()(0).getLong(0)
+    assert(got.map(_._2).sum === manifestTotal)
+  }
+
   test("mixtureSample: integer ppm semantics — drop / down / keep / upsample") {
     val df = (0L until 400L).map(i => (i, s"d${i % 4}")).toDF("doc_id", "source")
     val rates = Map("d0" -> 0L, "d1" -> 500000L, "d3" -> 2300000L)
