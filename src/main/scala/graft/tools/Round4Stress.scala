@@ -69,6 +69,11 @@ object Round4Stress {
         .collect()(0).getLong(0)
     }
 
+    t(s"packTokens materialization over ${n / 1000000}M docs (seqLen=2048) -> sequences") {
+      TextAnalysis.packTokens(docs, col("doc_id"), col("text"),
+        seqLen = 2048, salt = "r4").count()
+    }
+
     // ---- embedding pairs: 64-dim deterministic synthetic vectors per side
     val dim = 64
     def vec(seed: Int) = transform(sequence(lit(0), lit(dim - 1)),
