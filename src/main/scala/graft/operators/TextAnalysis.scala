@@ -458,25 +458,34 @@ object TextAnalysis {
 
   /** Shared packing core: attach the GLOBAL token offset (`tok_start`) to a
     * (doc_id, n_tok, extras…) frame in content-addressed (charHash64(id:salt),
-    * id) order. Two-pass partition-offset cumsum — range exchange, parallel
-    * in-partition windows, a partition-count-sized collect of per-partition
-    * sums; extras ride the one range shuffle (so materialization never
-    * re-joins the corpus).
+    * id) order. Two-pass bucket-offset cumsum: buckets are FIXED-WIDTH key
+    * ranges over charHash64's [0, P²) output (bucket = key div width — a
+    * deterministic function of the row, uniform because the hash is), so
+    * bucket-id order IS global order. Pass 1 is a narrow groupBy(bucket)
+    * sum collected to a bucket-count-sized prefix map; pass 2 is the
+    * in-bucket window cumsum, whose partitionBy supplies the only exchange
+    * — extras ride it, so materialization never re-joins the corpus.
+    * No repartitionByRange (its bounds come from a nondeterministic sample
+    * job) and no localCheckpoint: the old pin-the-layout design kept the
+    * whole keyed frame in executor storage, and un-GC'd checkpoint blocks
+    * from earlier pipeline stages measurably crushed later ones (packTokens
+    * at 8M: 99 s under accumulated pins vs 5–9 s clean — see
+    * BENCH/BASELINE.md round 4).
     */
   private def withGlobalOffsets(base: DataFrame, salt: String): DataFrame = {
     val spark = base.sparkSession
     val parts = math.max(2, spark.sparkContext.defaultParallelism / 2)
+    val P = graft.core.TextHash.P
+    val width = P * P / parts + 1
     val ranged = base
       .withColumn("sample_key",
         charHash64(concat(col("doc_id").cast("string"), lit(":" + salt))))
-      .repartitionByRange(parts, col("sample_key"), col("doc_id"))
-      .withColumn("_pid", spark_partition_id())
-      .localCheckpoint() // pin the layout: offsets and ranks must agree
+      .withColumn("_pid", expr(s"sample_key div $width"))
     val counts = ranged.groupBy("_pid").agg(sum("n_tok").as("s"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val offsets = (0 until parts).scanLeft(0L)((acc, p) => acc + counts.getOrElse(p, 0L))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val offsets = (0 until parts).scanLeft(0L)((acc, p) => acc + counts.getOrElse(p.toLong, 0L))
     val offsetExpr = (0 until parts).foldLeft(lit(0L)) { (e, p) =>
-      when(col("_pid") === p, lit(offsets(p))).otherwise(e)
+      when(col("_pid") === p.toLong, lit(offsets(p))).otherwise(e)
     }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("_pid").orderBy("sample_key", "doc_id")
@@ -496,26 +505,48 @@ object TextAnalysis {
     * same stream (spec-gated).
     *
     * Scale: the doc text rides the ONE range exchange of the offset pass
-    * (no manifest re-join), tokens explode map-side, and the only other
-    * shuffle is the groupBy(seq_id) that moves each token to its sequence —
-    * the irreducible data motion of materialization. Every sequence is
-    * exactly seqLen tokens except the final partial one (invariant tested).
+    * (no manifest re-join), and the only other shuffle moves each doc's
+    * contribution to its sequences — the irreducible data motion of
+    * materialization. That shuffle is per doc-sequence OVERLAP, not per
+    * token: a doc's tokens are one contiguous run of the stream, so its
+    * slice into each overlapped sequence is pre-joined into a single
+    * chunk string map-side (≈1 row per doc for seqLen ≫ doc length,
+    * vs one row per token). With the checkpoint-free offset pass this
+    * measures 11 s at 8M docs / 48M tokens (was 99–105 s under the old
+    * pinned-checkpoint design — BENCH/BASELINE.md round 4). Every
+    * sequence is exactly seqLen tokens except the final partial one
+    * (invariant tested).
     */
   def packTokens(df: DataFrame, idCol: Column, textCol: Column,
                  seqLen: Int, salt: String): DataFrame = {
     require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    // array_remove, not filter(_ =!= "") — the HOF lambda is interpreted
+    // (blocks codegen, ~26 s map-only at 8M just to tokenize); array_remove
+    // is a codegen expression with identical drop-empties semantics
     val base = df.select(idCol.cast("long").as("doc_id"),
-      concat(filter(split(textCol, "\\s+"), x => x =!= ""),
+      concat(array_remove(split(textCol, "\\s+"), ""),
         array(lit(EosToken))).as("t"))
       .withColumn("n_tok", size(col("t")).cast("long"))
     withGlobalOffsets(base, salt)
-      .select(col("tok_start"), posexplode(col("t")))
-      .select((col("tok_start") + col("pos")).as("gpos"), col("col").as("tok"))
-      .groupBy(expr(s"gpos div $seqLen").as("seq_id"))
-      .agg(count(lit(1)).as("n_filled"),
+      .select(col("tok_start"), col("n_tok"), col("t"),
+        explode(sequence(expr(s"tok_start div $seqLen"),
+          expr(s"(tok_start + n_tok - 1) div $seqLen"))).as("seq_id"))
+      // the doc's token run ∩ [seq_id*L, (seq_id+1)*L) — slice() is
+      // 1-based; `from` is the doc-local index of the overlap start
+      .select(col("seq_id"),
+        greatest(col("seq_id") * seqLen, col("tok_start")).as("from_g"),
+        (least((col("seq_id") + 1) * seqLen, col("tok_start") + col("n_tok"))
+          - greatest(col("seq_id") * seqLen, col("tok_start"))).as("len"),
+        col("tok_start"), col("t"))
+      .select(col("seq_id"), col("from_g"), col("len"),
+        concat_ws(" ", slice(col("t"),
+          (col("from_g") - col("tok_start") + 1).cast("int"),
+          col("len").cast("int"))).as("chunk"))
+      .groupBy(col("seq_id"))
+      .agg(sum(col("len")).as("n_filled"),
         charHash(concat_ws(" ",
-          transform(array_sort(collect_list(struct(col("gpos"), col("tok")))),
-            s => s.getField("tok")))).as("seq_hash"))
+          transform(array_sort(collect_list(struct(col("from_g"), col("chunk")))),
+            s => s.getField("chunk")))).as("seq_hash"))
   }
 
   /** Domain-mixture resampling: re-weight the corpus to target per-domain
