@@ -21,6 +21,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // same isolation as Bench: a full GC lets the ContextCleaner drop
+      // finished broadcasts / localCheckpoint blocks between queries —
+      // 95 queries share this JVM, and accumulated pins measurably
+      // degrade later stages (BENCH/BASELINE.md round 4)
+      System.gc()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
