@@ -1055,6 +1055,31 @@ object SparkEntry {
       operators.Multimodal.curateImages(base.unionByName(dups), minPixels = 2048)
         .orderBy("fmt")
     }),
+    // ---- RASTER↔VECTOR zonal statistics (the north star's own composition):
+    //      real pixel decode (narrow) → phash-decoded location → generic
+    //      cover-cell polygon join → exact-int64 per-zone aggregate.
+    //      Oracle: VALUES derived from the generator rules alone (locOf →
+    //      phash → popcount pixel rule, dimsOf → block size, inclusive
+    //      rect containment — same boundary rule the raycast locks).
+    "q6w_zonal_stats" -> ((s, dir) => {
+      operators.Multimodal.zonalStats(s, Fixtures.images(s, 5000), Derive.rectSpecs)
+        .orderBy("poly_id")
+    }),
+    // ---- RASTER mosaic tile rendering: per-image 8×8 block-luma sums
+    //      aggregated elementwise into one mosaic grid per z=4 map tile via
+    //      the mergeable vector-sum aggregate (one partial grid per
+    //      (task,tile) through the shuffle — never a posexplode fan-out).
+    //      mosaic_fp is a position-weighted checksum computed FROM the
+    //      aggregated grid; the oracle re-derives it by linearity from the
+    //      generator's bit→block rule.
+    "q6x_tile_mosaic" -> ((s, dir) => {
+      operators.Multimodal.tileMosaic(Fixtures.images(s, 5000), z = 4, grid = 8)
+        .withColumn("mosaic_fp",
+          aggregate(zip_with(col("mosaic"), sequence(lit(1L), lit(64L)),
+            (v, w) => v * w), lit(0L), (a, x) => a + x))
+        .select("tile_z", "tile_x", "tile_y", "n_images", "total_pixels", "mosaic_fp")
+        .orderBy("tile_x", "tile_y")
+    }),
     // ---- image decode → block-mean embedding → exact top-k bridge.
     //      ORACLED structurally: the oracle recomputes the query count from
     //      the generator's id+crc32 rule and asserts the contract booleans
@@ -1832,6 +1857,62 @@ object SparkEntry {
       s"SELECT * FROM (VALUES $vals) AS t(fmt, n_rows, n_canonical, " +
         "n_dups_removed, n_kept_minres, wp_tokens_kept, all_decode_ok, " +
         "all_psnr_ok) ORDER BY fmt"
+    },
+    "q6w_zonal_stats" -> {
+      // per-zone exact stats from the generator rules alone: location from
+      // locOf (phash encode∘decode is the identity), pixel sums from the
+      // bit→block rule (bit set = 200, clear = 50, block = (w/8)·(h/8) px),
+      // zone containment = inclusive rect test (for axis-aligned rects the
+      // boundary-inclusive raycast IS the inclusive bbox test — q01 note)
+      import graft.fixtures.Fixtures
+      val perZone = scala.collection.mutable.Map[String, (Long, Long, Long)]()
+      (0L until 5000L).foreach { i =>
+        val (lon, lat) = Fixtures.locOf(i)
+        val (w, h) = Fixtures.dimsOf(i)
+        val bits = java.lang.Long.bitCount(graft.core.PhashLoc.encode(lon, lat))
+        val bs = (w / 8).toLong * (h / 8)
+        val sumLuma = bits * 200L * bs + (64L - bits) * 50L * bs
+        Derive.rects.foreach { case (pid, lo, la, hi, ha) =>
+          if (lon >= lo && lon <= hi && lat >= la && lat <= ha) {
+            val (n, p, s0) = perZone.getOrElse(pid, (0L, 0L, 0L))
+            perZone(pid) = (n + 1, p + w.toLong * h, s0 + sumLuma)
+          }
+        }
+      }
+      val vals = perZone.toSeq.sortBy(_._1).map { case (pid, (n, p, s0)) =>
+        s"('$pid', CAST($n AS BIGINT), CAST($p AS BIGINT), CAST($s0 AS BIGINT))"
+      }.mkString(", ")
+      s"SELECT * FROM (VALUES $vals) AS t(poly_id, n_images, total_pixels, sum_luma) " +
+        "ORDER BY poly_id"
+    },
+    "q6x_tile_mosaic" -> {
+      // per-tile mosaic checksum by LINEARITY: fp(Σ grids) = Σ fp(grid);
+      // each image's grid block k = (200|50)·(w/8)·(h/8) from phash bit k,
+      // tile = integer equirect floor rule (q02's oracle form) at z=4
+      import graft.fixtures.Fixtures
+      val perTile = scala.collection.mutable.Map[(Long, Long), (Long, Long, Long)]()
+      (0L until 5000L).foreach { i =>
+        val (lon, lat) = Fixtures.locOf(i)
+        val (w, h) = Fixtures.dimsOf(i)
+        val phash = graft.core.PhashLoc.encode(lon, lat)
+        val bs = (w / 8).toLong * (h / 8)
+        var fp = 0L; var k = 0
+        while (k < 64) {
+          val v = if (((phash >>> k) & 1L) == 1L) 200L else 50L
+          fp += (k + 1) * v * bs
+          k += 1
+        }
+        val tx = Math.floorDiv((lon + 180000000L) * 16L, 360000000L)
+        val ty = Math.floorDiv((90000000L - lat) * 16L, 180000000L)
+        val (n, p, f0) = perTile.getOrElse((tx, ty), (0L, 0L, 0L))
+        perTile((tx, ty)) = (n + 1, p + w.toLong * h, f0 + fp)
+      }
+      val vals = perTile.toSeq.sortBy(_._1).map { case ((tx, ty), (n, p, f0)) =>
+        s"(4, CAST($tx AS BIGINT), CAST($ty AS BIGINT), CAST($n AS BIGINT), " +
+          s"CAST($p AS BIGINT), CAST($f0 AS BIGINT))"
+      }.mkString(", ")
+      s"SELECT * FROM (VALUES $vals) AS t(tile_z, tile_x, tile_y, n_images, " +
+        "total_pixels, mosaic_fp) ORDER BY tile_x, tile_y"
     },
     "q63_image_embed_topk" -> {
       // query count from the generator's id rule + Spark's crc32 semantics

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.encoders.RowEncoder
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -200,6 +200,120 @@ object Multimodal {
             w, frameH)
         }
       }(enc)
+  }
+
+  private val zonalDecodeSchema = StructType(Seq(
+    StructField("image_id", StringType), StructField("phash", LongType),
+    StructField("n_pixels", IntegerType), StructField("sum_luma", LongType)))
+
+  /** Per-image decoded luma totals — the narrow raster stage shared by
+    * [[zonalStats]] and [[tileMosaic]]: decode once per row inside the
+    * scan task, emit only (id, phash, n_pixels, sum_luma). Pixel bytes
+    * NEVER leave the task; everything downstream shuffles ≤ 28 bytes/row.
+    */
+  private def decodedLuma(images: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(zonalDecodeSchema)
+    images.select("image_id", "bytes", "w", "h", "fmt", "phash")
+      .mapPartitions { it =>
+        it.map { r =>
+          val (id, bytes, w, h, fmt, phash) = (r.getString(0), r.getAs[Array[Byte]](1),
+            r.getInt(2), r.getInt(3), r.getString(4), r.getLong(5))
+          val px = decodeAny(bytes, fmt, w, h)
+          var sum = 0L; var i = 0
+          while (i < px.length) { sum += (px(i) & 0xff); i += 1 }
+          Row(id, phash, px.length, sum)
+        }
+      }(enc)
+  }
+
+  /** Zonal statistics — the raster↔vector composition the north star names:
+    * aggregate decoded-pixel statistics of an image corpus per polygon zone
+    * (upstream analogue: aggregateByGeometry over raster-derived values
+    * [ref: oshdb-api/…/MapAggregator :: aggregateByGeometry]).
+    *
+    * Plan: (1) [[decodedLuma]] narrow decode — real codec work, no shuffle;
+    * (2) location decoded from the phash Morton code (codegen exprs, exact
+    * identity); (3) the generic cover-cell spatial join (broadcast polygon
+    * cover + raycast refine — point side stays shuffle-free in broadcast
+    * mode); (4) one hash-aggregate per zone with map-side partials. All
+    * outputs exact int64 — n_images, total_pixels, sum_luma per zone —
+    * so the oracle can re-derive them bit-for-bit from generator rules.
+    *
+    * Scale: the only exchange is the final per-zone aggregate (rows =
+    * candidate join output, bytes/row ≤ 28); decode dominates wall-clock
+    * and is embarrassingly parallel.
+    */
+  def zonalStats(spark: SparkSession, images: DataFrame,
+                 specs: Array[graft.fixtures.PolySpec]): DataFrame = {
+    import graft.functions.GraftFunctions.{phashLon, phashLat}
+    val pts = decodedLuma(images)
+      .withColumn("lonm", phashLon(col("phash")))
+      .withColumn("latm", phashLat(col("phash")))
+    SpatialJoin.join(spark, pts, col("lonm"), col("latm"), specs)
+      .groupBy("poly_id")
+      .agg(count(lit(1)).as("n_images"),
+        sum(col("n_pixels").cast("long")).as("total_pixels"),
+        sum("sum_luma").as("sum_luma"))
+  }
+
+  private val blockSchema = StructType(Seq(
+    StructField("image_id", StringType), StructField("phash", LongType),
+    StructField("n_pixels", IntegerType),
+    StructField("blocks", ArrayType(LongType, containsNull = false))))
+
+  /** Tile-mosaic rendering — the raster side of raster↔vector: aggregate
+    * every image's grid×grid block-luma sums into one mosaic grid per map
+    * tile (the "mean-luma tile layer" a 10^12-image corpus renders for
+    * inspection; divide by pixel counts for means at display time — sums
+    * stay exact int64 end-to-end).
+    *
+    * Plan: narrow decode+block-sum kernel (requires w,h divisible by grid;
+    * true for the 8-multiple fixture dims), equirect tile assignment from
+    * the phash location (integer-exact codegen), then ONE hash-aggregate
+    * per tile where the grid rides [[graft.functions.VecSumAgg]] — an
+    * elementwise mergeable vector sum with map-side partials. The naive
+    * alternative (posexplode to (tile, pos) rows) would shuffle grid²×
+    * more rows; the aggregate ships one partial vector per (task, tile).
+    *
+    * Output: (tile_z, tile_x, tile_y, n_images, total_pixels, mosaic) with
+    * `mosaic` = elementwise summed grid (length grid², row-major).
+    */
+  def tileMosaic(images: DataFrame, z: Int, grid: Int = 8): DataFrame = {
+    import graft.functions.GraftFunctions.{phashLon, phashLat}
+    val enc = RowEncoder.encoderFor(blockSchema)
+    val blocks = images.select("image_id", "bytes", "w", "h", "fmt", "phash")
+      .mapPartitions { it =>
+        it.map { r =>
+          val (id, bytes, w, h, fmt, phash) = (r.getString(0), r.getAs[Array[Byte]](1),
+            r.getInt(2), r.getInt(3), r.getString(4), r.getLong(5))
+          require(w % grid == 0 && h % grid == 0,
+            s"tileMosaic: dims ${w}x$h not divisible by grid $grid")
+          val px = decodeAny(bytes, fmt, w, h)
+          val bw = w / grid; val bh = h / grid
+          val sums = new Array[Long](grid * grid)
+          var k = 0
+          while (k < sums.length) {
+            val br = k / grid; val bc = k % grid
+            var acc = 0L; var y = br * bh
+            while (y < (br + 1) * bh) {
+              var x = bc * bw
+              while (x < (bc + 1) * bw) { acc += (px(y * w + x) & 0xff); x += 1 }
+              y += 1
+            }
+            sums(k) = acc
+            k += 1
+          }
+          Row(id, phash, px.length, sums)
+        }
+      }(enc)
+    val located = blocks
+      .withColumn("lonm", phashLon(col("phash")))
+      .withColumn("latm", phashLat(col("phash")))
+    SpatialJoin.assignTiles(located, col("lonm"), col("latm"), z)
+      .groupBy("tile_z", "tile_x", "tile_y")
+      .agg(count(lit(1)).as("n_images"),
+        sum(col("n_pixels").cast("long")).as("total_pixels"),
+        graft.functions.VecSumAgg.vecSum(col("blocks")).as("mosaic"))
   }
 
   /** JOINT image+caption curation over an ingest table (the input_hint

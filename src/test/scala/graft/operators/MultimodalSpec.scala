@@ -171,6 +171,83 @@ class MultimodalSpec extends AnyFunSuite {
       s"lossy jpeg roundtrip must be finite and >= 40 dB: ${psnrs.mkString(",")}")
   }
 
+  test("zonalStats equals in-JVM decode + inclusive rect containment") {
+    import graft.oracle.Derive
+    val got = Multimodal.zonalStats(spark, imgs, Derive.rectSpecs)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // brute force: decode every image with the codec directly
+    val expect = scala.collection.mutable.Map[String, (Long, Long, Long)]()
+    imgs.select("bytes", "w", "h", "fmt", "phash").collect().foreach { r =>
+      val (bytes, w, h, fmt, phash) = (r.getAs[Array[Byte]](0), r.getInt(1),
+        r.getInt(2), r.getString(3), r.getLong(4))
+      val px = ImageCodec.decode(bytes, fmt, w, h)
+      val sum = px.map(b => (b & 0xff).toLong).sum
+      val lon = graft.core.PhashLoc.lonMicro(phash)
+      val lat = graft.core.PhashLoc.latMicro(phash)
+      Derive.rects.foreach { case (pid, lo, la, hi, ha) =>
+        if (lon >= lo && lon <= hi && lat >= la && lat <= ha) {
+          val (n, p, s0) = expect.getOrElse(pid, (0L, 0L, 0L))
+          expect(pid) = (n + 1, p + px.length, s0 + sum)
+        }
+      }
+    }
+    assert(got === expect.toMap)
+    assert(got.nonEmpty, "fixture must cover at least one zone")
+  }
+
+  test("tileMosaic grid equals brute-force elementwise block sums per tile") {
+    val got = Multimodal.tileMosaic(imgs, z = 4, grid = 8)
+      .collect().map { r =>
+        (r.getLong(r.fieldIndex("tile_x")), r.getLong(r.fieldIndex("tile_y"))) ->
+          ((r.getLong(r.fieldIndex("n_images")), r.getLong(r.fieldIndex("total_pixels")),
+            r.getSeq[Long](r.fieldIndex("mosaic")).toVector))
+      }.toMap
+    val expect = scala.collection.mutable.Map[(Long, Long), (Long, Long, Array[Long])]()
+    imgs.select("bytes", "w", "h", "fmt", "phash").collect().foreach { r =>
+      val (bytes, w, h, fmt, phash) = (r.getAs[Array[Byte]](0), r.getInt(1),
+        r.getInt(2), r.getString(3), r.getLong(4))
+      val px = ImageCodec.decode(bytes, fmt, w, h)
+      val bw = w / 8; val bh = h / 8
+      val sums = Array.tabulate(64) { k =>
+        var acc = 0L
+        for (y <- (k / 8) * bh until (k / 8 + 1) * bh;
+             x <- (k % 8) * bw until (k % 8 + 1) * bw) acc += (px(y * w + x) & 0xff)
+        acc
+      }
+      val lon = graft.core.PhashLoc.lonMicro(phash)
+      val lat = graft.core.PhashLoc.latMicro(phash)
+      val tx = Math.floorDiv((lon + 180000000L) * 16L, 360000000L)
+      val ty = Math.floorDiv((90000000L - lat) * 16L, 180000000L)
+      val (n, p, g) = expect.getOrElse((tx, ty), (0L, 0L, new Array[Long](64)))
+      for (k <- 0 until 64) g(k) += sums(k)
+      expect((tx, ty)) = (n + 1, p + px.length, g)
+    }
+    assert(got.keySet === expect.keySet)
+    expect.foreach { case (t, (n, p, g)) =>
+      assert(got(t)._1 === n, s"n_images at $t")
+      assert(got(t)._2 === p, s"total_pixels at $t")
+      assert(got(t)._3 === g.toVector, s"mosaic at $t")
+    }
+  }
+
+  test("vec_sum raises on mismatched lengths, ignores nulls, merges partials") {
+    import spark.implicits._
+    import graft.functions.VecSumAgg.vecSum
+    // 200 rows over 8 partitions forces real partial merges
+    val df = spark.range(0, 200, 1, 8)
+      .select(array(col("id"), col("id") * 2, lit(1L)).as("v"))
+    val got = df.agg(vecSum(col("v"))).collect()(0).getSeq[Long](0)
+    val s = (0L until 200L).sum
+    assert(got === Seq(s, 2 * s, 200L))
+    // nulls are skipped, not zero-length-summed
+    val withNull = Seq(Some(Array(1L, 2L)), None, Some(Array(3L, 4L)))
+      .toDF("v")
+    assert(withNull.agg(vecSum(col("v"))).collect()(0).getSeq[Long](0) === Seq(4L, 6L))
+    val bad = Seq(Array(1L, 2L), Array(1L, 2L, 3L)).toDF("v")
+    val e = intercept[Exception] { bad.agg(vecSum(col("v"))).collect() }
+    assert(e.getMessage != null)
+  }
+
   test("bmp and gif decode are real and lossless for gray fixtures") {
     val px = ImageCodec.pixelsFromHash(0xBEEF_CAFEL, 64, 64)
     assert(ImageCodec.decode(ImageCodec.encodeBmp(px, 64, 64), "bmp", 64, 64)
