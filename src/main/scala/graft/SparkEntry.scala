@@ -35,6 +35,13 @@ object SparkEntry {
         Derive.lonMicro(col("c_custkey")).as("lonm"),
         Derive.latMicro(col("c_custkey")).as("latm"))
 
+  /** Aspect buckets for q6z — deliberately no 1:1 bucket at 64 px so the
+    * 64×64 fixture images must REASSIGN to the nearest ratio, proving the
+    * argmin does more than echo the source dims.
+    */
+  private val AspectBuckets: Seq[(Int, Int)] =
+    Seq((32, 32), (64, 32), (96, 32), (32, 64), (96, 64))
+
   /** Weekly snapshot instants via the ISO interval+period expander (B3 —
     * the reference's `timestamps("2024-01-08","2024-01-29","P7D")`).
     */
@@ -608,6 +615,18 @@ object SparkEntry {
       TextAnalysis.lmScore(docs, col("doc_id"), col("text"), model,
         minHitRate = 0.5).orderBy("doc_id")
     }),
+    // ---- DSIR-shape importance resampling: hashed-bigram target vs raw
+    //      models → int64 fixed-point ratio weights (broadcast) → per-doc
+    //      score → deterministic content-addressed keep draw. The
+    //      "make the corpus look like the target" verb; every doc appears
+    //      with its score + draw + decision. Integer-exact end to end.
+    "q6y_importance_resample" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      TextAnalysis.importanceResample(docs, col("doc_id"), col("text"),
+          docs.where(col("doc_id") % 7 === 0), col("text"),
+          numBuckets = 4096, tau = 2)
+        .orderBy("doc_id")
+    }),
     // ---- per-source cap (the "domain cap" rule): keep <= 20 docs per
     //      source in content-addressed hash order — bounded-heap aggregate,
     //      no window sort, skew-immune by construction.
@@ -1055,6 +1074,18 @@ object SparkEntry {
       operators.Multimodal.curateImages(base.unionByName(dups), minPixels = 2048)
         .orderBy("fmt")
     }),
+    // ---- aspect-ratio bucketing (SDXL-style multi-aspect batching): every
+    //      image to its nearest-ratio bucket by exact integer cross-
+    //      multiplication, ties to the lowest index; per-bucket loader
+    //      report. Oracle: VALUES from the dims generator rule + the same
+    //      integer argmin.
+    "q6z_aspect_bucket" -> ((s, dir) => {
+      operators.Multimodal.aspectBucket(Fixtures.images(s, 5000), AspectBuckets)
+        .groupBy("bucket_id", "bucket_w", "bucket_h")
+        .agg(count(lit(1)).as("n_images"),
+          sum(col("w").cast("long") * col("h")).as("total_src_pixels"))
+        .orderBy("bucket_id")
+    }),
     // ---- RASTER↔VECTOR zonal statistics (the north star's own composition):
     //      real pixel decode (narrow) → phash-decoded location → generic
     //      cover-cell polygon join → exact-int64 per-zone aggregate.
@@ -1473,6 +1504,7 @@ object SparkEntry {
     "q6l_lm_train" -> TextOracle.lmTrainSql(2L, "doc_id % 10 < 3"),
     "q6m_lm_score" -> TextOracle.lmScoreSql(2L, "doc_id % 10 < 3", 0.5),
     "q6n_group_cap" -> TextOracle.groupCapSql("source", 20, "q6n"),
+    "q6y_importance_resample" -> TextOracle.importanceResampleSql(4096, 2, "doc_id % 7 = 0"),
     "q6o_bloom_new" -> TextOracle.bloomNewSql("c.doc_id % 10 < 8"),
     "q6i_bpe_train" -> TextOracle.bpeTrainSql(8),
     "q6j_bpe_encode" -> TextOracle.bpeEncodeSql(8, 30),
@@ -1857,6 +1889,30 @@ object SparkEntry {
       s"SELECT * FROM (VALUES $vals) AS t(fmt, n_rows, n_canonical, " +
         "n_dups_removed, n_kept_minres, wp_tokens_kept, all_decode_ok, " +
         "all_psnr_ok) ORDER BY fmt"
+    },
+    "q6z_aspect_bucket" -> {
+      // same integer nearest-ratio argmin over the dims generator rule
+      import graft.fixtures.Fixtures
+      val lcm = AspectBuckets.map(_._2.toLong).reduce { (a, b) =>
+        @annotation.tailrec def g(x: Long, y: Long): Long = if (y == 0) x else g(y, x % y)
+        a / g(a, b) * b
+      }
+      val per = scala.collection.mutable.Map[Int, (Long, Long)]()
+      (0L until 5000L).foreach { i =>
+        val (w, h) = Fixtures.dimsOf(i)
+        val ks = AspectBuckets.map { case (tw, th) =>
+          math.abs(w.toLong * th - tw.toLong * h) * (lcm / th)
+        }
+        val b = ks.indexOf(ks.min)
+        val (n, p) = per.getOrElse(b, (0L, 0L))
+        per(b) = (n + 1, p + w.toLong * h)
+      }
+      val vals = per.toSeq.sortBy(_._1).map { case (b, (n, p)) =>
+        val (tw, th) = AspectBuckets(b)
+        s"(CAST($b AS INTEGER), $tw, $th, CAST($n AS BIGINT), CAST($p AS BIGINT))"
+      }.mkString(", ")
+      s"SELECT * FROM (VALUES $vals) AS t(bucket_id, bucket_w, bucket_h, " +
+        "n_images, total_src_pixels) ORDER BY bucket_id"
     },
     "q6w_zonal_stats" -> {
       // per-zone exact stats from the generator rules alone: location from

@@ -316,6 +316,38 @@ object Multimodal {
         graft.functions.VecSumAgg.vecSum(col("blocks")).as("mosaic"))
   }
 
+  /** Aspect-ratio bucketing (the image-training batching shape — SDXL-style
+    * multi-aspect training, public technique): assign every image to the
+    * bucket whose aspect ratio tw/th is nearest the image's own w/h, so a
+    * loader can batch same-shaped tensors without destructive square crops.
+    *
+    * Exactness: nearest-ratio selection is integer cross-multiplied —
+    * |w/h − tw/th| ∝ |w·th − tw·h| · (L/th) with L = lcm of all bucket
+    * heights — so no float ratio exists and ties break to the LOWEST bucket
+    * index (array_position returns the first minimum). Map-only, metadata
+    * only: no decode, no shuffle; the per-bucket report downstream is one
+    * hash-aggregate.
+    */
+  def aspectBucket(images: DataFrame, buckets: Seq[(Int, Int)]): DataFrame = {
+    require(buckets.nonEmpty && buckets.forall { case (tw, th) => tw > 0 && th > 0 },
+      "buckets must be non-empty positive dims")
+    val lcm = buckets.map(_._2.toLong).reduce((a, b) => a / gcd(a, b) * b)
+    require(lcm <= 1000000L, s"bucket-height lcm $lcm too large for exact int64 keys")
+    val keys = array(buckets.map { case (tw, th) =>
+      abs(col("w").cast("long") * th - lit(tw.toLong) * col("h")) * lit(lcm / th)
+    }: _*)
+    images.withColumn("_keys", keys)
+      .withColumn("bucket_id",
+        (array_position(col("_keys"), array_min(col("_keys"))) - 1).cast("int"))
+      .withColumn("bucket_w",
+        element_at(array(buckets.map(b => lit(b._1)): _*), col("bucket_id") + 1))
+      .withColumn("bucket_h",
+        element_at(array(buckets.map(b => lit(b._2)): _*), col("bucket_id") + 1))
+      .drop("_keys")
+  }
+
+  private def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+
   /** JOINT image+caption curation over an ingest table (the input_hint
     * shape): exact image dedup by the stored 64-bit phash (min-image_id
     * canonical election — the re-upload/mirror case), decode-integrity

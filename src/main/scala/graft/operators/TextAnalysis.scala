@@ -392,6 +392,83 @@ object TextAnalysis {
       .withColumn("lm_keep", col("n_bigrams") > 0 && col("hit_rate") >= minHitRate)
   }
 
+  /** Fixed-point scale for [[importanceResample]] feature weights. */
+  val DSIR_SCALE: Long = 1L << 16
+  /** Per-feature ratio clip — keeps score·1e6 in int64 for docs up to
+    * ~2M tokens (1e6 · n · 64 · 2^16 < 2^63 ⇔ n < 2.2e6).
+    */
+  val DSIR_RATIO_CAP: Long = 64L
+
+  /** Hashed n-gram importance resampling — the DSIR shape (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling", public
+    * knowledge): estimate how much more likely each corpus document's
+    * hashed-bigram bag is under a TARGET text distribution than under the
+    * RAW corpus, then keep documents by a deterministic content-addressed
+    * draw against that importance score — the "make the corpus look like
+    * the target" curation verb.
+    *
+    * Fixed-point discipline (documented deviation from the paper): DSIR
+    * sums per-feature LOG-likelihood ratios in float; this engine quantizes
+    * the per-feature ratio itself to exact int64 —
+    *   w_f = min(DSIR_RATIO_CAP·SCALE,
+    *             (SCALE·(cnt_target(f)+1)) div (cnt_raw(f)+1))
+    * (add-one smoothing on both models) and scores
+    *   score(doc) = Σ_bigram-instances w_{f(g)}
+    * — a rational-ratio surrogate over the same per-feature evidence that
+    * keeps the whole path AND the DuckDB twin integer-exact: float enters
+    * nowhere, so a keep decision can never flip on a libm ulp.
+    *
+    * Keep rule (cross-multiplied, division-free): with
+    *   draw = charHash64(id:salt) mod 1e6,
+    *   keep ⇔ n_grams > 0 ∧ draw·n_grams·SCALE·tau < score·1e6
+    * i.e. accept with probability min(1, avg_ratio/tau); integer `tau ≥ 1`
+    * is the sampling temperature (higher = more selective), playing the
+    * role of DSIR's resampling normalizer.
+    *
+    * Scale: both feature models are ONE hash-aggregate each into
+    * ≤ numBuckets rows (map-side combine — aggregate state is
+    * bucket-bounded, never corpus-bounded); the weight table (≤ numBuckets
+    * rows) broadcasts; scoring is one narrow bigram pass map-side-joined
+    * against it with a partially-combining per-doc aggregate — the corpus
+    * text never shuffles (same posture as lmScore/decontaminate). The raw
+    * model and the scoring are two scans of the corpus; a deployment
+    * caches the hashed-feature projection between them.
+    */
+  def importanceResample(corpus: DataFrame, idCol: Column, textCol: Column,
+                         target: DataFrame, targetText: Column,
+                         numBuckets: Int = 1 << 16, tau: Int = 2,
+                         salt: String = "dsir"): DataFrame = {
+    require(numBuckets > 0 && tau >= 1, "numBuckets > 0 and tau >= 1 required")
+    def feats(df: DataFrame, id: Column, text: Column): DataFrame =
+      bigrams(df, id, text).select(col("doc_id"),
+        pmod(charHash64(concat(col("lhs"), lit(" "), col("rhs"))),
+          lit(numBuckets.toLong)).as("f"))
+    val corpusFeats = feats(corpus, idCol, textCol)
+    val tCnt = feats(target, lit(0L), targetText)
+      .groupBy("f").agg(count(lit(1)).as("cnt_t"))
+    val rCnt = corpusFeats.groupBy("f").agg(count(lit(1)).as("cnt_r"))
+    // every corpus feature appears in the raw model by construction, so a
+    // left join covers scoring; integer div truncation == DuckDB // here
+    // (both operands non-negative)
+    val weights = rCnt.join(tCnt, Seq("f"), "left")
+      .select(col("f"), least(lit(DSIR_RATIO_CAP * DSIR_SCALE),
+        expr(s"(CAST($DSIR_SCALE AS BIGINT) * (coalesce(cnt_t, CAST(0 AS BIGINT)) + 1))" +
+          " div (cnt_r + 1)")).as("w"))
+    val scored = corpusFeats.join(broadcast(weights), Seq("f"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"), sum(col("w")).as("score"))
+    corpus.select(idCol.as("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("score"), lit(0L)).as("score"))
+      .withColumn("draw", pmod(charHash64(
+        concat(col("doc_id").cast("string"), lit(":" + salt))), lit(1000000L)))
+      .withColumn("kept", col("n_grams") > 0 &&
+        col("draw") * col("n_grams") * lit(DSIR_SCALE * tau) <
+          col("score") * lit(1000000L))
+  }
+
   /** Per-group document cap (the "domain cap" curation rule — bound any one
     * source/domain/language's share of the corpus): keep at most `cap` docs
     * per group, chosen in content-addressed hash order (charHash64 of

@@ -264,6 +264,41 @@ object TextOracle {
        |       WHERE doc_id IN (SELECT doc_id FROM documents WHERE $trainPred)
        |       GROUP BY 1, 2 HAVING count(*) >= $minCount)""".stripMargin
 
+  /** Importance-resampling twin (mirrors TextAnalysis.importanceResample —
+    * q6y): same hashed-bigram models, same int64 fixed-point ratio weights,
+    * same cross-multiplied keep rule, add-one smoothing on both sides.
+    */
+  def importanceResampleSql(numBuckets: Int, tau: Int, targetPred: String,
+                            salt: String = "dsir"): String = {
+    val scale = graft.operators.TextAnalysis.DSIR_SCALE
+    val cap = graft.operators.TextAnalysis.DSIR_RATIO_CAP * scale
+    val draw = s"${charHash64Sql(s"CAST(d.doc_id AS VARCHAR) || ':$salt'")} % 1000000"
+    s"""WITH lt AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t FROM documents),
+       |bg AS (SELECT doc_id, u.lhs AS lhs, u.rhs AS rhs FROM (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(t)),
+       |    i -> {'lhs': t[i], 'rhs': t[i+1]})) AS u
+       |  FROM lt WHERE len(t) >= 2) z),
+       |ft AS (SELECT doc_id, ${charHash64Sql("lhs || ' ' || rhs")} % $numBuckets AS f FROM bg),
+       |tc AS (SELECT f, CAST(count(*) AS BIGINT) AS cnt_t FROM ft
+       |       WHERE doc_id IN (SELECT doc_id FROM documents WHERE $targetPred)
+       |       GROUP BY 1),
+       |rc AS (SELECT f, CAST(count(*) AS BIGINT) AS cnt_r FROM ft GROUP BY 1),
+       |w AS (SELECT rc.f,
+       |    least(CAST($cap AS BIGINT), ($scale * (coalesce(tc.cnt_t, 0) + 1)) // (rc.cnt_r + 1)) AS w
+       |  FROM rc LEFT JOIN tc ON rc.f = tc.f),
+       |sc AS (SELECT ft.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       |    CAST(sum(w.w) AS BIGINT) AS score
+       |  FROM ft JOIN w ON ft.f = w.f GROUP BY 1)
+       |SELECT d.doc_id, coalesce(sc.n_grams, 0) AS n_grams,
+       |  coalesce(sc.score, 0) AS score,
+       |  $draw AS draw,
+       |  coalesce(sc.n_grams, 0) > 0 AND
+       |    ($draw) * coalesce(sc.n_grams, 0) * ${scale * tau}
+       |      < coalesce(sc.score, 0) * 1000000 AS kept
+       |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   /** The trained bigram table (mirrors lmTrain — q6l). */
   def lmTrainSql(minCount: Long, trainPred: String): String =
     s"""WITH ${lmCtes(minCount, trainPred)}

@@ -230,6 +230,26 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("aspectBucket: nearest ratio by integer cross-multiplication, ties to lowest index") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 64, 64),   // ratio 1 → bucket 0 (32,32)
+      ("b", 100, 50),  // ratio 2 → bucket 1 (64,32)
+      ("c", 90, 60),   // ratio 1.5 → bucket 3 (96,64)
+      ("d", 50, 100),  // ratio .5 → bucket 2 (32,64)
+      ("e", 70, 56))   // ratio 1.25 — equidistant from 1 and 1.5 → tie → bucket 0
+      .toDF("image_id", "w", "h")
+    val buckets = Seq((32, 32), (64, 32), (32, 64), (96, 64))
+    val got = Multimodal.aspectBucket(df, buckets)
+      .select("image_id", "bucket_id", "bucket_w", "bucket_h")
+      .collect().map(r => r.getString(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(got("a") === ((0, 32, 32)))
+    assert(got("b") === ((1, 64, 32)))
+    assert(got("c") === ((3, 96, 64)))
+    assert(got("d") === ((2, 32, 64)))
+    assert(got("e") === ((0, 32, 32)), "tie must break to the lowest bucket index")
+  }
+
   test("vec_sum raises on mismatched lengths, ignores nulls, merges partials") {
     import spark.implicits._
     import graft.functions.VecSumAgg.vecSum

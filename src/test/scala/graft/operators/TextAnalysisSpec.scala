@@ -336,4 +336,47 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(counts(4L) === ((1L, 1L, 1L)))
     assert(counts(5L) === ((0L, 0L, 0L)))
   }
+
+  test("importanceResample equals in-JVM DSIR-shape reference; short docs dropped") {
+    val docs = Seq(
+      (1L, "alpha beta alpha beta alpha beta"), // target-like → high ratio
+      (2L, "alpha beta gamma delta"),
+      (3L, "gamma delta gamma delta gamma delta"), // raw-only → low ratio
+      (4L, "epsilon"), // < 2 tokens → n_grams 0, never kept
+      (5L, "alpha beta alpha beta"),
+      (6L, "")).toDF("doc_id", "text")
+    val B = 64; val tau = 1
+    val got = TextAnalysis.importanceResample(docs, col("doc_id"), col("text"),
+        docs.where(col("doc_id") % 2 === 1), col("text"), numBuckets = B, tau = tau)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+
+    // in-JVM reference with the SAME hash kernels
+    val texts = Map(1L -> "alpha beta alpha beta alpha beta", 2L -> "alpha beta gamma delta",
+      3L -> "gamma delta gamma delta gamma delta", 4L -> "epsilon",
+      5L -> "alpha beta alpha beta", 6L -> "")
+    def feats(t: String): Seq[Long] = {
+      val ts = t.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      ts.sliding(2).filter(_.length == 2)
+        .map(p => Math.floorMod(TextHash.charHash64(p.mkString(" ")), B.toLong)).toSeq
+    }
+    val all = texts.view.mapValues(feats).toMap
+    val rc = all.values.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val tc = all.filter(_._1 % 2 == 1).values.flatten.groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val S = TextAnalysis.DSIR_SCALE
+    def w(f: Long): Long = math.min(TextAnalysis.DSIR_RATIO_CAP * S,
+      S * (tc.getOrElse(f, 0L) + 1) / (rc(f) + 1))
+    texts.keys.foreach { id =>
+      val fs = all(id)
+      val n = fs.size.toLong
+      val score = fs.map(w).sum
+      val draw = Math.floorMod(TextHash.charHash64(s"$id:dsir"), 1000000L)
+      val kept = n > 0 && draw * n * S * tau < score * 1000000L
+      assert(got(id) === ((n, score, draw, kept)), s"doc $id")
+    }
+    // the target-heavy doc must outscore per-gram the raw-only doc
+    assert(got(1L)._2 / got(1L)._1 > got(3L)._2 / got(3L)._1)
+    assert(!got(4L)._4 && !got(6L)._4)
+  }
 }
