@@ -895,6 +895,46 @@ object SparkEntry {
       q.awaitTermination()
       graft.sources.IcebergLite.read(s, tbl).orderBy("doc_id")
     }),
+    // ---- STREAMING geospatial ingest (J on axis A): the tile-assignment
+    //      transform run as a Structured Streaming job over a 3-file landing
+    //      directory with maxFilesPerTrigger=1 — THREE micro-batches, each
+    //      committing one exactly-once IcebergLite snapshot (batchId inside
+    //      the snapshot commit) — then a batch per-tile rollup of the
+    //      ingested table. Oracle: the batch twin (q02's tile algebra +
+    //      GROUP BY), which only matches if every row arrived exactly once
+    //      across the multi-batch run.
+    "q70_stream_tiles" -> ((s, dir) => {
+      import java.nio.file.{Files, Paths}
+      val staged = Files.createTempDirectory("graft_q70_src")
+      val tmp = Files.createTempDirectory("graft_q70_tmp").toString
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"),
+          Derive.lonMicro(col("o_orderkey")).as("lonm"),
+          Derive.latMicro(col("o_orderkey")).as("latm"))
+      orders.repartition(3).write.parquet(s"$tmp/split")
+      new java.io.File(s"$tmp/split").listFiles()
+        .filter(f => f.getName.endsWith(".parquet"))
+        .zipWithIndex.foreach { case (f, i) =>
+          Files.copy(f.toPath, staged.resolve(s"f$i.parquet")) }
+      val tbl = Files.createTempDirectory("graft_q70_tbl").toString
+      val ckpt = Files.createTempDirectory("graft_q70_ck").toString
+      val stream = s.readStream.schema(orders.schema)
+        .option("maxFilesPerTrigger", "1").parquet(staged.toString)
+      val tiled = SpatialJoin.assignTiles(stream, col("lonm"), col("latm"), 8)
+        .select("o_orderkey", "tile_z", "tile_x", "tile_y")
+      val q = tiled.writeStream
+        .queryName("q70")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch(graft.streaming.EventStream.icebergBatchWriter(
+          tbl, col("o_orderkey"), "q70"))
+        .start()
+      q.awaitTermination()
+      graft.sources.IcebergLite.read(s, tbl)
+        .groupBy("tile_z", "tile_x", "tile_y")
+        .agg(count(lit(1)).as("n_points"))
+        .orderBy("tile_x", "tile_y")
+    }),
     // ---- PQ-COMPRESSED persisted IVF (FAISS IVFPQ shape): lists store m
     //      one-byte codes per vector instead of the full vector; query =
     //      partition-pruned scan + codegen ADC + exact re-rank of top-C
@@ -1239,6 +1279,14 @@ object SparkEntry {
          |  ((lonm + 180000000) * 256) // 360000000 AS tile_x,
          |  ((90000000 - latm) * 256) // 180000000 AS tile_y
          |FROM pts ORDER BY o_orderkey""".stripMargin,
+    "q70_stream_tiles" ->
+      s"""WITH pts AS (SELECT o_orderkey, ${Derive.lonSql("o_orderkey")} AS lonm,
+         |  ${Derive.latSql("o_orderkey")} AS latm FROM orders)
+         |SELECT 8 AS tile_z,
+         |  ((lonm + 180000000) * 256) // 360000000 AS tile_x,
+         |  ((90000000 - latm) * 256) // 180000000 AS tile_y,
+         |  count(*) AS n_points
+         |FROM pts GROUP BY 1, 2, 3 ORDER BY tile_x, tile_y""".stripMargin,
     "q03_zcell_count" ->
       s"""WITH pts AS (SELECT ${Derive.lonSql("c_custkey")} AS lonm,
          |  ${Derive.latSql("c_custkey")} AS latm FROM customer),

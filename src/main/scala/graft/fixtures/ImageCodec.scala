@@ -69,20 +69,33 @@ object ImageCodec {
       val (dw, dh, px) = graft.core.Vp8l.decodeGray(bytes)
       require(dw == w && dh == h, s"webp dims ($dw,$dh) != metadata ($w,$h)")
       px
-    case f if RealFormats.contains(f.toLowerCase) =>
-      val img0 = ImageIO.read(new ByteArrayInputStream(bytes))
-      require(img0 != null, s"ImageIO failed to decode fmt=$fmt")
-      val img =
-        if (img0.getType == BufferedImage.TYPE_BYTE_GRAY) img0
-        else {
-          val g = new BufferedImage(img0.getWidth, img0.getHeight, BufferedImage.TYPE_BYTE_GRAY)
-          val gg = g.createGraphics(); gg.drawImage(img0, 0, 0, null); gg.dispose()
-          g
-        }
-      val out = new Array[Byte](w * h)
-      img.getRaster.getDataElements(0, 0, w, h, out)
-      out
+    case "png" =>
+      // fast path: the in-repo 8-bit-gray decoder (ImageIO's reader costs
+      // ~3.3 ms/tiny image in setup alone — 90× measured; PngSpec gates
+      // byte parity). Non-gray/interlaced PNGs fall through to ImageIO.
+      graft.core.Png.decodeGray(bytes) match {
+        case Some((dw, dh, px)) =>
+          require(dw == w && dh == h, s"png dims ($dw,$dh) != metadata ($w,$h)")
+          px
+        case None => decodeImageIo(bytes, fmt, w, h)
+      }
+    case f if RealFormats.contains(f.toLowerCase) => decodeImageIo(bytes, fmt, w, h)
     case other => throw new IllegalArgumentException(s"unknown fmt: $other")
+  }
+
+  private def decodeImageIo(bytes: Array[Byte], fmt: String, w: Int, h: Int): Array[Byte] = {
+    val img0 = ImageIO.read(new ByteArrayInputStream(bytes))
+    require(img0 != null, s"ImageIO failed to decode fmt=$fmt")
+    val img =
+      if (img0.getType == BufferedImage.TYPE_BYTE_GRAY) img0
+      else {
+        val g = new BufferedImage(img0.getWidth, img0.getHeight, BufferedImage.TYPE_BYTE_GRAY)
+        val gg = g.createGraphics(); gg.drawImage(img0, 0, 0, null); gg.dispose()
+        g
+      }
+    val out = new Array[Byte](w * h)
+    img.getRaster.getDataElements(0, 0, w, h, out)
+    out
   }
 
   /** 8×8 average-hash: bit k (row-major) set iff block-k mean > global mean.

