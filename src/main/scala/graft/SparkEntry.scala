@@ -858,6 +858,24 @@ object SparkEntry {
         .select(col("n_queries"),
           (col("_h").cast("double") >= lit(0.8) * col("_n").cast("double")).as("recall_ok"))
     }),
+    // ---- SHARDED-centroid IVF query (the 10^12-scale two-stage probe:
+    //      centroid table never broadcasts / never reaches the driver;
+    //      only the √nlist meta-quantizer does). Same driver contract as
+    //      q6a: exact twin computed in-job, recall≥0.8 bound row.
+    "q71_ivf_sharded" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val q = emb.where(col("vec_id") % 100 === 0)
+      val idx = java.nio.file.Files.createTempDirectory("graft_ivf_q71").toString
+      Similarity.ivfBuildSave(s, emb, "vec_id", "embedding", idx, lloydRounds = 2)
+      val ann = Similarity.ivfQueryIndexSharded(s, idx, q, "vec_id", "embedding",
+        k = 10, nprobe = 24, coarseProbe = 4)
+      val exact = Similarity.topKL2(emb, q, "vec_id", "embedding", k = 10)
+      val hits = exact.join(ann.select("qid", "nid"), Seq("qid", "nid"), "left_semi")
+      exact.agg(count_distinct(col("qid")).as("n_queries"), count(lit(1)).as("_n"))
+        .crossJoin(hits.agg(count(lit(1)).as("_h")))
+        .select(col("n_queries"),
+          (col("_h").cast("double") >= lit(0.8) * col("_n").cast("double")).as("recall_ok"))
+    }),
     // ---- STREAMING curation, driver-green (§2 row J): the quality →
     //      repetition gate chain (incl. the stream-stream join) runs as a
     //      Structured Streaming job over a file source with
@@ -1860,6 +1878,9 @@ object SparkEntry {
       """SELECT count(*) AS n_queries, TRUE AS recall_ok
         |FROM embeddings WHERE vec_id % 100 = 0""".stripMargin,
     "q6f_ivf_pq" ->
+      """SELECT count(*) AS n_queries, TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id % 100 = 0""".stripMargin,
+    "q71_ivf_sharded" ->
       """SELECT count(*) AS n_queries, TRUE AS recall_ok
         |FROM embeddings WHERE vec_id % 100 = 0""".stripMargin,
     // batch twin of the streamed quality -> repetition curation chain (the

@@ -328,6 +328,61 @@ object Similarity {
     ivfRank(lists, probes, k)
   }
 
+  /** Query a persisted IVF index WITHOUT broadcasting its centroid table —
+    * the 10^12-scale shape the flat path documents as its limit: nlist ~ √n
+    * is itself millions of rows there, too big for a driver collect or a
+    * broadcast. Two-stage probing (the IMI / two-level-IVF idea, public
+    * knowledge — Babenko & Lempitsky 2012 inverted multi-index; FAISS
+    * IVF-in-IVF quantizers):
+    *
+    *   1. a √nlist META-quantizer (content-hash seeded over the centroid
+    *      table — the only structure that still broadcasts) buckets every
+    *      centroid into one coarse cell: the centroid table shuffles once
+    *      on its coarse key and NEVER reaches the driver;
+    *   2. each query expands its `coarseProbe` nearest coarse cells and
+    *      equi-joins candidate centroids on coarse_id (query batch
+    *      broadcast, centroid side streamed), keeping its top-`nprobe`
+    *      lists with the bounded k-heap aggregate — no sort node, no
+    *      all-centroid scan per query;
+    *   3. list scan + exact re-rank are unchanged (physically
+    *      partition-pruned to the probed lists).
+    *
+    * With coarseProbe ≥ ncoarse the candidate set is every centroid and
+    * the probe set equals the flat [[ivfQueryIndex]] path's exactly
+    * (spec-gated); at the operating point the coarse stage is approximate
+    * in the standard two-level way (recall bound q71).
+    */
+  def ivfQueryIndexSharded(spark: SparkSession, dir: String, queries: DataFrame,
+                           idCol: String, vecCol: String, k: Int,
+                           nprobe: Int = 4, coarseProbe: Int = 4): DataFrame = {
+    val cents = spark.read.parquet(s"$dir/centroids")
+      .select(col("list_id").as("c_list"), col("cvec").as("cq"))
+    val nc = cents.count()
+    val ncoarse = math.max(4, math.sqrt(nc.toDouble).toInt)
+    val meta = cents.orderBy(xxhash64(col("c_list")), col("c_list"))
+      .limit(ncoarse).select("cq").collect().map(_.getSeq[Long](0).toArray)
+    val bcMeta = spark.sparkContext.broadcast(meta)
+    val centAssigned = withNearestLists(cents, "cq", 1, bcMeta)
+      .withColumnRenamed("list_id", "coarse_id")
+      .withColumn("cn2", dotQ(col("cq"), col("cq")))
+    val q = queries.select(col(idCol).as("qid"), quantize(col(vecCol)).as("qq"))
+      .withColumn("qn2", dotQ(col("qq"), col("qq")))
+    val qCoarse = withNearestLists(q, "qq", math.min(coarseProbe, ncoarse), bcMeta)
+      .withColumnRenamed("list_id", "coarse_id")
+    val cand = centAssigned.join(broadcast(qCoarse), Seq("coarse_id"))
+      .withColumn("cd2", col("cn2") - lit(2L) * dotQ(col("cq"), col("qq")) + col("qn2"))
+    val chosen = cand.groupBy("qid")
+      .agg(graft.functions.KnnTopKAgg.knnTopK(
+        struct(col("cd2"), col("c_list").cast("long")), nprobe).as("_k"))
+      .select(col("qid"), explode(col("_k")).as("kk"))
+      .select(col("qid"), col("kk.id").cast("int").as("list_id"))
+    val probes = chosen.join(q, Seq("qid")).localCheckpoint()
+    val probed = probes.select("list_id").distinct().collect().map(_.getInt(0))
+    val lists = spark.read.parquet(s"$dir/lists")
+      .where(col("list_id").isInCollection(probed.toSeq))
+    ivfRank(lists, probes, k)
+  }
+
   // -------------------------------------------------------------------
   // Product quantization (PQ) — compressed persisted IVF lists.
   //

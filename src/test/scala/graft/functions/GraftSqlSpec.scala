@@ -101,6 +101,15 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(grouped.forall(_.getAs[Array[Byte]](1).length === 8 + 2048 / 8))
   }
 
+  test("vec_sum works as a SQL aggregate incl. grouped form") {
+    spark.range(0, 100).selectExpr("id % 2 AS g", "array(id, 1L) AS v")
+      .createOrReplaceTempView("vecsql")
+    val got = spark.sql("SELECT g, vec_sum(v) AS s FROM vecsql GROUP BY 1 ORDER BY g")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(got(0L) === Seq((0L until 100L by 2).sum, 50L))
+    assert(got(1L) === Seq((1L until 100L by 2).sum, 50L))
+  }
+
   test("non-literal plan-time argument fails with a clear message") {
     import spark.implicits._
     Seq((1L, 4)).toDF("lonm", "lvl").createOrReplaceTempView("badargs")

@@ -127,6 +127,34 @@ class SimilaritySpec extends AnyFunSuite {
       "vec_id", "embedding", k = 5, nprobe = 2).collect().isEmpty)
   }
 
+  test("sharded-centroid two-stage query: exhaustive coarse probe == flat path; operating point keeps recall") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_shard").toString
+    Similarity.ivfBuildSave(spark, df, "vec_id", "embedding", dir,
+      nlist = 25, lloydRounds = 2)
+    // ncoarse = max(4, floor(sqrt(25))) = 5; coarseProbe >= 5 covers every
+    // coarse cell -> candidate set is ALL centroids -> probe set and rows
+    // must equal the flat (broadcast-centroid) path exactly
+    val flat = Similarity.ivfQueryIndex(spark, dir, queries, "vec_id", "embedding",
+        k = 5, nprobe = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val exhaustive = Similarity.ivfQueryIndexSharded(spark, dir, queries,
+        "vec_id", "embedding", k = 5, nprobe = 6, coarseProbe = 25)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(exhaustive === flat, "exhaustive coarse probe must reproduce the flat path")
+    // operating point: coarseProbe = 3 of 5 coarse cells — approximate,
+    // but on the clustered fixture recall vs exact L2 stays >= 0.8
+    val sharded = Similarity.ivfQueryIndexSharded(spark, dir, queries,
+        "vec_id", "embedding", k = 5, nprobe = 6, coarseProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Similarity.topKL2(df, queries, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(sharded.contains).toDouble / exact.size
+    assert(recall >= 0.8, s"two-stage recall $recall < 0.8")
+    // empty query batch -> empty result, no crash
+    assert(Similarity.ivfQueryIndexSharded(spark, dir, queries.limit(0),
+      "vec_id", "embedding", k = 5, nprobe = 6, coarseProbe = 3).collect().isEmpty)
+  }
+
   test("PQ-compressed persisted IVF: recall matches the flat index at >=4x smaller lists; re-rank is exact") {
     import java.nio.file.{Files, Paths}
     // a 64-dim corpus (the driver embeddings shape): 4000 vectors in 40
