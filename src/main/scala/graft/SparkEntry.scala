@@ -245,6 +245,35 @@ object SparkEntry {
       graft.sources.IcebergLite.read(s, tbl)
         .select("c_custkey", "lonm", "latm").orderBy("c_custkey")
     }),
+    // ---- A1 incremental read: rows of data files ADDED between two
+    //      snapshots (the downstream-consumer "what arrived since v1" verb).
+    //      Three appends split by c_custkey%3; changes v1→v3 = splits 1,2.
+    "q72_iceberg_changes" -> ((s, dir) => {
+      val tbl = java.nio.file.Files.createTempDirectory("graft_iclite_q72").toString
+      val pts = customerPts(s, dir)
+      val key = graft.functions.GraftFunctions.zcell(col("lonm"), col("latm"), 12)
+      (0 until 3).foreach { i =>
+        graft.sources.IcebergLite.append(s, tbl, pts.where(col("c_custkey") % 3 === i), key)
+      }
+      graft.sources.IcebergLite.readChanges(s, tbl, fromVersion = 1)
+        .select("c_custkey", "lonm", "latm").orderBy("c_custkey")
+    }),
+    // ---- A1 maintenance: snapshot expiration + orphan-file removal after
+    //      a compaction rewrite — history bounded, current rows unchanged
+    //      (the oracle is the full row set; IcebergLiteSpec gates the
+    //      physical deletes and the retained-window time travel).
+    "q73_iceberg_expire" -> ((s, dir) => {
+      val tbl = java.nio.file.Files.createTempDirectory("graft_iclite_q73").toString
+      val pts = customerPts(s, dir)
+      val key = graft.functions.GraftFunctions.zcell(col("lonm"), col("latm"), 12)
+      (0 until 6).foreach { i =>
+        graft.sources.IcebergLite.append(s, tbl, pts.where(col("c_custkey") % 6 === i), key)
+      }
+      graft.sources.IcebergLite.compact(s, tbl, targetFileRows = 600L)
+      graft.sources.IcebergLite.expireSnapshots(tbl, retainLast = 1)
+      graft.sources.IcebergLite.read(s, tbl)
+        .select("c_custkey", "lonm", "latm").orderBy("c_custkey")
+    }),
     // ---- A1 upsert verb: copy-on-write MERGE — updates shift lon for every
     //      7th customer, inserts clone every 11th under a shifted key; only
     //      files holding matched keys rewrite (gated in IcebergLiteSpec).
@@ -1355,6 +1384,14 @@ object SparkEntry {
          |${Derive.latSql("c_custkey")} AS latm
          |FROM customer WHERE NOT c_custkey % 10 = 3 ORDER BY c_custkey""".stripMargin,
     "q0m_iceberg_compact" ->
+      s"""SELECT c_custkey, ${Derive.lonSql("c_custkey")} AS lonm,
+         |${Derive.latSql("c_custkey")} AS latm
+         |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q72_iceberg_changes" ->
+      s"""SELECT c_custkey, ${Derive.lonSql("c_custkey")} AS lonm,
+         |${Derive.latSql("c_custkey")} AS latm
+         |FROM customer WHERE c_custkey % 3 IN (1, 2) ORDER BY c_custkey""".stripMargin,
+    "q73_iceberg_expire" ->
       s"""SELECT c_custkey, ${Derive.lonSql("c_custkey")} AS lonm,
          |${Derive.latSql("c_custkey")} AS latm
          |FROM customer ORDER BY c_custkey""".stripMargin,

@@ -245,6 +245,73 @@ object IcebergLite {
     commitSnapshot(dir, cur, keep ++ footerStats(spark, dataDir))
   }
 
+  /** Snapshot expiration + orphan-file removal (Iceberg's
+    * `expire_snapshots` / `remove_orphan_files` maintenance pair): retain
+    * the last `retainLast` versions, drop every older snapshot JSON, and
+    * physically delete data files referenced ONLY by expired snapshots.
+    * Files a retained snapshot still references (kept-by-reference across
+    * compact/delete/merge rewrites) are never touched, so reads and time
+    * travel WITHIN the retained window are unaffected; travel past it now
+    * fails — that is the verb's contract (history is bounded so storage
+    * is: without it, every CoW rewrite strands its old files forever).
+    *
+    * Returns (expired snapshot count, deleted data-file count). At scale
+    * both walks are metadata-only (snapshot JSONs); deletes are per-file
+    * driver calls exactly like Iceberg's maintenance action.
+    */
+  def expireSnapshots(dir: String, retainLast: Int = 2): (Int, Int) = {
+    require(retainLast >= 1, "must retain at least the current snapshot")
+    val cur = currentVersion(dir)
+    require(cur > 0, s"no snapshots in $dir")
+    val oldestRetained = math.max(1, cur - retainLast + 1)
+    if (oldestRetained == 1) return (0, 0)
+    def norm(p: String): String = new java.net.URI(p).getPath
+    val retained = (oldestRetained to cur)
+      .flatMap(v => snapshot(dir, v).files.map(f => norm(f.path))).toSet
+    var deletedFiles = 0
+    var expired = 0
+    (1 until oldestRetained).foreach { v =>
+      snapshot(dir, v).files.foreach { f =>
+        val p = Paths.get(norm(f.path))
+        if (!retained.contains(norm(f.path)) && Files.deleteIfExists(p))
+          deletedFiles += 1
+      }
+      Files.deleteIfExists(metaDir(dir).resolve(f"v$v%05d.json"))
+      expired += 1
+    }
+    (expired, deletedFiles)
+  }
+
+  /** Incremental append scan (Iceberg's incremental read contract): the
+    * rows of data files ADDED between `fromVersion` (exclusive) and
+    * `toVersion` (inclusive) — the "what arrived since I last looked"
+    * verb a downstream batch consumer polls instead of re-scanning the
+    * table. Mirrors Iceberg's restriction: if any `fromVersion` file is
+    * GONE at `toVersion`, a rewrite (delete/merge/compact) happened in
+    * the window and added-files no longer mean appended-rows — raise
+    * rather than return wrong increments.
+    *
+    * Metadata-only planning: two snapshot JSON reads, file-set difference.
+    */
+  def readChanges(spark: SparkSession, dir: String,
+                  fromVersion: Int, toVersion: Int = -1): DataFrame = {
+    val to = if (toVersion > 0) toVersion else currentVersion(dir)
+    require(fromVersion >= 1 && to >= fromVersion,
+      s"need 1 <= fromVersion <= toVersion, got $fromVersion..$to")
+    def norm(p: String): String = new java.net.URI(p).getPath
+    val fromFiles = snapshot(dir, fromVersion).files.map(f => norm(f.path)).toSet
+    val toSnap = snapshot(dir, to)
+    val toFiles = toSnap.files.map(f => norm(f.path)).toSet
+    val removed = fromFiles -- toFiles
+    require(removed.isEmpty,
+      s"non-append change between v$fromVersion and v$to (${removed.size} file(s) " +
+        "rewritten/removed) — incremental read is only defined over append snapshots")
+    val added = toSnap.files.filter(f => !fromFiles.contains(norm(f.path)))
+    if (added.isEmpty)
+      spark.read.parquet(toSnap.files.head.path).drop("_stats").limit(0)
+    else spark.read.parquet(added.map(_.path): _*).drop("_stats")
+  }
+
   private def commitSnapshot(dir: String, parentVersion: Int, files: Seq[FileEntry],
                              streamMarker: Option[(String, Long)] = None): Int = {
     val version = parentVersion + 1

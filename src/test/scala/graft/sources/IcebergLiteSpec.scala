@@ -169,4 +169,59 @@ class IcebergLiteSpec extends AnyFunSuite {
     assert(got.getLong(0) === 1000L) // exactly the first batch
     assert(got.getLong(2) < 1000L)
   }
+
+  test("readChanges: added-file rows between snapshots; raises across rewrites") {
+    val dir = Files.createTempDirectory("iclite_chg").toString
+    val key = expr("lonm")
+    IcebergLite.append(spark, dir, pts(0, 100), key)
+    IcebergLite.append(spark, dir, pts(100, 50), key)
+    IcebergLite.append(spark, dir, pts(150, 25), key)
+    val chg = IcebergLite.readChanges(spark, dir, fromVersion = 1)
+    assert(chg.count() === 75)
+    assert(chg.agg(min("id")).collect().head.getLong(0) === 100L)
+    // window of one append
+    assert(IcebergLite.readChanges(spark, dir, 2, 3).count() === 25)
+    // same-version window = empty, no crash
+    assert(IcebergLite.readChanges(spark, dir, 3, 3).collect().isEmpty)
+    // a CoW rewrite inside the window must raise, not return wrong rows
+    IcebergLite.deleteWhere(spark, dir, col("id") < 10, key)
+    val e = intercept[IllegalArgumentException] {
+      IcebergLite.readChanges(spark, dir, 1, 4)
+    }
+    assert(e.getMessage.contains("non-append"))
+    // but a window that starts AFTER the rewrite works again
+    IcebergLite.append(spark, dir, pts(200, 5), key)
+    assert(IcebergLite.readChanges(spark, dir, 4, 5).count() === 5)
+  }
+
+  test("expireSnapshots: orphan files physically deleted, retained window intact") {
+    val dir = Files.createTempDirectory("iclite_exp").toString
+    val key = expr("lonm")
+    (0 until 4).foreach(i => IcebergLite.append(spark, dir, pts(i * 100L, 100), key))
+    IcebergLite.compact(spark, dir, targetFileRows = 1000L) // v5 rewrites all 4 small files
+    import scala.jdk.CollectionConverters._
+    def dataFiles() = java.nio.file.Files.walk(java.nio.file.Paths.get(dir, "data"))
+      .iterator().asScala.count(_.toString.endsWith(".parquet"))
+    val before = dataFiles()
+    val (expired, deleted) = IcebergLite.expireSnapshots(dir, retainLast = 1)
+    assert(expired === 4, "v1..v4 expire")
+    assert(deleted > 0, "pre-compaction files are orphans of the expired window")
+    assert(dataFiles() < before)
+    // current read unchanged
+    assert(IcebergLite.read(spark, dir).count() === 400)
+    // expired versions no longer travel
+    intercept[Exception] { IcebergLite.read(spark, dir, asOfVersion = 2).count() }
+    // retainLast covering everything is a no-op
+    val dir2 = Files.createTempDirectory("iclite_exp2").toString
+    IcebergLite.append(spark, dir2, pts(0, 10), key)
+    IcebergLite.append(spark, dir2, pts(10, 10), key)
+    assert(IcebergLite.expireSnapshots(dir2, retainLast = 5) === ((0, 0)))
+    // kept-by-reference safety: delete rewrites ONE file, the other files are
+    // shared between v1-era and current — expire must not delete shared files
+    val dir3 = Files.createTempDirectory("iclite_exp3").toString
+    (0 until 3).foreach(i => IcebergLite.append(spark, dir3, pts(i * 100L, 100), key))
+    IcebergLite.deleteWhere(spark, dir3, col("id") === 0L, key) // touches batch-0 file only
+    IcebergLite.expireSnapshots(dir3, retainLast = 1)
+    assert(IcebergLite.read(spark, dir3).count() === 299)
+  }
 }
