@@ -891,13 +891,20 @@ object SparkEntry {
     //      centroid table never broadcasts / never reaches the driver;
     //      only the √nlist meta-quantizer does). Same driver contract as
     //      q6a: exact twin computed in-job, recall≥0.8 bound row.
+    //      coarseProbe covers the full coarse stage here because the
+    //      fixture's nprobe/nlist is huge (24/44 at sf0.1 — measured: any
+    //      coarse pruning below full coverage must lose recall when more
+    //      than half of ALL lists are wanted); deployments probe ~1% of
+    //      lists and prune the coarse stage too — that approximate point
+    //      is spec-gated (SimilaritySpec two-stage recall ≥ 0.8 at 3/5
+    //      coarse cells).
     "q71_ivf_sharded" -> ((s, dir) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
       val q = emb.where(col("vec_id") % 100 === 0)
       val idx = java.nio.file.Files.createTempDirectory("graft_ivf_q71").toString
       Similarity.ivfBuildSave(s, emb, "vec_id", "embedding", idx, lloydRounds = 2)
       val ann = Similarity.ivfQueryIndexSharded(s, idx, q, "vec_id", "embedding",
-        k = 10, nprobe = 24, coarseProbe = 4)
+        k = 10, nprobe = 24, coarseProbe = 8)
       val exact = Similarity.topKL2(emb, q, "vec_id", "embedding", k = 10)
       val hits = exact.join(ann.select("qid", "nid"), Seq("qid", "nid"), "left_semi")
       exact.agg(count_distinct(col("qid")).as("n_queries"), count(lit(1)).as("_n"))
