@@ -84,6 +84,23 @@ object SparkEntry {
         .select("c_custkey", "poly_id")
         .orderBy("c_custkey", "poly_id")
     }),
+    // ---- C2/H4 line-feature composition: zone-CLIPPED segment length per
+    //      polygon (the reference's "length of ways per district" —
+    //      aggregateByGeometry + length over clipped geometries). Segments
+    //      derive from order keys (endpoint + bounded delta); the clip is
+    //      one fixed IEEE slab chain quantized by floor(len·1000), so the
+    //      DuckDB twin reproduces every binary double exactly and the sum
+    //      is int64-exact.
+    "q74_clip_length" -> ((s, dir) => {
+      val k = col("o_orderkey")
+      val segs = s.read.parquet(s"$dir/orders.parquet").select(k,
+        Derive.lonMicro(k).as("x1"), Derive.latMicro(k).as("y1"),
+        (Derive.lonMicro(k) + (k * 7919L) % 2000001L - 1000000L).as("x2"),
+        (Derive.latMicro(k) + (k * 104729L) % 2000001L - 1000000L).as("y2"))
+      SpatialJoin.clipLengthJoin(s, segs, k, col("x1"), col("y1"),
+          col("x2"), col("y2"), Derive.rectSpecs)
+        .orderBy("poly_id")
+    }),
     // ---- H5: zcell encoding + cell-keyed aggregation (the scan-pruning key)
     "q03_zcell_count" -> ((s, dir) => {
       customerPts(s, dir)
@@ -1333,6 +1350,37 @@ object SparkEntry {
          |  ((lonm + 180000000) * 256) // 360000000 AS tile_x,
          |  ((90000000 - latm) * 256) // 180000000 AS tile_y
          |FROM pts ORDER BY o_orderkey""".stripMargin,
+    "q74_clip_length" ->
+      s"""WITH segs AS (SELECT o_orderkey,
+         |  ${Derive.lonSql("o_orderkey")} AS x1, ${Derive.latSql("o_orderkey")} AS y1,
+         |  ${Derive.lonSql("o_orderkey")} + (o_orderkey * 7919) % 2000001 - 1000000 AS x2,
+         |  ${Derive.latSql("o_orderkey")} + (o_orderkey * 104729) % 2000001 - 1000000 AS y2
+         |  FROM orders),
+         |d AS (SELECT s.o_orderkey, r.poly_id,
+         |    CAST(s.x1 AS DOUBLE) AS x1d, CAST(s.y1 AS DOUBLE) AS y1d,
+         |    CAST(s.x2 - s.x1 AS DOUBLE) AS dx, CAST(s.y2 - s.y1 AS DOUBLE) AS dy,
+         |    CAST(r.lon_min AS DOUBLE) AS lo, CAST(r.lat_min AS DOUBLE) AS la,
+         |    CAST(r.lon_max AS DOUBLE) AS hi, CAST(r.lat_max AS DOUBLE) AS ha
+         |  FROM segs s CROSS JOIN ${Derive.rectsSqlValues}),
+         |t AS (SELECT o_orderkey, poly_id, dx, dy,
+         |    CASE WHEN dx > 0 THEN (lo - x1d) / dx WHEN dx < 0 THEN (hi - x1d) / dx
+         |         WHEN x1d >= lo AND x1d <= hi THEN -1e308 ELSE 1e308 END AS txe,
+         |    CASE WHEN dx > 0 THEN (hi - x1d) / dx WHEN dx < 0 THEN (lo - x1d) / dx
+         |         WHEN x1d >= lo AND x1d <= hi THEN 1e308 ELSE -1e308 END AS txx,
+         |    CASE WHEN dy > 0 THEN (la - y1d) / dy WHEN dy < 0 THEN (ha - y1d) / dy
+         |         WHEN y1d >= la AND y1d <= ha THEN -1e308 ELSE 1e308 END AS tye,
+         |    CASE WHEN dy > 0 THEN (ha - y1d) / dy WHEN dy < 0 THEN (la - y1d) / dy
+         |         WHEN y1d >= la AND y1d <= ha THEN 1e308 ELSE -1e308 END AS tyx
+         |  FROM d),
+         |ln AS (SELECT poly_id,
+         |    CASE WHEN LEAST(1.0, LEAST(txx, tyx)) > GREATEST(0.0, GREATEST(txe, tye))
+         |         THEN sqrt(dx * dx + dy * dy) *
+         |              (LEAST(1.0, LEAST(txx, tyx)) - GREATEST(0.0, GREATEST(txe, tye)))
+         |         ELSE 0.0 END AS len
+         |  FROM t)
+         |SELECT poly_id, count(*) AS n_segments,
+         |  CAST(sum(CAST(floor(len * 1000.0) AS BIGINT)) AS BIGINT) AS clipped_len
+         |FROM ln WHERE len > 0 GROUP BY poly_id ORDER BY poly_id""".stripMargin,
     "q70_stream_tiles" ->
       s"""WITH pts AS (SELECT o_orderkey, ${Derive.lonSql("o_orderkey")} AS lonm,
          |  ${Derive.latSql("o_orderkey")} AS latm FROM orders)

@@ -223,6 +223,139 @@ object SpatialJoin {
     case other => throw new IllegalArgumentException(s"unknown tiling scheme: $other")
   }
 
+  /** Zone-clipped segment length aggregation — the reference's canonical
+    * "length of ways per district" (aggregateByGeometry + length reducer:
+    * features CLIPPED to each zone, clipped length summed per zone
+    * [ref: oshdb-api/…/MapAggregator :: aggregateByGeometry +
+    * Geo.lengthOf over GeometrySplitter-clipped geometries]).
+    *
+    * Input `segs`: (segCol, x1,y1,x2,y2) micro-degree planar segments.
+    * Output: (poly_id, n_segments, clipped_len) — count of segments with
+    * a POSITIVE clipped length inside the zone, and the clipped length
+    * total in 0.001-micro-degree units. Determinism: every per-segment
+    * length is ONE fixed IEEE chain (slab clip + one sqrt — bit-identical
+    * in any IEEE engine, so the DuckDB twin reproduces the binary double
+    * exactly), quantized by floor(len·1000) — floor of an identical
+    * binary double is identical in every engine (unlike decimal-string
+    * rounding, which diverges at shortest-repr boundaries) — and summed
+    * as exact int64, removing float-summation order from the result.
+    *
+    * Clip kernels: axis-aligned rectangle zones take the closed-form slab
+    * (Liang–Barsky) path; general polygons take JTS intersection length —
+    * the spec cross-validates the two on rectangles. Candidates come from
+    * the same plan-time zone cover as [[join]]: each segment explodes to
+    * its bbox cells per distinct cover level (segments are short relative
+    * to cover cells, so a handful of cells each), broadcast-joins the
+    * cover, and (seg, zone) pairs dedupe before ONE exact clip per pair.
+    *
+    * Scale: the segment side never shuffles except the pair-distinct
+    * (rows = candidate pairs, 5 longs each) and the per-zone aggregate;
+    * geometry ships in the task closure exactly like the raycast refine.
+    */
+  def clipLengthJoin(spark: SparkSession, segs: DataFrame, segCol: Column,
+                     x1: Column, y1: Column, x2: Column, y2: Column,
+                     specs: Array[PolySpec],
+                     budget: Int = PolyCover.DEFAULT_BUDGET,
+                     allowed: Array[Int] = DefaultLevels): DataFrame = {
+    import spark.implicits._
+    val c = cover(specs, budget, allowed)
+    require(c.levels.forall(_ <= PolyCover.MAX_LEVEL), "key packing assumes level<=16")
+    def packed(lvl: Int, cell: Long): Long = (lvl.toLong << 34) | cell
+    val coverDf = c.rows.map { case (pid, pidx, lvl, cell, _) =>
+      (pid, pidx, packed(lvl, cell))
+    }.toDF("poly_id", "_pidx", "_lc")
+
+    val levels = c.levels
+    val prepared = segs.select(segCol.cast("long").as("_sid"), x1.cast("long").as("_x1"),
+      y1.cast("long").as("_y1"), x2.cast("long").as("_x2"), y2.cast("long").as("_y2"))
+    // bbox cover cells of each segment at every distinct zone cover level
+    val exploded = prepared.flatMap { r =>
+      val (sx1, sy1, sx2, sy2) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      val b = BBoxM(math.min(sx1, sx2), math.min(sy1, sy2),
+        math.max(sx1, sx2), math.max(sy1, sy2))
+      levels.iterator.flatMap { z =>
+        ZGrid.bboxCells(z, b).map { case (cx, cy) =>
+          (r.getLong(0), sx1, sy1, sx2, sy2, packed(z, Morton.encode(cx, cy)))
+        }
+      }
+    }.toDF("_sid", "_x1", "_y1", "_x2", "_y2", "_lc")
+
+    val pairs = exploded.join(broadcast(coverDf), Seq("_lc"))
+      .select("_sid", "_x1", "_y1", "_x2", "_y2", "_pidx", "poly_id")
+      .distinct()
+
+    val polyArr = c.polyArr
+    val clipped = pairs.mapPartitions { it =>
+      // per-task geometry cache: rect fast path precomputed, JTS parsed once
+      val kinds = new Array[AnyRef](polyArr.length)
+      it.map { r =>
+        val (sx1, sy1, sx2, sy2) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+        val pidx = r.getInt(5)
+        if (kinds(pidx) == null) kinds(pidx) = classifyZone(polyArr(pidx))
+        val len = kinds(pidx) match {
+          case b: BBoxM => slabClipLen(sx1, sy1, sx2, sy2, b)
+          case g: org.locationtech.jts.geom.Geometry => jtsClipLen(sx1, sy1, sx2, sy2, g)
+        }
+        (r.getString(6), len)
+      }
+    }.toDF("poly_id", "_len")
+
+    clipped.where(col("_len") > 0.0)
+      .groupBy("poly_id")
+      .agg(count(lit(1)).as("n_segments"),
+        sum(floor(col("_len") * lit(1000.0)).cast("long")).as("clipped_len"))
+  }
+
+  /** A zone is an axis-aligned rectangle iff its single 4-vertex ring has
+    * axis-parallel edges — then the closed-form slab clip applies.
+    */
+  private def classifyZone(p: PolyM): AnyRef = {
+    if (p.rings.length == 1 && p.rings(0).xs.length == 4) {
+      val r = p.rings(0)
+      val xs = r.xs.distinct.sorted
+      val ys = r.ys.distinct.sorted
+      val axisAligned = xs.length == 2 && ys.length == 2 &&
+        (0 until 4).forall { i =>
+          val j = (i + 1) % 4
+          r.xs(i) == r.xs(j) || r.ys(i) == r.ys(j)
+        }
+      if (axisAligned) return BBoxM(xs(0), ys(0), xs(1), ys(1))
+    }
+    Jts.toJtsEvenOdd(p)
+  }
+
+  /** Slab-method (Liang–Barsky) clipped length of a segment vs a rect, in
+    * ONE fixed IEEE chain — the DuckDB oracle twin evaluates the same
+    * expressions, so values are bit-identical: enter/exit per axis with a
+    * ±1e308 sentinel on the degenerate axis, t0 = max(0, enters),
+    * t1 = min(1, exits), len = sqrt(dx²+dy²)·(t1−t0) when t1 > t0.
+    */
+  def slabClipLen(sx1: Long, sy1: Long, sx2: Long, sy2: Long, b: BBoxM): Double = {
+    val x1 = sx1.toDouble; val y1 = sy1.toDouble
+    val dx = (sx2 - sx1).toDouble; val dy = (sy2 - sy1).toDouble
+    val INF = 1e308
+    val (txe, txx) =
+      if (dx > 0) ((b.lonMin - x1) / dx, (b.lonMax - x1) / dx)
+      else if (dx < 0) ((b.lonMax - x1) / dx, (b.lonMin - x1) / dx)
+      else if (sx1 >= b.lonMin && sx1 <= b.lonMax) (-INF, INF) else (INF, -INF)
+    val (tye, tyx) =
+      if (dy > 0) ((b.latMin - y1) / dy, (b.latMax - y1) / dy)
+      else if (dy < 0) ((b.latMax - y1) / dy, (b.latMin - y1) / dy)
+      else if (sy1 >= b.latMin && sy1 <= b.latMax) (-INF, INF) else (INF, -INF)
+    val t0 = math.max(0.0, math.max(txe, tye))
+    val t1 = math.min(1.0, math.min(txx, tyx))
+    if (t1 > t0) math.sqrt(dx * dx + dy * dy) * (t1 - t0) else 0.0
+  }
+
+  private def jtsClipLen(sx1: Long, sy1: Long, sx2: Long, sy2: Long,
+                         g: org.locationtech.jts.geom.Geometry): Double = {
+    val f = new org.locationtech.jts.geom.GeometryFactory()
+    val line = f.createLineString(Array(
+      new org.locationtech.jts.geom.Coordinate(sx1.toDouble, sy1.toDouble),
+      new org.locationtech.jts.geom.Coordinate(sx2.toDouble, sy2.toDouble)))
+    g.intersection(line).getLength
+  }
+
   /** Attach geodesic metric columns (`area_m2`, `perimeter_m`) to a polygon
     * DataFrame carrying a `wkb` column — SURVEY.md H3/H4 re-hosted: the
     * metrics are computed per-row in a mapPartitions kernel (geometry never

@@ -16,6 +16,8 @@ object RunOne {
       val n = fn(spark, sf).count()
       println(f"RUNONE $name rep=$i rows=$n sec=${(System.nanoTime() - t0) / 1e9}%.2f")
     }
+    if (args.length > 4) // optional 5th arg: dump the result for oracle checks
+      fn(spark, sf).coalesce(1).write.mode("overwrite").parquet(s"${args(4)}/$name.parquet")
     spark.stop()
   }
 }

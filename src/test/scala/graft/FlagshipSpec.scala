@@ -193,4 +193,68 @@ class FlagshipSpec extends AnyFunSuite {
     val one = graft.fixtures.Manifest.pruneFiles(manifest, Set(ZGrid.cellAt(12, 0L, 0L)))
     assert(total > 1 && one.size < total)
   }
+
+  test("slabClipLen hand cases: inside, crossing, outside, degenerate axes") {
+    val b = BBoxM(0L, 0L, 1000L, 1000L)
+    // fully inside: full length
+    assert(SpatialJoin.slabClipLen(100, 100, 400, 500, b) ===
+      math.sqrt(300.0 * 300 + 400 * 400))
+    // crossing left edge horizontally at y=500: clipped to [0,400]
+    assert(SpatialJoin.slabClipLen(-400, 500, 400, 500, b) === 400.0)
+    // fully outside (above)
+    assert(SpatialJoin.slabClipLen(100, 2000, 900, 3000, b) === 0.0)
+    // vertical segment (dx=0) inside x-range, crossing both y edges
+    assert(SpatialJoin.slabClipLen(500, -500, 500, 1500, b) === 1000.0)
+    // vertical segment outside x-range
+    assert(SpatialJoin.slabClipLen(2000, -500, 2000, 1500, b) === 0.0)
+    // zero-length segment: length 0 even when inside
+    assert(SpatialJoin.slabClipLen(500, 500, 500, 500, b) === 0.0)
+    // diagonal corner cut: from (-500,500) to (500,1500) enters at (0,1000)
+    // touching the corner — zero-length intersection
+    assert(SpatialJoin.slabClipLen(-500, 500, 500, 1500, b) === 0.0)
+  }
+
+  test("clipLengthJoin == all-pairs slab brute force; JTS path agrees on rects") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val segs = (0L until 2000L).map { i =>
+      val x1 = rnd.nextLong(340000000L) - 170000000L
+      val y1 = rnd.nextLong(160000000L) - 80000000L
+      (i, x1, y1, x1 + rnd.nextLong(4000001L) - 2000000L,
+        y1 + rnd.nextLong(4000001L) - 2000000L)
+    }
+    val df = segs.toDF("seg_id", "x1", "y1", "x2", "y2")
+    val rects = graft.oracle.Derive.rectSpecs
+    val got = SpatialJoin.clipLengthJoin(spark, df, col("seg_id"),
+        col("x1"), col("y1"), col("x2"), col("y2"), rects)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // brute force: every (segment, rect) pair through the same slab kernel
+    val expect = scala.collection.mutable.Map[String, (Long, Long)]()
+    for ((_, x1, y1, x2, y2) <- segs; (pid, lo, la, hi, ha) <- graft.oracle.Derive.rects) {
+      val len = SpatialJoin.slabClipLen(x1, y1, x2, y2, BBoxM(lo, la, hi, ha))
+      if (len > 0) {
+        val (n, s) = expect.getOrElse(pid, (0L, 0L))
+        expect(pid) = (n + 1, s + math.floor(len * 1000.0).toLong)
+      }
+    }
+    assert(got === expect.toMap)
+    // JTS path: the same rects written as 5-vertex rings dodge the
+    // axis-aligned fast path; totals must agree with the slab path within
+    // 1 quantization unit per segment (independent geometry algorithms)
+    val rects5 = rects.map { s =>
+      val r = s.poly.rings(0)
+      val midX = (r.xs(0) + r.xs(1)) / 2
+      graft.fixtures.PolySpec(s.poly_id, s.kind, PolyM(Array(RingM(
+        Array(r.xs(0), midX, r.xs(1), r.xs(2), r.xs(3)),
+        Array(r.ys(0), r.ys(0), r.ys(1), r.ys(2), r.ys(3))))))
+    }
+    val viaJts = SpatialJoin.clipLengthJoin(spark, df, col("seg_id"),
+        col("x1"), col("y1"), col("x2"), col("y2"), rects5)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(viaJts.keySet === expect.keySet)
+    expect.foreach { case (pid, (n, s)) =>
+      assert(viaJts(pid)._1 === n, s"JTS count at $pid")
+      assert(math.abs(viaJts(pid)._2 - s) <= n, s"JTS length at $pid: ${viaJts(pid)._2} vs $s")
+    }
+  }
 }
