@@ -101,6 +101,21 @@ object SparkEntry {
           col("x2"), col("y2"), Derive.rectSpecs)
         .orderBy("poly_id")
     }),
+    // ---- C2/H3 polygon-feature composition: zone-CLIPPED feature AREA per
+    //      polygon ("area of buildings per district"). Rect features derive
+    //      from customer keys (center ± bounded half-dims); rect∩rect is a
+    //      closed-form INTEGER overlap — no float anywhere on this path.
+    "q75_clip_area" -> ((s, dir) => {
+      val k = col("c_custkey")
+      val feats = s.read.parquet(s"$dir/customer.parquet").select(k,
+        (Derive.lonMicro(k) - (k * 6101L) % 1500001L).as("flo"),
+        (Derive.latMicro(k) - (k * 9203L) % 1500001L).as("fla"),
+        (Derive.lonMicro(k) + (k * 6101L) % 1500001L).as("fhi"),
+        (Derive.latMicro(k) + (k * 9203L) % 1500001L).as("fha"))
+      SpatialJoin.clipAreaJoin(s, feats, k, col("flo"), col("fla"),
+          col("fhi"), col("fha"), Derive.rectSpecs)
+        .orderBy("poly_id")
+    }),
     // ---- H5: zcell encoding + cell-keyed aggregation (the scan-pruning key)
     "q03_zcell_count" -> ((s, dir) => {
       customerPts(s, dir)
@@ -1350,6 +1365,20 @@ object SparkEntry {
          |  ((lonm + 180000000) * 256) // 360000000 AS tile_x,
          |  ((90000000 - latm) * 256) // 180000000 AS tile_y
          |FROM pts ORDER BY o_orderkey""".stripMargin,
+    "q75_clip_area" ->
+      s"""WITH f AS (SELECT c_custkey,
+         |  ${Derive.lonSql("c_custkey")} - (c_custkey * 6101) % 1500001 AS flo,
+         |  ${Derive.latSql("c_custkey")} - (c_custkey * 9203) % 1500001 AS fla,
+         |  ${Derive.lonSql("c_custkey")} + (c_custkey * 6101) % 1500001 AS fhi,
+         |  ${Derive.latSql("c_custkey")} + (c_custkey * 9203) % 1500001 AS fha
+         |  FROM customer),
+         |o AS (SELECT r.poly_id,
+         |    LEAST(f.fhi, r.lon_max) - GREATEST(f.flo, r.lon_min) AS w,
+         |    LEAST(f.fha, r.lat_max) - GREATEST(f.fla, r.lat_min) AS h
+         |  FROM f CROSS JOIN ${Derive.rectsSqlValues})
+         |SELECT poly_id, count(*) AS n_features,
+         |  CAST(sum(w * h) AS DECIMAL(38,0)) AS clipped_area
+         |FROM o WHERE w > 0 AND h > 0 GROUP BY poly_id ORDER BY poly_id""".stripMargin,
     "q74_clip_length" ->
       s"""WITH segs AS (SELECT o_orderkey,
          |  ${Derive.lonSql("o_orderkey")} AS x1, ${Derive.latSql("o_orderkey")} AS y1,

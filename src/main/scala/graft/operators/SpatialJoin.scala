@@ -306,6 +306,82 @@ object SpatialJoin {
         sum(floor(col("_len") * lit(1000.0)).cast("long")).as("clipped_len"))
   }
 
+  /** Zone-clipped feature AREA aggregation — the area twin of
+    * [[clipLengthJoin]] ("area of buildings per district": upstream
+    * aggregateByGeometry + area over GeometrySplitter-clipped polygons).
+    * Features are axis-aligned rectangles (fLo..fHa micro-degree bounds —
+    * the building-footprint-envelope shape); zones are any [[PolySpec]].
+    *
+    * Exactness: rect feature ∩ rect zone is a closed-form INTEGER overlap
+    * (max(0, min(hi) − max(lo)) per axis, product in int64) — no float
+    * anywhere on the oracle path; general polygon zones clip via JTS
+    * (spec cross-validated against the integer kernel on rects). Output:
+    * (poly_id, n_features, clipped_area) with the area summed as exact
+    * DECIMAL(38,0) µdeg² (a single overlap fits int64 — world² ≈ 2^56 —
+    * but a 10^12-feature SUM does not, hence decimal).
+    *
+    * Same candidate plan as clipLengthJoin: feature bbox cells × zone
+    * cover, broadcast join, pair-distinct, one exact kernel per pair.
+    */
+  def clipAreaJoin(spark: SparkSession, feats: DataFrame, featCol: Column,
+                   fLo: Column, fLa: Column, fHi: Column, fHa: Column,
+                   specs: Array[PolySpec],
+                   budget: Int = PolyCover.DEFAULT_BUDGET,
+                   allowed: Array[Int] = DefaultLevels): DataFrame = {
+    import spark.implicits._
+    val c = cover(specs, budget, allowed)
+    require(c.levels.forall(_ <= PolyCover.MAX_LEVEL), "key packing assumes level<=16")
+    def packed(lvl: Int, cell: Long): Long = (lvl.toLong << 34) | cell
+    val coverDf = c.rows.map { case (pid, pidx, lvl, cell, _) =>
+      (pid, pidx, packed(lvl, cell))
+    }.toDF("poly_id", "_pidx", "_lc")
+    val levels = c.levels
+    val prepared = feats.select(featCol.cast("long").as("_fid"),
+      fLo.cast("long").as("_lo"), fLa.cast("long").as("_la"),
+      fHi.cast("long").as("_hi"), fHa.cast("long").as("_ha"))
+    val exploded = prepared.flatMap { r =>
+      val b = BBoxM(r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      levels.iterator.flatMap { z =>
+        ZGrid.bboxCells(z, b).map { case (cx, cy) =>
+          (r.getLong(0), b.lonMin, b.latMin, b.lonMax, b.latMax,
+            packed(z, Morton.encode(cx, cy)))
+        }
+      }
+    }.toDF("_fid", "_lo", "_la", "_hi", "_ha", "_lc")
+    val pairs = exploded.join(broadcast(coverDf), Seq("_lc"))
+      .select("_fid", "_lo", "_la", "_hi", "_ha", "_pidx", "poly_id")
+      .distinct()
+    val polyArr = c.polyArr
+    val clipped = pairs.mapPartitions { it =>
+      val kinds = new Array[AnyRef](polyArr.length)
+      it.map { r =>
+        val (lo, la, hi, ha) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+        val pidx = r.getInt(5)
+        if (kinds(pidx) == null) kinds(pidx) = classifyZone(polyArr(pidx))
+        val area: Long = kinds(pidx) match {
+          case b: BBoxM =>
+            val w = math.min(hi, b.lonMax) - math.max(lo, b.lonMin)
+            val h = math.min(ha, b.latMax) - math.max(la, b.latMin)
+            if (w > 0 && h > 0) w * h else 0L
+          case g: org.locationtech.jts.geom.Geometry =>
+            val f = new org.locationtech.jts.geom.GeometryFactory()
+            val shell = f.createPolygon(Array(
+              new org.locationtech.jts.geom.Coordinate(lo.toDouble, la.toDouble),
+              new org.locationtech.jts.geom.Coordinate(hi.toDouble, la.toDouble),
+              new org.locationtech.jts.geom.Coordinate(hi.toDouble, ha.toDouble),
+              new org.locationtech.jts.geom.Coordinate(lo.toDouble, ha.toDouble),
+              new org.locationtech.jts.geom.Coordinate(lo.toDouble, la.toDouble)))
+            math.floor(g.intersection(shell).getArea).toLong
+        }
+        (r.getString(6), area)
+      }
+    }.toDF("poly_id", "_area")
+    clipped.where(col("_area") > 0)
+      .groupBy("poly_id")
+      .agg(count(lit(1)).as("n_features"),
+        sum(col("_area").cast("decimal(38,0)")).as("clipped_area"))
+  }
+
   /** A zone is an axis-aligned rectangle iff its single 4-vertex ring has
     * axis-parallel edges — then the closed-form slab clip applies.
     */

@@ -257,4 +257,51 @@ class FlagshipSpec extends AnyFunSuite {
       assert(math.abs(viaJts(pid)._2 - s) <= n, s"JTS length at $pid: ${viaJts(pid)._2} vs $s")
     }
   }
+
+  test("clipAreaJoin == all-pairs integer overlap; JTS path exact on integer rects") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val feats = (0L until 2000L).map { i =>
+      val cx = rnd.nextLong(338000000L) - 169000000L
+      val cy = rnd.nextLong(158000000L) - 79000000L
+      val hw = rnd.nextLong(1000001L); val hh = rnd.nextLong(1000001L)
+      (i, cx - hw, cy - hh, cx + hw, cy + hh)
+    }
+    val df = feats.toDF("fid", "flo", "fla", "fhi", "fha")
+    val rects = graft.oracle.Derive.rectSpecs
+    val got = SpatialJoin.clipAreaJoin(spark, df, col("fid"),
+        col("flo"), col("fla"), col("fhi"), col("fha"), rects)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDecimal(2).toBigInteger))).toMap
+    val expect = scala.collection.mutable.Map[String, (Long, BigInt)]()
+    for ((_, flo, fla, fhi, fha) <- feats; (pid, lo, la, hi, ha) <- graft.oracle.Derive.rects) {
+      val w = math.min(fhi, hi) - math.max(flo, lo)
+      val h = math.min(fha, ha) - math.max(fla, la)
+      if (w > 0 && h > 0) {
+        val (n, s) = expect.getOrElse(pid, (0L, BigInt(0)))
+        expect(pid) = (n + 1, s + BigInt(w) * BigInt(h))
+      }
+    }
+    assert(got.keySet === expect.keySet)
+    expect.foreach { case (pid, (n, s)) =>
+      assert(got(pid)._1 === n, s"count at $pid")
+      assert(BigInt(got(pid)._2) === s, s"area at $pid")
+    }
+    // JTS path on integer-coordinate rects is EXACT (intersection vertices
+    // are integers, area < 2^53) — 5-vertex rings dodge the fast path
+    val rects5 = rects.map { sp =>
+      val r = sp.poly.rings(0)
+      val midX = (r.xs(0) + r.xs(1)) / 2
+      graft.fixtures.PolySpec(sp.poly_id, sp.kind, PolyM(Array(RingM(
+        Array(r.xs(0), midX, r.xs(1), r.xs(2), r.xs(3)),
+        Array(r.ys(0), r.ys(0), r.ys(1), r.ys(2), r.ys(3))))))
+    }
+    val viaJts = SpatialJoin.clipAreaJoin(spark, df, col("fid"),
+        col("flo"), col("fla"), col("fhi"), col("fha"), rects5)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), BigInt(r.getDecimal(2).toBigInteger)))).toMap
+    expect.foreach { case (pid, (n, s)) =>
+      assert(viaJts(pid) === ((n, s)), s"JTS exact at $pid")
+    }
+  }
 }
