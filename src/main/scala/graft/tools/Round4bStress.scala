@@ -56,6 +56,30 @@ object Round4bStress {
         .groupBy("bucket_id").count().count()
     }
 
+    // clip joins: 8M synthetic segments / rect features from the key rules
+    val segN = nImg * rep
+    val keyed = spark.range(0, segN).select(col("id"),
+      graft.oracle.Derive.lonMicro(col("id")).as("x1"),
+      graft.oracle.Derive.latMicro(col("id")).as("y1"))
+    t(s"clipLengthJoin over ${segN / 1000000}M segments x 8 zones -> zones") {
+      graft.operators.SpatialJoin.clipLengthJoin(spark,
+        keyed.select(col("id"), col("x1"), col("y1"),
+          (col("x1") + (col("id") * 7919L) % 2000001L - 1000000L).as("x2"),
+          (col("y1") + (col("id") * 104729L) % 2000001L - 1000000L).as("y2")),
+        col("id"), col("x1"), col("y1"), col("x2"), col("y2"),
+        graft.oracle.Derive.rectSpecs).count()
+    }
+    t(s"clipAreaJoin over ${segN / 1000000}M rect features x 8 zones -> zones") {
+      graft.operators.SpatialJoin.clipAreaJoin(spark,
+        keyed.select(col("id"),
+          (col("x1") - (col("id") * 6101L) % 1500001L).as("flo"),
+          (col("y1") - (col("id") * 9203L) % 1500001L).as("fla"),
+          (col("x1") + (col("id") * 6101L) % 1500001L).as("fhi"),
+          (col("y1") + (col("id") * 9203L) % 1500001L).as("fha")),
+        col("id"), col("flo"), col("fla"), col("fhi"), col("fha"),
+        graft.oracle.Derive.rectSpecs).count()
+    }
+
     // docs: replica-salted captions over the 1M table — distinct doc_ids
     // at nDocs scale without building an nDocs-row image fixture
     val docRep = math.max(1L, nDocs / nImg).toInt
