@@ -114,6 +114,10 @@ object SparkEntry {
         (Derive.latMicro(k) + (k * 9203L) % 1500001L).as("fha"))
       SpatialJoin.clipAreaJoin(s, feats, k, col("flo"), col("fla"),
           col("fhi"), col("fha"), Derive.rectSpecs)
+        // DECIMAL(38,0) stays internal (10^12-feature sum headroom); the
+        // driver surface gets the canonical digit STRING — decimal hash
+        // canonicalization differs between parquet readers.
+        .withColumn("clipped_area", col("clipped_area").cast("string"))
         .orderBy("poly_id")
     }),
     // ---- H5: zcell encoding + cell-keyed aggregation (the scan-pruning key)
@@ -1377,7 +1381,7 @@ object SparkEntry {
          |    LEAST(f.fha, r.lat_max) - GREATEST(f.fla, r.lat_min) AS h
          |  FROM f CROSS JOIN ${Derive.rectsSqlValues})
          |SELECT poly_id, count(*) AS n_features,
-         |  CAST(sum(w * h) AS DECIMAL(38,0)) AS clipped_area
+         |  CAST(CAST(sum(w * h) AS DECIMAL(38,0)) AS VARCHAR) AS clipped_area
          |FROM o WHERE w > 0 AND h > 0 GROUP BY poly_id ORDER BY poly_id""".stripMargin,
     "q74_clip_length" ->
       s"""WITH segs AS (SELECT o_orderkey,

@@ -2,12 +2,11 @@ package graft.core
 
 import java.util.zip.Inflater
 
-/** Minimal in-repo PNG decoder for the 8-bit GRAYSCALE non-interlaced
-  * subset (colour type 0, bit depth 8, deflate method 0, filter method 0)
-  * — exactly the layout `ImageCodec.encodePng` (ImageIO TYPE_BYTE_GRAY)
-  * produces, decoded from the public PNG specification (RFC 2083 /
-  * ISO 15948: IHDR/IDAT/IEND chunk grammar, zlib stream, per-scanline
-  * filters None/Sub/Up/Average/Paeth).
+/** Minimal in-repo PNG decoder for the 8-bit non-interlaced subset —
+  * colour types 0 (grayscale), 2 (truecolor RGB) and 3 (palette), bit
+  * depth 8, deflate method 0, filter method 0 — decoded from the public
+  * PNG specification (RFC 2083 / ISO 15948: IHDR/PLTE/IDAT/IEND chunk
+  * grammar, zlib stream, per-scanline filters None/Sub/Up/Average/Paeth).
   *
   * Why it exists: javax.imageio's reader costs ~3.3 ms per TINY image
   * (reader/stream/ColorModel setup dominates — measured 10k imgs/s at
@@ -16,42 +15,80 @@ import java.util.zip.Inflater
   * Inflater + unfilter loop: no reader registry, no BufferedImage, no
   * color-space machinery. Anything outside the subset returns None and
   * the caller falls back to ImageIO — behaviour, not just speed, is
-  * spec-gated byte-identical on the supported subset.
+  * spec-gated byte-identical on the supported subset (PngSpec: parity vs
+  * ImageIO raw raster samples per filter type × colour type).
+  *
+  * Robustness (round-4 advice): header dims and chunk bounds are checked
+  * in LONG arithmetic, so hostile/corrupt streams with huge IHDR dims or
+  * a length that overflows int return None instead of throwing — the
+  * documented "outside the subset → None → ImageIO fallback" contract
+  * holds for malformed input too.
   */
 object Png {
   private val SIG = Array[Byte](0x89.toByte, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n')
+
+  /** Decoded image: `channels` = 1 (gray) or 3 (RGB, row-major interleaved).
+    * Palette images are expanded to RGB at decode time (channels = 3).
+    */
+  final case class Image(w: Int, h: Int, channels: Int, pixels: Array[Byte])
 
   private def be32(b: Array[Byte], off: Int): Int =
     ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
       ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
 
   /** Decode an 8-bit gray non-interlaced PNG; None when the stream is not
-    * PNG or uses any feature outside the subset (palette/colour/16-bit/
-    * interlace) — the caller falls back to the general decoder.
+    * PNG or uses any feature outside that subset — the caller falls back
+    * to the general decoder. (Colour/palette streams return None here on
+    * purpose: this entry point's contract is gray pixels byte-identical
+    * to ImageIO's TYPE_BYTE_GRAY read, and ImageIO's RGB→gray conversion
+    * is a colorspace transform we don't reproduce. Use [[decode]] for the
+    * colour arms.)
     */
-  def decodeGray(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
-    if (bytes.length < 45) return None
+  def decodeGray(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+    decode(bytes) match {
+      case Some(img) if img.channels == 1 => Some((img.w, img.h, img.pixels))
+      case _ => None
+    }
+
+  /** Decode any supported subset stream: colour types 0/2/3, bit depth 8,
+    * non-interlaced. Gray → channels=1; RGB and palette → channels=3
+    * (palette indices expanded through PLTE). None outside the subset or
+    * on any malformed/truncated/oversized input.
+    */
+  def decode(bytes: Array[Byte]): Option[Image] = {
+    if (bytes == null || bytes.length < 45) return None
     var i = 0
     while (i < 8) { if (bytes(i) != SIG(i)) return None; i += 1 }
     var off = 8
-    var w = 0; var h = 0
+    var w = 0; var h = 0; var colorType = -1
     var seenIhdr = false
+    var palette: Array[Byte] = null
     var idat = new Array[Byte](0); var idatLen = 0
     while (off + 8 <= bytes.length) {
       val len = be32(bytes, off)
-      if (len < 0 || off + 12 + len > bytes.length) return None
+      // long-arith bounds: len is untrusted; off + 12 + len can overflow int
+      if (len < 0 || off.toLong + 12L + len > bytes.length) return None
       val typ = new String(bytes, off + 4, 4, "US-ASCII")
       typ match {
         case "IHDR" =>
           if (len != 13) return None
           w = be32(bytes, off + 8); h = be32(bytes, off + 12)
-          val bitDepth = bytes(off + 16); val colorType = bytes(off + 17)
+          val bitDepth = bytes(off + 16); colorType = bytes(off + 17)
           val compression = bytes(off + 18); val filter = bytes(off + 19)
           val interlace = bytes(off + 20)
-          if (bitDepth != 8 || colorType != 0 || compression != 0 ||
+          val bpp = colorType match { case 0 => 1; case 2 => 3; case 3 => 1; case _ => -1 }
+          if (bitDepth != 8 || bpp < 0 || compression != 0 ||
               filter != 0 || interlace != 0 || w <= 0 || h <= 0) return None
+          // reject dims whose decoded buffers exceed int range (overflow guard)
+          if ((w.toLong * bpp + 1L) * h > Int.MaxValue ||
+              w.toLong * h * 3L > Int.MaxValue) return None
           seenIhdr = true
+        case "PLTE" =>
+          if (len % 3 != 0 || len > 768 || len == 0) return None
+          palette = new Array[Byte](len)
+          System.arraycopy(bytes, off + 8, palette, 0, len)
         case "IDAT" =>
+          if (!seenIhdr) return None
           if (idat.length < idatLen + len) {
             val grown = new Array[Byte](math.max(idat.length * 2, idatLen + len))
             System.arraycopy(idat, 0, grown, 0, idatLen)
@@ -61,7 +98,14 @@ object Png {
           idatLen += len
         case "IEND" =>
           if (!seenIhdr || idatLen == 0) return None
-          return inflateAndUnfilter(idat, idatLen, w, h)
+          if (colorType == 3 && palette == null) return None
+          val bpp = if (colorType == 2) 3 else 1
+          return inflateAndUnfilter(idat, idatLen, w, h, bpp) match {
+            case Some(px) if colorType == 3 =>
+              expandPalette(px, palette, w, h).map(Image(w, h, 3, _))
+            case Some(px) => Some(Image(w, h, bpp, px))
+            case None => None
+          }
         case _ => () // ancillary chunk — skip
       }
       off += 12 + len // len + type + data + crc (crc not re-verified here)
@@ -69,9 +113,33 @@ object Png {
     None
   }
 
+  /** Expand 8-bit palette indices to interleaved RGB; None on an index
+    * outside the palette (malformed stream).
+    */
+  private def expandPalette(idx: Array[Byte], plte: Array[Byte],
+                            w: Int, h: Int): Option[Array[Byte]] = {
+    val n = plte.length / 3
+    val out = new Array[Byte](w * h * 3)
+    var i = 0
+    while (i < idx.length) {
+      val k = idx(i) & 0xff
+      if (k >= n) return None
+      val b = k * 3
+      val o = i * 3
+      out(o) = plte(b); out(o + 1) = plte(b + 1); out(o + 2) = plte(b + 2)
+      i += 1
+    }
+    Some(out)
+  }
+
+  /** Inflate the concatenated IDAT zlib stream and undo per-scanline
+    * filters for `bpp` bytes/pixel. Filter semantics per RFC 2083 §6:
+    * "left" is the byte `bpp` positions back in the same scanline.
+    */
   private def inflateAndUnfilter(idat: Array[Byte], idatLen: Int,
-                                 w: Int, h: Int): Option[(Int, Int, Array[Byte])] = {
-    val stride = w + 1 // 1 filter byte per scanline, bpp = 1
+                                 w: Int, h: Int, bpp: Int): Option[Array[Byte]] = {
+    val rowBytes = w * bpp
+    val stride = rowBytes + 1 // 1 filter byte per scanline
     val raw = new Array[Byte](stride * h)
     val inf = new Inflater()
     inf.setInput(idat, 0, idatLen)
@@ -86,41 +154,41 @@ object Png {
     finally inf.end()
     if (total != raw.length) return None
 
-    val out = new Array[Byte](w * h)
+    val out = new Array[Byte](w * h * bpp)
     var y = 0
     while (y < h) {
       val ft = raw(y * stride) & 0xff
       val rowIn = y * stride + 1
-      val rowOut = y * w
-      val prevOut = rowOut - w
+      val rowOut = y * rowBytes
+      val prevOut = rowOut - rowBytes
       var x = 0
       ft match {
         case 0 => // None
-          System.arraycopy(raw, rowIn, out, rowOut, w)
+          System.arraycopy(raw, rowIn, out, rowOut, rowBytes)
         case 1 => // Sub
-          while (x < w) {
-            val left = if (x > 0) out(rowOut + x - 1) & 0xff else 0
+          while (x < rowBytes) {
+            val left = if (x >= bpp) out(rowOut + x - bpp) & 0xff else 0
             out(rowOut + x) = ((raw(rowIn + x) & 0xff) + left).toByte
             x += 1
           }
         case 2 => // Up
-          while (x < w) {
+          while (x < rowBytes) {
             val up = if (y > 0) out(prevOut + x) & 0xff else 0
             out(rowOut + x) = ((raw(rowIn + x) & 0xff) + up).toByte
             x += 1
           }
         case 3 => // Average
-          while (x < w) {
-            val left = if (x > 0) out(rowOut + x - 1) & 0xff else 0
+          while (x < rowBytes) {
+            val left = if (x >= bpp) out(rowOut + x - bpp) & 0xff else 0
             val up = if (y > 0) out(prevOut + x) & 0xff else 0
             out(rowOut + x) = ((raw(rowIn + x) & 0xff) + ((left + up) >> 1)).toByte
             x += 1
           }
         case 4 => // Paeth
-          while (x < w) {
-            val a = if (x > 0) out(rowOut + x - 1) & 0xff else 0
+          while (x < rowBytes) {
+            val a = if (x >= bpp) out(rowOut + x - bpp) & 0xff else 0
             val b = if (y > 0) out(prevOut + x) & 0xff else 0
-            val c = if (x > 0 && y > 0) out(prevOut + x - 1) & 0xff else 0
+            val c = if (x >= bpp && y > 0) out(prevOut + x - bpp) & 0xff else 0
             val p = a + b - c
             val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
             val pred = if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
@@ -131,6 +199,6 @@ object Png {
       }
       y += 1
     }
-    Some((w, h, out))
+    Some(out)
   }
 }

@@ -83,6 +83,67 @@ object ImageCodec {
     case other => throw new IllegalArgumentException(s"unknown fmt: $other")
   }
 
+  /** Encode interleaved-RGB pixels (3 bytes/px, row-major) as a truecolor
+    * PNG (colour type 2) via ImageIO — the RGB fixture twin of encodePng.
+    */
+  def encodePngRgb(rgb: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    require(rgb.length == w * h * 3, "need 3 bytes per pixel")
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+    val samples = new Array[Int](w * h * 3)
+    var i = 0
+    while (i < samples.length) { samples(i) = rgb(i) & 0xff; i += 1 }
+    img.getRaster.setPixels(0, 0, w, h, samples)
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Decode to interleaved 8-bit RGB (3 bytes/px). PNG colour types 0/2/3
+    * take the in-repo fast path (graft.core.Png — gray replicates to three
+    * equal channels); anything else falls back to ImageIO.
+    */
+  def decodeRgb(bytes: Array[Byte], fmt: String, w: Int, h: Int): Array[Byte] = fmt match {
+    case "png" =>
+      graft.core.Png.decode(bytes) match {
+        case Some(img) if img.channels == 3 =>
+          require(img.w == w && img.h == h, s"png dims (${img.w},${img.h}) != metadata ($w,$h)")
+          img.pixels
+        case Some(img) =>
+          require(img.w == w && img.h == h, s"png dims (${img.w},${img.h}) != metadata ($w,$h)")
+          val out = new Array[Byte](w * h * 3)
+          var i = 0
+          while (i < img.pixels.length) {
+            val v = img.pixels(i)
+            val o = i * 3
+            out(o) = v; out(o + 1) = v; out(o + 2) = v
+            i += 1
+          }
+          out
+        case None => decodeRgbImageIo(bytes, fmt, w, h)
+      }
+    case _ => decodeRgbImageIo(bytes, fmt, w, h)
+  }
+
+  private def decodeRgbImageIo(bytes: Array[Byte], fmt: String, w: Int, h: Int): Array[Byte] = {
+    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    require(img != null, s"ImageIO failed to decode fmt=$fmt")
+    val out = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val argb = img.getRGB(x, y)
+        val o = (y * w + x) * 3
+        out(o) = ((argb >> 16) & 0xff).toByte
+        out(o + 1) = ((argb >> 8) & 0xff).toByte
+        out(o + 2) = (argb & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
   private def decodeImageIo(bytes: Array[Byte], fmt: String, w: Int, h: Int): Array[Byte] = {
     val img0 = ImageIO.read(new ByteArrayInputStream(bytes))
     require(img0 != null, s"ImageIO failed to decode fmt=$fmt")

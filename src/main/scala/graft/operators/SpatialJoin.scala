@@ -288,13 +288,14 @@ object SpatialJoin {
     val clipped = pairs.mapPartitions { it =>
       // per-task geometry cache: rect fast path precomputed, JTS parsed once
       val kinds = new Array[AnyRef](polyArr.length)
+      val gf = new org.locationtech.jts.geom.GeometryFactory()
       it.map { r =>
         val (sx1, sy1, sx2, sy2) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
         val pidx = r.getInt(5)
         if (kinds(pidx) == null) kinds(pidx) = classifyZone(polyArr(pidx))
         val len = kinds(pidx) match {
           case b: BBoxM => slabClipLen(sx1, sy1, sx2, sy2, b)
-          case g: org.locationtech.jts.geom.Geometry => jtsClipLen(sx1, sy1, sx2, sy2, g)
+          case g: org.locationtech.jts.geom.Geometry => jtsClipLen(gf, sx1, sy1, sx2, sy2, g)
         }
         (r.getString(6), len)
       }
@@ -354,6 +355,7 @@ object SpatialJoin {
     val polyArr = c.polyArr
     val clipped = pairs.mapPartitions { it =>
       val kinds = new Array[AnyRef](polyArr.length)
+      val gf = new org.locationtech.jts.geom.GeometryFactory()
       it.map { r =>
         val (lo, la, hi, ha) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
         val pidx = r.getInt(5)
@@ -364,8 +366,7 @@ object SpatialJoin {
             val h = math.min(ha, b.latMax) - math.max(la, b.latMin)
             if (w > 0 && h > 0) w * h else 0L
           case g: org.locationtech.jts.geom.Geometry =>
-            val f = new org.locationtech.jts.geom.GeometryFactory()
-            val shell = f.createPolygon(Array(
+            val shell = gf.createPolygon(Array(
               new org.locationtech.jts.geom.Coordinate(lo.toDouble, la.toDouble),
               new org.locationtech.jts.geom.Coordinate(hi.toDouble, la.toDouble),
               new org.locationtech.jts.geom.Coordinate(hi.toDouble, ha.toDouble),
@@ -423,9 +424,9 @@ object SpatialJoin {
     if (t1 > t0) math.sqrt(dx * dx + dy * dy) * (t1 - t0) else 0.0
   }
 
-  private def jtsClipLen(sx1: Long, sy1: Long, sx2: Long, sy2: Long,
+  private def jtsClipLen(f: org.locationtech.jts.geom.GeometryFactory,
+                         sx1: Long, sy1: Long, sx2: Long, sy2: Long,
                          g: org.locationtech.jts.geom.Geometry): Double = {
-    val f = new org.locationtech.jts.geom.GeometryFactory()
     val line = f.createLineString(Array(
       new org.locationtech.jts.geom.Coordinate(sx1.toDouble, sy1.toDouble),
       new org.locationtech.jts.geom.Coordinate(sx2.toDouble, sy2.toDouble)))

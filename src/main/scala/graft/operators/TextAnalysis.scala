@@ -561,9 +561,12 @@ object TextAnalysis {
     val counts = ranged.groupBy("_pid").agg(sum("n_tok").as("s"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val offsets = (0 until parts).scanLeft(0L)((acc, p) => acc + counts.getOrElse(p.toLong, 0L))
-    val offsetExpr = (0 until parts).foldLeft(lit(0L)) { (e, p) =>
-      when(col("_pid") === p.toLong, lit(offsets(p))).otherwise(e)
-    }
+    // O(1) per-row lookup: an array-literal element_at, NOT a parts-deep
+    // CASE chain — defaultParallelism on a real cluster is 10^3..10^4 and a
+    // linear WHEN fold is both O(parts) per row and a codegen method-size
+    // hazard (round-4 advice #3).
+    val offsetExpr = element_at(
+      typedLit(offsets.take(parts).toSeq), col("_pid").cast("int") + 1)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("_pid").orderBy("sample_key", "doc_id")
     ranged.withColumn("tok_start", offsetExpr + sum("n_tok").over(w) - col("n_tok"))
