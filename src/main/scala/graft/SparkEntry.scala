@@ -120,6 +120,38 @@ object SparkEntry {
         .withColumn("clipped_area", col("clipped_area").cast("string"))
         .orderBy("poly_id")
     }),
+    // ---- C2/H4 in METERS — the upstream flagship "km of roads per
+    //      district" answers in meters [ref: oshdb-util Geo.lengthOf], not
+    //      planar µdeg: same slab clip, then the local equirectangular
+    //      metric at the clipped midpoint latitude. cos is a fixed Horner
+    //      polynomial (not libm) so the DuckDB twin reproduces every binary
+    //      double bit-for-bit; floor(m·1000) per pair → exact int64 mm sum.
+    "q78_clip_length_m" -> ((s, dir) => {
+      val k = col("o_orderkey")
+      val segs = s.read.parquet(s"$dir/orders.parquet").select(k,
+        Derive.lonMicro(k).as("x1"), Derive.latMicro(k).as("y1"),
+        (Derive.lonMicro(k) + (k * 7919L) % 2000001L - 1000000L).as("x2"),
+        (Derive.latMicro(k) + (k * 104729L) % 2000001L - 1000000L).as("y2"))
+      SpatialJoin.clipLengthJoin(s, segs, k, col("x1"), col("y1"),
+          col("x2"), col("y2"), Derive.rectSpecs, unit = "meters")
+        .orderBy("poly_id")
+    }),
+    // ---- C2/H3 in METERS² — "m² of buildings per district" [ref:
+    //      oshdb-util Geo.areaOf]: integer rect overlap, then w·cosφc·M ×
+    //      h·M at the overlap's center latitude, floor-quantized to whole
+    //      m² per pair; DECIMAL(38,0) sum stays internal, STRING surfaces.
+    "q79_clip_area_m2" -> ((s, dir) => {
+      val k = col("c_custkey")
+      val feats = s.read.parquet(s"$dir/customer.parquet").select(k,
+        (Derive.lonMicro(k) - (k * 6101L) % 1500001L).as("flo"),
+        (Derive.latMicro(k) - (k * 9203L) % 1500001L).as("fla"),
+        (Derive.lonMicro(k) + (k * 6101L) % 1500001L).as("fhi"),
+        (Derive.latMicro(k) + (k * 9203L) % 1500001L).as("fha"))
+      SpatialJoin.clipAreaJoin(s, feats, k, col("flo"), col("fla"),
+          col("fhi"), col("fha"), Derive.rectSpecs, unit = "meters")
+        .withColumn("clipped_m2", col("clipped_m2").cast("string"))
+        .orderBy("poly_id")
+    }),
     // ---- H5: zcell encoding + cell-keyed aggregation (the scan-pruning key)
     "q03_zcell_count" -> ((s, dir) => {
       customerPts(s, dir)
@@ -309,6 +341,37 @@ object SparkEntry {
       graft.sources.IcebergLite.expireSnapshots(tbl, retainLast = 1)
       graft.sources.IcebergLite.read(s, tbl)
         .select("c_custkey", "lonm", "latm").orderBy("c_custkey")
+    }),
+    // ---- A1 merge-on-read DELETE (Iceberg v2 equality deletes): the
+    //      100 TB point-delete shape — a delete commit writes only the
+    //      matched keys (no data-file rewrite; spec-gated), readers
+    //      anti-merge at scan time, and compact folds the delete debt.
+    //      Read after fold must equal the plain anti-filter.
+    "q76_iceberg_mor_delete" -> ((s, dir) => {
+      val tbl = java.nio.file.Files.createTempDirectory("graft_iclite_q76").toString
+      val pts = customerPts(s, dir)
+      val key = graft.functions.GraftFunctions.zcell(col("lonm"), col("latm"), 12)
+      graft.sources.IcebergLite.append(s, tbl, pts.where(col("c_custkey") % 2 === 0), key)
+      graft.sources.IcebergLite.append(s, tbl, pts.where(col("c_custkey") % 2 === 1), key)
+      graft.sources.IcebergLite.deleteWhereMoR(s, tbl, col("c_custkey") % 10 === 3, "c_custkey")
+      graft.sources.IcebergLite.compact(s, tbl) // folds the delete files
+      graft.sources.IcebergLite.read(s, tbl)
+        .select("c_custkey", "lonm", "latm").orderBy("c_custkey")
+    }),
+    // ---- A1 schema evolution: addColumn is a metadata-only commit; files
+    //      written before it read back with the column null-backfilled,
+    //      files after carry it physically — one scan crosses the
+    //      evolution boundary (per-snapshot schema travel spec-gated).
+    "q77_iceberg_evolve" -> ((s, dir) => {
+      val tbl = java.nio.file.Files.createTempDirectory("graft_iclite_q77").toString
+      val pts = customerPts(s, dir)
+      val key = graft.functions.GraftFunctions.zcell(col("lonm"), col("latm"), 12)
+      graft.sources.IcebergLite.append(s, tbl, pts.where(col("c_custkey") % 2 === 0), key)
+      graft.sources.IcebergLite.addColumn(s, tbl, "flag", "BIGINT")
+      graft.sources.IcebergLite.append(s, tbl,
+        pts.where(col("c_custkey") % 2 === 1).withColumn("flag", col("c_custkey") % 5), key)
+      graft.sources.IcebergLite.read(s, tbl)
+        .select("c_custkey", "lonm", "flag").orderBy("c_custkey")
     }),
     // ---- A1 upsert verb: copy-on-write MERGE — updates shift lon for every
     //      7th customer, inserts clone every 11th under a shifted key; only
@@ -1327,6 +1390,15 @@ object SparkEntry {
         .orderBy("kinds")
     }))
 
+  /** cos as the fixed degree-12 Horner polynomial over `z` = φ² — the SAME
+    * shortest-repr double literals the Scala kernel
+    * (SpatialJoin.cosPoly) evaluates, so DuckDB and the JVM produce
+    * bit-identical doubles (libm cos may differ by 1 ulp between engines).
+    */
+  private def cosPolySql(z: String): String =
+    s"1.0 + $z * (-0.5 + $z * (0.041666666666666664 + $z * (-0.001388888888888889 + " +
+      s"$z * (2.48015873015873e-05 + $z * (-2.755731922398589e-07 + $z * 2.08767569878681e-09)))))"
+
   /** DuckDB twins (same table names = parquet basenames in sfDir). */
   def oracleSql: Map[String, String] = Map(
     "q01_spatial_join" ->
@@ -1414,6 +1486,70 @@ object SparkEntry {
          |SELECT poly_id, count(*) AS n_segments,
          |  CAST(sum(CAST(floor(len * 1000.0) AS BIGINT)) AS BIGINT) AS clipped_len
          |FROM ln WHERE len > 0 GROUP BY poly_id ORDER BY poly_id""".stripMargin,
+    // meters twins: identical slab clip, then the equirect meters chain with
+    // cos as the SAME fixed Horner polynomial the Scala kernel evaluates —
+    // only correctly-rounded IEEE ops, so doubles match bit-for-bit
+    "q78_clip_length_m" ->
+      s"""WITH segs AS (SELECT o_orderkey,
+         |  ${Derive.lonSql("o_orderkey")} AS x1, ${Derive.latSql("o_orderkey")} AS y1,
+         |  ${Derive.lonSql("o_orderkey")} + (o_orderkey * 7919) % 2000001 - 1000000 AS x2,
+         |  ${Derive.latSql("o_orderkey")} + (o_orderkey * 104729) % 2000001 - 1000000 AS y2
+         |  FROM orders),
+         |d AS (SELECT s.o_orderkey, r.poly_id,
+         |    CAST(s.x1 AS DOUBLE) AS x1d, CAST(s.y1 AS DOUBLE) AS y1d,
+         |    CAST(s.x2 - s.x1 AS DOUBLE) AS dx, CAST(s.y2 - s.y1 AS DOUBLE) AS dy,
+         |    CAST(r.lon_min AS DOUBLE) AS lo, CAST(r.lat_min AS DOUBLE) AS la,
+         |    CAST(r.lon_max AS DOUBLE) AS hi, CAST(r.lat_max AS DOUBLE) AS ha
+         |  FROM segs s CROSS JOIN ${Derive.rectsSqlValues}),
+         |t AS (SELECT o_orderkey, poly_id, y1d, dx, dy,
+         |    CASE WHEN dx > 0 THEN (lo - x1d) / dx WHEN dx < 0 THEN (hi - x1d) / dx
+         |         WHEN x1d >= lo AND x1d <= hi THEN -1e308 ELSE 1e308 END AS txe,
+         |    CASE WHEN dx > 0 THEN (hi - x1d) / dx WHEN dx < 0 THEN (lo - x1d) / dx
+         |         WHEN x1d >= lo AND x1d <= hi THEN 1e308 ELSE -1e308 END AS txx,
+         |    CASE WHEN dy > 0 THEN (la - y1d) / dy WHEN dy < 0 THEN (ha - y1d) / dy
+         |         WHEN y1d >= la AND y1d <= ha THEN -1e308 ELSE 1e308 END AS tye,
+         |    CASE WHEN dy > 0 THEN (ha - y1d) / dy WHEN dy < 0 THEN (la - y1d) / dy
+         |         WHEN y1d >= la AND y1d <= ha THEN 1e308 ELSE -1e308 END AS tyx
+         |  FROM d),
+         |tt AS (SELECT poly_id, y1d, dx, dy,
+         |    GREATEST(0.0, GREATEST(txe, tye)) AS t0,
+         |    LEAST(1.0, LEAST(txx, tyx)) AS t1 FROM t),
+         |ph AS (SELECT poly_id, dx, dy, t0, t1,
+         |    ((y1d + dy * ((t0 + t1) * 0.5)) * 1.7453292519943295e-08)
+         |    * ((y1d + dy * ((t0 + t1) * 0.5)) * 1.7453292519943295e-08) AS z
+         |  FROM tt),
+         |cp AS (SELECT poly_id, dx, dy, t0, t1, ${cosPolySql("z")} AS c FROM ph),
+         |ln AS (SELECT poly_id,
+         |    CASE WHEN t1 > t0
+         |         THEN sqrt(dx * c * (dx * c) + dy * dy) * (t1 - t0) * 0.1111950802335329
+         |         ELSE 0.0 END AS len
+         |  FROM cp)
+         |SELECT poly_id, count(*) AS n_segments,
+         |  CAST(sum(CAST(floor(len * 1000.0) AS BIGINT)) AS BIGINT) AS clipped_len_mm
+         |FROM ln WHERE len > 0 GROUP BY poly_id ORDER BY poly_id""".stripMargin,
+    "q79_clip_area_m2" ->
+      s"""WITH f AS (SELECT c_custkey,
+         |  ${Derive.lonSql("c_custkey")} - (c_custkey * 6101) % 1500001 AS flo,
+         |  ${Derive.latSql("c_custkey")} - (c_custkey * 9203) % 1500001 AS fla,
+         |  ${Derive.lonSql("c_custkey")} + (c_custkey * 6101) % 1500001 AS fhi,
+         |  ${Derive.latSql("c_custkey")} + (c_custkey * 9203) % 1500001 AS fha
+         |  FROM customer),
+         |o AS (SELECT r.poly_id,
+         |    LEAST(f.fhi, r.lon_max) - GREATEST(f.flo, r.lon_min) AS w,
+         |    LEAST(f.fha, r.lat_max) - GREATEST(f.fla, r.lat_min) AS h,
+         |    GREATEST(f.fla, r.lat_min) AS lac, LEAST(f.fha, r.lat_max) AS hac
+         |  FROM f CROSS JOIN ${Derive.rectsSqlValues}),
+         |ph AS (SELECT poly_id, w, h,
+         |    ((CAST(lac + hac AS DOUBLE) * 0.5) * 1.7453292519943295e-08)
+         |    * ((CAST(lac + hac AS DOUBLE) * 0.5) * 1.7453292519943295e-08) AS z
+         |  FROM o WHERE w > 0 AND h > 0),
+         |cp AS (SELECT poly_id, w, h, ${cosPolySql("z")} AS c FROM ph),
+         |aa AS (SELECT poly_id, CAST(floor(
+         |    CAST(w AS DOUBLE) * c * 0.1111950802335329
+         |    * (CAST(h AS DOUBLE) * 0.1111950802335329)) AS BIGINT) AS m2 FROM cp)
+         |SELECT poly_id, count(*) AS n_features,
+         |  CAST(CAST(sum(m2) AS DECIMAL(38,0)) AS VARCHAR) AS clipped_m2
+         |FROM aa GROUP BY poly_id ORDER BY poly_id""".stripMargin,
     "q70_stream_tiles" ->
       s"""WITH pts AS (SELECT o_orderkey, ${Derive.lonSql("o_orderkey")} AS lonm,
          |  ${Derive.latSql("o_orderkey")} AS latm FROM orders)
@@ -1482,6 +1618,14 @@ object SparkEntry {
     "q73_iceberg_expire" ->
       s"""SELECT c_custkey, ${Derive.lonSql("c_custkey")} AS lonm,
          |${Derive.latSql("c_custkey")} AS latm
+         |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q76_iceberg_mor_delete" ->
+      s"""SELECT c_custkey, ${Derive.lonSql("c_custkey")} AS lonm,
+         |${Derive.latSql("c_custkey")} AS latm
+         |FROM customer WHERE NOT c_custkey % 10 = 3 ORDER BY c_custkey""".stripMargin,
+    "q77_iceberg_evolve" ->
+      s"""SELECT c_custkey, ${Derive.lonSql("c_custkey")} AS lonm,
+         |CASE WHEN c_custkey % 2 = 1 THEN c_custkey % 5 ELSE NULL END AS flag
          |FROM customer ORDER BY c_custkey""".stripMargin,
     "q0n_iceberg_merge" ->
       s"""WITH base AS (SELECT c_custkey, ${Derive.lonSql("c_custkey")} AS lonm,

@@ -76,7 +76,7 @@ object GraftSql {
     "bloom_agg" -> (es => BloomAgg(es(0), intLit(es(1), "bloom_agg numBits"),
       if (es.length > 2) intLit(es(2), "bloom_agg numHashes") else 7)),
     "bloom_contains" -> (es => BloomContainsExpr(es(0), es(1))),
-    "vec_sum" -> (es => VecSumAgg(es(0))))
+    "vec_sum" -> (es => VecSumAgg.coerced(es(0))))
 
   /** Register everything into an existing session (temp functions). */
   def registerAll(spark: SparkSession): Unit =

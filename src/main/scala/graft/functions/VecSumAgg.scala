@@ -2,7 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -29,6 +30,15 @@ case class VecSumAgg(
   extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
 
   override def prettyName: String = "vec_sum"
+  // non-array / wrong-element-type args fail at ANALYSIS with a clean type
+  // error instead of a runtime unboxing crash inside update(); the builders
+  // below insert an explicit Cast so array<int> still coerces
+  // (ExpectsInputTypes is unusable here — AbstractDataType is private[sql])
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"vec_sum requires array<bigint>, got ${other.simpleString}")
+  }
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = false
 
@@ -80,6 +90,12 @@ case class VecSumAgg(
 
 object VecSumAgg {
   import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+  /** Wrap the argument in an explicit cast to array<bigint>: array<int>
+    * coerces, non-castable types fail AT ANALYSIS with a cast error (the
+    * identity cast on array<bigint> folds away in the optimizer).
+    */
+  def coerced(e: Expression): VecSumAgg =
+    VecSumAgg(Cast(e, ArrayType(LongType)))
   /** Column builder: `vecSum(col)` over `array<bigint>`. */
-  def vecSum(v: Column): Column = column(VecSumAgg(expression(v)).toAggregateExpression())
+  def vecSum(v: Column): Column = column(coerced(expression(v)).toAggregateExpression())
 }

@@ -4,6 +4,7 @@ import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 import scala.jdk.CollectionConverters._
 
 /** Hand-built "Iceberg-shaped" table format (SURVEY.md A1): no Iceberg jar
@@ -12,22 +13,41 @@ import scala.jdk.CollectionConverters._
   *
   *   <table>/data/<uuid>/part-*.parquet      immutable data files
   *   <table>/metadata/v00001.json …          snapshot per version:
-  *       {version, snapshot_id, parent, files:[{path, rows, min, max}]}
+  *       {version, snapshot_id, parent, schema_ddl, files:[...], deletes:[...]}
   *   <table>/metadata/_current                pointer file (tmp→rename)
   *
-  * giving the three Iceberg properties the engine relies on:
+  * giving the Iceberg properties the engine relies on:
   *   - snapshot isolation: readers resolve a version once and see an
   *     immutable file list (appends create a NEW version);
   *   - time travel: `read(dir, asOfVersion = n)`;
   *   - file-level stats pruning: each file carries min/max of a stats
   *     column (the zcell(12) clustering key for the images table), and
-  *     `pruneRead` keeps only files whose range intersects the query cells.
+  *     `pruneRead` keeps only files whose range intersects the query cells;
+  *   - merge-on-read row deletes (Iceberg v2 equality-delete shape): a
+  *     delete commit writes only the matched KEYS as a delete file — no
+  *     data-file rewrite — and readers anti-merge at scan time; `compact`
+  *     folds applicable deletes into the files it rewrites. Sequence
+  *     semantics follow Iceberg: a delete file applies to data files
+  *     committed strictly BEFORE it (`file.seq < delete.seq`), so rows
+  *     appended after the delete with a recycled key are not affected;
+  *   - schema evolution: every snapshot records its own schema (DDL) in
+  *     the manifest; `addColumn` commits a metadata-only snapshot and
+  *     old data files read back with the new column null-backfilled,
+  *     while time travel returns each snapshot under its own schema.
   *
   * Commits are atomic via tmp-write + rename of the pointer; concurrent
   * appends would need a CAS on `_current` (single-writer here, noted).
   */
 object IcebergLite {
-  final case class FileEntry(path: String, rows: Long, min: Long, max: Long)
+  /** `seq` = version at which the file was committed (0 on legacy
+    * manifests) — the ordering key for merge-on-read delete applicability.
+    */
+  final case class FileEntry(path: String, rows: Long, min: Long, max: Long,
+                             seq: Int = 0)
+  /** Equality-delete file: parquet of deleted KEY values (single column
+    * named `key`), applying to data files with `seq < this.seq`.
+    */
+  final case class DeleteEntry(path: String, rows: Long, key: String, seq: Int)
   /** `streams` carries the LATEST committed batchId per stream name, merged
     * forward at every commit — so exactly-once lookup is O(1) metadata reads
     * (one snapshot JSON), not a parent-chain walk that degrades to
@@ -35,9 +55,24 @@ object IcebergLite {
     */
   final case class Snapshot(version: Int, snapshotId: String, parent: Option[Int],
                             files: Seq[FileEntry],
+                            deletes: Seq[DeleteEntry] = Seq.empty,
+                            schemaDdl: Option[String] = None,
                             streams: Map[String, Long] = Map.empty)
 
   private def metaDir(dir: String): Path = Paths.get(dir, "metadata")
+
+  /** Normalize a data-file path for identity comparison: strip a
+    * `file:`-scheme prefix if present. NOT java.net.URI — raw paths with
+    * spaces or other URI-illegal characters are valid filesystem paths and
+    * must not crash maintenance (round-4 advice).
+    */
+  private def norm(p: String): String = {
+    val noScheme = if (p.startsWith("file:")) p.substring(5) else p
+    // collapse any duplicated leading slashes a Hadoop file: URI carries
+    var i = 0
+    while (i + 1 < noScheme.length && noScheme.charAt(i) == '/' && noScheme.charAt(i + 1) == '/') i += 1
+    noScheme.substring(i)
+  }
 
   def currentVersion(dir: String): Int = {
     val p = metaDir(dir).resolve("_current")
@@ -48,14 +83,21 @@ object IcebergLite {
   def snapshot(dir: String, version: Int): Snapshot = {
     val txt = new String(Files.readAllBytes(
       metaDir(dir).resolve(f"v$version%05d.json")), StandardCharsets.UTF_8)
-    val entry = """\{"path": "([^"]+)", "rows": (\d+), "min": (-?\d+), "max": (-?\d+)\}""".r
+    val entry = ("""\{"path": "([^"]+)", "rows": (\d+), "min": (-?\d+), """ +
+      """"max": (-?\d+)(?:, "seq": (\d+))?\}""").r
     val files = entry.findAllMatchIn(txt).map(m =>
-      FileEntry(m.group(1), m.group(2).toLong, m.group(3).toLong, m.group(4).toLong)).toSeq
+      FileEntry(m.group(1), m.group(2).toLong, m.group(3).toLong, m.group(4).toLong,
+        Option(m.group(5)).map(_.toInt).getOrElse(0))).toSeq
+    val delEntry = """\{"path": "([^"]+)", "rows": (\d+), "key": "([^"]+)", "seq": (\d+)\}""".r
+    val deletes = delEntry.findAllMatchIn(txt).map(m =>
+      DeleteEntry(m.group(1), m.group(2).toLong, m.group(3), m.group(4).toInt)).toSeq
     val sid = """"snapshot_id": "([^"]+)"""".r.findFirstMatchIn(txt).get.group(1)
     val parent = """"parent": (\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toInt)
+    val schemaDdl = """"schema_ddl": "((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(txt)
+      .map(m => m.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
     val streams = """"stream:([^"]+)": (-?\d+)""".r.findAllMatchIn(txt)
       .map(m => m.group(1) -> m.group(2).toLong).toMap
-    Snapshot(version, sid, parent, files, streams)
+    Snapshot(version, sid, parent, files, deletes, schemaDdl, streams)
   }
 
   /** Highest streaming batchId committed for `name`, or -1. The per-stream
@@ -72,54 +114,73 @@ object IcebergLite {
   /** Row counts + `_stats` long-column min/max per file, read from parquet
     * footers only (no data pages touched).
     */
-  private def footerStats(spark: SparkSession, dataDir: String): Seq[FileEntry] = {
+  private def footerStats(spark: SparkSession, dataDir: String, seq: Int): Seq[FileEntry] = {
     val conf = spark.sessionState.newHadoopConf()
     val p = new org.apache.hadoop.fs.Path(dataDir)
     val fs = p.getFileSystem(conf)
     fs.listStatus(p).toSeq
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
       .map { f =>
-        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-          org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf))
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f.getPath, conf))
         try {
+          val footer = reader.getFooter
           var rows = 0L
-          var mn = Long.MaxValue
-          var mx = Long.MinValue
-          r.getFooter.getBlocks.asScala.foreach { b =>
+          var mn = Long.MaxValue; var mx = Long.MinValue
+          footer.getBlocks.asScala.foreach { b =>
             rows += b.getRowCount
-            b.getColumns.asScala.foreach { c =>
-              if (c.getPath.toDotString == "_stats") {
-                val s = c.getStatistics.asInstanceOf[org.apache.parquet.column.statistics.LongStatistics]
-                if (s.hasNonNullValue) {
-                  if (s.getMin < mn) mn = s.getMin
-                  if (s.getMax > mx) mx = s.getMax
+            b.getColumns.asScala.find(_.getPath.toDotString == "_stats").foreach { c =>
+              val st = c.getStatistics
+              if (st != null && !st.isEmpty) {
+                st.genericGetMin match {
+                  case l: java.lang.Long =>
+                    mn = math.min(mn, l); mx = math.max(mx, st.genericGetMax.asInstanceOf[java.lang.Long])
+                  case _ => ()
                 }
               }
             }
           }
-          FileEntry(f.getPath.toString, rows, mn, mx)
-        } finally r.close()
+          if (mn == Long.MaxValue) { mn = 0L; mx = 0L }
+          FileEntry(f.getPath.toUri.getPath, rows, mn, mx, seq)
+        } finally reader.close()
       }
+      .sortBy(_.path)
   }
 
-  /** Append `df` as a new snapshot; `statsCol` supplies per-file min/max
-    * (pass the clustering key). Returns the new version number.
-    */
   def append(spark: SparkSession, dir: String, df: DataFrame, statsCol: Column,
              streamMarker: Option[(String, Long)] = None): Int = {
     val cur = currentVersion(dir)
-    val old = if (cur > 0) snapshot(dir, cur).files else Seq.empty
+    val snapOpt = if (cur > 0) Some(snapshot(dir, cur)) else None
+    val old = snapOpt.map(_.files).getOrElse(Seq.empty)
     val batch = java.util.UUID.randomUUID().toString.take(8)
     val dataDir = s"$dir/data/$batch"
-    df.withColumn("_stats", statsCol)
-      .write.mode("error").parquet(dataDir)
+    val withStats = df.withColumn("_stats", statsCol)
+    // schema evolution: if the table already has a schema, write the batch
+    // ALIGNED to it (missing columns null-backfilled, order normalized) so
+    // every file of a snapshot is readable under the snapshot schema
+    val tableSchema = snapOpt.flatMap(_.schemaDdl).map(StructType.fromDDL)
+    val aligned = tableSchema match {
+      case Some(ts) =>
+        val have = withStats.columns.toSet
+        val extra = have -- ts.fieldNames.toSet
+        require(extra.isEmpty,
+          s"append schema has unknown column(s) ${extra.mkString(",")} — addColumn first")
+        withStats.select(ts.fields.map(f =>
+          if (have.contains(f.name)) col(f.name).cast(f.dataType)
+          else lit(null).cast(f.dataType).as(f.name)): _*)
+      case None => withStats
+    }
+    aligned.write.mode("error").parquet(dataDir)
     // per-file stats from the parquet FOOTERS the write just produced
     // (row counts + `_stats` column min/max) — a metadata-only driver read,
     // exactly how an Iceberg commit collects manifests; the previous
     // implementation re-READ the whole batch per append (write-side read
     // amplification at scale)
-    val stats = footerStats(spark, dataDir)
-    commitSnapshot(dir, cur, old ++ stats, streamMarker)
+    val stats = footerStats(spark, dataDir, cur + 1)
+    val ddl = tableSchema.map(_.toDDL).orElse(Some(aligned.schema.toDDL))
+    commitSnapshot(dir, cur, old ++ stats,
+      deletes = snapOpt.map(_.deletes).getOrElse(Seq.empty),
+      schemaDdl = ddl, streamMarker = streamMarker)
   }
 
   /** Copy-on-write row-level DELETE (the Iceberg verb the dedup pipeline
@@ -142,7 +203,7 @@ object IcebergLite {
     val cur = currentVersion(dir)
     require(cur > 0, s"no snapshots in $dir")
     val snap = snapshot(dir, cur)
-    def norm(p: String): String = new java.net.URI(p).getPath
+    if (snap.files.isEmpty) return cur
     val touched = spark.read.parquet(snap.files.map(_.path): _*)
       .where(predicate)
       .select(input_file_name().as("_f")).distinct()
@@ -155,13 +216,64 @@ object IcebergLite {
     // nullable predicate evaluates to NULL on some rows; !NULL is NULL which
     // `where` drops — so the naive `.where(!predicate)` would silently delete
     // NULL-predicate rows that share a file with a true match. Keep every row
-    // where the predicate is not TRUE.
-    spark.read.parquet(rewrite.map(_.path): _*)
+    // where the predicate is not TRUE. The rewrite reads MERGED (any
+    // applicable MoR delete applied) so a CoW delete never resurrects rows.
+    mergedRead(spark, snap, rewrite)
       .where(not(coalesce(predicate, lit(false))))
       .withColumn("_stats", statsCol)
       .write.mode("error").parquet(dataDir)
-    val files = keep ++ footerStats(spark, dataDir)
-    commitSnapshot(dir, cur, files)
+    val files = keep ++ footerStats(spark, dataDir, cur + 1)
+    // deletes that applied only to rewritten files are folded; keep those
+    // still applicable to a kept file
+    val keptDeletes = snap.deletes.filter(d => keep.exists(_.seq < d.seq))
+    commitSnapshot(dir, cur, files, deletes = keptDeletes, schemaDdl = snap.schemaDdl)
+  }
+
+  /** MERGE-ON-READ row-level DELETE (Iceberg v2 equality deletes): instead
+    * of rewriting data files, commit a DELETE FILE holding only the `key`
+    * values of matched rows; readers anti-merge it at scan time and
+    * [[compact]] folds it into rewritten data files later.
+    *
+    * This is the 100 TB point-delete shape: a CoW delete of one row in a
+    * 1 GB file rewrites 1 GB; the MoR delete writes a KB-sized key list
+    * and defers the rewrite to compaction where it amortizes across the
+    * whole maintenance pass. The cost moves to the read side — one
+    * anti-join per delete generation — which is why compaction folds.
+    *
+    * Sequence semantics: the delete applies to data files with
+    * `seq < deleteSeq` only, so a row appended LATER under the same key
+    * is not deleted (Iceberg's sequence-number rule).
+    *
+    * `key` must be a column of the table; matched keys are deduplicated.
+    * Returns the new version, or the current one when nothing matches.
+    */
+  def deleteWhereMoR(spark: SparkSession, dir: String, predicate: Column,
+                     key: String): Int = {
+    val cur = currentVersion(dir)
+    require(cur > 0, s"no snapshots in $dir")
+    val snap = snapshot(dir, cur)
+    val matched = readSnapshot(spark, snap)
+      .where(coalesce(predicate, lit(false)))
+      .select(col(key)).distinct()
+    val batch = java.util.UUID.randomUUID().toString.take(8)
+    val delDir = s"$dir/deletes/$batch"
+    matched.write.mode("error").parquet(delDir)
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(delDir)
+    val fs = p.getFileSystem(conf)
+    val delFiles = fs.listStatus(p).toSeq
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val rowsByFile = spark.read.parquet(delDir)
+      .groupBy(input_file_name().as("_f")).count()
+      .collect().map(r => norm(r.getString(0)) -> r.getLong(1)).toMap
+    val entries = delFiles.flatMap { f =>
+      val path = f.getPath.toUri.getPath
+      val n = rowsByFile.getOrElse(norm(path), 0L)
+      if (n > 0) Some(DeleteEntry(path, n, key, cur + 1)) else None
+    }
+    if (entries.isEmpty) return cur // nothing matched — no empty commit
+    commitSnapshot(dir, cur, snap.files,
+      deletes = snap.deletes ++ entries, schemaDdl = snap.schemaDdl)
   }
 
   /** Copy-on-write MERGE/upsert by key (Iceberg's `MERGE INTO … WHEN MATCHED
@@ -189,24 +301,27 @@ object IcebergLite {
     require(cur > 0, s"no snapshots in $dir")
     if (updates.isEmpty) return cur
     val snap = snapshot(dir, cur)
-    def norm(p: String): String = new java.net.URI(p).getPath
     val updKeys = updates.select(col(key)).distinct()
-    val touched = spark.read.parquet(snap.files.map(_.path): _*)
-      .select(col(key), input_file_name().as("_f"))
-      .join(broadcast(updKeys), key, "left_semi")
-      .select("_f").distinct()
-      .collect().map(r => norm(r.getString(0))).toSet
+    val touched =
+      if (snap.files.isEmpty) Set.empty[String]
+      else spark.read.parquet(snap.files.map(_.path): _*)
+        .select(col(key), input_file_name().as("_f"))
+        .join(broadcast(updKeys), key, "left_semi")
+        .select("_f").distinct()
+        .collect().map(r => norm(r.getString(0))).toSet
     val (rewrite, keep) = snap.files.partition(f => touched.contains(norm(f.path)))
     val survivors =
       if (rewrite.isEmpty) updates
-      else spark.read.parquet(rewrite.map(_.path): _*).drop("_stats")
+      else mergedRead(spark, snap, rewrite).drop("_stats")
         .join(broadcast(updKeys), key, "left_anti")
         .unionByName(updates)
     val batch = java.util.UUID.randomUUID().toString.take(8)
     val dataDir = s"$dir/data/$batch"
     survivors.withColumn("_stats", statsCol)
       .write.mode("error").parquet(dataDir)
-    commitSnapshot(dir, cur, keep ++ footerStats(spark, dataDir))
+    val keptDeletes = snap.deletes.filter(d => keep.exists(_.seq < d.seq))
+    commitSnapshot(dir, cur, keep ++ footerStats(spark, dataDir, cur + 1),
+      deletes = keptDeletes, schemaDdl = snap.schemaDdl)
   }
 
   /** Compaction + clustering rewrite (Iceberg's `rewrite_data_files` with
@@ -220,42 +335,87 @@ object IcebergLite {
     * the same query cells (spec-gated). Old versions still time-travel to
     * the pre-compaction layout; nothing is mutated in place.
     *
+    * Merge-on-read deletes FOLD here: rewritten files are read with their
+    * applicable delete files applied, and a delete entry survives the
+    * compaction only while some kept-by-reference file still predates it
+    * — the standard "compaction pays down the delete debt" maintenance
+    * contract. A delete also FORCES the files it applies to into the
+    * rewrite set (else the fold would silently drop the delete's effect
+    * on kept files).
+    *
     * At scale this is the standard small-file problem verb: many
     * micro-batch appends → one range-shuffle of only the small-file
     * subset (large files never rewritten ⇒ write amplification bounded
     * by the small fraction), metadata from footers only.
     *
-    * Returns the new version, or the current one when <2 files qualify.
+    * Returns the new version, or the current one when <2 files qualify
+    * and no delete needs folding.
     */
   def compact(spark: SparkSession, dir: String,
               targetFileRows: Long = 1L << 20): Int = {
     val cur = currentVersion(dir)
     require(cur > 0, s"no snapshots in $dir")
     val snap = snapshot(dir, cur)
-    val (small, keep) = snap.files.partition(_.rows < targetFileRows)
-    if (small.size < 2) return cur
-    val totalRows = small.map(_.rows).sum
-    val outFiles = math.max(1L, (totalRows + targetFileRows - 1) / targetFileRows).toInt
+    val (small, keep) = snap.files.partition(f =>
+      f.rows < targetFileRows || snap.deletes.exists(_.seq > f.seq))
+    if (small.size < 2 && snap.deletes.isEmpty) return cur
+    if (small.isEmpty) return cur
     val batch = java.util.UUID.randomUUID().toString.take(8)
     val dataDir = s"$dir/data/$batch"
-    spark.read.parquet(small.map(_.path): _*)
+    val merged = mergedRead(spark, snap, small)
+    val totalRows = small.map(_.rows).sum // pre-delete upper bound on size
+    val outFiles = math.max(1L, (totalRows + targetFileRows - 1) / targetFileRows).toInt
+    merged
       .repartitionByRange(outFiles, col("_stats"))
       .sortWithinPartitions(col("_stats"))
       .write.mode("error").parquet(dataDir)
-    commitSnapshot(dir, cur, keep ++ footerStats(spark, dataDir))
+    // kept files all have seq >= every delete's seq (deletes forced their
+    // targets into the rewrite) — so no delete survives compaction
+    commitSnapshot(dir, cur, keep ++ footerStats(spark, dataDir, cur + 1),
+      deletes = Seq.empty, schemaDdl = snap.schemaDdl)
+  }
+
+  /** SCHEMA EVOLUTION: add a nullable column — a METADATA-ONLY commit (no
+    * data file touched, Iceberg's `ALTER TABLE … ADD COLUMN`). Existing
+    * files read back with the column null-backfilled (the parquet reader
+    * fills absent columns under an explicit schema); files written after
+    * the evolution carry it physically. Time travel returns each snapshot
+    * under its OWN schema — reading v(n-1) does not show the column.
+    *
+    * `dataType` is a DDL type string ("BIGINT", "STRING", "DOUBLE", …).
+    * The column lands BEFORE the internal `_stats` column so user-visible
+    * column order stays stable.
+    */
+  def addColumn(spark: SparkSession, dir: String, name: String,
+                dataType: String): Int = {
+    val cur = currentVersion(dir)
+    require(cur > 0, s"no snapshots in $dir")
+    val snap = snapshot(dir, cur)
+    val ddl = snap.schemaDdl.getOrElse {
+      require(snap.files.nonEmpty, "cannot infer schema of an empty legacy table")
+      spark.read.parquet(snap.files.head.path).schema.toDDL
+    }
+    val cur0 = StructType.fromDDL(ddl)
+    require(!cur0.fieldNames.contains(name), s"column $name already exists")
+    val newField = StructType.fromDDL(s"`$name` $dataType").fields.head
+    val (before, after) = cur0.fields.partition(_.name != "_stats")
+    val evolved = StructType(before ++ Array(newField) ++ after)
+    commitSnapshot(dir, cur, snap.files, deletes = snap.deletes,
+      schemaDdl = Some(evolved.toDDL))
   }
 
   /** Snapshot expiration + orphan-file removal (Iceberg's
     * `expire_snapshots` / `remove_orphan_files` maintenance pair): retain
     * the last `retainLast` versions, drop every older snapshot JSON, and
-    * physically delete data files referenced ONLY by expired snapshots.
-    * Files a retained snapshot still references (kept-by-reference across
-    * compact/delete/merge rewrites) are never touched, so reads and time
-    * travel WITHIN the retained window are unaffected; travel past it now
-    * fails — that is the verb's contract (history is bounded so storage
-    * is: without it, every CoW rewrite strands its old files forever).
+    * physically delete data AND delete files referenced ONLY by expired
+    * snapshots. Files a retained snapshot still references (kept-by-
+    * reference across compact/delete/merge rewrites) are never touched, so
+    * reads and time travel WITHIN the retained window are unaffected;
+    * travel past it now fails — that is the verb's contract (history is
+    * bounded so storage is: without it, every CoW rewrite strands its old
+    * files forever).
     *
-    * Returns (expired snapshot count, deleted data-file count). At scale
+    * Returns (expired snapshot count, deleted file count). At scale
     * both walks are metadata-only (snapshot JSONs); deletes are per-file
     * driver calls exactly like Iceberg's maintenance action.
     */
@@ -265,15 +425,17 @@ object IcebergLite {
     require(cur > 0, s"no snapshots in $dir")
     val oldestRetained = math.max(1, cur - retainLast + 1)
     if (oldestRetained == 1) return (0, 0)
-    def norm(p: String): String = new java.net.URI(p).getPath
-    val retained = (oldestRetained to cur)
-      .flatMap(v => snapshot(dir, v).files.map(f => norm(f.path))).toSet
+    val retained = (oldestRetained to cur).flatMap { v =>
+      val s = snapshot(dir, v)
+      s.files.map(f => norm(f.path)) ++ s.deletes.map(d => norm(d.path))
+    }.toSet
     var deletedFiles = 0
     var expired = 0
     (1 until oldestRetained).foreach { v =>
-      snapshot(dir, v).files.foreach { f =>
-        val p = Paths.get(norm(f.path))
-        if (!retained.contains(norm(f.path)) && Files.deleteIfExists(p))
+      val s = snapshot(dir, v)
+      (s.files.map(_.path) ++ s.deletes.map(_.path)).foreach { raw =>
+        val p = Paths.get(norm(raw))
+        if (!retained.contains(norm(raw)) && Files.deleteIfExists(p))
           deletedFiles += 1
       }
       Files.deleteIfExists(metaDir(dir).resolve(f"v$v%05d.json"))
@@ -287,9 +449,9 @@ object IcebergLite {
     * `toVersion` (inclusive) — the "what arrived since I last looked"
     * verb a downstream batch consumer polls instead of re-scanning the
     * table. Mirrors Iceberg's restriction: if any `fromVersion` file is
-    * GONE at `toVersion`, a rewrite (delete/merge/compact) happened in
-    * the window and added-files no longer mean appended-rows — raise
-    * rather than return wrong increments.
+    * GONE at `toVersion`, or a merge-on-read delete landed in the window,
+    * a rewrite happened and added-files no longer mean appended-rows —
+    * raise rather than return wrong increments.
     *
     * Metadata-only planning: two snapshot JSON reads, file-set difference.
     */
@@ -298,28 +460,44 @@ object IcebergLite {
     val to = if (toVersion > 0) toVersion else currentVersion(dir)
     require(fromVersion >= 1 && to >= fromVersion,
       s"need 1 <= fromVersion <= toVersion, got $fromVersion..$to")
-    def norm(p: String): String = new java.net.URI(p).getPath
-    val fromFiles = snapshot(dir, fromVersion).files.map(f => norm(f.path)).toSet
+    val fromSnap = snapshot(dir, fromVersion)
+    val fromFiles = fromSnap.files.map(f => norm(f.path)).toSet
     val toSnap = snapshot(dir, to)
     val toFiles = toSnap.files.map(f => norm(f.path)).toSet
     val removed = fromFiles -- toFiles
     require(removed.isEmpty,
       s"non-append change between v$fromVersion and v$to (${removed.size} file(s) " +
         "rewritten/removed) — incremental read is only defined over append snapshots")
+    val newDeletes = toSnap.deletes.map(d => norm(d.path)).toSet --
+      fromSnap.deletes.map(d => norm(d.path)).toSet
+    require(newDeletes.isEmpty,
+      s"merge-on-read delete committed between v$fromVersion and v$to — " +
+        "incremental read is only defined over append snapshots")
     val added = toSnap.files.filter(f => !fromFiles.contains(norm(f.path)))
-    if (added.isEmpty)
-      spark.read.parquet(toSnap.files.head.path).drop("_stats").limit(0)
-    else spark.read.parquet(added.map(_.path): _*).drop("_stats")
+    if (added.isEmpty) emptyLike(spark, toSnap).drop("_stats")
+    else readFiles(spark, toSnap, added).drop("_stats")
   }
 
   private def commitSnapshot(dir: String, parentVersion: Int, files: Seq[FileEntry],
+                             deletes: Seq[DeleteEntry] = Seq.empty,
+                             schemaDdl: Option[String] = None,
                              streamMarker: Option[(String, Long)] = None): Int = {
     val version = parentVersion + 1
     val sid = java.util.UUID.randomUUID().toString
     val body = files.map(f =>
-      s"""    {"path": "${f.path}", "rows": ${f.rows}, "min": ${f.min}, "max": ${f.max}}""")
+      s"""    {"path": "${f.path}", "rows": ${f.rows}, "min": ${f.min}, "max": ${f.max}, "seq": ${f.seq}}""")
       .mkString("[\n", ",\n", "\n  ]")
+    val delBody =
+      if (deletes.isEmpty) ""
+      else deletes.map(d =>
+        s"""    {"path": "${d.path}", "rows": ${d.rows}, "key": "${d.key}", "seq": ${d.seq}}""")
+        .mkString(",\n  \"deletes\": [\n", ",\n", "\n  ]")
     val parent = if (parentVersion > 0) s""",\n  "parent": $parentVersion""" else ""
+    // schema carried forward from the parent unless the commit sets one
+    val ddl = schemaDdl.orElse(
+      if (parentVersion > 0) snapshot(dir, parentVersion).schemaDdl else None)
+    val schemaLine = ddl.map(d =>
+      s""",\n  "schema_ddl": "${d.replace("\\", "\\\\").replace("\"", "\\\"")}"""").getOrElse("")
     // merge the per-stream latest-batch map forward so EVERY snapshot carries
     // the full map and lastStreamBatch is O(1) metadata reads
     val parentStreams =
@@ -330,21 +508,76 @@ object IcebergLite {
       else streams.toSeq.sortBy(_._1)
         .map { case (n, b) => s""""stream:$n": $b""" }
         .mkString(",\n  \"streams\": {", ", ", "}")
-    val json = s"""{\n  "version": $version,\n  "snapshot_id": "$sid"$parent$marker,\n  "files": $body\n}\n"""
+    val json = s"""{\n  "version": $version,\n  "snapshot_id": "$sid"$parent$schemaLine$marker,\n  "files": $body$delBody\n}\n"""
     Files.createDirectories(metaDir(dir))
     writeAtomic(metaDir(dir).resolve(f"v$version%05d.json"), json)
     writeAtomic(metaDir(dir).resolve("_current"), version.toString)
     version
   }
 
+  /** Read a subset of a snapshot's data files UNDER THE SNAPSHOT SCHEMA
+    * (absent columns null-backfilled — the add-column evolution contract);
+    * no delete merge here.
+    */
+  private def readFiles(spark: SparkSession, snap: Snapshot,
+                        files: Seq[FileEntry]): DataFrame = {
+    require(files.nonEmpty, "readFiles needs at least one file")
+    snap.schemaDdl match {
+      case Some(ddl) =>
+        spark.read.schema(StructType.fromDDL(ddl)).parquet(files.map(_.path): _*)
+      case None => spark.read.parquet(files.map(_.path): _*)
+    }
+  }
+
+  /** Empty DataFrame with the snapshot's schema — what reads return when a
+    * snapshot has zero data files (e.g. deleteWhere removed every row);
+    * never touches `files.head` (round-4 advice).
+    */
+  private def emptyLike(spark: SparkSession, snap: Snapshot): DataFrame = {
+    val schema = snap.schemaDdl.map(StructType.fromDDL).getOrElse {
+      require(snap.files.nonEmpty,
+        s"snapshot v${snap.version} has no files and no recorded schema")
+      spark.read.parquet(snap.files.head.path).schema
+    }
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+
+  /** Merge-on-read scan of `files`: anti-join each delete generation's key
+    * set against the data files it applies to (`file.seq < delete.seq`).
+    * Data files are grouped by their applicable delete SET, so the plan has
+    * one anti-join per delete generation per key column — bounded by the
+    * (small) number of un-compacted delete commits, the same read
+    * amplification Iceberg v2 carries until maintenance folds it. Delete
+    * key sets are dim-sized (matched keys only) so Spark broadcasts them.
+    */
+  private def mergedRead(spark: SparkSession, snap: Snapshot,
+                         files: Seq[FileEntry]): DataFrame = {
+    if (files.isEmpty) return emptyLike(spark, snap)
+    if (snap.deletes.isEmpty) return readFiles(spark, snap, files)
+    val groups = files.groupBy(f => snap.deletes.filter(_.seq > f.seq).map(_.path).toSet)
+    groups.map { case (delPaths, fs) =>
+      val base = readFiles(spark, snap, fs)
+      val applicable = snap.deletes.filter(d => delPaths.contains(d.path))
+      applicable.groupBy(_.key).foldLeft(base) { case (acc, (k, ds)) =>
+        val keys = spark.read.parquet(ds.map(_.path): _*).toDF(k).distinct()
+        acc.join(broadcast(keys), Seq(k), "left_anti")
+      }
+    }.reduce(_ unionByName _)
+  }
+
+  /** Full snapshot scan with delete merge + snapshot schema (internal). */
+  private def readSnapshot(spark: SparkSession, snap: Snapshot): DataFrame =
+    mergedRead(spark, snap, snap.files)
+
   /** Read the table as of a version (default: current). Snapshot isolation:
     * the file list is resolved HERE, once — later appends don't change it.
+    * Merge-on-read deletes are applied; each snapshot reads under its own
+    * schema (time travel across an addColumn shows/hides the column).
     */
   def read(spark: SparkSession, dir: String, asOfVersion: Int = -1): DataFrame = {
     val v = if (asOfVersion > 0) asOfVersion else currentVersion(dir)
     require(v > 0, s"no snapshots in $dir")
-    val files = snapshot(dir, v).files
-    spark.read.parquet(files.map(_.path): _*).drop("_stats")
+    readSnapshot(spark, snapshot(dir, v)).drop("_stats")
   }
 
   /** Read with manifest-stats pruning: keep only files whose [min,max]
@@ -354,16 +587,16 @@ object IcebergLite {
   def pruneRead(spark: SparkSession, dir: String, cells: Set[Long],
                 asOfVersion: Int = -1): (DataFrame, Int, Int) = {
     val v = if (asOfVersion > 0) asOfVersion else currentVersion(dir)
-    val all = snapshot(dir, v).files
+    val snap = snapshot(dir, v)
+    val all = snap.files
     val sorted = cells.toArray.sorted
     val kept = all.filter { f =>
       val idx = java.util.Arrays.binarySearch(sorted, f.min)
       val ins = if (idx >= 0) idx else -idx - 1
       ins < sorted.length && sorted(ins) <= f.max
     }
-    val df = if (kept.isEmpty)
-      spark.read.parquet(all.head.path).drop("_stats").limit(0)
-    else spark.read.parquet(kept.map(_.path): _*).drop("_stats")
+    val df = if (kept.isEmpty) emptyLike(spark, snap).drop("_stats")
+    else mergedRead(spark, snap, kept).drop("_stats")
     (df, kept.size, all.size)
   }
 

@@ -304,4 +304,128 @@ class FlagshipSpec extends AnyFunSuite {
       assert(viaJts(pid) === ((n, s)), s"JTS exact at $pid")
     }
   }
+
+  test("cosPoly: ≤7e-9 of libm cos over |lat|≤90°, exactly 1 at the equator") {
+    assert(SpatialJoin.cosPoly(0.0) === 1.0)
+    val rnd = new scala.util.Random(3)
+    (0 until 20000).foreach { _ =>
+      val phi = (rnd.nextDouble() * 2 - 1) * (math.Pi / 2)
+      assert(math.abs(SpatialJoin.cosPoly(phi) - math.cos(phi)) <= 7e-9, s"phi=$phi")
+    }
+  }
+
+  test("meters kernels: equator parity (== planar × m/µdeg), haversine ≤0.5%") {
+    val b = BBoxM(-5000000L, -5000000L, 5000000L, 5000000L)
+    val rnd = new scala.util.Random(13)
+    (0 until 2000).foreach { _ =>
+      // horizontal equator segments: cosPoly(0)=1 exactly, so the meters
+      // chain IS the planar chain times MPerMicro (one extra multiply)
+      val x1 = rnd.nextLong(20000001L) - 10000000L
+      val x2 = x1 + rnd.nextLong(4000001L) - 2000000L
+      val planar = SpatialJoin.slabClipLen(x1, 0L, x2, 0L, b)
+      assert(SpatialJoin.slabClipLenMeters(x1, 0L, x2, 0L, b) ===
+        planar * SpatialJoin.MPerMicro)
+      // short segments fully inside the zone at any latitude: equirect
+      // meters vs the haversine kernel within the documented 0.5%
+      val sx = rnd.nextLong(8000001L) - 4000000L
+      val sy = rnd.nextLong(8000001L) - 4000000L
+      val ex = sx + rnd.nextLong(200001L) - 100000L
+      val ey = sy + rnd.nextLong(200001L) - 100000L
+      if ((sx, sy) != ((ex, ey))) {
+        val m = SpatialJoin.slabClipLenMeters(sx, sy, ex, ey, b)
+        val hav = GeoMetrics.haversine(sx, sy, ex, ey)
+        assert(math.abs(m - hav) <= 0.005 * hav + 1e-9,
+          s"($sx,$sy)->($ex,$ey): equirect $m vs haversine $hav")
+      }
+    }
+  }
+
+  test("clipLengthJoin meters == brute slab-meters; JTS arm within 1mm/seg") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val segs = (0L until 2000L).map { i =>
+      val x1 = rnd.nextLong(340000000L) - 170000000L
+      val y1 = rnd.nextLong(160000000L) - 80000000L
+      (i, x1, y1, x1 + rnd.nextLong(4000001L) - 2000000L,
+        y1 + rnd.nextLong(4000001L) - 2000000L)
+    }
+    val df = segs.toDF("seg_id", "x1", "y1", "x2", "y2")
+    val rects = graft.oracle.Derive.rectSpecs
+    val got = SpatialJoin.clipLengthJoin(spark, df, col("seg_id"),
+        col("x1"), col("y1"), col("x2"), col("y2"), rects, unit = "meters")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val expect = scala.collection.mutable.Map[String, (Long, Long)]()
+    for ((_, x1, y1, x2, y2) <- segs; (pid, lo, la, hi, ha) <- graft.oracle.Derive.rects) {
+      val len = SpatialJoin.slabClipLenMeters(x1, y1, x2, y2, BBoxM(lo, la, hi, ha))
+      if (len > 0) {
+        val (n, s) = expect.getOrElse(pid, (0L, 0L))
+        expect(pid) = (n + 1, s + math.floor(len * 1000.0).toLong)
+      }
+    }
+    assert(got === expect.toMap)
+    // JTS path (5-vertex rings dodge the fast path): the clipped piece's own
+    // midpoint latitude vs the slab's parametric midpoint — same point up to
+    // float rounding, so totals agree within the quantization unit per seg
+    val rects5 = rects.map { s =>
+      val r = s.poly.rings(0)
+      val midX = (r.xs(0) + r.xs(1)) / 2
+      graft.fixtures.PolySpec(s.poly_id, s.kind, PolyM(Array(RingM(
+        Array(r.xs(0), midX, r.xs(1), r.xs(2), r.xs(3)),
+        Array(r.ys(0), r.ys(0), r.ys(1), r.ys(2), r.ys(3))))))
+    }
+    val viaJts = SpatialJoin.clipLengthJoin(spark, df, col("seg_id"),
+        col("x1"), col("y1"), col("x2"), col("y2"), rects5, unit = "meters")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(viaJts.keySet === expect.keySet)
+    expect.foreach { case (pid, (n, s)) =>
+      assert(viaJts(pid)._1 === n, s"JTS count at $pid")
+      assert(math.abs(viaJts(pid)._2 - s) <= n, s"JTS mm at $pid: ${viaJts(pid)._2} vs $s")
+    }
+  }
+
+  test("clipAreaJoin meters == brute rect-m²; JTS arm within 1m²/feature") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(19)
+    val feats = (0L until 2000L).map { i =>
+      val cx = rnd.nextLong(338000000L) - 169000000L
+      val cy = rnd.nextLong(158000000L) - 79000000L
+      val hw = rnd.nextLong(1000001L); val hh = rnd.nextLong(1000001L)
+      (i, cx - hw, cy - hh, cx + hw, cy + hh)
+    }
+    val df = feats.toDF("fid", "flo", "fla", "fhi", "fha")
+    val rects = graft.oracle.Derive.rectSpecs
+    val got = SpatialJoin.clipAreaJoin(spark, df, col("fid"),
+        col("flo"), col("fla"), col("fhi"), col("fha"), rects, unit = "meters")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), BigInt(r.getDecimal(2).toBigInteger)))).toMap
+    val expect = scala.collection.mutable.Map[String, (Long, BigInt)]()
+    for ((_, flo, fla, fhi, fha) <- feats; (pid, lo, la, hi, ha) <- graft.oracle.Derive.rects) {
+      val w = math.min(fhi, hi) - math.max(flo, lo)
+      val h = math.min(fha, ha) - math.max(fla, la)
+      if (w > 0 && h > 0) {
+        val m2 = SpatialJoin.rectOverlapM2(w, h, math.max(fla, la), math.min(fha, ha))
+        val (n, s) = expect.getOrElse(pid, (0L, BigInt(0)))
+        expect(pid) = (n + 1, s + BigInt(m2))
+      }
+    }
+    assert(got === expect.toMap)
+    // JTS arm: w·h comes back as one shoelace product so the multiply chain
+    // differs from (w·c·M)·(h·M) by ulps — floor may move ±1 m² per pair
+    val rects5 = rects.map { sp =>
+      val r = sp.poly.rings(0)
+      val midX = (r.xs(0) + r.xs(1)) / 2
+      graft.fixtures.PolySpec(sp.poly_id, sp.kind, PolyM(Array(RingM(
+        Array(r.xs(0), midX, r.xs(1), r.xs(2), r.xs(3)),
+        Array(r.ys(0), r.ys(0), r.ys(1), r.ys(2), r.ys(3))))))
+    }
+    val viaJts = SpatialJoin.clipAreaJoin(spark, df, col("fid"),
+        col("flo"), col("fla"), col("fhi"), col("fha"), rects5, unit = "meters")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), BigInt(r.getDecimal(2).toBigInteger)))).toMap
+    assert(viaJts.keySet === expect.keySet)
+    expect.foreach { case (pid, (n, s)) =>
+      assert(viaJts(pid)._1 === n, s"JTS count at $pid")
+      assert((viaJts(pid)._2 - s).abs <= n, s"JTS m² at $pid: ${viaJts(pid)._2} vs $s")
+    }
+  }
 }

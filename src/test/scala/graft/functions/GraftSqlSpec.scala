@@ -108,6 +108,16 @@ class GraftSqlSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     assert(got(0L) === Seq((0L until 100L by 2).sum, 50L))
     assert(got(1L) === Seq((1L until 100L by 2).sum, 50L))
+    // array<int> implicit-casts to array<bigint> at analysis (ImplicitCastInputTypes)
+    val cast = spark.sql("SELECT vec_sum(array(CAST(1 AS INT), CAST(2 AS INT))) AS s")
+      .collect().head.getSeq[Long](0)
+    assert(cast === Seq(1L, 2L))
+    // a non-array argument fails at ANALYSIS with a type error, not a
+    // runtime unboxing crash inside the aggregate buffer
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT vec_sum('oops')").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("type"))
   }
 
   test("non-literal plan-time argument fails with a clear message") {

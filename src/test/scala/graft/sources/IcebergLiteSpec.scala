@@ -224,4 +224,132 @@ class IcebergLiteSpec extends AnyFunSuite {
     IcebergLite.expireSnapshots(dir3, retainLast = 1)
     assert(IcebergLite.read(spark, dir3).count() === 299)
   }
+
+  test("deleteWhereMoR: no data-file rewrite, read anti-merges, compact folds") {
+    val dir = Files.createTempDirectory("iclite_mor").toString
+    val key = expr("lonm")
+    IcebergLite.append(spark, dir, pts(0, 100), key)
+    IcebergLite.append(spark, dir, pts(1000, 100), key)
+    val before = IcebergLite.snapshot(dir, 2)
+    val v3 = IcebergLite.deleteWhereMoR(spark, dir, col("id").between(1040, 1049), "id")
+    assert(v3 === 3)
+    val after = IcebergLite.snapshot(dir, 3)
+    // merge-on-read: the DATA file list is byte-identical — only a delete file landed
+    assert(after.files.map(_.path) === before.files.map(_.path),
+      "MoR delete must not rewrite any data file")
+    assert(after.deletes.nonEmpty && after.deletes.forall(_.key == "id"))
+    assert(after.deletes.map(_.rows).sum === 10)
+    // scan-time anti-merge
+    val ids = IcebergLite.read(spark, dir).select("id").collect().map(_.getLong(0)).toSet
+    assert(ids.size === 190)
+    assert((1040L to 1049L).forall(i => !ids.contains(i)))
+    // time travel to the pre-delete snapshot still sees all rows
+    assert(IcebergLite.read(spark, dir, asOfVersion = 2).count() === 200)
+    // no-match delete is a no-op commit
+    assert(IcebergLite.deleteWhereMoR(spark, dir, col("id") === 999999L, "id") === 3)
+    // sequence semantics: re-appending a DELETED key after the delete survives
+    IcebergLite.append(spark, dir, pts(1045, 1), key) // id=1045 was deleted at v3
+    val ids2 = IcebergLite.read(spark, dir).select("id").collect().map(_.getLong(0)).toList
+    assert(ids2.count(_ == 1045L) === 1, "row appended AFTER the delete must survive")
+    assert(IcebergLite.read(spark, dir).count() === 191)
+    // compact folds the delete debt: no delete entries survive, rows identical
+    val rowsBefore = IcebergLite.read(spark, dir).orderBy("id", "lonm").collect().toSeq
+    val vC = IcebergLite.compact(spark, dir, targetFileRows = 1000L)
+    val folded = IcebergLite.snapshot(dir, vC)
+    assert(folded.deletes.isEmpty, "compaction must fold merge-on-read deletes")
+    assert(IcebergLite.read(spark, dir).orderBy("id", "lonm").collect().toSeq === rowsBefore)
+  }
+
+  test("deleteWhereMoR then CoW verbs: deletes survive partial rewrites correctly") {
+    val dir = Files.createTempDirectory("iclite_mor2").toString
+    val key = expr("lonm")
+    IcebergLite.append(spark, dir, pts(0, 100), key)     // file A
+    IcebergLite.append(spark, dir, pts(1000, 100), key)  // file B
+    // MoR-delete rows in BOTH files
+    IcebergLite.deleteWhereMoR(spark, dir, col("id").isin(5L, 1005L), "id")
+    assert(IcebergLite.read(spark, dir).count() === 198)
+    // CoW delete touching only file B rewrites it WITH the MoR delete applied
+    // (no resurrection), and keeps the delete entry for file A
+    IcebergLite.deleteWhere(spark, dir, col("id") === 1010L, key)
+    val snap = IcebergLite.snapshot(dir, IcebergLite.currentVersion(dir))
+    assert(snap.deletes.nonEmpty, "delete entry must survive while file A predates it")
+    val ids = IcebergLite.read(spark, dir).select("id").collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(5L) && !ids.contains(1005L) && !ids.contains(1010L))
+    assert(ids.size === 197)
+  }
+
+  test("addColumn: metadata-only evolution, null backfill, per-snapshot schema travel") {
+    val dir = Files.createTempDirectory("iclite_evo").toString
+    val key = expr("lonm")
+    IcebergLite.append(spark, dir, pts(0, 50), key) // v1: (id, lonm, latm)
+    val v2 = IcebergLite.addColumn(spark, dir, "score", "DOUBLE")
+    assert(v2 === 2)
+    // metadata-only: same data files
+    assert(IcebergLite.snapshot(dir, 2).files.map(_.path) ===
+      IcebergLite.snapshot(dir, 1).files.map(_.path))
+    // old files read back with the column null-backfilled
+    val evolved = IcebergLite.read(spark, dir)
+    assert(evolved.columns.toSeq === Seq("id", "lonm", "latm", "score"))
+    assert(evolved.where(col("score").isNull).count() === 50)
+    // new append carries real values
+    val withScore = pts(100, 10).withColumn("score", col("id").cast("double") / 2)
+    IcebergLite.append(spark, dir, withScore, key)
+    val cur = IcebergLite.read(spark, dir)
+    assert(cur.count() === 60)
+    assert(cur.where(col("score").isNotNull).count() === 10)
+    // mixed-file scan across the evolution boundary aggregates fine
+    assert(cur.agg(sum("score")).collect()(0).getDouble(0) ===
+      (100L until 110L).map(_.toDouble / 2).sum)
+    // time travel: v1 reads under its OWN schema — no score column
+    assert(!IcebergLite.read(spark, dir, asOfVersion = 1).columns.contains("score"))
+    // appending with an unknown column is rejected (addColumn first)
+    intercept[IllegalArgumentException] {
+      IcebergLite.append(spark, dir, pts(0, 1).withColumn("bogus", lit(1)), key)
+    }
+    // duplicate column rejected
+    intercept[IllegalArgumentException] { IcebergLite.addColumn(spark, dir, "score", "DOUBLE") }
+  }
+
+  test("empty snapshots read as empty frames with schema (no files.head crash)") {
+    val dir = Files.createTempDirectory("iclite_empty").toString
+    val key = expr("lonm")
+    IcebergLite.append(spark, dir, pts(0, 10), key)
+    // CoW-delete EVERY row — the snapshot has zero data files
+    IcebergLite.deleteWhere(spark, dir, lit(true), key)
+    val empty = IcebergLite.read(spark, dir)
+    assert(empty.count() === 0)
+    assert(empty.columns.toSeq === Seq("id", "lonm", "latm"))
+    // incremental scan over the empty window doesn't crash either
+    assert(IcebergLite.readChanges(spark, dir, 2, 2).count() === 0)
+    // and appending into the empty table works
+    IcebergLite.append(spark, dir, pts(50, 5), key)
+    assert(IcebergLite.read(spark, dir).count() === 5)
+  }
+
+  test("maintenance survives table paths containing spaces") {
+    val base = Files.createTempDirectory("iclite sp ace")
+    val dir = base.toString
+    val key = expr("lonm")
+    (0 until 3).foreach(i => IcebergLite.append(spark, dir, pts(i * 100L, 50), key))
+    IcebergLite.compact(spark, dir, targetFileRows = 1000L)
+    // expire walks + deletes normalized paths — must not throw URISyntaxException
+    val (expired, deleted) = IcebergLite.expireSnapshots(dir, retainLast = 1)
+    assert(expired === 3 && deleted > 0)
+    assert(IcebergLite.read(spark, dir).count() === 150)
+    assert(IcebergLite.readChanges(spark, dir, 4, 4).count() === 0)
+  }
+
+  test("readChanges raises when a merge-on-read delete landed in the window") {
+    val dir = Files.createTempDirectory("iclite_morchg").toString
+    val key = expr("lonm")
+    IcebergLite.append(spark, dir, pts(0, 50), key)
+    IcebergLite.deleteWhereMoR(spark, dir, col("id") === 3L, "id")
+    IcebergLite.append(spark, dir, pts(100, 10), key)
+    val e = intercept[IllegalArgumentException] {
+      IcebergLite.readChanges(spark, dir, 1, 3)
+    }
+    assert(e.getMessage.contains("merge-on-read"))
+    // a window after the delete is clean again
+    assert(IcebergLite.readChanges(spark, dir, 2, 3).count() === 10)
+  }
 }
