@@ -1011,6 +1011,23 @@ object SparkEntry {
         .select(col("n_queries"),
           (col("_h").cast("double") >= lit(0.8) * col("_n").cast("double")).as("recall_ok"))
     }),
+    // ---- Sharded HNSW graph ANN (core.Hnsw + Similarity.hnswTopK) — the
+    //      high-recall serving index (Malkov & Yashunin 2016): per-shard
+    //      graphs built in mapPartitions (Lucene per-segment layout), query
+    //      fans out and merges per-shard top-k. Same recall-bound contract
+    //      vs the exact L2 twin as q53/q6a/q71.
+    "q7a_hnsw" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val q = emb.where(col("vec_id") % 100 === 0)
+      val ann = Similarity.hnswTopK(s, emb, q, "vec_id", "embedding",
+        k = 10, shards = 8, m = 16, efConstruction = 100, efSearch = 128)
+      val exact = Similarity.topKL2(emb, q, "vec_id", "embedding", k = 10)
+      val hits = exact.join(ann.select("qid", "nid"), Seq("qid", "nid"), "left_semi")
+      exact.agg(count_distinct(col("qid")).as("n_queries"), count(lit(1)).as("_n"))
+        .crossJoin(hits.agg(count(lit(1)).as("_h")))
+        .select(col("n_queries"),
+          (col("_h").cast("double") >= lit(0.8) * col("_n").cast("double")).as("recall_ok"))
+    }),
     // ---- STREAMING curation, driver-green (§2 row J): the quality →
     //      repetition gate chain (incl. the stream-stream join) runs as a
     //      Structured Streaming job over a file source with
@@ -2150,6 +2167,9 @@ object SparkEntry {
       """SELECT count(*) AS n_queries, TRUE AS recall_ok
         |FROM embeddings WHERE vec_id % 100 = 0""".stripMargin,
     "q71_ivf_sharded" ->
+      """SELECT count(*) AS n_queries, TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id % 100 = 0""".stripMargin,
+    "q7a_hnsw" ->
       """SELECT count(*) AS n_queries, TRUE AS recall_ok
         |FROM embeddings WHERE vec_id % 100 = 0""".stripMargin,
     // batch twin of the streamed quality -> repetition curation chain (the

@@ -974,4 +974,62 @@ object Similarity {
           col("dot").cast("double") * col("dot").cast("double") >=
             lit(threshold * threshold) * col("na").cast("double") * col("nb").cast("double"))
   }
+
+  /** Sharded HNSW graph ANN (graft.core.Hnsw; Malkov & Yashunin 2016) — the
+    * high-recall serving index the IVF family doesn't cover: per-query cost
+    * is O(ef·M·log shard) distance evals instead of IVF's O(probed-list
+    * rows), the win when single-query latency at recall ≥0.95 matters.
+    *
+    * Deployment shape (the Lucene/Elastic per-segment layout): the corpus
+    * hash-partitions into `shards`, ONE graph builds per shard inside
+    * mapPartitions (memory bounded by shard rows, the graph never crosses
+    * the wire or touches the driver), every query searches all shards and
+    * per-shard top-k merge through one k-sized aggregate. At 10^12 rows
+    * shards scale out horizontally; per-shard build/search cost is constant
+    * in corpus size. The query batch is the broadcast side (same contract
+    * as [[topKDot]]).
+    *
+    * Determinism: shard = pmod(hash) of nid via Spark's own hash
+    * partitioning, insertion order = ascending nid within shard, node
+    * levels from a splitmix of the GLOBAL id — the graph is a pure function
+    * of the id set. Ranking metric is exact int64 squared-L2 on quantized
+    * vectors, identical to [[topKL2]] (the exact twin the recall gates
+    * compare against). Approximate: recall gated in SimilaritySpec + the
+    * q7a driver bound row.
+    */
+  def hnswTopK(spark: SparkSession, points: DataFrame, queries: DataFrame,
+               idCol: String, vecCol: String, k: Int, shards: Int = 8,
+               m: Int = 16, efConstruction: Int = 100, efSearch: Int = 64): DataFrame = {
+    import spark.implicits._
+    val qArr = queries.select(col(idCol).cast("long").as("qid"), quantize(col(vecCol)).as("qq"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+      .sortBy(_._1)
+    val bcQ = spark.sparkContext.broadcast(qArr)
+    val p = points.select(col(idCol).cast("long").as("nid"), quantize(col(vecCol)).as("pq"))
+      .repartition(shards, col("nid"))
+      .as[(Long, Seq[Long])]
+    val perShard = p.mapPartitions { it =>
+      val rows = it.map { case (nid, v) => (nid, v.toArray) }.toArray
+      if (rows.isEmpty) Iterator.empty
+      else {
+        java.util.Arrays.sort(rows, (a: (Long, Array[Long]), b: (Long, Array[Long])) =>
+          java.lang.Long.compare(a._1, b._1))
+        val g = new graft.core.Hnsw(rows(0)._2.length, m, efConstruction)
+        rows.foreach { case (nid, v) => g.insert(nid, v) }
+        bcQ.value.iterator.flatMap { case (qid, qv) =>
+          // k+1 then drop self: the graph contains the query row itself
+          // when queries ⊆ corpus (the benchmark convention)
+          g.search(qv, k + 1, math.max(efSearch, k + 1)).iterator
+            .filter(_._1 != qid).take(k)
+            .map { case (nid, d2) => (qid, nid, d2) }
+        }
+      }
+    }.toDF("qid", "nid", "d2")
+    // global merge: ≤ shards·k candidate rows per query — the same
+    // window-on-small-candidate-set shape as ivfRank
+    val w = Window.partitionBy("qid").orderBy(col("d2"), col("nid"))
+    perShard.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("rank").cast("long").as("rank"), col("d2"))
+  }
 }

@@ -377,4 +377,43 @@ class SimilaritySpec extends AnyFunSuite {
       assert(vals(i) === ((d(qa, qb), d(qa, qa), d(qb, qb))))
     }
   }
+
+  test("Hnsw graph: single shard + exhaustive ef == exact L2 top-k") {
+    // one graph with ef = n degenerates to exact search — a hard parity
+    // gate on the graph mechanics (no recall slack to hide bugs behind)
+    val g = new graft.core.Hnsw(dims, m = 8, efConstruction = 64)
+    vecs.sortBy(_._1).foreach { case (id, v) => g.insert(id, quant(v)) }
+    assert(g.size === vecs.length)
+    for (qid <- Seq(0L, 100L, 200L, 300L, 400L)) {
+      val q = quant(vecs.find(_._1 == qid).get._2)
+      val got = g.search(q, 6, ef = vecs.length).filter(_._1 != qid).take(5).map(_._1)
+      assert(got.toSeq === bruteL2(qid, 5), s"query $qid")
+    }
+  }
+
+  test("sharded HNSW: recall >= 0.9 at the operating point, deterministic") {
+    val got = Similarity.hnswTopK(spark, df, queries, "vec_id", "embedding",
+        k = 5, shards = 4, m = 8, efConstruction = 64, efSearch = 32)
+      .collect().groupBy(_.getLong(0))
+    val recalls = Seq(0L, 100L, 200L, 300L, 400L).map { qid =>
+      val exp = bruteL2(qid, 5).toSet
+      val act = got.get(qid).map(_.map(_.getLong(1)).toSet).getOrElse(Set.empty)
+      (exp intersect act).size.toDouble / exp.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9, s"mean recall $mean, per-query $recalls")
+    // d2 column is the exact int64 squared-L2 — spot-check against the twin
+    val d2s = got(0L).map(r => r.getLong(1) -> r.getLong(3)).toMap
+    val q0 = quant(vecs.find(_._1 == 0L).get._2)
+    d2s.foreach { case (nid, d2) =>
+      val v = quant(vecs.find(_._1 == nid).get._2)
+      assert(d2 === v.zip(q0).map { case (a, b) => (a - b) * (a - b) }.sum)
+    }
+    // deterministic: a second run returns the identical row set
+    val again = Similarity.hnswTopK(spark, df, queries, "vec_id", "embedding",
+        k = 5, shards = 4, m = 8, efConstruction = 64, efSearch = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val first = got.values.flatten.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(again === first)
+  }
 }
