@@ -217,6 +217,23 @@ final class Hnsw(val dim: Int, val m: Int = 16, val efConstruction: Int = 100) {
     linkInto(target, level, selectHeuristic(all, bound))
   }
 
+  /** Deserialization backdoor: append a node with its saved level and
+    * adjacency verbatim (no search, no re-linking).
+    */
+  private[core] def restore(id: Long, vec: Array[Long], lvl: Int,
+                            adj: Array[Array[Int]]): Unit = {
+    grow()
+    ids(n) = id
+    System.arraycopy(vec, 0, vecs, n * dim, dim)
+    levels(n) = lvl
+    neighbors(n) = adj
+    n += 1
+  }
+
+  private[core] def restoreEntry(ep: Int, maxL: Int): Unit = {
+    entryPoint = ep; maxLevel = maxL
+  }
+
   def insert(id: Long, vec: Array[Long]): Unit = {
     require(vec.length == dim, s"dim mismatch: ${vec.length} vs $dim")
     grow()
@@ -261,5 +278,75 @@ final class Hnsw(val dim: Int, val m: Int = 16, val efConstruction: Int = 100) {
     while (level > 0) { ep = greedyStep(q, ep, level); level -= 1 }
     val w = searchLayer(q, ep, math.max(ef, k), 0)
     w.take(k).map(e => (ids(e(1).toInt), e(0)))
+  }
+
+  /** Serialize the whole graph (vectors + adjacency) — the persisted-index
+    * payload. ~(8·dim + 4·(2m + m·levels) + 16) bytes per node; callers
+    * chunk the byte array for storage (a 1M-node 64-dim shard is ~700 MB —
+    * size shards accordingly).
+    */
+  def serialize(): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(n * (dim * 8 + 64) + 64)
+    val out = new java.io.DataOutputStream(new java.util.zip.DeflaterOutputStream(
+      bos, new java.util.zip.Deflater(java.util.zip.Deflater.BEST_SPEED)))
+    out.writeInt(0x484E5357) // "HNSW"
+    out.writeInt(1)
+    out.writeInt(dim); out.writeInt(m); out.writeInt(efConstruction)
+    out.writeInt(n); out.writeInt(entryPoint); out.writeInt(maxLevel)
+    var i = 0
+    while (i < n) {
+      out.writeLong(ids(i)); out.writeInt(levels(i))
+      var k = 0
+      while (k < dim) { out.writeLong(vecs(i * dim + k)); k += 1 }
+      var l = 0
+      while (l <= levels(i)) {
+        val adj = neighbors(i)(l)
+        out.writeInt(adj.length)
+        var j = 0
+        while (j < adj.length) { out.writeInt(adj(j)); j += 1 }
+        l += 1
+      }
+      i += 1
+    }
+    out.close()
+    bos.toByteArray
+  }
+}
+
+object Hnsw {
+  /** Rebuild a graph from [[Hnsw.serialize]] bytes — node order, adjacency
+    * and entry point restored verbatim (NOT re-inserted), so a deserialized
+    * graph answers queries identically to the one that was saved.
+    */
+  def deserialize(bytes: Array[Byte]): Hnsw = {
+    val in = new java.io.DataInputStream(new java.util.zip.InflaterInputStream(
+      new java.io.ByteArrayInputStream(bytes)))
+    require(in.readInt() == 0x484E5357, "not an HNSW payload")
+    require(in.readInt() == 1, "unknown HNSW payload version")
+    val dim = in.readInt(); val m = in.readInt(); val efC = in.readInt()
+    val n = in.readInt(); val ep = in.readInt(); val maxL = in.readInt()
+    val g = new Hnsw(dim, m, efC)
+    var i = 0
+    while (i < n) {
+      val id = in.readLong(); val lvl = in.readInt()
+      val vec = new Array[Long](dim)
+      var k = 0
+      while (k < dim) { vec(k) = in.readLong(); k += 1 }
+      val adj = new Array[Array[Int]](lvl + 1)
+      var l = 0
+      while (l <= lvl) {
+        val len = in.readInt()
+        val a = new Array[Int](len)
+        var j = 0
+        while (j < len) { a(j) = in.readInt(); j += 1 }
+        adj(l) = a
+        l += 1
+      }
+      g.restore(id, vec, lvl, adj)
+      i += 1
+    }
+    in.close()
+    g.restoreEntry(ep, maxL)
+    g
   }
 }

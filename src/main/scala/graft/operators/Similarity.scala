@@ -1001,35 +1001,216 @@ object Similarity {
                idCol: String, vecCol: String, k: Int, shards: Int = 8,
                m: Int = 16, efConstruction: Int = 100, efSearch: Int = 64): DataFrame = {
     import spark.implicits._
+    val bcQ = broadcastQueries(spark, queries, idCol, vecCol)
+    val p = shardedPoints(points, idCol, vecCol, shards)
+    val perShard = p.mapPartitions { it =>
+      shardGraphs(it, m, efConstruction).flatMap { case (_, g) =>
+        searchGraph(g, bcQ.value, k, efSearch)
+      }
+    }.toDF("qid", "nid", "d2")
+    hnswMerge(perShard, k)
+  }
+
+  /** (qid, quantized vec) query batch, sorted, broadcast — the small side
+    * by construction (same contract as [[topKDot]]'s broadcast).
+    */
+  private def broadcastQueries(spark: SparkSession, queries: DataFrame,
+                               idCol: String, vecCol: String): Broadcast[Array[(Long, Array[Long])]] = {
     val qArr = queries.select(col(idCol).cast("long").as("qid"), quantize(col(vecCol)).as("qq"))
       .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
       .sortBy(_._1)
-    val bcQ = spark.sparkContext.broadcast(qArr)
-    val p = points.select(col(idCol).cast("long").as("nid"), quantize(col(vecCol)).as("pq"))
-      .repartition(shards, col("nid"))
-      .as[(Long, Seq[Long])]
-    val perShard = p.mapPartitions { it =>
-      val rows = it.map { case (nid, v) => (nid, v.toArray) }.toArray
-      if (rows.isEmpty) Iterator.empty
-      else {
-        java.util.Arrays.sort(rows, (a: (Long, Array[Long]), b: (Long, Array[Long])) =>
-          java.lang.Long.compare(a._1, b._1))
-        val g = new graft.core.Hnsw(rows(0)._2.length, m, efConstruction)
-        rows.foreach { case (nid, v) => g.insert(nid, v) }
-        bcQ.value.iterator.flatMap { case (qid, qv) =>
-          // k+1 then drop self: the graph contains the query row itself
-          // when queries ⊆ corpus (the benchmark convention)
-          g.search(qv, k + 1, math.max(efSearch, k + 1)).iterator
-            .filter(_._1 != qid).take(k)
-            .map { case (nid, d2) => (qid, nid, d2) }
-        }
-      }
-    }.toDF("qid", "nid", "d2")
-    // global merge: ≤ shards·k candidate rows per query — the same
-    // window-on-small-candidate-set shape as ivfRank
+    spark.sparkContext.broadcast(qArr)
+  }
+
+  /** Corpus with its shard id (Spark's own HashPartitioning formula —
+    * `pmod(murmur3(nid), shards)` — so [[hnswAppend]] routes new rows to
+    * the same shard), co-located one shard per partition.
+    */
+  private def shardedPoints(points: DataFrame, idCol: String, vecCol: String,
+                            shards: Int) = {
+    import points.sparkSession.implicits._
+    points.select(col(idCol).cast("long").as("nid"), quantize(col(vecCol)).as("pq"))
+      .withColumn("shard_id", pmod(hash(col("nid")), lit(shards)))
+      .repartition(shards, col("shard_id"))
+      .as[(Long, Seq[Long], Int)]
+  }
+
+  /** Build one graph per shard present in this partition (rows inserted in
+    * ascending nid — the determinism contract).
+    */
+  private def shardGraphs(it: Iterator[(Long, Seq[Long], Int)], m: Int,
+                          efConstruction: Int): Iterator[(Int, graft.core.Hnsw)] = {
+    val byShard = scala.collection.mutable.Map[Int, scala.collection.mutable.ArrayBuffer[(Long, Array[Long])]]()
+    it.foreach { case (nid, v, s) =>
+      byShard.getOrElseUpdate(s, scala.collection.mutable.ArrayBuffer.empty) += ((nid, v.toArray))
+    }
+    byShard.iterator.map { case (s, rows) =>
+      val sorted = rows.sortBy(_._1)
+      val g = new graft.core.Hnsw(sorted.head._2.length, m, efConstruction)
+      sorted.foreach { case (nid, v) => g.insert(nid, v) }
+      (s, g)
+    }
+  }
+
+  private def searchGraph(g: graft.core.Hnsw, qs: Array[(Long, Array[Long])],
+                          k: Int, efSearch: Int): Iterator[(Long, Long, Long)] =
+    qs.iterator.flatMap { case (qid, qv) =>
+      // k+1 then drop self: the graph contains the query row itself when
+      // queries ⊆ corpus (the benchmark convention)
+      g.search(qv, k + 1, math.max(efSearch, k + 1)).iterator
+        .filter(_._1 != qid).take(k)
+        .map { case (nid, d2) => (qid, nid, d2) }
+    }
+
+  /** Global merge: ≤ shards·k candidate rows per query — the same
+    * window-on-small-candidate-set shape as ivfRank.
+    */
+  private def hnswMerge(perShard: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("qid").orderBy(col("d2"), col("nid"))
     perShard.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("qid"), col("nid"), col("rank").cast("long").as("rank"), col("d2"))
   }
+
+  /** Build the sharded HNSW index ONCE and persist it: each shard's graph
+    * serializes (vectors + adjacency, deflate) into ≤`chunkBytes` chunk
+    * rows under `<dir>/graphs`, parquet PARTITIONED BY shard_id — the
+    * build-once/query-many serving shape ([[ivfBuildSave]]'s contract for
+    * the graph family), and the partition layout is what lets
+    * [[hnswAppend]] rewrite ONLY the shards that receive new vectors.
+    * Returns the shard count.
+    */
+  def hnswBuildSave(spark: SparkSession, points: DataFrame, idCol: String,
+                    vecCol: String, dir: String, shards: Int = 8,
+                    m: Int = 16, efConstruction: Int = 100,
+                    chunkBytes: Int = 8 << 20): Int = {
+    import spark.implicits._
+    shardedPoints(points, idCol, vecCol, shards)
+      .mapPartitions { it =>
+        shardGraphs(it, m, efConstruction).flatMap { case (s, g) =>
+          chunk(g.serialize(), chunkBytes).zipWithIndex.map { case (b, i) =>
+            (s, i, b)
+          }
+        }
+      }
+      .toDF("shard_id", "chunk_no", "bytes")
+      .write.mode("overwrite").partitionBy("shard_id").parquet(s"$dir/graphs")
+    shards
+  }
+
+  private def chunk(bytes: Array[Byte], chunkBytes: Int): Iterator[Array[Byte]] =
+    if (bytes.length <= chunkBytes) Iterator(bytes)
+    else (0 until bytes.length by chunkBytes).iterator.map { off =>
+      java.util.Arrays.copyOfRange(bytes, off, math.min(off + chunkBytes, bytes.length))
+    }
+
+  /** Query a persisted HNSW index: shard chunk rows co-locate and reassemble
+    * per shard, each graph deserializes ONCE per batch and serves every
+    * query (graph bytes never shuffle beyond their own reassembly; the
+    * query batch is the broadcast side). A deserialized graph is
+    * bit-identical to the built one, so persisted results == in-job
+    * [[hnswTopK]] rows (spec-gated).
+    */
+  def hnswQueryIndex(spark: SparkSession, dir: String, queries: DataFrame,
+                     idCol: String, vecCol: String, k: Int,
+                     efSearch: Int = 64): DataFrame = {
+    import spark.implicits._
+    val bcQ = broadcastQueries(spark, queries, idCol, vecCol)
+    val graphs = spark.read.parquet(s"$dir/graphs")
+      .select(col("shard_id").cast("int"), col("chunk_no").cast("int"), col("bytes"))
+      .as[(Int, Int, Array[Byte])]
+    val shards = graphs.select(col("shard_id")).distinct().count().toInt
+    val perShard = graphs
+      .repartition(shards, col("shard_id"))
+      .sortWithinPartitions("shard_id", "chunk_no")
+      .mapPartitions { it =>
+        reassemble(it).flatMap { case (_, bytes) =>
+          searchGraph(graft.core.Hnsw.deserialize(bytes), bcQ.value, k, efSearch)
+        }
+      }.toDF("qid", "nid", "d2")
+    hnswMerge(perShard, k)
+  }
+
+  /** Incremental add to a persisted HNSW index (the FAISS `add` verb for
+    * the graph family): new vectors route to their shard by the SAME
+    * hash formula the build used, each touched shard's graph deserializes,
+    * inserts the new rows (ascending nid), re-serializes — and dynamic
+    * partition overwrite rewrites ONLY the touched shard directories;
+    * untouched shards are never read or written. Returns rows appended.
+    */
+  def hnswAppend(spark: SparkSession, dir: String, points: DataFrame,
+                 idCol: String, vecCol: String,
+                 chunkBytes: Int = 8 << 20): Long = {
+    import spark.implicits._
+    val shards = spark.read.parquet(s"$dir/graphs")
+      .select(col("shard_id")).distinct().count().toInt
+    val news = shardedPoints(points, idCol, vecCol, shards)
+    val touched = news.select(col("shard_id")).distinct()
+    val existing = spark.read.parquet(s"$dir/graphs")
+      .join(broadcast(touched), Seq("shard_id"), "left_semi")
+      .select(col("shard_id").cast("int"), col("chunk_no").cast("int"), col("bytes"))
+      .as[(Int, Int, Array[Byte])]
+      .map { case (s, c, b) => (s, c, b, true) } // true = graph chunk
+    val newRows = news.map { case (nid, v, s) =>
+      // ride the same union: encode a new vector as a pseudo-chunk with
+      // chunk_no = -1 - position marker; bytes = 8B nid + dim*8B vec
+      val bb = java.nio.ByteBuffer.allocate(8 + v.length * 8)
+      bb.putLong(nid); v.foreach(bb.putLong)
+      (s, Int.MinValue, bb.array(), false)
+    }
+    val appended = points.count()
+    existing.union(newRows)
+      .repartition(col("_1"))
+      .sortWithinPartitions("_1", "_2")
+      .mapPartitions { it =>
+        // per shard: new-vector rows (chunk_no = MinValue) sort first,
+        // then the graph chunks in order
+        val byShard = it.toSeq.groupBy(_._1)
+        byShard.iterator.flatMap { case (s, rows) =>
+          val (pseudo, chunks) = rows.partition(!_._4)
+          val decoded = pseudo.map { r =>
+            val bb = java.nio.ByteBuffer.wrap(r._3)
+            val nid = bb.getLong
+            val v = new Array[Long]((r._3.length - 8) / 8)
+            var i = 0
+            while (i < v.length) { v(i) = bb.getLong; i += 1 }
+            (nid, v)
+          }.sortBy(_._1)
+          // a shard that was EMPTY at build time has no chunk rows — new
+          // vectors seed a fresh graph there
+          val g =
+            if (chunks.nonEmpty) graft.core.Hnsw.deserialize(concatBytes(chunks.sortBy(_._2).map(_._3)))
+            else new graft.core.Hnsw(decoded.head._2.length)
+          decoded.foreach { case (nid, v) => g.insert(nid, v) }
+          chunk(g.serialize(), chunkBytes).zipWithIndex.map { case (b, i) => (s, i, b) }
+        }
+      }
+      .toDF("shard_id", "chunk_no", "bytes")
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("shard_id").parquet(s"$dir/graphs")
+    appended
+  }
+
+  private def concatBytes(parts: Seq[Array[Byte]]): Array[Byte] = {
+    val out = new Array[Byte](parts.map(_.length).sum)
+    var off = 0
+    parts.foreach { p => System.arraycopy(p, 0, out, off, p.length); off += p.length }
+    out
+  }
+
+  /** Per-shard chunk reassembly over a (shard_id, chunk_no, bytes) iterator
+    * SORTED by (shard_id, chunk_no).
+    */
+  private def reassemble(it: Iterator[(Int, Int, Array[Byte])]): Iterator[(Int, Array[Byte])] =
+    new Iterator[(Int, Array[Byte])] {
+      private val buf = it.buffered
+      def hasNext: Boolean = buf.hasNext
+      def next(): (Int, Array[Byte]) = {
+        val s = buf.head._1
+        val parts = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+        while (buf.hasNext && buf.head._1 == s) parts += buf.next()._3
+        (s, concatBytes(parts.toSeq))
+      }
+    }
 }

@@ -416,4 +416,43 @@ class SimilaritySpec extends AnyFunSuite {
     val first = got.values.flatten.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(again === first)
   }
+
+  test("persisted HNSW: query == in-job rows; append rewrites only touched shards") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_hnsw").toString
+    // tiny chunk size forces multi-chunk serialization through reassembly
+    Similarity.hnswBuildSave(spark, df, "vec_id", "embedding", dir,
+      shards = 4, m = 8, efConstruction = 64, chunkBytes = 4096)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val persisted = rows(Similarity.hnswQueryIndex(spark, dir, queries,
+      "vec_id", "embedding", k = 5, efSearch = 32))
+    val inJob = rows(Similarity.hnswTopK(spark, df, queries, "vec_id", "embedding",
+      k = 5, shards = 4, m = 8, efConstruction = 64, efSearch = 32))
+    assert(persisted === inJob, "deserialized graphs must answer identically")
+    // chunking was real
+    val chunksPerShard = spark.read.parquet(s"$dir/graphs")
+      .groupBy("shard_id").count().collect().map(_.getLong(1))
+    assert(chunksPerShard.forall(_ > 1), "expected multi-chunk graphs at 4KB chunks")
+    // append: one new vector per cluster-0 center; only ITS shard rewrites
+    val before = spark.read.parquet(s"$dir/graphs")
+      .select(input_file_name().as("f")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val extra = Seq((10000L, vecs.find(_._1 == 0L).get._2.map(x => x + 0.001f)))
+      .toDF("vec_id", "embedding")
+    Similarity.hnswAppend(spark, dir, extra, "vec_id", "embedding", chunkBytes = 4096)
+    val after = spark.read.parquet(s"$dir/graphs")
+      .select(input_file_name().as("f")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val touchedShard = (before diff after).map(_.split("shard_id=")(1).split("/")(0)).toSet
+    assert((before intersect after).nonEmpty, "untouched shards must keep their files")
+    assert(touchedShard.size === 1, s"exactly one shard rewrites, got $touchedShard")
+    // the appended vector is now findable: it is its own nearest neighbor's
+    // near-twin — query the original center row and expect 10000 in top-5
+    val q0 = df.where(col("vec_id") === 0L)
+    val found = Similarity.hnswQueryIndex(spark, dir, q0, "vec_id", "embedding",
+        k = 5, efSearch = 32)
+      .collect().map(_.getLong(1)).toSet
+    assert(found.contains(10000L), s"appended vector must be served, got $found")
+  }
 }
