@@ -373,6 +373,41 @@ object SparkEntry {
       graft.sources.IcebergLite.read(s, tbl)
         .select("c_custkey", "lonm", "flag").orderBy("c_custkey")
     }),
+    // ---- A1 CHANGELOG scan (CDC): inserts from window-appended files +
+    //      full-content delete rows restored from the pre-delete snapshot
+    //      (version d.seq−1 ⋉ delete keys). from=v1 here, so the odd-key
+    //      append is the insert set and EVERY %10==3 row (evens included —
+    //      they predate the window) is a delete event; odd %10==3 rows
+    //      emit BOTH events, the standard changelog double-event contract.
+    "q7c_iceberg_cdc" -> ((s, dir) => {
+      val tbl = java.nio.file.Files.createTempDirectory("graft_iclite_q7c").toString
+      val pts = customerPts(s, dir)
+      val key = graft.functions.GraftFunctions.zcell(col("lonm"), col("latm"), 12)
+      graft.sources.IcebergLite.append(s, tbl, pts.where(col("c_custkey") % 2 === 0), key)
+      graft.sources.IcebergLite.append(s, tbl, pts.where(col("c_custkey") % 2 === 1), key)
+      graft.sources.IcebergLite.deleteWhereMoR(s, tbl, col("c_custkey") % 10 === 3, "c_custkey")
+      graft.sources.IcebergLite.readChangesCdc(s, tbl, 1)
+        .select("c_custkey", "lonm", "_change_type")
+        .orderBy("c_custkey", "_change_type")
+    }),
+    // ---- A1 ROLLBACK verb: a bad MoR delete (%10==3) is undone by
+    //      rollbackTo(v2) — a pure metadata commit restoring v2's exact
+    //      file/delete/schema state — then writes continue on the restored
+    //      line (a correct MoR delete of %10==7). Read = all customers
+    //      minus %10==7: the undone delete leaves NO trace, the new one
+    //      applies. Timestamp travel + no-data-file-writes are spec-gated.
+    "q7e_iceberg_rollback" -> ((s, dir) => {
+      val tbl = java.nio.file.Files.createTempDirectory("graft_iclite_q7e").toString
+      val pts = customerPts(s, dir)
+      val key = graft.functions.GraftFunctions.zcell(col("lonm"), col("latm"), 12)
+      graft.sources.IcebergLite.append(s, tbl, pts.where(col("c_custkey") % 2 === 0), key)
+      graft.sources.IcebergLite.append(s, tbl, pts.where(col("c_custkey") % 2 === 1), key)
+      graft.sources.IcebergLite.deleteWhereMoR(s, tbl, col("c_custkey") % 10 === 3, "c_custkey")
+      graft.sources.IcebergLite.rollbackTo(tbl, 2)
+      graft.sources.IcebergLite.deleteWhereMoR(s, tbl, col("c_custkey") % 10 === 7, "c_custkey")
+      graft.sources.IcebergLite.read(s, tbl)
+        .select("c_custkey", "lonm").orderBy("c_custkey")
+    }),
     // ---- A1 upsert verb: copy-on-write MERGE — updates shift lon for every
     //      7th customer, inserts clone every 11th under a shifted key; only
     //      files holding matched keys rewrite (gated in IcebergLiteSpec).
@@ -1341,6 +1376,20 @@ object SparkEntry {
         .select("tile_z", "tile_x", "tile_y", "n_images", "total_pixels", "mosaic_fp")
         .orderBy("tile_x", "tile_y")
     }),
+    // ---- RASTER overview pyramid (gdaladdo/COG-overviews shape): the z=4
+    //      mosaic plus its z=3 level from ONE spatial 2×2 fold — each child
+    //      tile's grid scatters into its quadrant of the parent, 4 child
+    //      cells per parent cell, aggregated through the same mergeable
+    //      vec_sum. Oracle: VALUES by linearity from the generator's
+    //      bit→block rule, with the quadrant mapping composed for z=3.
+    "q7d_tile_pyramid" -> ((s, dir) => {
+      operators.Multimodal.tilePyramid(Fixtures.images(s, 5000), z = 4, zMin = 3)
+        .withColumn("mosaic_fp",
+          aggregate(zip_with(col("mosaic"), sequence(lit(1L), lit(64L)),
+            (v, w) => v * w), lit(0L), (a, x) => a + x))
+        .select("tile_z", "tile_x", "tile_y", "n_images", "total_pixels", "mosaic_fp")
+        .orderBy("tile_z", "tile_x", "tile_y")
+    }),
     // ---- image decode → block-mean embedding → exact top-k bridge.
     //      ORACLED structurally: the oracle recomputes the query count from
     //      the generator's id+crc32 rule and asserts the contract booleans
@@ -1664,6 +1713,16 @@ object SparkEntry {
       s"""SELECT c_custkey, ${Derive.lonSql("c_custkey")} AS lonm,
          |CASE WHEN c_custkey % 2 = 1 THEN c_custkey % 5 ELSE NULL END AS flag
          |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q7e_iceberg_rollback" ->
+      s"""SELECT c_custkey, ${Derive.lonSql("c_custkey")} AS lonm
+         |FROM customer WHERE c_custkey % 10 <> 7 ORDER BY c_custkey""".stripMargin,
+    "q7c_iceberg_cdc" ->
+      s"""WITH ev AS (SELECT c_custkey, ${Derive.lonSql("c_custkey")} AS lonm,
+         |  'insert' AS _change_type FROM customer WHERE c_custkey % 2 = 1
+         |  UNION ALL
+         |  SELECT c_custkey, ${Derive.lonSql("c_custkey")} AS lonm,
+         |  'delete' AS _change_type FROM customer WHERE c_custkey % 10 = 3)
+         |SELECT * FROM ev ORDER BY c_custkey, _change_type""".stripMargin,
     "q0n_iceberg_merge" ->
       s"""WITH base AS (SELECT c_custkey, ${Derive.lonSql("c_custkey")} AS lonm,
          |  ${Derive.latSql("c_custkey")} AS latm FROM customer),
@@ -2350,6 +2409,43 @@ object SparkEntry {
       }.mkString(", ")
       s"SELECT * FROM (VALUES $vals) AS t(tile_z, tile_x, tile_y, n_images, " +
         "total_pixels, mosaic_fp) ORDER BY tile_x, tile_y"
+    },
+    "q7d_tile_pyramid" -> {
+      // both levels by LINEARITY from the generator rule (q6x's form): the
+      // z=4 rows are exactly q6x's; the z=3 rows compose the quadrant map —
+      // image block (i,j) in child (tx,ty) lands in parent cell
+      // ((ty%2·8+i) div 2, (tx%2·8+j) div 2) of tile (tx div 2, ty div 2)
+      import graft.fixtures.Fixtures
+      val perTile = scala.collection.mutable.Map[(Int, Long, Long), (Long, Long, Long)]()
+      (0L until 5000L).foreach { i =>
+        val (lon, lat) = Fixtures.locOf(i)
+        val (w, h) = Fixtures.dimsOf(i)
+        val phash = graft.core.PhashLoc.encode(lon, lat)
+        val bs = (w / 8).toLong * (h / 8)
+        val tx = Math.floorDiv((lon + 180000000L) * 16L, 360000000L)
+        val ty = Math.floorDiv((90000000L - lat) * 16L, 180000000L)
+        val oy = (ty % 2).toInt; val ox = (tx % 2).toInt
+        var fp4 = 0L; var fp3 = 0L; var k = 0
+        while (k < 64) {
+          val v = if (((phash >>> k) & 1L) == 1L) 200L else 50L
+          fp4 += (k + 1) * v * bs
+          val p = ((oy * 8 + k / 8) / 2) * 8 + (ox * 8 + k % 8) / 2
+          fp3 += (p + 1) * v * bs
+          k += 1
+        }
+        def add(key: (Int, Long, Long), fp: Long): Unit = {
+          val (n, px, f0) = perTile.getOrElse(key, (0L, 0L, 0L))
+          perTile(key) = (n + 1, px + w.toLong * h, f0 + fp)
+        }
+        add((4, tx, ty), fp4)
+        add((3, tx / 2, ty / 2), fp3)
+      }
+      val vals = perTile.toSeq.sortBy(_._1).map { case ((z, tx, ty), (n, p, f0)) =>
+        s"($z, CAST($tx AS BIGINT), CAST($ty AS BIGINT), CAST($n AS BIGINT), " +
+          s"CAST($p AS BIGINT), CAST($f0 AS BIGINT))"
+      }.mkString(", ")
+      s"SELECT * FROM (VALUES $vals) AS t(tile_z, tile_x, tile_y, n_images, " +
+        "total_pixels, mosaic_fp) ORDER BY tile_z, tile_x, tile_y"
     },
     "q63_image_embed_topk" -> {
       // query count from the generator's id rule + Spark's crc32 semantics

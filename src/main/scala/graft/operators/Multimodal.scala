@@ -321,6 +321,68 @@ object Multimodal {
         graft.functions.VecSumAgg.vecSum(col("blocks")).as("mosaic"))
   }
 
+  /** One overview level of a raster tile PYRAMID (the standard map-serving
+    * maintenance verb — gdaladdo / COG overviews shape): the z-level mosaic
+    * table aggregates into z−1 tiles with true SPATIAL downsampling — each
+    * parent grid cell is the sum of the 2×2 child-cell block that covers
+    * the same ground, each child tile landing in its quadrant of the
+    * parent. (Re-running tileMosaic at z−1 is NOT the same operator: that
+    * re-bins whole images into coarser tiles at full grid resolution;
+    * overviews must downsample the raster.)
+    *
+    * The per-child remap (child g×g grid → its quadrant of the parent
+    * g×g grid, 4 cells → 1) is a pure codegen `transform` over the mosaic
+    * array — shiftright/bitwise index math, no UDF — and parent tiles
+    * aggregate through the same mergeable `vec_sum` as the base level, so
+    * each level is ONE exchange of one partial grid per (task, parent
+    * tile). A full pyramid build is `levels` such exchanges, each over 4×
+    * fewer tiles — the classic geometric-cost overview pass.
+    *
+    * `grid` must be a power of two (the 2×2 fold). Exact int64 throughout.
+    */
+  def pyramidLevel(mosaic: DataFrame, grid: Int): DataFrame = {
+    require(grid >= 2 && (grid & (grid - 1)) == 0, s"grid must be a power of 2, got $grid")
+    val g = grid
+    val s = Integer.numberOfTrailingZeros(g)
+    val half = lit(g / 2)
+    // quadrant of this child within its parent (tiles count from 0 at
+    // north-west, so y%2=0 is the TOP half of the parent)
+    val oy = pmod(col("tile_y"), lit(2)).cast("int")
+    val ox = pmod(col("tile_x"), lit(2)).cast("int")
+    val remapped = transform(sequence(lit(0), lit(g * g - 1)), p => {
+      val pi = shiftright(p, s)
+      val pj = p.bitwiseAND(lit(g - 1))
+      val inQuad = (shiftright(pi, s - 1) === oy) && (shiftright(pj, s - 1) === ox)
+      val i0 = pi * 2 - oy * lit(g) // child row of the 2×2 block
+      val j0 = pj * 2 - ox * lit(g)
+      def e(idx: org.apache.spark.sql.Column) =
+        element_at(col("mosaic"), (idx + 1).cast("int")).cast("long")
+      when(inQuad,
+        e(i0 * g + j0) + e(i0 * g + j0 + 1) +
+          e((i0 + 1) * g + j0) + e((i0 + 1) * g + j0 + 1))
+        .otherwise(lit(0L))
+    })
+    mosaic
+      .withColumn("_px", expr("tile_x div 2"))
+      .withColumn("_py", expr("tile_y div 2"))
+      .withColumn("_rm", remapped)
+      .groupBy((col("tile_z") - 1).as("tile_z"), col("_px").as("tile_x"),
+        col("_py").as("tile_y"))
+      .agg(sum(col("n_images")).as("n_images"),
+        sum(col("total_pixels")).as("total_pixels"),
+        graft.functions.VecSumAgg.vecSum(col("_rm")).as("mosaic"))
+  }
+
+  /** Full overview chain: the base mosaic at `z` plus every pyramid level
+    * down to `zMin`, one table (`tile_z` distinguishes levels).
+    */
+  def tilePyramid(images: DataFrame, z: Int, zMin: Int, grid: Int = 8): DataFrame = {
+    require(zMin >= 0 && zMin <= z, s"need 0 <= zMin <= z, got $zMin..$z")
+    val base = tileMosaic(images, z, grid)
+    val levels = Iterator.iterate(base)(pyramidLevel(_, grid)).take(z - zMin + 1)
+    levels.reduce(_ unionByName _)
+  }
+
   /** Aspect-ratio bucketing (the image-training batching shape — SDXL-style
     * multi-aspect training, public technique): assign every image to the
     * bucket whose aspect ratio tw/th is nearest the image's own w/h, so a

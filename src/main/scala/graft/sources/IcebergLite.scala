@@ -57,7 +57,8 @@ object IcebergLite {
                             files: Seq[FileEntry],
                             deletes: Seq[DeleteEntry] = Seq.empty,
                             schemaDdl: Option[String] = None,
-                            streams: Map[String, Long] = Map.empty)
+                            streams: Map[String, Long] = Map.empty,
+                            ts: Long = 0L)
 
   private def metaDir(dir: String): Path = Paths.get(dir, "metadata")
 
@@ -97,7 +98,8 @@ object IcebergLite {
       .map(m => m.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
     val streams = """"stream:([^"]+)": (-?\d+)""".r.findAllMatchIn(txt)
       .map(m => m.group(1) -> m.group(2).toLong).toMap
-    Snapshot(version, sid, parent, files, deletes, schemaDdl, streams)
+    val ts = """"ts": (\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toLong).getOrElse(0L)
+    Snapshot(version, sid, parent, files, deletes, schemaDdl, streams, ts)
   }
 
   /** Highest streaming batchId committed for `name`, or -1. The per-stream
@@ -444,6 +446,37 @@ object IcebergLite {
     (expired, deletedFiles)
   }
 
+  /** ROLLBACK (Iceberg's `rollback_to_snapshot`): make the table state of
+    * `version` current again by committing a NEW snapshot that points at
+    * the target's exact file/delete/schema state — history is preserved
+    * (the bad snapshots stay readable for forensics until expireSnapshots
+    * drops them), no data file is moved or rewritten, and the commit is
+    * the same atomic metadata swap as every other verb. The undo verb for
+    * a bad write: O(1) metadata, independent of table size.
+    *
+    * Stream markers are NOT rolled back: exactly-once ingest progress is
+    * orthogonal to data state (re-ingesting an already-committed batch
+    * after a rollback would double its rows — the marker forward-merge
+    * prevents exactly that).
+    *
+    * Incremental readers note: a rollback window legitimately REMOVES
+    * files relative to its parent, so readChanges/readChangesCdc across
+    * one raises, same as any rewrite — poll before, or restart from the
+    * rollback commit.
+    */
+  def rollbackTo(dir: String, version: Int): Int = {
+    val cur = currentVersion(dir)
+    require(version >= 1 && version <= cur,
+      s"rollback target must be an existing version, got $version (current $cur)")
+    val target = snapshot(dir, version)
+    // every commit records schema_ddl, so the restore pins the TARGET's
+    // schema — rollback across an addColumn restores the pre-evolution one
+    require(target.schemaDdl.nonEmpty || target.files.isEmpty,
+      s"snapshot v$version predates schema recording — cannot restore its schema")
+    commitSnapshot(dir, cur, target.files, deletes = target.deletes,
+      schemaDdl = target.schemaDdl)
+  }
+
   /** Incremental append scan (Iceberg's incremental read contract): the
     * rows of data files ADDED between `fromVersion` (exclusive) and
     * `toVersion` (inclusive) — the "what arrived since I last looked"
@@ -478,12 +511,86 @@ object IcebergLite {
     else readFiles(spark, toSnap, added).drop("_stats")
   }
 
+  /** CHANGELOG scan (Iceberg's `create_changelog_view` / CDC shape): every
+    * row change between `fromVersion` (exclusive) and `toVersion`
+    * (inclusive) with a `_change_type` column — `insert` for rows of files
+    * appended in the window, `delete` for rows removed by merge-on-read
+    * delete commits in the window (full row content restored by reading
+    * the pre-delete snapshot — version `d.seq − 1` — filtered to the
+    * delete's keys, which is exactly the row set that delete removed under
+    * the sequence rule). A row appended AND deleted inside the window
+    * emits both events, the standard changelog contract.
+    *
+    * CoW rewrites (deleteWhere/merge/compact) still RAISE: a rewrite
+    * destroys file-level change attribution — run the changelog poll
+    * BEFORE maintenance, or use MoR deletes (whose debt compaction folds
+    * AFTER the consumer has seen the delete events).
+    *
+    * Needs the pre-delete snapshots still retained (expireSnapshots
+    * bounds how far back a changelog can reach — same as Iceberg).
+    */
+  def readChangesCdc(spark: SparkSession, dir: String,
+                     fromVersion: Int, toVersion: Int = -1): DataFrame = {
+    val to = if (toVersion > 0) toVersion else currentVersion(dir)
+    require(fromVersion >= 1 && to >= fromVersion,
+      s"need 1 <= fromVersion <= toVersion, got $fromVersion..$to")
+    val fromSnap = snapshot(dir, fromVersion)
+    val toSnap = snapshot(dir, to)
+    // walk the chain STEPWISE: a from↔to set-diff would miss a CoW rewrite
+    // of a file that was itself appended inside the window (the rewritten
+    // file never existed at either endpoint) and silently mis-attribute
+    // its rows — any step that drops a file raises (spec-gated)
+    var prev = fromSnap.files.map(f => norm(f.path)).toSet
+    var prevDel = fromSnap.deletes.map(d => norm(d.path)).toSet
+    (fromVersion + 1 to to).foreach { v =>
+      val snapV = snapshot(dir, v)
+      val cur = snapV.files.map(f => norm(f.path)).toSet
+      val removed = prev -- cur
+      require(removed.isEmpty,
+        s"copy-on-write rewrite at v$v (${removed.size} file(s) rewritten/" +
+          "removed) — changelog attribution is only defined over append + " +
+          "merge-on-read-delete windows")
+      // a step may only ADD delete generations: a rollback that drops one
+      // silently re-inserts its rows — a consumer who saw the delete events
+      // would never see the compensating inserts (spec-gated)
+      val curDel = snapV.deletes.map(d => norm(d.path)).toSet
+      val undone = prevDel -- curDel
+      require(undone.isEmpty,
+        s"rollback at v$v undid ${undone.size} delete generation(s) — " +
+          "changelog attribution is only defined over append + " +
+          "merge-on-read-delete windows")
+      prev = cur
+      prevDel = curDel
+    }
+    val fromFiles = fromSnap.files.map(f => norm(f.path)).toSet
+    val added = toSnap.files.filter(f => !fromFiles.contains(norm(f.path)))
+    val inserts =
+      (if (added.isEmpty) emptyLike(spark, toSnap)
+       else readFiles(spark, toSnap, added))
+        .drop("_stats").withColumn("_change_type", lit("insert"))
+    val fromDeletes = fromSnap.deletes.map(d => norm(d.path)).toSet
+    val newDeletes = toSnap.deletes.filter(d => !fromDeletes.contains(norm(d.path)))
+    val deletes = newDeletes.map { d =>
+      // table state just before the delete commit = version d.seq − 1
+      readSnapshot(spark, snapshot(dir, d.seq - 1))
+        .join(broadcast(spark.read.parquet(d.path).toDF(d.key).distinct()),
+          Seq(d.key), "left_semi")
+        .drop("_stats").withColumn("_change_type", lit("delete"))
+    }
+    deletes.foldLeft(inserts)(_ unionByName _)
+  }
+
   private def commitSnapshot(dir: String, parentVersion: Int, files: Seq[FileEntry],
                              deletes: Seq[DeleteEntry] = Seq.empty,
                              schemaDdl: Option[String] = None,
                              streamMarker: Option[(String, Long)] = None): Int = {
     val version = parentVersion + 1
     val sid = java.util.UUID.randomUUID().toString
+    val parentSnap = if (parentVersion > 0) Some(snapshot(dir, parentVersion)) else None
+    // commit timestamp, STRICTLY monotonic along the parent chain (Iceberg's
+    // timestamp-travel contract needs a total order even when two commits
+    // land inside one clock tick)
+    val ts = math.max(parentSnap.map(_.ts + 1).getOrElse(1L), System.currentTimeMillis())
     val body = files.map(f =>
       s"""    {"path": "${f.path}", "rows": ${f.rows}, "min": ${f.min}, "max": ${f.max}, "seq": ${f.seq}}""")
       .mkString("[\n", ",\n", "\n  ]")
@@ -494,21 +601,19 @@ object IcebergLite {
         .mkString(",\n  \"deletes\": [\n", ",\n", "\n  ]")
     val parent = if (parentVersion > 0) s""",\n  "parent": $parentVersion""" else ""
     // schema carried forward from the parent unless the commit sets one
-    val ddl = schemaDdl.orElse(
-      if (parentVersion > 0) snapshot(dir, parentVersion).schemaDdl else None)
+    val ddl = schemaDdl.orElse(parentSnap.flatMap(_.schemaDdl))
     val schemaLine = ddl.map(d =>
       s""",\n  "schema_ddl": "${d.replace("\\", "\\\\").replace("\"", "\\\"")}"""").getOrElse("")
     // merge the per-stream latest-batch map forward so EVERY snapshot carries
     // the full map and lastStreamBatch is O(1) metadata reads
-    val parentStreams =
-      if (parentVersion > 0) snapshot(dir, parentVersion).streams else Map.empty[String, Long]
-    val streams = parentStreams ++ streamMarker.toMap
+    val streams = parentSnap.map(_.streams).getOrElse(Map.empty[String, Long]) ++
+      streamMarker.toMap
     val marker =
       if (streams.isEmpty) ""
       else streams.toSeq.sortBy(_._1)
         .map { case (n, b) => s""""stream:$n": $b""" }
         .mkString(",\n  \"streams\": {", ", ", "}")
-    val json = s"""{\n  "version": $version,\n  "snapshot_id": "$sid"$parent$schemaLine$marker,\n  "files": $body$delBody\n}\n"""
+    val json = s"""{\n  "version": $version,\n  "snapshot_id": "$sid"$parent$schemaLine$marker,\n  "ts": $ts,\n  "files": $body$delBody\n}\n"""
     Files.createDirectories(metaDir(dir))
     writeAtomic(metaDir(dir).resolve(f"v$version%05d.json"), json)
     writeAtomic(metaDir(dir).resolve("_current"), version.toString)
@@ -579,6 +684,33 @@ object IcebergLite {
     require(v > 0, s"no snapshots in $dir")
     readSnapshot(spark, snapshot(dir, v)).drop("_stats")
   }
+
+  /** The version current AT `tsMillis` (Iceberg's `rollback_to_timestamp` /
+    * `TIMESTAMP AS OF` resolution): the latest snapshot whose commit ts is
+    * <= the given instant. Commit timestamps are strictly monotonic along
+    * the chain, so binary search over the retained window is exact; raises
+    * if the instant predates the oldest retained snapshot (same contract as
+    * travel past expireSnapshots).
+    */
+  def versionAt(dir: String, tsMillis: Long): Int = {
+    val cur = currentVersion(dir)
+    require(cur > 0, s"no snapshots in $dir")
+    var lo = 1
+    while (lo <= cur && !Files.exists(metaDir(dir).resolve(f"v$lo%05d.json"))) lo += 1
+    require(lo <= cur && snapshot(dir, lo).ts <= tsMillis,
+      s"no retained snapshot at or before ts=$tsMillis (oldest retained is " +
+        s"v$lo${if (lo <= cur) s" at ts=${snapshot(dir, lo).ts}" else ""})")
+    var hi = cur // invariant: snapshot(lo).ts <= tsMillis
+    while (lo < hi) { // find the LAST version with ts <= tsMillis
+      val mid = lo + (hi - lo + 1) / 2
+      if (snapshot(dir, mid).ts <= tsMillis) lo = mid else hi = mid - 1
+    }
+    lo
+  }
+
+  /** `TIMESTAMP AS OF` read: the table as it was at `tsMillis`. */
+  def readAt(spark: SparkSession, dir: String, tsMillis: Long): DataFrame =
+    read(spark, dir, asOfVersion = versionAt(dir, tsMillis))
 
   /** Read with manifest-stats pruning: keep only files whose [min,max]
     * intersects a query cell (the Iceberg partition/stats pruning the

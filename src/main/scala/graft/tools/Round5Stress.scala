@@ -66,6 +66,17 @@ object Round5Stress {
           unit = u).count()
       }
 
+    // ---- 1b. overview pyramid: base mosaic + every level to z=0 — the
+    //      fold itself is O(tiles), geometric in levels
+    t(s"tilePyramid z=6..0 over ${nSegs / 1000000}M images (base mosaic + 6 folds)") {
+      val imgs = {
+        val b = graft.fixtures.Fixtures.images(spark, math.min(nSegs, 1000000L))
+        Seq.fill(math.max(1, (nSegs / math.min(nSegs, 1000000L)).toInt))(b)
+          .reduce(_ unionByName _)
+      }
+      graft.operators.Multimodal.tilePyramid(imgs, z = 6, zMin = 0).count()
+    }
+
     // ---- 2. HNSW at 1M vectors: 32 shards ≈ 31k nodes each
     //      (deterministic splitmix components in [-1, 1])
     val dims = 64

@@ -230,6 +230,48 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("pyramidLevel: 2×2 spatial fold == brute force from the base mosaic") {
+    val base = Multimodal.tileMosaic(imgs, z = 4, grid = 8)
+    val got = Multimodal.pyramidLevel(base, grid = 8)
+      .collect().map { r =>
+        (r.getInt(r.fieldIndex("tile_z")), r.getLong(r.fieldIndex("tile_x")),
+          r.getLong(r.fieldIndex("tile_y"))) ->
+          ((r.getLong(r.fieldIndex("n_images")), r.getLong(r.fieldIndex("total_pixels")),
+            r.getSeq[Long](r.fieldIndex("mosaic")).toVector))
+      }.toMap
+    // brute: every child grid scatters into its quadrant of the parent,
+    // 2×2 child cells per parent cell
+    val expect = scala.collection.mutable.Map[(Int, Long, Long), (Long, Long, Array[Long])]()
+    base.collect().foreach { r =>
+      val tx = r.getLong(r.fieldIndex("tile_x")); val ty = r.getLong(r.fieldIndex("tile_y"))
+      val m = r.getSeq[Long](r.fieldIndex("mosaic"))
+      val key = (r.getInt(r.fieldIndex("tile_z")) - 1, tx / 2, ty / 2)
+      val (n, p, g) = expect.getOrElse(key, (0L, 0L, new Array[Long](64)))
+      val oy = (ty % 2).toInt; val ox = (tx % 2).toInt
+      for (i <- 0 until 8; j <- 0 until 8) {
+        val pi = (oy * 8 + i) / 2; val pj = (ox * 8 + j) / 2
+        g(pi * 8 + pj) += m(i * 8 + j)
+      }
+      expect(key) = (n + r.getLong(r.fieldIndex("n_images")),
+        p + r.getLong(r.fieldIndex("total_pixels")), g)
+    }
+    assert(got.keySet === expect.keySet)
+    expect.foreach { case (t, (n, p, g)) =>
+      assert(got(t) === ((n, p, g.toVector)), s"parent tile $t")
+    }
+    // conservation down a 3-level chain: total mass is invariant under the
+    // spatial fold, and each level has 4× fewer (or equal) tiles
+    val pyr = Multimodal.tilePyramid(imgs, z = 4, zMin = 2, grid = 8)
+      .groupBy("tile_z")
+      .agg(sum("n_images").as("n"), count(lit(1)).as("tiles"),
+        sum(aggregate(col("mosaic"), lit(0L), (a, x) => a + x)).as("mass"))
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(pyr.keySet === Set(2, 3, 4))
+    assert(pyr(3)._1 === pyr(4)._1 && pyr(2)._1 === pyr(4)._1, "n_images conserved")
+    assert(pyr(3)._3 === pyr(4)._3 && pyr(2)._3 === pyr(4)._3, "luma mass conserved")
+    assert(pyr(3)._2 <= pyr(4)._2 && pyr(2)._2 <= pyr(3)._2, "tile count shrinks")
+  }
+
   test("aspectBucket: nearest ratio by integer cross-multiplication, ties to lowest index") {
     import spark.implicits._
     val df = Seq(

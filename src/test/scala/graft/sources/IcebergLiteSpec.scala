@@ -352,4 +352,102 @@ class IcebergLiteSpec extends AnyFunSuite {
     // a window after the delete is clean again
     assert(IcebergLite.readChanges(spark, dir, 2, 3).count() === 10)
   }
+
+  test("rollbackTo: metadata-only restore; schema travel; timestamp travel") {
+    val dir = Files.createTempDirectory("iclite_rb").toString
+    val key = expr("lonm")
+    IcebergLite.append(spark, dir, pts(0, 40), key)              // v1
+    IcebergLite.append(spark, dir, pts(100, 20), key)            // v2
+    val dataFiles = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      try s.toArray.map(_.toString).filter(_.endsWith(".parquet")).toSet
+      finally s.close()
+    }
+    IcebergLite.deleteWhereMoR(spark, dir, col("id") % 4 === 1, "id") // v3 (bad)
+    assert(IcebergLite.rollbackTo(dir, 2) === 4)
+    // the restored state IS v2's: same rows, and NO new data file was
+    // written by the rollback (delete files from v3 remain on disk for the
+    // still-travelable v3, but v4 references none of them)
+    assert(IcebergLite.read(spark, dir).count() === 60)
+    assert(IcebergLite.snapshot(dir, 4).deletes.isEmpty)
+    assert(IcebergLite.snapshot(dir, 4).files.map(_.path).sorted ===
+      IcebergLite.snapshot(dir, 2).files.map(_.path).sorted)
+    // v3 stays travelable until expiration (forensics contract)
+    assert(IcebergLite.read(spark, dir, asOfVersion = 3).count() === 45)
+    // writes continue on the restored line
+    IcebergLite.deleteWhereMoR(spark, dir, col("id") === 100L, "id") // v5
+    assert(IcebergLite.read(spark, dir).count() === 59)
+    // rollback across an addColumn restores the PRE-evolution schema
+    IcebergLite.addColumn(spark, dir, "grade", "INT")            // v6
+    assert(IcebergLite.read(spark, dir).columns.contains("grade"))
+    IcebergLite.rollbackTo(dir, 5)                               // v7
+    assert(!IcebergLite.read(spark, dir).columns.contains("grade"))
+    // timestamp travel: strictly monotonic commit ts, exact boundaries
+    val ts = (1 to 7).map(v => IcebergLite.snapshot(dir, v).ts)
+    assert(ts === ts.sorted && ts.distinct.size === 7, "strictly monotonic")
+    assert(IcebergLite.versionAt(dir, ts(1)) === 2)        // exactly at v2
+    assert(IcebergLite.versionAt(dir, ts(2) - 1) === 2)    // just before v3
+    assert(IcebergLite.versionAt(dir, ts(6) + 1000) === 7) // after the last
+    assert(IcebergLite.readAt(spark, dir, ts(2)).count() === 45)
+    val e0 = intercept[IllegalArgumentException] {
+      IcebergLite.versionAt(dir, ts(0) - 1) // predates the table
+    }
+    assert(e0.getMessage.contains("no retained snapshot"))
+    // incremental readers raise across a rollback that undid a delete
+    // (v3's delete generation vanishes at v4 — its rows silently return,
+    // so changelog attribution is undefined over that window)
+    val e1 = intercept[IllegalArgumentException] {
+      IcebergLite.readChangesCdc(spark, dir, 2, 4)
+    }
+    assert(e1.getMessage.contains("rollback"))
+    // ... but a window whose net row change is genuinely empty (addColumn
+    // + schema-only rollback, v5→v7) reads as zero events
+    assert(IcebergLite.readChangesCdc(spark, dir, 5, 7).count() === 0)
+    // data-file inventory: rollbacks + MoR deletes wrote ZERO data files
+    // beyond the two appends' (delete-key files live under data/ too, so
+    // count only the files any snapshot references as DATA files)
+    val refd = (1 to 7).flatMap(v => IcebergLite.snapshot(dir, v).files.map(_.path)).toSet
+    assert(refd.subsetOf(dataFiles),
+      "no snapshot references a data file that did not exist after v2")
+  }
+
+  test("readChangesCdc: inserts + MoR-delete rows with full content; CoW raises") {
+    val dir = Files.createTempDirectory("iclite_cdc").toString
+    val key = expr("lonm")
+    IcebergLite.append(spark, dir, pts(0, 50), key)             // v1
+    IcebergLite.append(spark, dir, pts(100, 30), key)           // v2
+    IcebergLite.deleteWhereMoR(spark, dir,
+      col("id").isin(3L, 105L), "id")                           // v3
+    IcebergLite.append(spark, dir, pts(200, 10), key)           // v4
+    val chg = IcebergLite.readChangesCdc(spark, dir, 1)
+      .select("id", "lonm", "_change_type")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val ins = ((100L until 130L) ++ (200L until 210L))
+      .map(i => (i, i * 1000000L - 170000000L, "insert")).toSet
+    // both deleted rows carry FULL row content, including id=3 which lives
+    // in a file appended BEFORE the window started
+    val del = Set(3L, 105L).map(i => (i, i * 1000000L - 170000000L, "delete"))
+    assert(chg === (ins ++ del))
+    // a row appended AND deleted inside the window emits both events
+    val dir2 = Files.createTempDirectory("iclite_cdc2").toString
+    IcebergLite.append(spark, dir2, pts(0, 10), key)            // v1
+    IcebergLite.append(spark, dir2, pts(50, 10), key)           // v2
+    IcebergLite.deleteWhereMoR(spark, dir2, col("id") === 55L, "id") // v3
+    val both = IcebergLite.readChangesCdc(spark, dir2, 1)
+      .where(col("id") === 55L).select("_change_type")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(both === Seq("delete", "insert"))
+    // CoW rewrite in the window still raises
+    IcebergLite.deleteWhere(spark, dir2, col("id") === 51L, key) // v4 rewrite
+    val e = intercept[IllegalArgumentException] {
+      IcebergLite.readChangesCdc(spark, dir2, 1)
+    }
+    assert(e.getMessage.contains("copy-on-write"))
+    // changelog parity with table states: v_from rows + inserts − deletes
+    // == v_to rows (checked on the first table)
+    val v1Rows = IcebergLite.read(spark, dir, asOfVersion = 1).count()
+    val v4Rows = IcebergLite.read(spark, dir, asOfVersion = 4).count()
+    val nIns = chg.count(_._3 == "insert"); val nDel = chg.count(_._3 == "delete")
+    assert(v1Rows + nIns - nDel === v4Rows)
+  }
 }
