@@ -408,6 +408,33 @@ object SparkEntry {
       graft.sources.IcebergLite.read(s, tbl)
         .select("c_custkey", "lonm").orderBy("c_custkey")
     }),
+    // ---- A1 WRITE-AUDIT-PUBLISH: the 100 TB ingestion audit gate. Odd
+    //      customers are STAGED (invisible to the table), audited by
+    //      version, then published by fast-forward; a second stage (every
+    //      11th customer cloned under key+1000000) publishes by CHERRY-PICK
+    //      because main moved during its audit (a MoR delete of %10==3).
+    //      Cherry-picked files re-sequence AFTER the delete, so no clone
+    //      loses rows to it — and the delete keys were collected before the
+    //      clones existed, so the final table is (all customers − %10==3)
+    //      + all clones. Stage-invisibility, pointer-only fast-forward, and
+    //      the schema/append-only cherry-pick guards are spec-gated.
+    "q7f_iceberg_wap" -> ((s, dir) => {
+      val tbl = java.nio.file.Files.createTempDirectory("graft_iclite_q7f").toString
+      val pts = customerPts(s, dir)
+      val key = graft.functions.GraftFunctions.zcell(col("lonm"), col("latm"), 12)
+      graft.sources.IcebergLite.append(s, tbl, pts.where(col("c_custkey") % 2 === 0), key)
+      val st1 = graft.sources.IcebergLite.stageAppend(s, tbl,
+        pts.where(col("c_custkey") % 2 === 1), key)
+      graft.sources.IcebergLite.publish(tbl, st1) // fast-forward
+      val st2 = graft.sources.IcebergLite.stageAppend(s, tbl,
+        pts.where(col("c_custkey") % 11 === 0)
+          .withColumn("c_custkey", col("c_custkey") + 1000000L), key)
+      graft.sources.IcebergLite.deleteWhereMoR(s, tbl,
+        col("c_custkey") % 10 === 3, "c_custkey") // main moves mid-audit
+      graft.sources.IcebergLite.publish(tbl, st2) // cherry-pick
+      graft.sources.IcebergLite.read(s, tbl)
+        .select("c_custkey", "lonm").orderBy("c_custkey")
+    }),
     // ---- A1 upsert verb: copy-on-write MERGE — updates shift lon for every
     //      7th customer, inserts clone every 11th under a shifted key; only
     //      files holding matched keys rewrite (gated in IcebergLiteSpec).
@@ -1716,6 +1743,14 @@ object SparkEntry {
     "q7e_iceberg_rollback" ->
       s"""SELECT c_custkey, ${Derive.lonSql("c_custkey")} AS lonm
          |FROM customer WHERE c_custkey % 10 <> 7 ORDER BY c_custkey""".stripMargin,
+    "q7f_iceberg_wap" ->
+      s"""WITH merged AS (
+         |  SELECT c_custkey, ${Derive.lonSql("c_custkey")} AS lonm
+         |  FROM customer WHERE c_custkey % 10 <> 3
+         |  UNION ALL
+         |  SELECT c_custkey + 1000000, ${Derive.lonSql("c_custkey")} AS lonm
+         |  FROM customer WHERE c_custkey % 11 = 0)
+         |SELECT c_custkey, lonm FROM merged ORDER BY c_custkey""".stripMargin,
     "q7c_iceberg_cdc" ->
       s"""WITH ev AS (SELECT c_custkey, ${Derive.lonSql("c_custkey")} AS lonm,
          |  'insert' AS _change_type FROM customer WHERE c_custkey % 2 = 1

@@ -33,7 +33,14 @@ import scala.jdk.CollectionConverters._
   *   - schema evolution: every snapshot records its own schema (DDL) in
   *     the manifest; `addColumn` commits a metadata-only snapshot and
   *     old data files read back with the new column null-backfilled,
-  *     while time travel returns each snapshot under its own schema.
+  *     while time travel returns each snapshot under its own schema;
+  *   - write-audit-publish: `stageAppend` commits a snapshot WITHOUT
+  *     advancing the main pointer (audit it by version), then `publish`
+  *     fast-forwards — or cherry-picks the appended files onto a main
+  *     that moved during the audit (Iceberg's WAP / cherrypick_snapshot).
+  *     Chain-dependent reads (CDC, timestamp travel, expiration) walk
+  *     PARENT pointers, never version arithmetic, so staged snapshots
+  *     are invisible to them until published.
   *
   * Commits are atomic via tmp-write + rename of the pointer; concurrent
   * appends would need a CAS on `_current` (single-writer here, noted).
@@ -79,6 +86,47 @@ object IcebergLite {
     val p = metaDir(dir).resolve("_current")
     if (Files.exists(p)) new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim.toInt
     else 0
+  }
+
+  private val VersionFile = """v(\d{5})\.json""".r
+
+  /** Every snapshot version whose manifest still exists (ascending) —
+    * includes STAGED (unpublished write-audit-publish) snapshots, which
+    * occupy version numbers off the main chain.
+    */
+  private def listVersions(dir: String): Seq[Int] = {
+    val md = metaDir(dir)
+    if (!Files.exists(md)) return Seq.empty
+    val s = Files.list(md)
+    try s.iterator().asScala.map(_.getFileName.toString)
+      .collect { case VersionFile(v) => v.toInt }.toArray.sorted.toSeq
+    finally s.close()
+  }
+
+  private def snapshotExists(dir: String, version: Int): Boolean =
+    version >= 1 && Files.exists(metaDir(dir).resolve(f"v$version%05d.json"))
+
+  /** Next version number to allocate: one past the highest EXISTING
+    * manifest (not the main head — a staged snapshot holds its number even
+    * though `_current` never pointed at it). Single-writer, like every
+    * commit here.
+    */
+  private def nextVersion(dir: String): Int =
+    math.max(listVersions(dir).lastOption.getOrElse(0), currentVersion(dir)) + 1
+
+  /** The MAIN chain, newest first: walk parent pointers from `_current`
+    * until the root or the expiration horizon (first missing manifest).
+    * Staged snapshots are never on it. O(retained window) metadata reads.
+    */
+  private def mainChain(dir: String): Seq[Snapshot] = {
+    var v = currentVersion(dir)
+    val buf = scala.collection.mutable.ArrayBuffer[Snapshot]()
+    while (v > 0 && snapshotExists(dir, v)) {
+      val s = snapshot(dir, v)
+      buf += s
+      v = s.parent.getOrElse(0)
+    }
+    buf.toSeq
   }
 
   def snapshot(dir: String, version: Int): Snapshot = {
@@ -150,7 +198,29 @@ object IcebergLite {
   }
 
   def append(spark: SparkSession, dir: String, df: DataFrame, statsCol: Column,
-             streamMarker: Option[(String, Long)] = None): Int = {
+             streamMarker: Option[(String, Long)] = None): Int =
+    appendImpl(spark, dir, df, statsCol, streamMarker, advance = true)
+
+  /** WRITE-AUDIT-PUBLISH stage (Iceberg's WAP / `stage-only` commit): write
+    * the batch and its snapshot manifest, but do NOT advance the main
+    * pointer — readers of the table see nothing. The staged snapshot is
+    * readable by version (`read(dir, asOfVersion = staged)`) for the AUDIT
+    * step (row counts, quality gates, dedup checks), then [[publish]] makes
+    * it live — or it is simply abandoned, and [[expireSnapshots]] reclaims
+    * its files once it ages past the retention window (Iceberg expires
+    * unpublished WAP snapshots the same way).
+    *
+    * This is the 100 TB ingestion audit gate: the expensive write happens
+    * once, audit queries run against real committed files, and the go/no-go
+    * decision is a pure metadata operation either way.
+    */
+  def stageAppend(spark: SparkSession, dir: String, df: DataFrame,
+                  statsCol: Column): Int =
+    appendImpl(spark, dir, df, statsCol, None, advance = false)
+
+  private def appendImpl(spark: SparkSession, dir: String, df: DataFrame,
+                         statsCol: Column, streamMarker: Option[(String, Long)],
+                         advance: Boolean): Int = {
     val cur = currentVersion(dir)
     val snapOpt = if (cur > 0) Some(snapshot(dir, cur)) else None
     val old = snapOpt.map(_.files).getOrElse(Seq.empty)
@@ -178,11 +248,63 @@ object IcebergLite {
     // exactly how an Iceberg commit collects manifests; the previous
     // implementation re-READ the whole batch per append (write-side read
     // amplification at scale)
-    val stats = footerStats(spark, dataDir, cur + 1)
+    val next = nextVersion(dir)
+    val stats = footerStats(spark, dataDir, next)
     val ddl = tableSchema.map(_.toDDL).orElse(Some(aligned.schema.toDDL))
-    commitSnapshot(dir, cur, old ++ stats,
+    commitSnapshot(dir, cur, next, old ++ stats,
       deletes = snapOpt.map(_.deletes).getOrElse(Seq.empty),
-      schemaDdl = ddl, streamMarker = streamMarker)
+      schemaDdl = ddl, streamMarker = streamMarker, advance = advance)
+  }
+
+  /** PUBLISH a staged snapshot (the WAP go decision). Two arms, both pure
+    * metadata:
+    *   - FAST-FORWARD: main has not moved since the stage (the staged
+    *     snapshot's parent IS the current head) — swing `_current` to it;
+    *     no new snapshot, O(1).
+    *   - CHERRY-PICK (Iceberg's `cherrypick_snapshot`): main moved while
+    *     the audit ran. Only APPEND stages re-apply safely (their added
+    *     files carry no dependence on the base they were staged against):
+    *     commit a NEW main snapshot = current state + the staged files,
+    *     re-sequenced to the new version. Re-seq matters for merge-on-read
+    *     deletes: a delete committed on main DURING the audit applies only
+    *     to files with `seq < delete.seq`, and the cherry-picked files
+    *     logically arrive AFTER it — they must not lose rows to it.
+    *     Raises if the staged snapshot was not a pure append over its own
+    *     parent, if its schema no longer matches main's, or if its parent
+    *     manifest has been expired.
+    *
+    * Publishing a snapshot already on the main chain raises (double
+    * publish would duplicate its rows through the cherry-pick arm).
+    */
+  def publish(dir: String, stagedVersion: Int): Int = {
+    require(snapshotExists(dir, stagedVersion),
+      s"no snapshot v$stagedVersion in $dir (expired or never staged?)")
+    val cur = currentVersion(dir)
+    require(!mainChain(dir).exists(_.version == stagedVersion),
+      s"v$stagedVersion is already on the main chain — double publish")
+    val staged = snapshot(dir, stagedVersion)
+    if (staged.parent.contains(cur))
+      { writeAtomic(metaDir(dir).resolve("_current"), stagedVersion.toString); stagedVersion }
+    else {
+      val parentV = staged.parent.getOrElse(
+        throw new IllegalArgumentException(s"v$stagedVersion has no parent — not a staged write"))
+      require(snapshotExists(dir, parentV),
+        s"staged base v$parentV has been expired — cannot verify the stage was append-only")
+      val base = snapshot(dir, parentV)
+      val baseFiles = base.files.map(f => norm(f.path)).toSet
+      val missing = baseFiles -- staged.files.map(f => norm(f.path)).toSet
+      require(missing.isEmpty && staged.deletes.map(d => norm(d.path)).toSet ==
+        base.deletes.map(d => norm(d.path)).toSet,
+        s"staged v$stagedVersion is not a pure append over its base v$parentV — " +
+          "only append stages can be cherry-picked onto a moved main")
+      val curSnap = snapshot(dir, cur)
+      require(staged.schemaDdl == curSnap.schemaDdl,
+        s"schema changed on main since v$stagedVersion was staged — re-stage")
+      val added = staged.files.filter(f => !baseFiles.contains(norm(f.path)))
+      val next = nextVersion(dir)
+      commitSnapshot(dir, cur, next, curSnap.files ++ added.map(_.copy(seq = next)),
+        deletes = curSnap.deletes, schemaDdl = curSnap.schemaDdl)
+    }
   }
 
   /** Copy-on-write row-level DELETE (the Iceberg verb the dedup pipeline
@@ -220,15 +342,16 @@ object IcebergLite {
     // NULL-predicate rows that share a file with a true match. Keep every row
     // where the predicate is not TRUE. The rewrite reads MERGED (any
     // applicable MoR delete applied) so a CoW delete never resurrects rows.
+    val next = nextVersion(dir)
     mergedRead(spark, snap, rewrite)
       .where(not(coalesce(predicate, lit(false))))
       .withColumn("_stats", statsCol)
       .write.mode("error").parquet(dataDir)
-    val files = keep ++ footerStats(spark, dataDir, cur + 1)
+    val files = keep ++ footerStats(spark, dataDir, next)
     // deletes that applied only to rewritten files are folded; keep those
     // still applicable to a kept file
     val keptDeletes = snap.deletes.filter(d => keep.exists(_.seq < d.seq))
-    commitSnapshot(dir, cur, files, deletes = keptDeletes, schemaDdl = snap.schemaDdl)
+    commitSnapshot(dir, cur, next, files, deletes = keptDeletes, schemaDdl = snap.schemaDdl)
   }
 
   /** MERGE-ON-READ row-level DELETE (Iceberg v2 equality deletes): instead
@@ -268,13 +391,14 @@ object IcebergLite {
     val rowsByFile = spark.read.parquet(delDir)
       .groupBy(input_file_name().as("_f")).count()
       .collect().map(r => norm(r.getString(0)) -> r.getLong(1)).toMap
+    val next = nextVersion(dir)
     val entries = delFiles.flatMap { f =>
       val path = f.getPath.toUri.getPath
       val n = rowsByFile.getOrElse(norm(path), 0L)
-      if (n > 0) Some(DeleteEntry(path, n, key, cur + 1)) else None
+      if (n > 0) Some(DeleteEntry(path, n, key, next)) else None
     }
     if (entries.isEmpty) return cur // nothing matched — no empty commit
-    commitSnapshot(dir, cur, snap.files,
+    commitSnapshot(dir, cur, next, snap.files,
       deletes = snap.deletes ++ entries, schemaDdl = snap.schemaDdl)
   }
 
@@ -319,10 +443,11 @@ object IcebergLite {
         .unionByName(updates)
     val batch = java.util.UUID.randomUUID().toString.take(8)
     val dataDir = s"$dir/data/$batch"
+    val next = nextVersion(dir)
     survivors.withColumn("_stats", statsCol)
       .write.mode("error").parquet(dataDir)
     val keptDeletes = snap.deletes.filter(d => keep.exists(_.seq < d.seq))
-    commitSnapshot(dir, cur, keep ++ footerStats(spark, dataDir, cur + 1),
+    commitSnapshot(dir, cur, next, keep ++ footerStats(spark, dataDir, next),
       deletes = keptDeletes, schemaDdl = snap.schemaDdl)
   }
 
@@ -367,13 +492,14 @@ object IcebergLite {
     val merged = mergedRead(spark, snap, small)
     val totalRows = small.map(_.rows).sum // pre-delete upper bound on size
     val outFiles = math.max(1L, (totalRows + targetFileRows - 1) / targetFileRows).toInt
+    val next = nextVersion(dir)
     merged
       .repartitionByRange(outFiles, col("_stats"))
       .sortWithinPartitions(col("_stats"))
       .write.mode("error").parquet(dataDir)
     // kept files all have seq >= every delete's seq (deletes forced their
     // targets into the rewrite) — so no delete survives compaction
-    commitSnapshot(dir, cur, keep ++ footerStats(spark, dataDir, cur + 1),
+    commitSnapshot(dir, cur, next, keep ++ footerStats(spark, dataDir, next),
       deletes = Seq.empty, schemaDdl = snap.schemaDdl)
   }
 
@@ -402,7 +528,7 @@ object IcebergLite {
     val newField = StructType.fromDDL(s"`$name` $dataType").fields.head
     val (before, after) = cur0.fields.partition(_.name != "_stats")
     val evolved = StructType(before ++ Array(newField) ++ after)
-    commitSnapshot(dir, cur, snap.files, deletes = snap.deletes,
+    commitSnapshot(dir, cur, nextVersion(dir), snap.files, deletes = snap.deletes,
       schemaDdl = Some(evolved.toDDL))
   }
 
@@ -425,15 +551,23 @@ object IcebergLite {
     require(retainLast >= 1, "must retain at least the current snapshot")
     val cur = currentVersion(dir)
     require(cur > 0, s"no snapshots in $dir")
-    val oldestRetained = math.max(1, cur - retainLast + 1)
-    if (oldestRetained == 1) return (0, 0)
-    val retained = (oldestRetained to cur).flatMap { v =>
+    // retention counts along the MAIN chain (parent walk) — staged
+    // (unpublished write-audit-publish) snapshots don't consume retention
+    // slots; everything older than the cutoff commit expires, INCLUDING
+    // abandoned stages below it (how aborted WAP writes are reclaimed)
+    val chain = mainChain(dir)
+    val cutoff =
+      if (chain.size <= retainLast) chain.last.version
+      else chain(retainLast - 1).version
+    val (doomed, kept) = listVersions(dir).partition(_ < cutoff)
+    if (doomed.isEmpty) return (0, 0)
+    val retained = kept.flatMap { v =>
       val s = snapshot(dir, v)
       s.files.map(f => norm(f.path)) ++ s.deletes.map(d => norm(d.path))
     }.toSet
     var deletedFiles = 0
     var expired = 0
-    (1 until oldestRetained).foreach { v =>
+    doomed.foreach { v =>
       val s = snapshot(dir, v)
       (s.files.map(_.path) ++ s.deletes.map(_.path)).foreach { raw =>
         val p = Paths.get(norm(raw))
@@ -466,14 +600,14 @@ object IcebergLite {
     */
   def rollbackTo(dir: String, version: Int): Int = {
     val cur = currentVersion(dir)
-    require(version >= 1 && version <= cur,
-      s"rollback target must be an existing version, got $version (current $cur)")
+    require(snapshotExists(dir, version),
+      s"rollback target must be an existing snapshot, got v$version (current $cur)")
     val target = snapshot(dir, version)
     // every commit records schema_ddl, so the restore pins the TARGET's
     // schema — rollback across an addColumn restores the pre-evolution one
     require(target.schemaDdl.nonEmpty || target.files.isEmpty,
       s"snapshot v$version predates schema recording — cannot restore its schema")
-    commitSnapshot(dir, cur, target.files, deletes = target.deletes,
+    commitSnapshot(dir, cur, nextVersion(dir), target.files, deletes = target.deletes,
       schemaDdl = target.schemaDdl)
   }
 
@@ -534,33 +668,48 @@ object IcebergLite {
     val to = if (toVersion > 0) toVersion else currentVersion(dir)
     require(fromVersion >= 1 && to >= fromVersion,
       s"need 1 <= fromVersion <= toVersion, got $fromVersion..$to")
-    val fromSnap = snapshot(dir, fromVersion)
-    val toSnap = snapshot(dir, to)
+    // resolve the commit chain from `to` back to `fromVersion` via PARENT
+    // pointers — not v−1 arithmetic: staged (write-audit-publish) snapshots
+    // occupy version numbers OFF the chain, and their files must not
+    // contribute events
+    val chainBuf = scala.collection.mutable.ArrayBuffer[Snapshot]()
+    var v = to
+    var reached = false
+    while (!reached) {
+      require(snapshotExists(dir, v),
+        s"snapshot v$v on the v$fromVersion..v$to chain has been expired — " +
+          "changelog window exceeds the retention horizon")
+      val s = snapshot(dir, v)
+      chainBuf += s
+      if (v == fromVersion) reached = true
+      else v = s.parent.getOrElse(throw new IllegalArgumentException(
+        s"v$fromVersion is not an ancestor of v$to (staged or divergent line)"))
+    }
+    val chain = chainBuf.reverse.toSeq // oldest (fromSnap) … newest (toSnap)
+    val fromSnap = chain.head
+    val toSnap = chain.last
     // walk the chain STEPWISE: a from↔to set-diff would miss a CoW rewrite
     // of a file that was itself appended inside the window (the rewritten
     // file never existed at either endpoint) and silently mis-attribute
     // its rows — any step that drops a file raises (spec-gated)
-    var prev = fromSnap.files.map(f => norm(f.path)).toSet
-    var prevDel = fromSnap.deletes.map(d => norm(d.path)).toSet
-    (fromVersion + 1 to to).foreach { v =>
-      val snapV = snapshot(dir, v)
-      val cur = snapV.files.map(f => norm(f.path)).toSet
-      val removed = prev -- cur
-      require(removed.isEmpty,
-        s"copy-on-write rewrite at v$v (${removed.size} file(s) rewritten/" +
-          "removed) — changelog attribution is only defined over append + " +
-          "merge-on-read-delete windows")
-      // a step may only ADD delete generations: a rollback that drops one
-      // silently re-inserts its rows — a consumer who saw the delete events
-      // would never see the compensating inserts (spec-gated)
-      val curDel = snapV.deletes.map(d => norm(d.path)).toSet
-      val undone = prevDel -- curDel
-      require(undone.isEmpty,
-        s"rollback at v$v undid ${undone.size} delete generation(s) — " +
-          "changelog attribution is only defined over append + " +
-          "merge-on-read-delete windows")
-      prev = cur
-      prevDel = curDel
+    chain.sliding(2).foreach {
+      case Seq(a, b) =>
+        val removed = a.files.map(f => norm(f.path)).toSet --
+          b.files.map(f => norm(f.path)).toSet
+        require(removed.isEmpty,
+          s"copy-on-write rewrite at v${b.version} (${removed.size} file(s) rewritten/" +
+            "removed) — changelog attribution is only defined over append + " +
+            "merge-on-read-delete windows")
+        // a step may only ADD delete generations: a rollback that drops one
+        // silently re-inserts its rows — a consumer who saw the delete events
+        // would never see the compensating inserts (spec-gated)
+        val undone = a.deletes.map(d => norm(d.path)).toSet --
+          b.deletes.map(d => norm(d.path)).toSet
+        require(undone.isEmpty,
+          s"rollback at v${b.version} undid ${undone.size} delete generation(s) — " +
+            "changelog attribution is only defined over append + " +
+            "merge-on-read-delete windows")
+      case _ => ()
     }
     val fromFiles = fromSnap.files.map(f => norm(f.path)).toSet
     val added = toSnap.files.filter(f => !fromFiles.contains(norm(f.path)))
@@ -568,11 +717,19 @@ object IcebergLite {
       (if (added.isEmpty) emptyLike(spark, toSnap)
        else readFiles(spark, toSnap, added))
         .drop("_stats").withColumn("_change_type", lit("insert"))
+    // pre-delete state of a delete committed at chain version v = v's
+    // PARENT on the chain (not v−1: staged gaps)
+    val preState = chain.sliding(2).collect { case Seq(a, b) => b.version -> a }.toMap
     val fromDeletes = fromSnap.deletes.map(d => norm(d.path)).toSet
     val newDeletes = toSnap.deletes.filter(d => !fromDeletes.contains(norm(d.path)))
     val deletes = newDeletes.map { d =>
-      // table state just before the delete commit = version d.seq − 1
-      readSnapshot(spark, snapshot(dir, d.seq - 1))
+      // a rollback can RE-APPLY a delete whose commit predates the window
+      // (its seq is off the walked chain) — attribution is undefined there
+      require(preState.contains(d.seq),
+        s"delete generation seq=${d.seq} entered the window without its " +
+          "commit (a rollback re-applied an old delete) — changelog " +
+          "attribution is only defined over append + merge-on-read-delete windows")
+      readSnapshot(spark, preState(d.seq))
         .join(broadcast(spark.read.parquet(d.path).toDF(d.key).distinct()),
           Seq(d.key), "left_semi")
         .drop("_stats").withColumn("_change_type", lit("delete"))
@@ -580,11 +737,21 @@ object IcebergLite {
     deletes.foldLeft(inserts)(_ unionByName _)
   }
 
-  private def commitSnapshot(dir: String, parentVersion: Int, files: Seq[FileEntry],
+  /** Write snapshot manifest `version` with explicit `parentVersion` (0 =
+    * root) and, when `advance`, swing `_current` to it. `advance = false`
+    * is the write-audit-publish STAGE: the snapshot exists and is readable
+    * by version, but the main chain does not contain it until [[publish]].
+    * Callers pre-allocate `version` via [[nextVersion]] so data-file `seq`
+    * values match the manifest that commits them.
+    */
+  private def commitSnapshot(dir: String, parentVersion: Int, version: Int,
+                             files: Seq[FileEntry],
                              deletes: Seq[DeleteEntry] = Seq.empty,
                              schemaDdl: Option[String] = None,
-                             streamMarker: Option[(String, Long)] = None): Int = {
-    val version = parentVersion + 1
+                             streamMarker: Option[(String, Long)] = None,
+                             advance: Boolean = true): Int = {
+    require(version > parentVersion,
+      s"version $version must follow parent $parentVersion")
     val sid = java.util.UUID.randomUUID().toString
     val parentSnap = if (parentVersion > 0) Some(snapshot(dir, parentVersion)) else None
     // commit timestamp, STRICTLY monotonic along the parent chain (Iceberg's
@@ -616,7 +783,7 @@ object IcebergLite {
     val json = s"""{\n  "version": $version,\n  "snapshot_id": "$sid"$parent$schemaLine$marker,\n  "ts": $ts,\n  "files": $body$delBody\n}\n"""
     Files.createDirectories(metaDir(dir))
     writeAtomic(metaDir(dir).resolve(f"v$version%05d.json"), json)
-    writeAtomic(metaDir(dir).resolve("_current"), version.toString)
+    if (advance) writeAtomic(metaDir(dir).resolve("_current"), version.toString)
     version
   }
 
@@ -685,27 +852,24 @@ object IcebergLite {
     readSnapshot(spark, snapshot(dir, v)).drop("_stats")
   }
 
-  /** The version current AT `tsMillis` (Iceberg's `rollback_to_timestamp` /
-    * `TIMESTAMP AS OF` resolution): the latest snapshot whose commit ts is
-    * <= the given instant. Commit timestamps are strictly monotonic along
-    * the chain, so binary search over the retained window is exact; raises
-    * if the instant predates the oldest retained snapshot (same contract as
-    * travel past expireSnapshots).
+  /** The MAIN-chain version current AT `tsMillis` (Iceberg's
+    * `rollback_to_timestamp` / `TIMESTAMP AS OF` resolution): the latest
+    * main snapshot whose commit ts is <= the given instant. Walks parent
+    * pointers from the head — never version arithmetic, so staged
+    * (unpublished) snapshots are invisible to timestamp travel, exactly as
+    * in Iceberg. Commit ts is strictly monotonic along the chain, so the
+    * first qualifying commit on the newest-first walk is exact. O(retained
+    * window) metadata reads; raises if the instant predates the oldest
+    * retained snapshot (same contract as travel past expireSnapshots).
     */
   def versionAt(dir: String, tsMillis: Long): Int = {
-    val cur = currentVersion(dir)
-    require(cur > 0, s"no snapshots in $dir")
-    var lo = 1
-    while (lo <= cur && !Files.exists(metaDir(dir).resolve(f"v$lo%05d.json"))) lo += 1
-    require(lo <= cur && snapshot(dir, lo).ts <= tsMillis,
-      s"no retained snapshot at or before ts=$tsMillis (oldest retained is " +
-        s"v$lo${if (lo <= cur) s" at ts=${snapshot(dir, lo).ts}" else ""})")
-    var hi = cur // invariant: snapshot(lo).ts <= tsMillis
-    while (lo < hi) { // find the LAST version with ts <= tsMillis
-      val mid = lo + (hi - lo + 1) / 2
-      if (snapshot(dir, mid).ts <= tsMillis) lo = mid else hi = mid - 1
+    val chain = mainChain(dir) // newest first
+    require(chain.nonEmpty, s"no snapshots in $dir")
+    chain.find(_.ts <= tsMillis).map(_.version).getOrElse {
+      throw new IllegalArgumentException(
+        s"no retained snapshot at or before ts=$tsMillis (oldest retained is " +
+          s"v${chain.last.version} at ts=${chain.last.ts})")
     }
-    lo
   }
 
   /** `TIMESTAMP AS OF` read: the table as it was at `tsMillis`. */

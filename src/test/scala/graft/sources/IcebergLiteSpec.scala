@@ -411,6 +411,74 @@ class IcebergLiteSpec extends AnyFunSuite {
       "no snapshot references a data file that did not exist after v2")
   }
 
+  test("write-audit-publish: staged invisible, fast-forward + cherry-pick publish") {
+    val dir = Files.createTempDirectory("iclite_wap").toString
+    val key = expr("lonm")
+    IcebergLite.append(spark, dir, pts(0, 40), key)                // v1 main
+    val staged = IcebergLite.stageAppend(spark, dir, pts(100, 20), key) // v2 STAGED
+    assert(staged === 2)
+    // stage is invisible to the main table but auditable by version
+    assert(IcebergLite.currentVersion(dir) === 1)
+    assert(IcebergLite.read(spark, dir).count() === 40)
+    assert(IcebergLite.read(spark, dir, asOfVersion = staged).count() === 60)
+    // FAST-FORWARD publish: main did not move → pointer swing, NO new snapshot
+    val metaCount = Files.list(java.nio.file.Paths.get(dir, "metadata")).count()
+    assert(IcebergLite.publish(dir, staged) === staged)
+    assert(IcebergLite.currentVersion(dir) === staged)
+    assert(IcebergLite.read(spark, dir).count() === 60)
+    assert(Files.list(java.nio.file.Paths.get(dir, "metadata")).count() === metaCount)
+    // double publish raises (cherry-picking it again would duplicate rows)
+    val e0 = intercept[IllegalArgumentException](IcebergLite.publish(dir, staged))
+    assert(e0.getMessage.contains("already on the main chain"))
+    // CHERRY-PICK publish: main moves (MoR delete) while a new stage audits
+    val staged2 = IcebergLite.stageAppend(spark, dir, pts(200, 10), key) // v3 STAGED
+    IcebergLite.deleteWhereMoR(spark, dir, col("id") % 10 === 3, "id") // v4 main
+    assert(IcebergLite.currentVersion(dir) === 4)
+    val pub = IcebergLite.publish(dir, staged2)                     // v5 main
+    assert(pub === 5 && IcebergLite.currentVersion(dir) === 5)
+    // the in-audit delete removed the %10==3 rows of v2's state (6 of them);
+    // cherry-picked files are re-sequenced AFTER the delete, so id=203 survives
+    assert(IcebergLite.read(spark, dir).count() === 60 - 6 + 10)
+    assert(IcebergLite.read(spark, dir).where(col("id") === 203L).count() === 1)
+    assert(IcebergLite.read(spark, dir).where(col("id") === 3L).count() === 0)
+    // parent lineage: the cherry-pick commit sits on main with parent v4
+    assert(IcebergLite.snapshot(dir, 5).parent === Some(4))
+    // a stage over an OLD schema can't cherry-pick across an evolution
+    val staged3 = IcebergLite.stageAppend(spark, dir, pts(300, 5), key)  // v6 STAGED
+    IcebergLite.addColumn(spark, dir, "grade", "INT")               // v7 main
+    val e1 = intercept[IllegalArgumentException](IcebergLite.publish(dir, staged3))
+    assert(e1.getMessage.contains("schema changed on main"))
+  }
+
+  test("staged snapshots: invisible to CDC / timestamp travel; reclaimed by expiration") {
+    val dir = Files.createTempDirectory("iclite_wap2").toString
+    val key = expr("lonm")
+    IcebergLite.append(spark, dir, pts(0, 30), key)            // v1 main
+    IcebergLite.stageAppend(spark, dir, pts(100, 10), key)          // v2 staged, ABANDONED
+    IcebergLite.append(spark, dir, pts(200, 20), key)          // v3 main (parent v1)
+    assert(IcebergLite.snapshot(dir, 3).parent === Some(1))
+    // CDC walks the parent chain: the abandoned stage contributes nothing
+    val chg = IcebergLite.readChangesCdc(spark, dir, 1)
+      .collect().map(r => r.getLong(r.fieldIndex("id"))).sorted.toSeq
+    assert(chg === (200L until 220L))
+    // timestamp travel never resolves to a staged version
+    assert(IcebergLite.versionAt(dir, IcebergLite.snapshot(dir, 1).ts) === 1)
+    assert(IcebergLite.versionAt(dir, IcebergLite.snapshot(dir, 3).ts + 1000) === 3)
+    // expiration: retention counts MAIN commits; the abandoned stage below
+    // the cutoff is reclaimed — manifest dropped AND its files deleted
+    IcebergLite.append(spark, dir, pts(300, 5), key)           // v4 main
+    val stagedFiles = IcebergLite.snapshot(dir, 2).files.map(_.path)
+      .filterNot(IcebergLite.snapshot(dir, 1).files.map(_.path).toSet)
+    assert(stagedFiles.nonEmpty)
+    val (expired, deleted) = IcebergLite.expireSnapshots(dir, retainLast = 2)
+    assert(expired === 2) // v1 (main, past window) and v2 (abandoned stage)
+    assert(stagedFiles.forall(p => !Files.exists(java.nio.file.Paths.get(p))))
+    assert(deleted >= stagedFiles.size)
+    // v1's files survive — v3/v4 still hold them by reference
+    assert(IcebergLite.read(spark, dir).count() === 55)
+    assert(IcebergLite.read(spark, dir, asOfVersion = 3).count() === 50)
+  }
+
   test("readChangesCdc: inserts + MoR-delete rows with full content; CoW raises") {
     val dir = Files.createTempDirectory("iclite_cdc").toString
     val key = expr("lonm")
