@@ -435,6 +435,47 @@ object SparkEntry {
       graft.sources.IcebergLite.read(s, tbl)
         .select("c_custkey", "lonm").orderBy("c_custkey")
     }),
+    // ---- A1 TAG: the reproducible-training-corpus pin. Even customers
+    //      land in v1 and get tagged "train-v1"; the table then moves on
+    //      (odd append, MoR delete, compact fold) and old snapshots are
+    //      expired with retainLast=1 — yet the tag still reads EXACTLY the
+    //      v1 corpus, because expiration never reclaims a ref target.
+    "q7g_iceberg_tag" -> ((s, dir) => {
+      val tbl = java.nio.file.Files.createTempDirectory("graft_iclite_q7g").toString
+      val pts = customerPts(s, dir)
+      val key = graft.functions.GraftFunctions.zcell(col("lonm"), col("latm"), 12)
+      graft.sources.IcebergLite.append(s, tbl, pts.where(col("c_custkey") % 2 === 0), key)
+      graft.sources.IcebergLite.tag(tbl, "train-v1")
+      graft.sources.IcebergLite.append(s, tbl, pts.where(col("c_custkey") % 2 === 1), key)
+      graft.sources.IcebergLite.deleteWhereMoR(s, tbl,
+        col("c_custkey") % 10 === 3, "c_custkey")
+      graft.sources.IcebergLite.compact(s, tbl)
+      graft.sources.IcebergLite.expireSnapshots(tbl, retainLast = 1)
+      graft.sources.IcebergLite.readTag(s, tbl, "train-v1")
+        .select("c_custkey", "lonm").orderBy("c_custkey")
+    }),
+    // ---- A1 BRANCH: multi-commit write-audit-publish. Base = evens;
+    //      branch "ingest" appends odds, then RE-APPENDS the %10==4 evens
+    //      (same keys); main moves mid-audit with a MoR delete of %10==4.
+    //      publishBranch cherry-picks BOTH branch commits re-sequenced
+    //      AFTER the delete, so the re-appended rows survive it — the
+    //      final table is exactly all customers, each once.
+    "q7h_iceberg_branch" -> ((s, dir) => {
+      val tbl = java.nio.file.Files.createTempDirectory("graft_iclite_q7h").toString
+      val pts = customerPts(s, dir)
+      val key = graft.functions.GraftFunctions.zcell(col("lonm"), col("latm"), 12)
+      graft.sources.IcebergLite.append(s, tbl, pts.where(col("c_custkey") % 2 === 0), key)
+      graft.sources.IcebergLite.createBranch(tbl, "ingest")
+      graft.sources.IcebergLite.appendToBranch(s, tbl, "ingest",
+        pts.where(col("c_custkey") % 2 === 1), key)
+      graft.sources.IcebergLite.appendToBranch(s, tbl, "ingest",
+        pts.where(col("c_custkey") % 10 === 4), key)
+      graft.sources.IcebergLite.deleteWhereMoR(s, tbl,
+        col("c_custkey") % 10 === 4, "c_custkey") // main moves mid-audit
+      graft.sources.IcebergLite.publishBranch(tbl, "ingest") // cherry-pick
+      graft.sources.IcebergLite.read(s, tbl)
+        .select("c_custkey", "lonm").orderBy("c_custkey")
+    }),
     // ---- A1 upsert verb: copy-on-write MERGE — updates shift lon for every
     //      7th customer, inserts clone every 11th under a shifted key; only
     //      files holding matched keys rewrite (gated in IcebergLiteSpec).
@@ -1751,6 +1792,12 @@ object SparkEntry {
          |  SELECT c_custkey + 1000000, ${Derive.lonSql("c_custkey")} AS lonm
          |  FROM customer WHERE c_custkey % 11 = 0)
          |SELECT c_custkey, lonm FROM merged ORDER BY c_custkey""".stripMargin,
+    "q7g_iceberg_tag" ->
+      s"""SELECT c_custkey, ${Derive.lonSql("c_custkey")} AS lonm
+         |FROM customer WHERE c_custkey % 2 = 0 ORDER BY c_custkey""".stripMargin,
+    "q7h_iceberg_branch" ->
+      s"""SELECT c_custkey, ${Derive.lonSql("c_custkey")} AS lonm
+         |FROM customer ORDER BY c_custkey""".stripMargin,
     "q7c_iceberg_cdc" ->
       s"""WITH ev AS (SELECT c_custkey, ${Derive.lonSql("c_custkey")} AS lonm,
          |  'insert' AS _change_type FROM customer WHERE c_custkey % 2 = 1

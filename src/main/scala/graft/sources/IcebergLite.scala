@@ -40,7 +40,11 @@ import scala.jdk.CollectionConverters._
   *     that moved during the audit (Iceberg's WAP / cherrypick_snapshot).
   *     Chain-dependent reads (CDC, timestamp travel, expiration) walk
   *     PARENT pointers, never version arithmetic, so staged snapshots
-  *     are invisible to them until published.
+  *     are invisible to them until published;
+  *   - named refs: immutable `tag`s (the reproducible-dataset pin —
+  *     expiration never reclaims a tagged snapshot) and mutable
+  *     `branch`es (multi-commit staged chains published as one
+  *     fast-forward or one cherry-pick via `publishBranch`).
   *
   * Commits are atomic via tmp-write + rename of the pointer; concurrent
   * appends would need a CAS on `_current` (single-writer here, noted).
@@ -220,8 +224,10 @@ object IcebergLite {
 
   private def appendImpl(spark: SparkSession, dir: String, df: DataFrame,
                          statsCol: Column, streamMarker: Option[(String, Long)],
-                         advance: Boolean): Int = {
-    val cur = currentVersion(dir)
+                         advance: Boolean, headVersion: Int = -1): Int = {
+    // headVersion >= 0 chains the commit off an explicit parent (branch
+    // appends) instead of the main head
+    val cur = if (headVersion >= 0) headVersion else currentVersion(dir)
     val snapOpt = if (cur > 0) Some(snapshot(dir, cur)) else None
     val old = snapOpt.map(_.files).getOrElse(Seq.empty)
     val batch = java.util.UUID.randomUUID().toString.take(8)
@@ -275,37 +281,155 @@ object IcebergLite {
     *
     * Publishing a snapshot already on the main chain raises (double
     * publish would duplicate its rows through the cherry-pick arm).
+    *
+    * Generalizes to MULTI-COMMIT chains ([[publishBranch]]): the base is
+    * the FORK POINT — the first ancestor of `head` that sits on the main
+    * chain — found by the same parent walk every chain-dependent read
+    * uses. For a single staged snapshot the fork point IS its parent, so
+    * the single-stage semantics are unchanged.
     */
-  def publish(dir: String, stagedVersion: Int): Int = {
-    require(snapshotExists(dir, stagedVersion),
-      s"no snapshot v$stagedVersion in $dir (expired or never staged?)")
+  def publish(dir: String, stagedVersion: Int): Int =
+    publishChain(dir, stagedVersion)
+
+  private def publishChain(dir: String, head: Int): Int = {
+    require(snapshotExists(dir, head),
+      s"no snapshot v$head in $dir (expired or never staged?)")
     val cur = currentVersion(dir)
-    require(!mainChain(dir).exists(_.version == stagedVersion),
-      s"v$stagedVersion is already on the main chain — double publish")
-    val staged = snapshot(dir, stagedVersion)
-    if (staged.parent.contains(cur))
-      { writeAtomic(metaDir(dir).resolve("_current"), stagedVersion.toString); stagedVersion }
+    val mainVersions = mainChain(dir).map(_.version).toSet
+    require(!mainVersions.contains(head),
+      s"v$head is already on the main chain — double publish")
+    // fork point: walk parent pointers from `head` until the main chain
+    // (0 = the chains share no commit — `head` is a staged root)
+    var v = head
+    var fork = -1
+    while (fork < 0) {
+      val p = snapshot(dir, v).parent.getOrElse(0)
+      if (p == 0) fork = 0
+      else {
+        require(snapshotExists(dir, p),
+          s"staged base v$p has been expired — cannot verify the stage was append-only")
+        if (mainVersions.contains(p)) fork = p else v = p
+      }
+    }
+    if (fork == cur)
+      { writeAtomic(metaDir(dir).resolve("_current"), head.toString); head }
     else {
-      val parentV = staged.parent.getOrElse(
-        throw new IllegalArgumentException(s"v$stagedVersion has no parent — not a staged write"))
-      require(snapshotExists(dir, parentV),
-        s"staged base v$parentV has been expired — cannot verify the stage was append-only")
-      val base = snapshot(dir, parentV)
-      val baseFiles = base.files.map(f => norm(f.path)).toSet
-      val missing = baseFiles -- staged.files.map(f => norm(f.path)).toSet
-      require(missing.isEmpty && staged.deletes.map(d => norm(d.path)).toSet ==
-        base.deletes.map(d => norm(d.path)).toSet,
-        s"staged v$stagedVersion is not a pure append over its base v$parentV — " +
+      val headSnap = snapshot(dir, head)
+      val baseFiles =
+        if (fork == 0) Set.empty[String]
+        else snapshot(dir, fork).files.map(f => norm(f.path)).toSet
+      val baseDeletes =
+        if (fork == 0) Set.empty[String]
+        else snapshot(dir, fork).deletes.map(d => norm(d.path)).toSet
+      val missing = baseFiles -- headSnap.files.map(f => norm(f.path)).toSet
+      require(missing.isEmpty &&
+        headSnap.deletes.map(d => norm(d.path)).toSet == baseDeletes,
+        s"staged v$head is not a pure append over its base v$fork — " +
           "only append stages can be cherry-picked onto a moved main")
       val curSnap = snapshot(dir, cur)
-      require(staged.schemaDdl == curSnap.schemaDdl,
-        s"schema changed on main since v$stagedVersion was staged — re-stage")
-      val added = staged.files.filter(f => !baseFiles.contains(norm(f.path)))
+      require(headSnap.schemaDdl == curSnap.schemaDdl,
+        s"schema changed on main since v$head was staged — re-stage")
+      val added = headSnap.files.filter(f => !baseFiles.contains(norm(f.path)))
       val next = nextVersion(dir)
       commitSnapshot(dir, cur, next, curSnap.files ++ added.map(_.copy(seq = next)),
         deletes = curSnap.deletes, schemaDdl = curSnap.schemaDdl)
     }
   }
+
+  // ──────────────────── named refs: tags and branches ────────────────────
+  // The Iceberg ref model [Iceberg spec §"Snapshot References"]: a TAG is
+  // an immutable named pointer to one snapshot (the reproducible-dataset
+  // verb — "train-v1 is exactly this corpus"), a BRANCH is a mutable named
+  // pointer advanced by append commits off the main chain (a multi-commit
+  // write-audit-publish: ingest several batches, audit the branch as a
+  // whole, publish once). Refs are one metadata file each; every ref verb
+  // is O(1) metadata, independent of table size. [[expireSnapshots]] never
+  // expires a snapshot a ref points at, so a tagged training corpus stays
+  // readable (and its files on disk) for as long as the tag exists.
+
+  private val RefName = """[A-Za-z0-9][A-Za-z0-9._-]*""".r
+  private def refPath(dir: String, kind: String, name: String): Path = {
+    require(RefName.matches(name), s"invalid ref name '$name'")
+    metaDir(dir).resolve(s"ref.$kind.$name")
+  }
+  private def refVersion(dir: String, kind: String, name: String): Int = {
+    val p = refPath(dir, kind, name)
+    require(Files.exists(p), s"no $kind '$name' in $dir")
+    new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim.toInt
+  }
+  private def listRefs(dir: String, kind: String): Map[String, Int] = {
+    val md = metaDir(dir)
+    if (!Files.exists(md)) return Map.empty
+    val s = Files.list(md)
+    try s.iterator().asScala.map(_.getFileName.toString)
+      .filter(_.startsWith(s"ref.$kind.")).toSeq
+      .map { f => val n = f.stripPrefix(s"ref.$kind."); n -> refVersion(dir, kind, n) }
+      .toMap
+    finally s.close()
+  }
+
+  /** Create an immutable tag at `version` (default: current main head).
+    * Tags never move — re-tagging a name raises; drop it first. Tagging a
+    * STAGED version is allowed (audit artifacts are pinnable too).
+    */
+  def tag(dir: String, name: String, version: Int = -1): Int = {
+    val v = if (version > 0) version else currentVersion(dir)
+    require(snapshotExists(dir, v), s"cannot tag v$v — no such snapshot in $dir")
+    val p = refPath(dir, "tag", name)
+    require(!Files.exists(p),
+      s"tag '$name' already exists (tags are immutable — dropTag first)")
+    writeAtomic(p, v.toString); v
+  }
+  def tagVersion(dir: String, name: String): Int = refVersion(dir, "tag", name)
+  /** `VERSION AS OF <tag>` read: the exact snapshot the tag pins. */
+  def readTag(spark: SparkSession, dir: String, name: String): DataFrame =
+    read(spark, dir, asOfVersion = tagVersion(dir, name))
+  def dropTag(dir: String, name: String): Unit = {
+    Files.deleteIfExists(refPath(dir, "tag", name)); ()
+  }
+  def listTags(dir: String): Map[String, Int] = listRefs(dir, "tag")
+
+  /** Create a branch at `from` (default: current main head). Branch
+    * commits are STAGED snapshots chained off the branch head — invisible
+    * to main-chain readers until [[publishBranch]].
+    */
+  def createBranch(dir: String, name: String, from: Int = -1): Int = {
+    val v = if (from > 0) from else currentVersion(dir)
+    require(snapshotExists(dir, v), s"cannot branch from v$v — no such snapshot in $dir")
+    val p = refPath(dir, "branch", name)
+    require(!Files.exists(p), s"branch '$name' already exists")
+    writeAtomic(p, v.toString); v
+  }
+  def branchHead(dir: String, name: String): Int = refVersion(dir, "branch", name)
+  def readBranch(spark: SparkSession, dir: String, name: String): DataFrame =
+    read(spark, dir, asOfVersion = branchHead(dir, name))
+  def dropBranch(dir: String, name: String): Unit = {
+    Files.deleteIfExists(refPath(dir, "branch", name)); ()
+  }
+  def listBranches(dir: String): Map[String, Int] = listRefs(dir, "branch")
+
+  /** Append a batch to a branch: a staged commit whose parent is the
+    * branch head, then the branch ref swings to it. Append-only by
+    * construction — which is exactly what keeps the whole branch
+    * publishable by cherry-pick after main moves.
+    */
+  def appendToBranch(spark: SparkSession, dir: String, name: String,
+                     df: DataFrame, statsCol: Column): Int = {
+    val v = appendImpl(spark, dir, df, statsCol, None, advance = false,
+      headVersion = branchHead(dir, name))
+    writeAtomic(refPath(dir, "branch", name), v.toString)
+    v
+  }
+
+  /** Publish every commit of a branch onto main in one go: fast-forward
+    * when main still sits at the fork point (Iceberg's
+    * `fast_forward(main, branch)`), else one cherry-pick commit carrying
+    * ALL files the branch added since the fork, re-sequenced after any
+    * in-audit merge-on-read deletes. The branch ref stays (pointing into
+    * the now-published history) until [[dropBranch]].
+    */
+  def publishBranch(dir: String, name: String): Int =
+    publishChain(dir, branchHead(dir, name))
 
   /** Copy-on-write row-level DELETE (the Iceberg verb the dedup pipeline
     * ends in — "drop these near-duplicate rows"): rewrites ONLY the data
@@ -559,7 +683,13 @@ object IcebergLite {
     val cutoff =
       if (chain.size <= retainLast) chain.last.version
       else chain(retainLast - 1).version
-    val (doomed, kept) = listVersions(dir).partition(_ < cutoff)
+    // ref protection: a snapshot a tag or branch head points at NEVER
+    // expires (its manifest and files stay), no matter how old — the
+    // Iceberg ref-retention contract that makes a tagged training corpus
+    // reproducible for the lifetime of the tag
+    val refProtected = (listTags(dir).values ++ listBranches(dir).values).toSet
+    val (doomed, kept) = listVersions(dir)
+      .partition(v => v < cutoff && !refProtected.contains(v))
     if (doomed.isEmpty) return (0, 0)
     val retained = kept.flatMap { v =>
       val s = snapshot(dir, v)

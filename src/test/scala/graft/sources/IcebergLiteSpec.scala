@@ -518,4 +518,71 @@ class IcebergLiteSpec extends AnyFunSuite {
     val nIns = chg.count(_._3 == "insert"); val nDel = chg.count(_._3 == "delete")
     assert(v1Rows + nIns - nDel === v4Rows)
   }
+
+  test("tags: immutable pins, survive mutation AND expiration, drop releases") {
+    val dir = Files.createTempDirectory("iclite_tag").toString
+    val key = expr("lonm")
+    IcebergLite.append(spark, dir, pts(0, 40), key)                 // v1
+    assert(IcebergLite.tag(dir, "train-v1") === 1)
+    // mutate past the tag: delete + append + compact (CoW rewrites v1 files)
+    IcebergLite.deleteWhere(spark, dir, col("id") % 4 === 0, key)   // v2
+    IcebergLite.append(spark, dir, pts(100, 10), key)               // v3
+    IcebergLite.compact(spark, dir)                                 // v4 (maybe)
+    // the tag still reads EXACTLY the v1 corpus
+    assert(IcebergLite.readTag(spark, dir, "train-v1").count() === 40)
+    assert(IcebergLite.tagVersion(dir, "train-v1") === 1)
+    // immutable: re-tagging raises
+    val e = intercept[IllegalArgumentException](IcebergLite.tag(dir, "train-v1", 3))
+    assert(e.getMessage.contains("immutable"))
+    // expiration with retainLast=1 drops every old MAIN snapshot EXCEPT the
+    // tagged one — manifest and data files both survive
+    val (expired, _) = IcebergLite.expireSnapshots(dir, retainLast = 1)
+    assert(expired > 0)
+    assert(IcebergLite.readTag(spark, dir, "train-v1").count() === 40)
+    // intermediate untagged snapshots are gone
+    assert(intercept[Exception](
+      IcebergLite.read(spark, dir, asOfVersion = 2)).isInstanceOf[Exception])
+    // dropTag releases the pin: the next expiration reclaims v1
+    IcebergLite.dropTag(dir, "train-v1")
+    assert(IcebergLite.listTags(dir).isEmpty)
+    val (expired2, _) = IcebergLite.expireSnapshots(dir, retainLast = 1)
+    assert(expired2 === 1)
+    val e2 = intercept[Exception](IcebergLite.read(spark, dir, asOfVersion = 1))
+    assert(e2 != null)
+  }
+
+  test("branches: staged multi-commit chain, fast-forward and cherry-pick publish") {
+    val dir = Files.createTempDirectory("iclite_br").toString
+    val key = expr("lonm")
+    IcebergLite.append(spark, dir, pts(0, 30), key)                 // v1 main
+    IcebergLite.createBranch(dir, "ingest")                         // at v1
+    val b1 = IcebergLite.appendToBranch(spark, dir, "ingest", pts(100, 10), key) // v2
+    val b2 = IcebergLite.appendToBranch(spark, dir, "ingest", pts(200, 5), key)  // v3
+    assert(b1 === 2 && b2 === 3 && IcebergLite.branchHead(dir, "ingest") === 3)
+    assert(IcebergLite.snapshot(dir, 3).parent === Some(2))
+    // branch content visible on the branch, invisible on main
+    assert(IcebergLite.readBranch(spark, dir, "ingest").count() === 45)
+    assert(IcebergLite.read(spark, dir).count() === 30)
+    assert(IcebergLite.currentVersion(dir) === 1)
+    // FAST-FORWARD: main still at the fork → pointer swing to the head
+    assert(IcebergLite.publishBranch(dir, "ingest") === 3)
+    assert(IcebergLite.currentVersion(dir) === 3)
+    assert(IcebergLite.read(spark, dir).count() === 45)
+    // second branch; main moves (MoR delete) during its audit → CHERRY-PICK
+    IcebergLite.createBranch(dir, "ingest2")                        // at v3
+    IcebergLite.appendToBranch(spark, dir, "ingest2", pts(300, 8), key)  // v4
+    IcebergLite.appendToBranch(spark, dir, "ingest2", pts(400, 2), key)  // v5
+    IcebergLite.deleteWhereMoR(spark, dir, col("id") === 7L, "id")  // v6 main
+    val pub = IcebergLite.publishBranch(dir, "ingest2")             // v7 main
+    assert(pub === 7 && IcebergLite.currentVersion(dir) === 7)
+    // all branch rows survive the in-audit delete (re-sequenced after it)
+    assert(IcebergLite.read(spark, dir).count() === 45 - 1 + 10)
+    assert(IcebergLite.snapshot(dir, 7).parent === Some(6))
+    // branch heads are expiration-protected until dropped
+    IcebergLite.append(spark, dir, pts(500, 1), key)                // v8
+    IcebergLite.createBranch(dir, "wip", from = 3)
+    IcebergLite.expireSnapshots(dir, retainLast = 1)
+    assert(IcebergLite.readBranch(spark, dir, "wip").count() === 45)
+    assert(IcebergLite.listBranches(dir).keySet === Set("ingest", "ingest2", "wip"))
+  }
 }
