@@ -358,6 +358,44 @@ object SparkEntry {
       graft.sources.IcebergLite.read(s, tbl)
         .select("c_custkey", "lonm", "latm").orderBy("c_custkey")
     }),
+    // ---- A1 POSITION delete (Iceberg v2's second delete-file kind): the
+    //      predicate runs on a NON-key column (latm), so an equality delete
+    //      would first have to materialize keys — the position delete
+    //      records (file, row-position) pairs directly. Sequence rule for
+    //      free: the re-appended %7==2 evens are byte-identical to deleted
+    //      rows yet survive (their file postdates the delete). An equality
+    //      delete stacks on top (mixed generations), compact folds both.
+    "q7i_iceberg_pos_delete" -> ((s, dir) => {
+      val tbl = java.nio.file.Files.createTempDirectory("graft_iclite_q7i").toString
+      val pts = customerPts(s, dir)
+      val key = graft.functions.GraftFunctions.zcell(col("lonm"), col("latm"), 12)
+      graft.sources.IcebergLite.append(s, tbl, pts, key)
+      graft.sources.IcebergLite.deleteWhereMoRPos(s, tbl, col("c_custkey") % 7 === 2)
+      graft.sources.IcebergLite.append(s, tbl,
+        pts.where(col("c_custkey") % 7 === 2 && col("c_custkey") % 2 === 0), key)
+      graft.sources.IcebergLite.deleteWhereMoR(s, tbl,
+        col("c_custkey") % 10 === 5, "c_custkey")
+      graft.sources.IcebergLite.compact(s, tbl) // folds both delete kinds
+      graft.sources.IcebergLite.read(s, tbl)
+        .select("c_custkey", "lonm").orderBy("c_custkey")
+    }),
+    // ---- A1 metadata tables: the table's own manifest AS a DataFrame
+    //      (Iceberg's table$history) — commit lineage + exact row/delete
+    //      counters per version, zero data-file I/O. The verb chain is
+    //      append/append/MoR-delete/compact; the oracle recomputes each
+    //      version's counters from the raw table.
+    "q7j_iceberg_history" -> ((s, dir) => {
+      val tbl = java.nio.file.Files.createTempDirectory("graft_iclite_q7j").toString
+      val pts = customerPts(s, dir)
+      val key = graft.functions.GraftFunctions.zcell(col("lonm"), col("latm"), 12)
+      graft.sources.IcebergLite.append(s, tbl, pts.where(col("c_custkey") % 2 === 0), key)
+      graft.sources.IcebergLite.append(s, tbl, pts.where(col("c_custkey") % 2 === 1), key)
+      graft.sources.IcebergLite.deleteWhereMoR(s, tbl,
+        col("c_custkey") % 10 === 3, "c_custkey")
+      graft.sources.IcebergLite.compact(s, tbl)
+      graft.sources.IcebergLite.historyTable(s, tbl)
+        .select("version", "data_rows", "delete_rows").orderBy("version")
+    }),
     // ---- A1 schema evolution: addColumn is a metadata-only commit; files
     //      written before it read back with the column null-backfilled,
     //      files after carry it physically — one scan crosses the
@@ -1795,6 +1833,24 @@ object SparkEntry {
     "q7g_iceberg_tag" ->
       s"""SELECT c_custkey, ${Derive.lonSql("c_custkey")} AS lonm
          |FROM customer WHERE c_custkey % 2 = 0 ORDER BY c_custkey""".stripMargin,
+    "q7j_iceberg_history" ->
+      s"""WITH c AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(CASE WHEN c_custkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ev,
+         |  CAST(sum(CASE WHEN c_custkey % 10 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS del
+         |  FROM customer)
+         |SELECT 1 AS version, ev AS data_rows, CAST(0 AS BIGINT) AS delete_rows FROM c
+         |UNION ALL SELECT 2, n, CAST(0 AS BIGINT) FROM c
+         |UNION ALL SELECT 3, n, del FROM c
+         |UNION ALL SELECT 4, n - del, CAST(0 AS BIGINT) FROM c
+         |ORDER BY version""".stripMargin,
+    "q7i_iceberg_pos_delete" ->
+      s"""WITH merged AS (
+         |  SELECT c_custkey FROM customer WHERE c_custkey % 7 <> 2
+         |  UNION ALL
+         |  SELECT c_custkey FROM customer
+         |  WHERE c_custkey % 7 = 2 AND c_custkey % 2 = 0)
+         |SELECT c_custkey, ${Derive.lonSql("c_custkey")} AS lonm
+         |FROM merged WHERE c_custkey % 10 <> 5 ORDER BY c_custkey""".stripMargin,
     "q7h_iceberg_branch" ->
       s"""SELECT c_custkey, ${Derive.lonSql("c_custkey")} AS lonm
          |FROM customer ORDER BY c_custkey""".stripMargin,

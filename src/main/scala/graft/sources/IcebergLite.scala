@@ -29,7 +29,11 @@ import scala.jdk.CollectionConverters._
   *     folds applicable deletes into the files it rewrites. Sequence
   *     semantics follow Iceberg: a delete file applies to data files
   *     committed strictly BEFORE it (`file.seq < delete.seq`), so rows
-  *     appended after the delete with a recycled key are not affected;
+  *     appended after the delete with a recycled key are not affected.
+  *     POSITION deletes (`deleteWhereMoRPos`, Iceberg v2's second delete
+  *     kind) record `(file, row-position)` pairs instead of keys — no key
+  *     column needed — and anti-merge on the parquet scan's `_metadata`
+  *     coordinates; compaction folds them the same way;
   *   - schema evolution: every snapshot records its own schema (DDL) in
   *     the manifest; `addColumn` commits a metadata-only snapshot and
   *     old data files read back with the new column null-backfilled,
@@ -526,6 +530,64 @@ object IcebergLite {
       deletes = snap.deletes ++ entries, schemaDdl = snap.schemaDdl)
   }
 
+  /** Reserved `DeleteEntry.key` marker for POSITION delete files (the
+    * second Iceberg v2 delete-file kind). Rows are `(file_path, pos)`
+    * pairs naming deleted rows by physical location; `#` cannot appear in
+    * a DDL column name, so the marker never collides with an equality key.
+    */
+  private val PosDeleteKey = "#pos"
+
+  /** MERGE-ON-READ POSITION DELETE (Iceberg v2 position-delete files,
+    * complementing [[deleteWhereMoR]]'s equality deletes): matched rows are
+    * recorded as `(file_path, pos)` pairs — the parquet scan's
+    * `_metadata.file_path`/`_metadata.row_index` — and readers anti-merge
+    * on the pair. No key column is required, so this is the MoR delete
+    * verb for tables WITHOUT a natural key and for predicates over non-key
+    * columns (an equality delete on such a predicate would have to
+    * materialize the matched KEYS anyway; a position delete skips the
+    * detour). [[compact]] folds position debt exactly like equality debt.
+    *
+    * Sequence semantics come free: a pair can only name a row of a file
+    * that existed when the delete committed, so rows appended later —
+    * even byte-identical ones — are untouched (the Iceberg rule).
+    *
+    * Matching runs over the RAW data files (one pushdown-filtered scan);
+    * rows already dead under earlier generations may re-match, which adds
+    * redundant pairs the anti-merge makes a no-op. Returns the new
+    * version, or the current one when nothing matches.
+    */
+  def deleteWhereMoRPos(spark: SparkSession, dir: String,
+                        predicate: Column): Int = {
+    val cur = currentVersion(dir)
+    require(cur > 0, s"no snapshots in $dir")
+    val snap = snapshot(dir, cur)
+    if (snap.files.isEmpty) return cur
+    val matched = readFiles(spark, snap, snap.files)
+      .where(coalesce(predicate, lit(false)))
+      .select(col("_metadata.file_path").as("file_path"),
+        col("_metadata.row_index").as("pos"))
+    val batch = java.util.UUID.randomUUID().toString.take(8)
+    val delDir = s"$dir/deletes/$batch"
+    matched.write.mode("error").parquet(delDir)
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(delDir)
+    val fs = p.getFileSystem(conf)
+    val delFiles = fs.listStatus(p).toSeq
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val rowsByFile = spark.read.parquet(delDir)
+      .groupBy(input_file_name().as("_f")).count()
+      .collect().map(r => norm(r.getString(0)) -> r.getLong(1)).toMap
+    val next = nextVersion(dir)
+    val entries = delFiles.flatMap { f =>
+      val path = f.getPath.toUri.getPath
+      val n = rowsByFile.getOrElse(norm(path), 0L)
+      if (n > 0) Some(DeleteEntry(path, n, PosDeleteKey, next)) else None
+    }
+    if (entries.isEmpty) return cur // nothing matched — no empty commit
+    commitSnapshot(dir, cur, next, snap.files,
+      deletes = snap.deletes ++ entries, schemaDdl = snap.schemaDdl)
+  }
+
   /** Copy-on-write MERGE/upsert by key (Iceberg's `MERGE INTO … WHEN MATCHED
     * THEN UPDATE WHEN NOT MATCHED THEN INSERT` in its copy-on-write mode):
     * every row of `updates` lands in the new snapshot — replacing any
@@ -859,10 +921,22 @@ object IcebergLite {
         s"delete generation seq=${d.seq} entered the window without its " +
           "commit (a rollback re-applied an old delete) — changelog " +
           "attribution is only defined over append + merge-on-read-delete windows")
-      readSnapshot(spark, preState(d.seq))
-        .join(broadcast(spark.read.parquet(d.path).toDF(d.key).distinct()),
-          Seq(d.key), "left_semi")
-        .drop("_stats").withColumn("_change_type", lit("delete"))
+      if (d.key == PosDeleteKey) {
+        // position generation: restore full rows by (file, pos) semi-join
+        // against the pre-delete state read WITH its physical coordinates
+        val pre = mergedRead(spark, preState(d.seq), preState(d.seq).files,
+          keepPos = true)
+        val pos = spark.read.parquet(d.path).distinct()
+        pre.join(broadcast(pos),
+            pre("_file_path") === pos("file_path") && pre("_pos") === pos("pos"),
+            "left_semi")
+          .drop("_file_path", "_pos", "_stats")
+          .withColumn("_change_type", lit("delete"))
+      } else
+        readSnapshot(spark, preState(d.seq))
+          .join(broadcast(spark.read.parquet(d.path).toDF(d.key).distinct()),
+            Seq(d.key), "left_semi")
+          .drop("_stats").withColumn("_change_type", lit("delete"))
     }
     deletes.foldLeft(inserts)(_ unionByName _)
   }
@@ -951,19 +1025,50 @@ object IcebergLite {
     * (small) number of un-compacted delete commits, the same read
     * amplification Iceberg v2 carries until maintenance folds it. Delete
     * key sets are dim-sized (matched keys only) so Spark broadcasts them.
+    *
+    * POSITION deletes (key == [[PosDeleteKey]]) anti-merge on the pair
+    * `(_metadata.file_path, _metadata.row_index)` — ONE broadcast anti-join
+    * for all applicable position generations together, because a
+    * (file, pos) pair names a physical row uniquely (no per-generation
+    * sequencing needed: a pair can only reference a file that predates its
+    * delete commit, so applicability is already encoded in the pair).
+    *
+    * `keepPos` keeps the `_file_path`/`_pos` columns on the result (the
+    * CDC restore arm joins on them); otherwise they never appear or are
+    * dropped before the union.
     */
   private def mergedRead(spark: SparkSession, snap: Snapshot,
-                         files: Seq[FileEntry]): DataFrame = {
-    if (files.isEmpty) return emptyLike(spark, snap)
-    if (snap.deletes.isEmpty) return readFiles(spark, snap, files)
+                         files: Seq[FileEntry], keepPos: Boolean = false): DataFrame = {
+    if (files.isEmpty) {
+      val e = emptyLike(spark, snap)
+      return if (!keepPos) e
+      else e.withColumn("_file_path", lit(null).cast("string"))
+            .withColumn("_pos", lit(null).cast("bigint"))
+    }
+    if (snap.deletes.isEmpty && !keepPos) return readFiles(spark, snap, files)
     val groups = files.groupBy(f => snap.deletes.filter(_.seq > f.seq).map(_.path).toSet)
     groups.map { case (delPaths, fs) =>
-      val base = readFiles(spark, snap, fs)
       val applicable = snap.deletes.filter(d => delPaths.contains(d.path))
-      applicable.groupBy(_.key).foldLeft(base) { case (acc, (k, ds)) =>
+      val (posDels, eqDels) = applicable.partition(_.key == PosDeleteKey)
+      val needPos = keepPos || posDels.nonEmpty
+      val base0 = readFiles(spark, snap, fs)
+      val base =
+        if (!needPos) base0
+        else base0.withColumn("_file_path", col("_metadata.file_path"))
+                  .withColumn("_pos", col("_metadata.row_index"))
+      val afterEq = eqDels.groupBy(_.key).foldLeft(base) { case (acc, (k, ds)) =>
         val keys = spark.read.parquet(ds.map(_.path): _*).toDF(k).distinct()
         acc.join(broadcast(keys), Seq(k), "left_anti")
       }
+      val out =
+        if (posDels.isEmpty) afterEq
+        else {
+          val pos = spark.read.parquet(posDels.map(_.path): _*).distinct()
+          afterEq.join(broadcast(pos),
+            afterEq("_file_path") === pos("file_path") && afterEq("_pos") === pos("pos"),
+            "left_anti")
+        }
+      if (needPos && !keepPos) out.drop("_file_path", "_pos") else out
     }.reduce(_ unionByName _)
   }
 
@@ -1031,5 +1136,85 @@ object IcebergLite {
     Files.write(tmp, content.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  // ──────────────────── metadata tables (inspection surface) ───────────────
+  // The Iceberg `table$history` / `$snapshots` / `$files` / `$refs` idea
+  // [Iceberg docs: "Inspecting tables"]: the table's own metadata AS
+  // DataFrames, so operational questions — outstanding delete debt, file
+  // size histogram before compaction, which snapshot a tag pins — run
+  // through the same engine as data queries and compose with it (join
+  // `filesTable` against a scan, aggregate `historyTable` by day, …).
+  // All are built from retained manifests: O(retained window) metadata
+  // reads, ZERO data-file I/O, and driver-sized by construction — a
+  // manifest carries one row per FILE, not per data row, so even a 100 TB
+  // table's metadata frame is a few thousand rows.
+
+  /** Main-chain commit history, newest first: one row per published
+    * snapshot with its commit timestamp, lineage, and size counters.
+    */
+  def historyTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cur = currentVersion(dir)
+    mainChain(dir).map { s =>
+      (s.version, s.snapshotId, s.parent.getOrElse(0), s.ts,
+        s.files.size, s.files.map(_.rows).sum,
+        s.deletes.size, s.deletes.map(_.rows).sum,
+        s.version == cur)
+    }.toDF("version", "snapshot_id", "parent", "committed_at_ms",
+      "data_files", "data_rows", "delete_files", "delete_rows", "is_current")
+  }
+
+  /** EVERY retained snapshot — main-chain AND staged/branch commits —
+    * with an `on_main` flag (staged WAP/branch snapshots are the rows
+    * where it is false).
+    */
+  def snapshotsTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val main = mainChain(dir).map(_.version).toSet
+    listVersions(dir).sorted.map(v => snapshot(dir, v)).map { s =>
+      (s.version, s.snapshotId, s.parent.getOrElse(0), s.ts,
+        main.contains(s.version), s.files.size, s.files.map(_.rows).sum)
+    }.toDF("version", "snapshot_id", "parent", "committed_at_ms",
+      "on_main", "data_files", "data_rows")
+  }
+
+  /** Data-file manifest of a snapshot (default: current): path, row count,
+    * stats range, and commit sequence — the frame compaction policy and
+    * pruning diagnostics read.
+    */
+  def filesTable(spark: SparkSession, dir: String,
+                 asOfVersion: Int = -1): DataFrame = {
+    import spark.implicits._
+    val v = if (asOfVersion > 0) asOfVersion else currentVersion(dir)
+    snapshot(dir, v).files.map(f => (f.path, f.rows, f.min, f.max, f.seq))
+      .toDF("path", "rows", "min", "max", "seq")
+  }
+
+  /** Outstanding merge-on-read delete files of a snapshot: `kind` is
+    * "equality" or "position"; `key` is the equality column (null for
+    * position files). Empty after a full compaction — `SUM(rows)` is the
+    * table's current delete debt.
+    */
+  def deletesTable(spark: SparkSession, dir: String,
+                   asOfVersion: Int = -1): DataFrame = {
+    import spark.implicits._
+    val v = if (asOfVersion > 0) asOfVersion else currentVersion(dir)
+    snapshot(dir, v).deletes.map { d =>
+      val pos = d.key == PosDeleteKey
+      (d.path, d.rows, if (pos) "position" else "equality",
+        if (pos) null else d.key, d.seq)
+    }.toDF("path", "rows", "kind", "key", "seq")
+  }
+
+  /** Named refs: one row per tag and branch with the snapshot it points
+    * at (Iceberg's `$refs`).
+    */
+  def refsTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    (listTags(dir).toSeq.map { case (n, v) => (n, "tag", v) } ++
+      listBranches(dir).toSeq.map { case (n, v) => (n, "branch", v) })
+      .sortBy(r => (r._2, r._1))
+      .toDF("name", "kind", "version")
   }
 }

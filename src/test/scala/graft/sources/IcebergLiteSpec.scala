@@ -260,6 +260,59 @@ class IcebergLiteSpec extends AnyFunSuite {
     assert(IcebergLite.read(spark, dir).orderBy("id", "lonm").collect().toSeq === rowsBefore)
   }
 
+  test("deleteWhereMoRPos: position deletes — no key column, no rewrite, compact folds") {
+    val dir = Files.createTempDirectory("iclite_pos").toString
+    val key = expr("lonm")
+    IcebergLite.append(spark, dir, pts(0, 100), key)
+    IcebergLite.append(spark, dir, pts(1000, 100), key)
+    val before = IcebergLite.snapshot(dir, 2)
+    // predicate over a NON-key column — the case equality deletes can't
+    // serve without materializing keys
+    val v3 = IcebergLite.deleteWhereMoRPos(spark, dir, col("latm") < -75000000L)
+    assert(v3 === 3)
+    val after = IcebergLite.snapshot(dir, 3)
+    assert(after.files.map(_.path) === before.files.map(_.path),
+      "position delete must not rewrite any data file")
+    assert(after.deletes.nonEmpty && after.deletes.forall(_.key == "#pos"))
+    val expectDead = (0L until 100L).count(i => (i % 160) * 1000000L - 80000000L < -75000000L) +
+      (1000L until 1100L).count(i => (i % 160) * 1000000L - 80000000L < -75000000L)
+    assert(after.deletes.map(_.rows).sum === expectDead)
+    assert(IcebergLite.read(spark, dir).count() === 200 - expectDead)
+    assert(IcebergLite.read(spark, dir).where(col("latm") < -75000000L).count() === 0)
+    // time travel pre-delete intact
+    assert(IcebergLite.read(spark, dir, asOfVersion = 2).count() === 200)
+    // no-match is a no-op commit
+    assert(IcebergLite.deleteWhereMoRPos(spark, dir, col("id") === 999999L) === 3)
+    // sequence rule for free: a BYTE-IDENTICAL re-append survives (its file
+    // postdates the delete, so no (file,pos) pair can name it)
+    IcebergLite.append(spark, dir, pts(0, 5), key) // ids 0..4, latm < -75M
+    assert(IcebergLite.read(spark, dir).where(col("latm") < -75000000L).count() === 5)
+    // mixed generations: an equality delete on top of the position delete
+    IcebergLite.deleteWhereMoR(spark, dir, col("id") === 50L, "id")
+    val rowsBefore = IcebergLite.read(spark, dir).orderBy("id", "lonm").collect().toSeq
+    assert(!rowsBefore.exists(_.getLong(0) == 50L))
+    // compact folds BOTH kinds of delete debt
+    val vC = IcebergLite.compact(spark, dir, targetFileRows = 1000L)
+    assert(IcebergLite.snapshot(dir, vC).deletes.isEmpty,
+      "compaction must fold position deletes")
+    assert(IcebergLite.read(spark, dir).orderBy("id", "lonm").collect().toSeq === rowsBefore)
+  }
+
+  test("readChangesCdc restores full-content delete rows for position deletes") {
+    val dir = Files.createTempDirectory("iclite_pos_cdc").toString
+    val key = expr("lonm")
+    IcebergLite.append(spark, dir, pts(0, 60), key)                   // v1
+    IcebergLite.append(spark, dir, pts(100, 40), key)                 // v2
+    IcebergLite.deleteWhereMoRPos(spark, dir, col("id") % 10 === 3)   // v3
+    val chg = IcebergLite.readChangesCdc(spark, dir, 1, 3)
+      .select("id", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val dels = chg.filter(_._2 == "delete").map(_._1).sorted
+    assert(dels.toSeq === ((0L until 60L) ++ (100L until 140L)).filter(_ % 10 == 3))
+    val ins = chg.filter(_._2 == "insert").map(_._1).sorted
+    assert(ins.toSeq === (100L until 140L)) // window inserts = v2's append
+  }
+
   test("deleteWhereMoR then CoW verbs: deletes survive partial rewrites correctly") {
     val dir = Files.createTempDirectory("iclite_mor2").toString
     val key = expr("lonm")
@@ -517,6 +570,43 @@ class IcebergLiteSpec extends AnyFunSuite {
     val v4Rows = IcebergLite.read(spark, dir, asOfVersion = 4).count()
     val nIns = chg.count(_._3 == "insert"); val nDel = chg.count(_._3 == "delete")
     assert(v1Rows + nIns - nDel === v4Rows)
+  }
+
+  test("metadata tables: history/snapshots/files/deletes/refs reflect the verb chain") {
+    val dir = Files.createTempDirectory("iclite_meta").toString
+    val key = expr("lonm")
+    IcebergLite.append(spark, dir, pts(0, 60), key)                   // v1
+    IcebergLite.append(spark, dir, pts(100, 40), key)                 // v2
+    IcebergLite.deleteWhereMoR(spark, dir, col("id") % 10 === 3, "id") // v3 (10 keys)
+    IcebergLite.deleteWhereMoRPos(spark, dir, col("id") === 7L)       // v4 (1 pos)
+    IcebergLite.tag(dir, "pin", 2)
+    IcebergLite.stageAppend(spark, dir, pts(500, 5), key)             // v5 STAGED
+    // history: main chain only, newest first, counters exact
+    val h = IcebergLite.historyTable(spark, dir)
+      .select("version", "data_rows", "delete_files", "delete_rows", "is_current")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getLong(3), r.getBoolean(4)))
+    assert(h.toSeq === Seq((4, 100L, 2, 11L, true), (3, 100L, 1, 10L, false),
+      (2, 100L, 0, 0L, false), (1, 60L, 0, 0L, false)))
+    // snapshots: the staged v5 appears with on_main = false
+    val sn = IcebergLite.snapshotsTable(spark, dir)
+      .select("version", "on_main").collect().map(r => (r.getInt(0), r.getBoolean(1)))
+    assert(sn.toSeq === Seq((1, true), (2, true), (3, true), (4, true), (5, false)))
+    // files: row counts sum to the table size; seq recorded
+    val f = IcebergLite.filesTable(spark, dir)
+    assert(f.agg(sum("rows")).head.getLong(0) === 100L)
+    assert(f.select("seq").distinct().collect().map(_.getInt(0)).toSet === Set(1, 2))
+    // deletes: one equality generation (key=id), one position generation
+    val d = IcebergLite.deletesTable(spark, dir)
+      .select("kind", "key", "rows").collect()
+      .map(r => (r.getString(0), Option(r.getString(1)), r.getLong(2))).sortBy(_._1)
+    assert(d.toSeq === Seq(("equality", Some("id"), 10L), ("position", None, 1L)))
+    // refs: the tag row
+    val refs = IcebergLite.refsTable(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+    assert(refs.toSeq === Seq(("pin", "tag", 2)))
+    // composes with SQL like any DataFrame
+    IcebergLite.deletesTable(spark, dir).createOrReplaceTempView("t_deletes")
+    assert(spark.sql("SELECT CAST(sum(rows) AS BIGINT) FROM t_deletes").head.getLong(0) === 11L)
   }
 
   test("tags: immutable pins, survive mutation AND expiration, drop releases") {
