@@ -379,6 +379,47 @@ object SparkEntry {
       graft.sources.IcebergLite.read(s, tbl)
         .select("c_custkey", "lonm").orderBy("c_custkey")
     }),
+    // ---- J+A1 streaming WRITE-AUDIT-PUBLISH: micro-batches commit to a
+    //      BRANCH (exactly-once, batchId inside each branch snapshot) while
+    //      main serves only audited data; main even moves mid-window (MoR
+    //      delete of %10==1 odds) and the publish cherry-picks the whole
+    //      ingest window — markers carried — in ONE commit.
+    "q7k_stream_wap" -> ((s, dir) => {
+      import java.nio.file.Files
+      val staged = Files.createTempDirectory("graft_q7k_src")
+      val tmp = Files.createTempDirectory("graft_q7k_tmp").toString
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"),
+          Derive.lonMicro(col("o_orderkey")).as("lonm"),
+          Derive.latMicro(col("o_orderkey")).as("latm"))
+      orders.where(col("o_orderkey") % 2 === 0).repartition(3)
+        .write.parquet(s"$tmp/split")
+      new java.io.File(s"$tmp/split").listFiles()
+        .filter(f => f.getName.endsWith(".parquet"))
+        .zipWithIndex.foreach { case (f, i) =>
+          Files.copy(f.toPath, staged.resolve(s"f$i.parquet")) }
+      val tbl = Files.createTempDirectory("graft_q7k_tbl").toString
+      val ckpt = Files.createTempDirectory("graft_q7k_ck").toString
+      val key = col("o_orderkey")
+      graft.sources.IcebergLite.append(s, tbl,
+        orders.where(col("o_orderkey") % 2 === 1), key) // v1 main: odds
+      graft.sources.IcebergLite.createBranch(tbl, "ingest")
+      val stream = s.readStream.schema(orders.schema)
+        .option("maxFilesPerTrigger", "1").parquet(staged.toString)
+      val q = stream.writeStream
+        .queryName("q7k")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch(graft.streaming.EventStream.icebergBranchBatchWriter(
+          tbl, "ingest", key, "q7k"))
+        .start()
+      q.awaitTermination()
+      graft.sources.IcebergLite.deleteWhereMoR(s, tbl,
+        col("o_orderkey") % 10 === 1, "o_orderkey") // main moves mid-audit
+      graft.sources.IcebergLite.publishBranch(tbl, "ingest") // cherry-pick
+      graft.sources.IcebergLite.read(s, tbl)
+        .select("o_orderkey", "lonm").orderBy("o_orderkey")
+    }),
     // ---- A1 metadata tables: the table's own manifest AS a DataFrame
     //      (Iceberg's table$history) — commit lineage + exact row/delete
     //      counters per version, zero data-file I/O. The verb chain is
@@ -1833,6 +1874,9 @@ object SparkEntry {
     "q7g_iceberg_tag" ->
       s"""SELECT c_custkey, ${Derive.lonSql("c_custkey")} AS lonm
          |FROM customer WHERE c_custkey % 2 = 0 ORDER BY c_custkey""".stripMargin,
+    "q7k_stream_wap" ->
+      s"""SELECT o_orderkey, ${Derive.lonSql("o_orderkey")} AS lonm
+         |FROM orders WHERE o_orderkey % 10 <> 1 ORDER BY o_orderkey""".stripMargin,
     "q7j_iceberg_history" ->
       s"""WITH c AS (SELECT CAST(count(*) AS BIGINT) AS n,
          |  CAST(sum(CASE WHEN c_custkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ev,

@@ -335,8 +335,12 @@ object IcebergLite {
         s"schema changed on main since v$head was staged — re-stage")
       val added = headSnap.files.filter(f => !baseFiles.contains(norm(f.path)))
       val next = nextVersion(dir)
+      // the staged chain's stream markers ride into the published commit
+      // (branch wins on conflict: the branch head has the stream's latest),
+      // so exactly-once lookup survives a cherry-pick publish
       commitSnapshot(dir, cur, next, curSnap.files ++ added.map(_.copy(seq = next)),
-        deletes = curSnap.deletes, schemaDdl = curSnap.schemaDdl)
+        deletes = curSnap.deletes, schemaDdl = curSnap.schemaDdl,
+        extraStreams = headSnap.streams)
     }
   }
 
@@ -418,12 +422,29 @@ object IcebergLite {
     * publishable by cherry-pick after main moves.
     */
   def appendToBranch(spark: SparkSession, dir: String, name: String,
-                     df: DataFrame, statsCol: Column): Int = {
-    val v = appendImpl(spark, dir, df, statsCol, None, advance = false,
+                     df: DataFrame, statsCol: Column,
+                     streamMarker: Option[(String, Long)] = None): Int = {
+    val v = appendImpl(spark, dir, df, statsCol, streamMarker, advance = false,
       headVersion = branchHead(dir, name))
     writeAtomic(refPath(dir, "branch", name), v.toString)
     v
   }
+
+  /** Highest streaming batchId committed ON A BRANCH for `name`, or -1 —
+    * the exactly-once lookup for streams that quarantine into a branch
+    * (write-audit-publish ingest). Same O(1) contract as
+    * [[lastStreamBatch]]: the branch head's snapshot carries the full
+    * per-stream map merged forward along the branch chain.
+    *
+    * Crash window note: a branch commit lands in two steps (snapshot
+    * write, then ref swing). A crash between them leaves an orphaned
+    * committed snapshot the ref never reached — the replayed batch then
+    * re-commits off the OLD head and swings past it, so published output
+    * stays exactly-once; the orphan is off every chain and is reclaimed
+    * by [[expireSnapshots]] like any abandoned stage.
+    */
+  def lastBranchStreamBatch(dir: String, branch: String, name: String): Long =
+    snapshot(dir, branchHead(dir, branch)).streams.getOrElse(name, -1L)
 
   /** Publish every commit of a branch onto main in one go: fast-forward
     * when main still sits at the fork point (Iceberg's
@@ -953,7 +974,8 @@ object IcebergLite {
                              deletes: Seq[DeleteEntry] = Seq.empty,
                              schemaDdl: Option[String] = None,
                              streamMarker: Option[(String, Long)] = None,
-                             advance: Boolean = true): Int = {
+                             advance: Boolean = true,
+                             extraStreams: Map[String, Long] = Map.empty): Int = {
     require(version > parentVersion,
       s"version $version must follow parent $parentVersion")
     val sid = java.util.UUID.randomUUID().toString
@@ -978,7 +1000,7 @@ object IcebergLite {
     // merge the per-stream latest-batch map forward so EVERY snapshot carries
     // the full map and lastStreamBatch is O(1) metadata reads
     val streams = parentSnap.map(_.streams).getOrElse(Map.empty[String, Long]) ++
-      streamMarker.toMap
+      extraStreams ++ streamMarker.toMap
     val marker =
       if (streams.isEmpty) ""
       else streams.toSeq.sortBy(_._1)

@@ -159,6 +159,40 @@ object EventStream {
       .foreachBatch(icebergBatchWriter(dir, statsCol, queryName))
       .start()
 
+  /** Per-micro-batch writer for streaming WRITE-AUDIT-PUBLISH: each batch
+    * commits to a BRANCH of the IcebergLite table — quarantined from every
+    * main-chain reader — with the same exactly-once batchId-inside-the-
+    * snapshot contract as [[icebergBatchWriter]] (the marker lookup walks
+    * the branch head, so replays after crash or duplicate delivery are
+    * skipped). When the window closes, audit the branch
+    * (`IcebergLite.readBranch`) and release it with ONE
+    * `IcebergLite.publishBranch` — fast-forward if main never moved,
+    * cherry-pick (markers carried) if it did. Bad windows are simply
+    * `dropBranch`ed; nothing ever reached a consumer.
+    */
+  def icebergBranchBatchWriter(dir: String, branch: String,
+                               statsCol: org.apache.spark.sql.Column,
+                               queryName: String): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) =>
+      if (batchId > graft.sources.IcebergLite.lastBranchStreamBatch(dir, branch, queryName) &&
+          !batch.isEmpty) {
+        graft.sources.IcebergLite.appendToBranch(batch.sparkSession, dir, branch,
+          batch, statsCol, streamMarker = Some((queryName, batchId)))
+      }
+
+  /** Streaming WAP ingest: readStream → foreachBatch → branch commits.
+    * The branch must exist (`IcebergLite.createBranch`) before the query
+    * starts.
+    */
+  def icebergBranchSink(stream: DataFrame, dir: String, branch: String,
+                        statsCol: org.apache.spark.sql.Column, queryName: String,
+                        checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .queryName(queryName)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(icebergBranchBatchWriter(dir, branch, statsCol, queryName))
+      .start()
+
   /** File-source wrapper: stream the driver `events` parquet dir. */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
     val schema = spark.read.parquet(dir).schema

@@ -158,6 +158,63 @@ class EventStreamSpec extends AnyFunSuite {
     assert(IcebergLite.lastStreamBatch(dir, "other") === -1L)
   }
 
+  test("branch WAP sink: micro-batches quarantine on a branch, publish is one commit, markers survive") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.sources.IcebergLite
+    val dir = java.nio.file.Files.createTempDirectory("iclite_wap").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("iclite_wap_ck").toString
+    // seeded main: ids 100..102
+    IcebergLite.append(spark, dir,
+      Seq((100L, 1L), (101L, 2L), (102L, 3L)).toDF("id", "lonm"), col("lonm"))
+    IcebergLite.createBranch(dir, "ingest")
+    val mainV = IcebergLite.currentVersion(dir)
+    val mem = MemoryStream[(Long, Long)]
+    val q = icebergBranchSink(mem.toDS().toDF("id", "lonm"), dir, "ingest",
+      col("lonm"), "wap", ckpt)
+    try {
+      mem.addData((1L, 10L), (2L, 20L)); q.processAllAvailable()
+      mem.addData((3L, 30L)); q.processAllAvailable()
+    } finally q.stop()
+    // quarantine: main never saw a streamed row, branch has all of them
+    assert(IcebergLite.currentVersion(dir) === mainV, "main must not move during ingest")
+    assert(IcebergLite.read(spark, dir).count() === 3)
+    assert(IcebergLite.readBranch(spark, dir, "ingest").count() === 6)
+    assert(IcebergLite.lastBranchStreamBatch(dir, "ingest", "wap") === 1L)
+    assert(IcebergLite.lastStreamBatch(dir, "wap") === -1L, "marker stays off main pre-publish")
+    // crash-replay on the branch: committed batchId is a no-op
+    val writer = icebergBranchBatchWriter(dir, "ingest", col("lonm"), "wap")
+    val branchV = IcebergLite.branchHead(dir, "ingest")
+    writer(Seq((1L, 10L), (2L, 20L)).toDF("id", "lonm"), 1L)
+    assert(IcebergLite.branchHead(dir, "ingest") === branchV, "replayed batch must not re-commit")
+    // main moves mid-audit (MoR delete of id=101) — publish must cherry-pick
+    IcebergLite.deleteWhereMoR(spark, dir, col("id") === 101L, "id")
+    IcebergLite.publishBranch(dir, "ingest")
+    val ids = IcebergLite.read(spark, dir).select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids === Seq(1L, 2L, 3L, 100L, 102L))
+    // the stream marker rode the cherry-pick: a replay against MAIN after
+    // publish is still exactly-once
+    assert(IcebergLite.lastStreamBatch(dir, "wap") === 1L)
+  }
+
+  test("branch WAP sink: a failed audit drops the branch and main never sees the window") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.sources.IcebergLite
+    val dir = java.nio.file.Files.createTempDirectory("iclite_wap_bad").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("iclite_wap_bad_ck").toString
+    IcebergLite.append(spark, dir, Seq((100L, 1L)).toDF("id", "lonm"), col("lonm"))
+    IcebergLite.createBranch(dir, "bad")
+    val mem = MemoryStream[(Long, Long)]
+    val q = icebergBranchSink(mem.toDS().toDF("id", "lonm"), dir, "bad",
+      col("lonm"), "wap_bad", ckpt)
+    try { mem.addData((666L, -1L)); q.processAllAvailable() } finally q.stop()
+    assert(IcebergLite.readBranch(spark, dir, "bad").count() === 2)
+    IcebergLite.dropBranch(dir, "bad")
+    assert(IcebergLite.read(spark, dir).collect().map(_.getLong(0)).toSeq === Seq(100L))
+    intercept[Exception] { IcebergLite.readBranch(spark, dir, "bad") }
+  }
+
   test("text curation ops run unchanged under Structured Streaming (stream == batch)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
