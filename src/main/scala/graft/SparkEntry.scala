@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.api.Reducer
 import graft.fixtures.Fixtures
 import graft.functions.GraftFunctions._
-import graft.operators.{Dedup, Knn, Similarity, SpatialJoin, TextAnalysis}
+import graft.operators.{Dbscan, Dedup, Knn, Similarity, SpatialJoin, TextAnalysis}
 import graft.oracle.{Derive, TextOracle}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -419,6 +419,110 @@ object SparkEntry {
       graft.sources.IcebergLite.publishBranch(tbl, "ingest") // cherry-pick
       graft.sources.IcebergLite.read(s, tbl)
         .select("o_orderkey", "lonm").orderBy("o_orderkey")
+    }),
+    // ---- A1 layout migration: Z-ORDER SORT REWRITE + file-skipping bbox
+    //      scan (Iceberg's rewrite_data_files strategy=sort, zorder(lon,lat)).
+    //      Ingest lands round-robin (every file spans ~the whole z-range:
+    //      zero skipping possible), one rewriteClustered re-sorts the table
+    //      on the Morton z-key, then a bbox query plans from the MANIFEST:
+    //      pruneRead keeps only files whose [min,max] z-range meets the
+    //      bbox's cover cells — the scan never opens the rest. require()
+    //      proves skipping actually happened; values oracle against the
+    //      plain bbox filter. Skip-ratio scaling gated in IcebergLiteSpec.
+    "q7l_zorder_prune" -> ((s, dir) => {
+      val tbl = java.nio.file.Files.createTempDirectory("graft_iclite_q7l").toString
+      val pts = customerPts(s, dir)
+      val key = graft.functions.GraftFunctions.zcell(col("lonm"), col("latm"), 8)
+      graft.sources.IcebergLite.append(s, tbl, pts.repartition(8), key)
+      graft.sources.IcebergLite.rewriteClustered(s, tbl, key, targetFileRows = 256L)
+      val bbox = graft.core.BBoxM(10000000L, 5000000L, 80000000L, 60000000L)
+      val cells = graft.core.ZGrid.bboxCells(8, bbox)
+        .map { case (x, y) => graft.core.Morton.encode(x, y) }.toSet
+      val (scan, kept, total) = graft.sources.IcebergLite.pruneRead(s, tbl, cells)
+      require(kept < total, s"z-order pruning must skip files (kept=$kept of $total)")
+      scan.where(col("lonm").between(10000000L, 80000000L) &&
+                 col("latm").between(5000000L, 60000000L))
+        .agg(count(lit(1)).as("n_pts"), sum(col("c_custkey")).as("sum_key"))
+    }),
+    // ---- A1 replication: incremental table-to-table SYNC (Iceberg
+    //      streaming read + exactly-once sink): bootstrap full snapshot,
+    //      then ship only appended files; the consumed source version is
+    //      the stream marker INSIDE each destination commit, so the replay
+    //      call between syncs is a provable no-op (a double-apply would
+    //      double rows and fail the oracle hash).
+    "q7n_incremental_sync" -> ((s, dir) => {
+      val src = java.nio.file.Files.createTempDirectory("graft_iclite_q7n_src").toString
+      val dst = java.nio.file.Files.createTempDirectory("graft_iclite_q7n_dst").toString
+      val pts = customerPts(s, dir)
+      val key = graft.functions.GraftFunctions.zcell(col("lonm"), col("latm"), 12)
+      graft.sources.IcebergLite.append(s, src, pts.where(col("c_custkey") % 3 === 0), key)
+      graft.sources.IcebergLite.append(s, src, pts.where(col("c_custkey") % 3 === 1), key)
+      graft.sources.IcebergLite.syncIncremental(s, src, dst, key, "rep") // bootstrap
+      graft.sources.IcebergLite.syncIncremental(s, src, dst, key, "rep") // replay no-op
+      graft.sources.IcebergLite.append(s, src, pts.where(col("c_custkey") % 3 === 2), key)
+      graft.sources.IcebergLite.syncIncremental(s, src, dst, key, "rep") // increment
+      graft.sources.IcebergLite.read(s, dst)
+        .select("c_custkey", "lonm", "latm").orderBy("c_custkey")
+    }),
+    // ---- FILTERED vector search (FAISS IDSelector semantics): the index
+    //      is built filter-agnostic over the whole corpus; an attribute
+    //      predicate drops candidates inside the probed-list scan, before
+    //      the rank heap. require() proves the filter is EXACT (no
+    //      non-matching neighbor escapes); recall bound vs the filtered
+    //      exact top-k, same contract as q53.
+    "q7q_ivf_filtered" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val q = emb.where(col("vec_id") % 100 === 0)
+      val pred = col("vec_id") % 7 === 3
+      val ann = Similarity.ivfTopK(s, emb, q, "vec_id", "embedding", k = 10,
+        nprobe = 24, lloydRounds = 2, keep = pred)
+      require(ann.where(col("nid") % 7 =!= 3).limit(1).count() == 0,
+        "filtered ANN returned a non-matching candidate")
+      val exact = Similarity.topKL2(emb.where(pred), q, "vec_id", "embedding", k = 10)
+      val hits = exact.join(ann.select("qid", "nid"), Seq("qid", "nid"), "left_semi")
+      exact.agg(count_distinct(col("qid")).as("n_queries"), count(lit(1)).as("_n"))
+        .crossJoin(hits.agg(count(lit(1)).as("_h")))
+        .select(col("n_queries"),
+          (col("_h").cast("double") >= lit(0.8) * col("_n").cast("double")).as("recall_ok"))
+    }),
+    // ---- RASTER curation score: exact integer L1 total variation per
+    //      image (sharpness/flatness gate), decode-once narrow kernel,
+    //      rolled up per dims bucket. Oracle by rule: each differing
+    //      adjacent phash-bit block pair contributes 150 × (block edge px).
+    "q7o_raster_tv" -> ((s, dir) => {
+      operators.Multimodal.rasterTv(Fixtures.images(s, 5000))
+        .groupBy("w", "h")
+        .agg(count(lit(1)).as("n_images"), sum("tv").as("sum_tv"),
+          min("tv").as("min_tv"), max("tv").as("max_tv"))
+        .orderBy("w", "h")
+    }),
+    // ---- Density clustering: grid-partitioned DBSCAN (Ester et al. 1996,
+    //      deterministic min-label variant) — dense sites become clusters
+    //      labeled by their minimum point id, strays are noise (-1). The
+    //      oracle recomputes it with a quadratic neighbor join + recursive
+    //      min-propagation CTE; the Spark plan is the eps-grid 3×3 join +
+    //      pointer-doubling components (no all-pairs stage).
+    "q7m_dbscan" -> ((s, dir) => {
+      Dbscan.cluster(customerPts(s, dir), col("c_custkey"), col("lonm"),
+          col("latm"), eps = 5000000L, minPts = 3)
+        .orderBy("id")
+    }),
+    // ---- DBSCAN composition — summarize each discovered site: size,
+    //      centroid sums, bounding box per cluster (noise excluded). The
+    //      downstream verb of density clustering; one extra broadcast-able
+    //      join + hash aggregate on top of q7m's labels.
+    "q7p_dbscan_summary" -> ((s, dir) => {
+      val pts = customerPts(s, dir)
+      val labels = Dbscan.cluster(pts, col("c_custkey"), col("lonm"),
+        col("latm"), eps = 5000000L, minPts = 3)
+      labels.where(col("cluster") =!= -1L)
+        .join(pts.withColumnRenamed("c_custkey", "id"), "id")
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("n_pts"),
+          sum("lonm").as("sum_lon"), sum("latm").as("sum_lat"),
+          min("lonm").as("min_lon"), max("lonm").as("max_lon"),
+          min("latm").as("min_lat"), max("latm").as("max_lat"))
+        .orderBy("cluster")
     }),
     // ---- A1 metadata tables: the table's own manifest AS a DataFrame
     //      (Iceberg's table$history) — commit lineage + exact row/delete
@@ -1632,6 +1736,32 @@ object SparkEntry {
     s"1.0 + $z * (-0.5 + $z * (0.041666666666666664 + $z * (-0.001388888888888889 + " +
       s"$z * (2.48015873015873e-05 + $z * (-2.755731922398589e-07 + $z * 2.08767569878681e-09)))))"
 
+  /** Shared DBSCAN label derivation (q7m/q7p): quadratic neighbor join,
+    * core by degree, recursive min-propagation components, min-core-
+    * neighbor borders — ends with `lbl(id, cluster)` for every point
+    * (noise = -1). Must stay the exact rule set `operators.Dbscan`
+    * implements.
+    */
+  private def dbscanCteSql: String =
+    s"""WITH RECURSIVE pts AS (SELECT c_custkey AS id,
+       |  ${Derive.lonSql("c_custkey")} AS x, ${Derive.latSql("c_custkey")} AS y
+       |  FROM customer),
+       |nbr AS (SELECT a.id AS ida, b.id AS idb FROM pts a, pts b
+       |  WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 25000000000000),
+       |core AS (SELECT ida AS id FROM nbr GROUP BY ida HAVING count(*) >= 3),
+       |ce AS (SELECT n.ida, n.idb FROM nbr n
+       |  JOIN core a ON n.ida = a.id JOIN core b ON n.idb = b.id),
+       |comp(id, lbl) AS (SELECT id, id FROM core
+       |  UNION SELECT ce.idb, c.lbl FROM comp c JOIN ce ON ce.ida = c.id),
+       |clbl AS (SELECT id, min(lbl) AS cl FROM comp GROUP BY id),
+       |border AS (SELECT n.ida AS id, min(c.cl) AS cl FROM nbr n
+       |  JOIN clbl c ON n.idb = c.id
+       |  WHERE n.ida <> n.idb AND n.ida NOT IN (SELECT id FROM core)
+       |  GROUP BY n.ida),
+       |lbl AS (SELECT p.id, CAST(coalesce(cl.cl, b.cl, -1) AS BIGINT) AS cluster
+       |  FROM pts p LEFT JOIN clbl cl ON p.id = cl.id
+       |  LEFT JOIN border b ON p.id = b.id)""".stripMargin
+
   /** DuckDB twins (same table names = parquet basenames in sfDir). */
   def oracleSql: Map[String, String] = Map(
     "q01_spatial_join" ->
@@ -1877,6 +2007,54 @@ object SparkEntry {
     "q7k_stream_wap" ->
       s"""SELECT o_orderkey, ${Derive.lonSql("o_orderkey")} AS lonm
          |FROM orders WHERE o_orderkey % 10 <> 1 ORDER BY o_orderkey""".stripMargin,
+    "q7l_zorder_prune" ->
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_pts,
+         |  CAST(sum(c_custkey) AS BIGINT) AS sum_key
+         |FROM customer
+         |WHERE ${Derive.lonSql("c_custkey")} BETWEEN 10000000 AND 80000000
+         |  AND ${Derive.latSql("c_custkey")} BETWEEN 5000000 AND 60000000""".stripMargin,
+    "q7q_ivf_filtered" ->
+      """SELECT count(*) AS n_queries, TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id % 100 = 0""".stripMargin,
+    "q7o_raster_tv" -> {
+      // exact TV from the bit→block rule: horizontally-adjacent differing
+      // bits (k, k+1 same block row) each contribute 150·(h/8) px pairs,
+      // vertically-adjacent (k, k+8) contribute 150·(w/8); pixels inside a
+      // block are constant, so block boundaries are the ONLY transitions
+      import graft.fixtures.Fixtures
+      val per = scala.collection.mutable.Map[(Int, Int), (Long, Long, Long, Long)]()
+      (0L until 5000L).foreach { i =>
+        val (lon, lat) = Fixtures.locOf(i)
+        val p = graft.core.PhashLoc.encode(lon, lat)
+        val (w, h) = Fixtures.dimsOf(i)
+        val hd = java.lang.Long.bitCount((p ^ (p >>> 1)) & 0x7f7f7f7f7f7f7f7fL)
+        val vd = java.lang.Long.bitCount((p ^ (p >>> 8)) & 0x00ffffffffffffffL)
+        val tv = 150L * (h / 8) * hd + 150L * (w / 8) * vd
+        val (n, s0, mn, mx) = per.getOrElse((w, h), (0L, 0L, Long.MaxValue, Long.MinValue))
+        per((w, h)) = (n + 1, s0 + tv, math.min(mn, tv), math.max(mx, tv))
+      }
+      val vals = per.toSeq.sortBy(_._1).map { case ((w, h), (n, s0, mn, mx)) =>
+        s"($w, $h, CAST($n AS BIGINT), CAST($s0 AS BIGINT), CAST($mn AS BIGINT), CAST($mx AS BIGINT))"
+      }.mkString(", ")
+      s"SELECT * FROM (VALUES $vals) AS t(w, h, n_images, sum_tv, min_tv, max_tv) " +
+        "ORDER BY w, h"
+    },
+    "q7n_incremental_sync" ->
+      s"""SELECT c_custkey, ${Derive.lonSql("c_custkey")} AS lonm,
+         |  ${Derive.latSql("c_custkey")} AS latm
+         |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q7m_dbscan" ->
+      s"""$dbscanCteSql
+         |SELECT id, cluster FROM lbl ORDER BY id""".stripMargin,
+    "q7p_dbscan_summary" ->
+      s"""$dbscanCteSql
+         |SELECT l.cluster, CAST(count(*) AS BIGINT) AS n_pts,
+         |  CAST(sum(p.x) AS BIGINT) AS sum_lon, CAST(sum(p.y) AS BIGINT) AS sum_lat,
+         |  min(p.x) AS min_lon, max(p.x) AS max_lon,
+         |  min(p.y) AS min_lat, max(p.y) AS max_lat
+         |FROM lbl l JOIN pts p ON l.id = p.id
+         |WHERE l.cluster <> -1
+         |GROUP BY l.cluster ORDER BY l.cluster""".stripMargin,
     "q7j_iceberg_history" ->
       s"""WITH c AS (SELECT CAST(count(*) AS BIGINT) AS n,
          |  CAST(sum(CASE WHEN c_custkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ev,

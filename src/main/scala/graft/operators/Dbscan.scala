@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Grid-partitioned DBSCAN (Ester, Kriegel, Sander & Xu 1996) over planar
+  * micro-degree points — density clustering for geospatial corpora: "group
+  * the POIs / image capture locations into dense sites, flag strays as
+  * noise". The reference surface has no clustering verb; this fills the
+  * gap the same way its aggregateByGeometry fills zonal aggregation —
+  * as a declarative DataFrame operator.
+  *
+  * Deterministic variant (classic DBSCAN's border assignment is
+  * visit-order-dependent; an oracle needs a total rule):
+  *   - neighborhood N(p) = points within L2 distance `eps` of p,
+  *     INCLUDING p itself (the 1996 paper's |N_eps(p)| convention);
+  *   - p is CORE iff |N(p)| >= minPts;
+  *   - clusters = connected components of the core-core eps-graph,
+  *     labeled by the component's MINIMUM point id;
+  *   - a non-core point with >= 1 core neighbor is a BORDER point and
+  *     joins the MINIMUM cluster label among its core neighbors
+  *     (order-free tie rule);
+  *   - everything else is NOISE, cluster = -1.
+  *
+  * Spark-native plan, no all-pairs stage anywhere:
+  *   1. eps-cell grid: each point keys to cell (x div eps, y div eps)
+  *      (domain offset makes coords non-negative so `div` == floor —
+  *      exact int64, no float). Any pair within eps is within the 3×3
+  *      cell ring, so candidates = one equi-join of home-cell points
+  *      against 9-exploded ring keys — each (a,b) pair produced EXACTLY
+  *      once (b's home cell is unique), no pair-dedup shuffle.
+  *   2. exact int64 distance filter dx²+dy² <= eps² inside the join —
+  *      codegen, no UDF.
+  *   3. degree count = one hash aggregate; core = degree >= minPts.
+  *   4. components via [[Dedup.dupClusters]] — min-label propagation +
+  *      pointer doubling, O(log diameter) rounds, convergence `require`d.
+  *   5. border labels = one more aggregate over the (non-core, core)
+  *      neighbor edges.
+  *
+  * 100 TB posture: the candidate join shuffles on cell keys whose
+  * population is bounded by point density × 9 (grid salting holds off
+  * city-sized skew: a cell with k points makes 9k² candidate rows ONLY
+  * inside that cell — eps chosen near the density scale keeps k small;
+  * for metropolis-grade skew pass a finer `eps` grid and raise minPts,
+  * or pre-aggregate exact-duplicate coordinates). Everything else is
+  * hash aggregates and the O(log d) component loop. No driver-side data.
+  */
+object Dbscan {
+  private val LON_OFF = 180000000L
+  private val LAT_OFF = 90000000L
+
+  /** Neighbor pairs (id_a, id_b) with dist² <= eps², self-pairs included.
+    * Each ordered pair appears exactly once.
+    */
+  def neighborPairs(pts: DataFrame, id: Column, x: Column, y: Column,
+                    eps: Long): DataFrame = {
+    require(eps > 0, "eps must be positive")
+    val p = pts.select(id.as("id"), x.as("x"), y.as("y"))
+    val cxa = expr(s"(x + $LON_OFF) div $eps")
+    val cya = expr(s"(y + $LAT_OFF) div $eps")
+    // 3×3 ring keys for the probe side; home key for the build side.
+    // Pack (cx, cy) into one long: cx <= 360e6/eps < 2^29 for eps >= 1.
+    val home = p.select(col("id").as("id_a"), col("x").as("xa"), col("y").as("ya"),
+      (cxa * 1073741824L + cya).as("cell"))
+    val ringCells = array((for (dx <- -1 to 1; dy <- -1 to 1) yield {
+      ((cxa + dx) * 1073741824L + (cya + dy))
+    }): _*)
+    val ring = p.select(col("id").as("id_b"), col("x").as("xb"), col("y").as("yb"),
+      explode(ringCells).as("cell"))
+    home.join(ring, "cell")
+      .where((col("xa") - col("xb")) * (col("xa") - col("xb")) +
+             (col("ya") - col("yb")) * (col("ya") - col("yb")) <= lit(eps * eps))
+      .select("id_a", "id_b")
+  }
+
+  /** Full DBSCAN: returns (id, cluster) for EVERY input point —
+    * cluster = component-min id for core/border points, -1 for noise.
+    */
+  def cluster(pts: DataFrame, id: Column, x: Column, y: Column,
+              eps: Long, minPts: Int): DataFrame = {
+    val nbr = neighborPairs(pts, id, x, y, eps).localCheckpoint()
+    val core = nbr.groupBy(col("id_a").as("id")).agg(count(lit(1)).as("deg"))
+      .where(col("deg") >= minPts).select("id")
+    // core-core edges, one row per unordered pair (dupClusters mirrors)
+    val coreEdges = nbr.where(col("id_a") < col("id_b"))
+      .join(core.withColumnRenamed("id", "id_a"), Seq("id_a"))
+      .join(core.withColumnRenamed("id", "id_b"), Seq("id_b"))
+      .select("id_a", "id_b")
+    val comp = Dedup.dupClusters(coreEdges)
+      .withColumnRenamed("doc_id", "id").withColumnRenamed("cluster_id", "cl")
+    // isolated core (no core neighbor) = its own singleton cluster
+    val coreLbl = core.join(comp, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cl"), col("id")).as("cl"))
+    // border: non-core with >= 1 core neighbor -> min core-neighbor label
+    val borderLbl = nbr.where(col("id_a") =!= col("id_b"))
+      .join(coreLbl.select(col("id").as("id_b"), col("cl")), Seq("id_b"))
+      .join(coreLbl.select(col("id").as("id_a")), Seq("id_a"), "left_anti")
+      .groupBy(col("id_a").as("id")).agg(min("cl").as("cl"))
+    val labeled = coreLbl.unionByName(borderLbl)
+    pts.select(id.as("id"))
+      .join(labeled, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cl"), lit(-1L)).as("cluster"))
+  }
+}

@@ -214,6 +214,53 @@ object Multimodal {
     * string was ~20% of task time in allocation/GC at 8M rows). Pixel
     * bytes NEVER leave the task.
     */
+  private val tvSchema = StructType(Seq(
+    StructField("w", IntegerType), StructField("h", IntegerType),
+    StructField("tv", LongType)))
+
+  /** Exact integer L1 total variation per image — Σ|adjacent-pixel luma
+    * difference| over both axes — the sharpness/flatness score an image
+    * curation pipeline gates on (flat = low-information screenshot/solid
+    * fill → drop; the TV-per-pixel threshold is the knob). Same
+    * decode-once narrow-kernel shape as [[decodedLuma]]: real codec work
+    * inside the scan task, 16 bytes/row out, pixel bytes never leave the
+    * task, no shuffle until the caller aggregates. Exact int64 (≤255 per
+    * pair × <2·w·h pairs), so the fixture oracle re-derives it
+    * bit-for-bit from the generator's bit→block rule: each differing
+    * adjacent block pair contributes 150·(block edge length in pixels).
+    */
+  def rasterTv(images: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(tvSchema)
+    images.select("bytes", "w", "h", "fmt")
+      .mapPartitions { it =>
+        it.map { r =>
+          val (bytes, w, h, fmt) = (r.getAs[Array[Byte]](0),
+            r.getInt(1), r.getInt(2), r.getString(3))
+          val px = decodeAny(bytes, fmt, w, h)
+          var tv = 0L
+          var y = 0
+          while (y < h) {
+            val base = y * w
+            var x = 0
+            while (x < w - 1) {
+              tv += math.abs((px(base + x + 1) & 0xff) - (px(base + x) & 0xff)); x += 1
+            }
+            y += 1
+          }
+          y = 0
+          while (y < h - 1) {
+            val b0 = y * w; val b1 = b0 + w
+            var x = 0
+            while (x < w) {
+              tv += math.abs((px(b1 + x) & 0xff) - (px(b0 + x) & 0xff)); x += 1
+            }
+            y += 1
+          }
+          Row(w, h, tv)
+        }
+      }(enc)
+  }
+
   private def decodedLuma(images: DataFrame): DataFrame = {
     val enc = RowEncoder.encoderFor(zonalDecodeSchema)
     images.select("bytes", "w", "h", "fmt", "phash")

@@ -144,16 +144,29 @@ object Similarity {
     * joins the assignment; the list layout is unchanged.) Approximate
     * (recall gated in SimilaritySpec + the q53 driver bound row).
     */
+  /** @param keep optional ATTRIBUTE FILTER over `points` rows (the FAISS
+    *        IDSelector / filtered-vector-search semantics): the index —
+    *        centroid training AND list assignment — is built over ALL
+    *        points (filter-agnostic, reusable across predicates); the
+    *        predicate drops non-matching candidates INSIDE the probed-list
+    *        scan, before the rank heap, so results are the exact top-k of
+    *        the matching subset within the probed lists. Evaluated once at
+    *        scan time into a boolean that rides the list rows — any
+    *        attribute expression over the input columns works, no second
+    *        pass over the corpus and no id-set join.
+    */
   def ivfTopK(spark: SparkSession, points: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int,
-              nlist: Int = 0, nprobe: Int = 4, lloydRounds: Int = 2): DataFrame = {
+              nlist: Int = 0, nprobe: Int = 4, lloydRounds: Int = 2,
+              keep: Column = lit(true)): DataFrame = {
     // persisted: the index build is inherently multi-pass (seeds + one
     // assignment per Lloyd round + the final list assignment) — cache the
     // quantized vectors once instead of re-scanning parquet per pass, and
     // EXPLICITLY unpersist once the final list assignment has materialized
     // (try/finally): repeated index builds in one long session must not pin
     // executor storage memory waiting for the ContextCleaner.
-    val p = points.select(col(idCol).as("nid"), quantize(col(vecCol)).as("pq"))
+    val p = points.select(col(idCol).as("nid"), quantize(col(vecCol)).as("pq"),
+        keep.as("_keep"))
       .persist()
     try {
       val n = p.count() // also materializes the cache
@@ -165,7 +178,8 @@ object Similarity {
       val lists = withNearestLists(p, "pq", 1, bcFinal)
         .withColumn("pn2", dotQ(col("pq"), col("pq")))
         .localCheckpoint(eager = true) // final assignment runs off the cache NOW
-      ivfRank(lists, ivfProbes(spark, queries, idCol, vecCol, nprobe, bcFinal), k)
+      ivfRank(lists.where(col("_keep")).drop("_keep"),
+        ivfProbes(spark, queries, idCol, vecCol, nprobe, bcFinal), k)
     } finally p.unpersist(blocking = false)
   }
 

@@ -710,6 +710,50 @@ object IcebergLite {
       deletes = Seq.empty, schemaDdl = snap.schemaDdl)
   }
 
+  /** SORT-ORDER REWRITE (Iceberg's `rewrite_data_files` strategy=sort with
+    * a z-order key: `ALTER TABLE … WRITE ORDERED BY` + rewrite): rewrite
+    * ALL current data files clustered on a NEW `_stats` expression —
+    * canonically the Morton z-interleave of (lon, lat), so spatially-near
+    * rows land in the same files and per-file [min,max] z-ranges become
+    * near-disjoint. After the rewrite, a bbox query's `pruneRead` keeps
+    * only the files whose z-range intersects the query's cover cells —
+    * the file-skipping story that makes a 100 TB geo table scannable: the
+    * pruning ratio approaches (query area / table area) instead of 1.
+    *
+    * Differs from [[compact]] (which preserves the EXISTING clustering key
+    * and rewrites only small files): this rewrites everything under a new
+    * key, the one-off layout migration you run when the query pattern
+    * changes. Merge-on-read deletes fold (files are read merged), so the
+    * new snapshot carries zero delete debt. Snapshot isolation and time
+    * travel hold as for every commit; the pre-rewrite layout remains
+    * readable at its own versions until expired.
+    *
+    * One range shuffle of the full table — the unavoidable cost of
+    * re-clustering; `repartitionByRange` samples the new key so output
+    * files are equal-sized even under skew (a hot city doesn't produce
+    * one giant file). Returns the new version.
+    */
+  def rewriteClustered(spark: SparkSession, dir: String, statsCol: Column,
+                       targetFileRows: Long = 1L << 20): Int = {
+    val cur = currentVersion(dir)
+    require(cur > 0, s"no snapshots in $dir")
+    val snap = snapshot(dir, cur)
+    if (snap.files.isEmpty) return cur
+    val batch = java.util.UUID.randomUUID().toString.take(8)
+    val dataDir = s"$dir/data/$batch"
+    val reclustered = mergedRead(spark, snap, snap.files)
+      .drop("_stats").withColumn("_stats", statsCol)
+    val totalRows = snap.files.map(_.rows).sum // pre-delete upper bound
+    val outFiles = math.max(1L, (totalRows + targetFileRows - 1) / targetFileRows).toInt
+    val next = nextVersion(dir)
+    reclustered
+      .repartitionByRange(outFiles, col("_stats"))
+      .sortWithinPartitions(col("_stats"))
+      .write.mode("error").parquet(dataDir)
+    commitSnapshot(dir, cur, next, footerStats(spark, dataDir, next),
+      deletes = Seq.empty, schemaDdl = snap.schemaDdl)
+  }
+
   /** SCHEMA EVOLUTION: add a nullable column — a METADATA-ONLY commit (no
     * data file touched, Iceberg's `ALTER TABLE … ADD COLUMN`). Existing
     * files read back with the column null-backfilled (the parquet reader
@@ -856,6 +900,46 @@ object IcebergLite {
     val added = toSnap.files.filter(f => !fromFiles.contains(norm(f.path)))
     if (added.isEmpty) emptyLike(spark, toSnap).drop("_stats")
     else readFiles(spark, toSnap, added).drop("_stats")
+  }
+
+  /** INCREMENTAL TABLE-TO-TABLE SYNC (Iceberg's streaming read —
+    * `spark.readStream.format("iceberg")` — composed with the exactly-once
+    * sink): consume the SOURCE table's append log into the DESTINATION
+    * table, exactly once, with the destination's own stream-marker map as
+    * the checkpoint — batchId = the source version this sync consumed,
+    * committed INSIDE the destination snapshot, so there is no separate
+    * checkpoint store and no crash window (the marker and the rows land in
+    * one atomic commit; a replay reads the marker and no-ops).
+    *
+    * First call BOOTSTRAPS: the full source snapshot (merge-on-read
+    * deletes applied) — Iceberg's initial-snapshot semantics. Later calls
+    * ship only the files APPENDED since the last consumed version via
+    * [[readChanges]], which RAISES if the window contains a rewrite or a
+    * new MoR delete — the consumer must re-bootstrap or the producer must
+    * schedule maintenance between sync windows (the Iceberg
+    * streaming-read contract). Schema evolution on the source must be
+    * applied to the destination first ([[addColumn]]); the append aligns
+    * and null-backfills per the destination schema.
+    *
+    * At 100 TB this is the replication/downstream-materialization verb:
+    * each sync moves only the new files' rows (one scan, one write, no
+    * shuffle), and metadata-only source commits advance the checkpoint
+    * with an empty append.
+    *
+    * Returns (destination version, source version consumed); no-op —
+    * nothing new — returns the current pair unchanged.
+    */
+  def syncIncremental(spark: SparkSession, srcDir: String, dstDir: String,
+                      statsCol: Column, name: String): (Int, Long) = {
+    val from = if (currentVersion(dstDir) == 0) -1L else lastStreamBatch(dstDir, name)
+    val to = currentVersion(srcDir)
+    require(to > 0, s"source $srcDir has no snapshots")
+    if (from >= to) return (currentVersion(dstDir), from)
+    val rows =
+      if (from < 1) read(spark, srcDir, asOfVersion = to)
+      else readChanges(spark, srcDir, from.toInt, to)
+    val v = append(spark, dstDir, rows, statsCol, streamMarker = Some((name, to.toLong)))
+    (v, to.toLong)
   }
 
   /** CHANGELOG scan (Iceberg's `create_changelog_view` / CDC shape): every

@@ -310,6 +310,41 @@ class MultimodalSpec extends AnyFunSuite {
     assert(e.getMessage != null)
   }
 
+  test("rasterTv: exact total variation matches the bit->block rule across formats and dims") {
+    import spark.implicits._
+    // a spread of phash patterns: checkerboard-ish, stripes, sparse, dense
+    val rows = Seq(
+      (0xAAAAAAAAAAAAAAAAL, 32, 32, "raw"), (0x00FF00FF00FF00FFL, 64, 32, "png"),
+      (0x0000000000000001L, 96, 64, "webp"), (0x123456789ABCDEF0L, 64, 64, "raw"),
+      (0L, 32, 64, "png"), (-1L, 96, 32, "webp"))
+      .map { case (p, w, h, fmt) =>
+        val px = ImageCodec.pixelsFromHash(p, w, h)
+        val bytes = fmt match {
+          case "png"  => ImageCodec.encodePng(px, w, h)
+          case "webp" => ImageCodec.encodeWebp(px, w, h)
+          case _      => px
+        }
+        (p, bytes, w, h, fmt)
+      }
+    val got = Multimodal.rasterTv(rows.toDF("phash", "bytes", "w", "h", "fmt"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // brute per-pixel TV vs the rule formula, per row
+    rows.foreach { case (p, _, w, h, _) =>
+      val hd = java.lang.Long.bitCount((p ^ (p >>> 1)) & 0x7f7f7f7f7f7f7f7fL)
+      val vd = java.lang.Long.bitCount((p ^ (p >>> 8)) & 0x00ffffffffffffffL)
+      val expect = 150L * (h / 8) * hd + 150L * (w / 8) * vd
+      // brute force directly on the pixels as an independent check
+      val px = ImageCodec.pixelsFromHash(p, w, h)
+      var tv = 0L
+      for (y <- 0 until h; x <- 0 until w - 1)
+        tv += math.abs((px(y * w + x + 1) & 0xff) - (px(y * w + x) & 0xff))
+      for (y <- 0 until h - 1; x <- 0 until w)
+        tv += math.abs((px((y + 1) * w + x) & 0xff) - (px(y * w + x) & 0xff))
+      assert(tv === expect, s"rule formula wrong for phash $p ${w}x$h")
+      assert(got((w, h)) === expect, s"kernel wrong for ${w}x$h")
+    }
+  }
+
   test("bmp and gif decode are real and lossless for gray fixtures") {
     val px = ImageCodec.pixelsFromHash(0xBEEF_CAFEL, 64, 64)
     assert(ImageCodec.decode(ImageCodec.encodeBmp(px, 64, 64), "bmp", 64, 64)

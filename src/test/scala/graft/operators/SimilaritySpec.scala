@@ -78,6 +78,26 @@ class SimilaritySpec extends AnyFunSuite {
     assert(mean >= 0.8, s"mean recall $mean, per-query $recalls")
   }
 
+  test("filtered IVF (IDSelector): exhaustive probe == brute filtered top-k; filter is exact") {
+    val pred = col("vec_id") % 3 === 1
+    // nlist=10, nprobe=10 = every list probed -> result must EQUAL the
+    // exact top-k over the filtered corpus (candidate coverage is total)
+    val ann = Similarity.ivfTopK(spark, df, queries, "vec_id", "embedding",
+      k = 5, nlist = 10, nprobe = 10, lloydRounds = 2, keep = pred)
+    val rows = ann.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.forall { case (_, nid, _) => nid % 3 == 1 }, "filter must be exact")
+    val exact = Similarity.topKL2(df.where(pred), queries, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows.toSet === exact, "exhaustive filtered probe must equal filtered brute force")
+    // keep = lit(true) degenerates to the unfiltered path
+    val unf = Similarity.ivfTopK(spark, df, queries, "vec_id", "embedding",
+      k = 5, nlist = 10, nprobe = 10, lloydRounds = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactAll = Similarity.topKL2(df, queries, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(unf === exactAll)
+  }
+
   test("persisted IVF index: query equals the one-shot path; probed-list partition pruning is real") {
     val dir = java.nio.file.Files.createTempDirectory("ivf_index").toString
     val numLists = Similarity.ivfBuildSave(spark, df, "vec_id", "embedding", dir,

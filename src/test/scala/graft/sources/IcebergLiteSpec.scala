@@ -170,6 +170,85 @@ class IcebergLiteSpec extends AnyFunSuite {
     assert(got.getLong(2) < 1000L)
   }
 
+  test("rewriteClustered: z-order sort rewrite turns zero-skip layouts into pruned scans; deletes fold") {
+    val dir = Files.createTempDirectory("iclite_zorder").toString
+    val z = 8
+    val cellCol = graft.functions.GraftFunctions.zcell(col("lonm"), col("latm"), z)
+    // 4000 points on a lon/lat lattice spanning the world, ingested
+    // ROUND-ROBIN so every file's z-range spans ~everything
+    val world = (0L until 4000L).map { i =>
+      (i, (i % 80) * 4000000L - 160000000L, (i / 80) * 3000000L - 75000000L)
+    }.toDF("id", "lonm", "latm").repartition(8)
+    IcebergLite.append(spark, dir, world, cellCol)
+    // a city-sized query bbox: cover cells at the same z level
+    val qcells = ZGrid.bboxCells(z, graft.core.BBoxM(10000000L, 5000000L, 60000000L, 40000000L))
+      .map { case (x, y) => graft.core.Morton.encode(x, y) }.toSet
+    val (_, kept0, total0) = IcebergLite.pruneRead(spark, dir, qcells)
+    assert(total0 === 8 && kept0 === total0, "scattered layout must skip nothing")
+    // delete debt before the rewrite: the fold must apply it
+    IcebergLite.deleteWhereMoR(spark, dir, col("id") % 100 === 7L, "id")
+    val v = IcebergLite.rewriteClustered(spark, dir, cellCol, targetFileRows = 500L)
+    val snap = IcebergLite.snapshot(dir, v)
+    assert(snap.deletes.isEmpty, "rewrite must fold MoR delete debt")
+    assert(snap.files.size === 8, "4000 rows / 500 target = 8 files")
+    // rows identical to the logical table (4000 minus the 40 deleted)
+    val ids = IcebergLite.read(spark, dir).select("id").collect().map(_.getLong(0)).toSet
+    assert(ids === (0L until 4000L).filterNot(_ % 100 === 7L).toSet)
+    // the same query now skips most files
+    val (scan, kept1, total1) = IcebergLite.pruneRead(spark, dir, qcells)
+    assert(total1 === 8 && kept1 <= 3, s"z-ordered layout must prune (kept=$kept1)")
+    // pruned scan + exact filter == brute filter over the full table
+    val exact = scan.where(col("lonm").between(10000000L, 60000000L) &&
+                           col("latm").between(5000000L, 40000000L))
+      .select("id").collect().map(_.getLong(0)).toSet
+    val brute = IcebergLite.read(spark, dir)
+      .where(col("lonm").between(10000000L, 60000000L) &&
+             col("latm").between(5000000L, 40000000L))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(exact === brute && exact.nonEmpty)
+    // time travel still sees the pre-rewrite layout
+    assert(IcebergLite.snapshot(dir, 1).files.size === 8)
+    assert(IcebergLite.read(spark, dir, asOfVersion = 1).count() === 4000)
+  }
+
+  test("syncIncremental: bootstrap, exactly-once replay, append-only increments, rewrite raises") {
+    val src = Files.createTempDirectory("iclite_sync_src").toString
+    val dst = Files.createTempDirectory("iclite_sync_dst").toString
+    val key = expr("lonm")
+    IcebergLite.append(spark, src, pts(0, 100), key)
+    IcebergLite.append(spark, src, pts(100, 50), key)
+    // bootstrap: full source snapshot, marker = consumed src version
+    val (dv1, sv1) = IcebergLite.syncIncremental(spark, src, dst, key, "rep")
+    assert(dv1 === 1 && sv1 === 2L)
+    assert(IcebergLite.read(spark, dst).count() === 150)
+    assert(IcebergLite.lastStreamBatch(dst, "rep") === 2L)
+    // replay (crash-recovery double call): provable no-op
+    val (dv2, sv2) = IcebergLite.syncIncremental(spark, src, dst, key, "rep")
+    assert(dv2 === 1 && sv2 === 2L)
+    assert(IcebergLite.read(spark, dst).count() === 150)
+    // increment ships only the new files' rows
+    IcebergLite.append(spark, src, pts(150, 25), key)
+    val (dv3, sv3) = IcebergLite.syncIncremental(spark, src, dst, key, "rep")
+    assert(dv3 === 2 && sv3 === 3L)
+    assert(IcebergLite.read(spark, dst).count() === 175)
+    assert(IcebergLite.read(spark, dst).select("id").distinct().count() === 175)
+    // two independent consumers keep independent checkpoints on their own dst
+    val dst2 = Files.createTempDirectory("iclite_sync_dst2").toString
+    IcebergLite.syncIncremental(spark, src, dst2, key, "rep")
+    assert(IcebergLite.read(spark, dst2).count() === 175)
+    // a rewrite window (compact) breaks append-only incremental: must raise
+    IcebergLite.append(spark, src, pts(200, 10), key)
+    IcebergLite.compact(spark, src, targetFileRows = 1000L)
+    val e = intercept[IllegalArgumentException] {
+      IcebergLite.syncIncremental(spark, src, dst, key, "rep")
+    }
+    assert(e.getMessage.contains("non-append"))
+    // bootstrap of a FRESH consumer still works post-compact (full read)
+    val dst3 = Files.createTempDirectory("iclite_sync_dst3").toString
+    IcebergLite.syncIncremental(spark, src, dst3, key, "rep")
+    assert(IcebergLite.read(spark, dst3).count() === 185)
+  }
+
   test("readChanges: added-file rows between snapshots; raises across rewrites") {
     val dir = Files.createTempDirectory("iclite_chg").toString
     val key = expr("lonm")
