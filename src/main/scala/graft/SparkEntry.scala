@@ -464,6 +464,45 @@ object SparkEntry {
       graft.sources.IcebergLite.read(s, dst)
         .select("c_custkey", "lonm", "latm").orderBy("c_custkey")
     }),
+    // ---- A1 CDC MIRROR: full replication incl. MoR deletes, applied IN
+    //      VERSION ORDER (delete-then-re-append must survive — a naive
+    //      all-inserts-then-all-deletes replay fails this exact workload).
+    //      Bootstrap after v1, then the walk applies append/delete/append/
+    //      delete/re-append; mirror read == source read == oracle.
+    "q7s_cdc_mirror" -> ((s, dir) => {
+      val src = java.nio.file.Files.createTempDirectory("graft_iclite_q7s_src").toString
+      val dst = java.nio.file.Files.createTempDirectory("graft_iclite_q7s_dst").toString
+      val pts = customerPts(s, dir)
+      val key = graft.functions.GraftFunctions.zcell(col("lonm"), col("latm"), 12)
+      val I = graft.sources.IcebergLite
+      I.append(s, src, pts.where(col("c_custkey") % 2 === 1), key)      // v1 odds
+      I.syncCdcMirror(s, src, dst, key, "cdc")                          // bootstrap
+      I.deleteWhereMoR(s, src, col("c_custkey") % 10 === 1, "c_custkey") // v2
+      I.append(s, src, pts.where(col("c_custkey") % 2 === 0), key)      // v3 evens
+      I.deleteWhereMoR(s, src, col("c_custkey") % 10 === 2, "c_custkey") // v4
+      I.append(s, src, pts.where(col("c_custkey") % 10 === 1), key)     // v5 re-append
+      I.syncCdcMirror(s, src, dst, key, "cdc")                          // walk v2..v5
+      I.syncCdcMirror(s, src, dst, key, "cdc")                          // replay no-op
+      I.read(s, dst).select("c_custkey", "lonm").orderBy("c_custkey")
+    }),
+    // ---- C2/H4 dissolve: UNION area of overlapping footprints per zone
+    //      (clipAreaJoin's sum double-counts overlap; "built-up area per
+    //      district" needs the union). Zone-clip → disjoint-cell tiling
+    //      (union area additive across cells) → per-(zone,cell) strip
+    //      sweep → one sum. Oracle: an independent DuckDB derivation —
+    //      per-zone strip decomposition with window-function
+    //      gaps-and-islands y-interval union.
+    "q7r_union_area" -> ((s, dir) => {
+      val k = col("c_custkey")
+      val feats = s.read.parquet(s"$dir/customer.parquet").select(
+        (Derive.lonMicro(k) - (k * 6101L) % 1500001L).as("flo"),
+        (Derive.latMicro(k) - (k * 9203L) % 1500001L).as("fla"),
+        (Derive.lonMicro(k) + (k * 6101L) % 1500001L).as("fhi"),
+        (Derive.latMicro(k) + (k * 9203L) % 1500001L).as("fha"))
+      SpatialJoin.unionAreaJoin(s, feats, col("flo"), col("fla"),
+          col("fhi"), col("fha"), Derive.rects.toSeq)
+        .orderBy("poly_id")
+    }),
     // ---- FILTERED vector search (FAISS IDSelector semantics): the index
     //      is built filter-agnostic over the whole corpus; an attribute
     //      predicate drops candidates inside the probed-list scan, before
@@ -2016,6 +2055,43 @@ object SparkEntry {
     "q7q_ivf_filtered" ->
       """SELECT count(*) AS n_queries, TRUE AS recall_ok
         |FROM embeddings WHERE vec_id % 100 = 0""".stripMargin,
+    "q7s_cdc_mirror" ->
+      s"""SELECT c_custkey, ${Derive.lonSql("c_custkey")} AS lonm
+         |FROM customer
+         |WHERE c_custkey % 2 = 1
+         |   OR (c_custkey % 2 = 0 AND c_custkey % 10 <> 2)
+         |ORDER BY c_custkey""".stripMargin,
+    "q7r_union_area" ->
+      s"""WITH f AS (SELECT
+         |  ${Derive.lonSql("c_custkey")} - (c_custkey * 6101) % 1500001 AS flo,
+         |  ${Derive.latSql("c_custkey")} - (c_custkey * 9203) % 1500001 AS fla,
+         |  ${Derive.lonSql("c_custkey")} + (c_custkey * 6101) % 1500001 AS fhi,
+         |  ${Derive.latSql("c_custkey")} + (c_custkey * 9203) % 1500001 AS fha
+         |  FROM customer),
+         |p AS (SELECT r.poly_id,
+         |    GREATEST(f.flo, r.lon_min) AS xlo, GREATEST(f.fla, r.lat_min) AS ylo,
+         |    LEAST(f.fhi, r.lon_max) AS xhi, LEAST(f.fha, r.lat_max) AS yhi
+         |  FROM f JOIN ${Derive.rectsSqlValues}
+         |  ON f.flo < r.lon_max AND f.fhi > r.lon_min
+         |  AND f.fla < r.lat_max AND f.fha > r.lat_min),
+         |xs AS (SELECT DISTINCT poly_id, x FROM
+         |  (SELECT poly_id, xlo AS x FROM p UNION ALL SELECT poly_id, xhi FROM p)),
+         |strips AS (SELECT poly_id, x AS x0,
+         |    lead(x) OVER (PARTITION BY poly_id ORDER BY x) AS x1 FROM xs),
+         |cover AS (SELECT s.poly_id, s.x0, s.x1, p.ylo, p.yhi
+         |  FROM strips s JOIN p ON p.poly_id = s.poly_id
+         |  AND p.xlo <= s.x0 AND p.xhi >= s.x1 WHERE s.x1 IS NOT NULL),
+         |marked AS (SELECT *, CASE WHEN ylo > coalesce(max(yhi) OVER
+         |    (PARTITION BY poly_id, x0 ORDER BY ylo, yhi
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), ylo - 1)
+         |  THEN 1 ELSE 0 END AS ni FROM cover),
+         |grp AS (SELECT *, sum(ni) OVER
+         |    (PARTITION BY poly_id, x0 ORDER BY ylo, yhi) AS g FROM marked),
+         |isl AS (SELECT poly_id, x0, min(x1) AS x1, g,
+         |    min(ylo) AS lo, max(yhi) AS hi
+         |  FROM grp GROUP BY poly_id, x0, g)
+         |SELECT poly_id, CAST(sum((x1 - x0) * (hi - lo)) AS BIGINT) AS union_area
+         |FROM isl GROUP BY poly_id ORDER BY poly_id""".stripMargin,
     "q7o_raster_tv" -> {
       // exact TV from the bit→block rule: horizontally-adjacent differing
       // bits (k, k+1 same block row) each contribute 150·(h/8) px pairs,

@@ -696,4 +696,106 @@ object SpatialJoin {
       .toDF("poly_id", "tile_z", "tile_x", "tile_y", "clipped_wkb", "clip_dim",
         "clip_lon_min", "clip_lat_min", "clip_lon_max", "clip_lat_max")
   }
+
+  /** Area of the UNION of axis-aligned features per rect zone — the
+    * "dissolve, then measure" composition: overlapping footprints are
+    * counted ONCE (clipAreaJoin's per-pair sum double-counts overlap; a
+    * real "built-up area per district" needs the union). Coordinates are
+    * HALF-OPEN intervals: a feature (xlo,ylo,xhi,yhi) covers
+    * [xlo,xhi)×[ylo,yhi) — so abutting rects neither overlap nor gap, and
+    * area = Σ strip-width × covered-y-length exactly in int64 µdeg².
+    *
+    * Plan — union area made ADDITIVE, then embarrassingly parallel:
+    *   1. broadcast the (dim-sized) zone list; clip each feature to each
+    *      intersecting zone (strict-inequality join ⇒ clipped width/height
+    *      > 0 by construction);
+    *   2. explode each clipped rect onto the disjoint `cellSize` grid and
+    *      clip to the cell: grid cells partition the plane, so
+    *      union-area(zone) = Σ_cells union-area(zone ∩ cell) EXACTLY —
+    *      this is what keeps the sweep local: no group ever holds more
+    *      than one cell's density, a metropolis of 10⁹ footprints becomes
+    *      many bounded (zone, cell) groups instead of one giant sort;
+    *   3. per (zone, cell): classic strip sweep (distinct x edges; per
+    *      strip, gaps-and-islands union of y intervals) in one
+    *      `mapGroups` — exact int64, O(strips × actives) within the cell;
+    *   4. one hash aggregate sums cells per zone.
+    *
+    * Shuffle inventory: one exchange for the (zone, cell) grouping (rows =
+    * clipped-rect × small cell fan-out), one for the final per-zone sum.
+    */
+  def unionAreaJoin(spark: SparkSession, feats: DataFrame,
+                    xlo: Column, ylo: Column, xhi: Column, yhi: Column,
+                    zones: Seq[(String, Long, Long, Long, Long)],
+                    cellSize: Long = 2000000L): DataFrame = {
+    require(zones.nonEmpty, "unionAreaJoin needs at least one zone")
+    require(cellSize > 0, "cellSize must be positive")
+    import spark.implicits._
+    val OFF = 180000000L // domain offset so `div` == floor on negatives
+    val zdf = broadcast(zones.toDF("poly_id", "zlo", "zla", "zhi", "zha"))
+    val f = feats.select(xlo.as("xlo"), ylo.as("ylo"), xhi.as("xhi"), yhi.as("yhi"))
+      .where(col("xlo") < col("xhi") && col("ylo") < col("yhi"))
+    val clipped = f.join(zdf,
+        col("xlo") < col("zhi") && col("xhi") > col("zlo") &&
+        col("ylo") < col("zha") && col("yhi") > col("zla"))
+      .select(col("poly_id"),
+        greatest(col("xlo"), col("zlo")).as("cxlo"),
+        greatest(col("ylo"), col("zla")).as("cylo"),
+        least(col("xhi"), col("zhi")).as("cxhi"),
+        least(col("yhi"), col("zha")).as("cyhi"))
+    val perCell = clipped
+      .withColumn("cx", explode(sequence(
+        expr(s"(cxlo + $OFF) div $cellSize"), expr(s"(cxhi - 1 + $OFF) div $cellSize"))))
+      .withColumn("cy", explode(sequence(
+        expr(s"(cylo + $OFF) div $cellSize"), expr(s"(cyhi - 1 + $OFF) div $cellSize"))))
+      .select(col("poly_id"), (col("cx") * 1073741824L + col("cy")).as("cell"),
+        greatest(col("cxlo"), col("cx") * cellSize - OFF).as("rxlo"),
+        greatest(col("cylo"), col("cy") * cellSize - OFF).as("rylo"),
+        least(col("cxhi"), (col("cx") + 1) * cellSize - OFF).as("rxhi"),
+        least(col("cyhi"), (col("cy") + 1) * cellSize - OFF).as("ryhi"))
+      .as[(String, Long, Long, Long, Long, Long)]
+    perCell.groupByKey(t => (t._1, t._2))
+      .mapGroups { (key: (String, Long),
+                    it: Iterator[(String, Long, Long, Long, Long, Long)]) =>
+        val rs = it.map(t => (t._3, t._4, t._5, t._6)).toArray
+        (key._1, sweepUnionArea(rs))
+      }
+      .toDF("poly_id", "cell_area")
+      .groupBy("poly_id").agg(sum("cell_area").as("union_area"))
+  }
+
+  /** Exact union area of half-open rects by strip sweep (driver of the
+    * per-(zone, cell) group kernel): distinct x edges → strips; per strip,
+    * covered y-length = gaps-and-islands over the active rects' y
+    * intervals. int64 throughout.
+    */
+  private[operators] def sweepUnionArea(rs: Array[(Long, Long, Long, Long)]): Long = {
+    if (rs.isEmpty) return 0L
+    val xs = {
+      val b = Array.newBuilder[Long]
+      rs.foreach { r => b += r._1; b += r._3 }
+      b.result().distinct.sorted
+    }
+    var area = 0L
+    var i = 0
+    while (i < xs.length - 1) {
+      val x0 = xs(i); val x1 = xs(i + 1)
+      val ys = rs.iterator.filter(r => r._1 <= x0 && r._3 >= x1)
+        .map(r => (r._2, r._4)).toArray.sorted
+      if (ys.nonEmpty) {
+        var cov = 0L
+        var curLo = ys(0)._1; var curHi = ys(0)._2
+        var j = 1
+        while (j < ys.length) {
+          val (lo, hi) = ys(j)
+          if (lo > curHi) { cov += curHi - curLo; curLo = lo; curHi = hi }
+          else if (hi > curHi) curHi = hi
+          j += 1
+        }
+        cov += curHi - curLo
+        area += (x1 - x0) * cov
+      }
+      i += 1
+    }
+    area
+  }
 }

@@ -551,6 +551,126 @@ object IcebergLite {
       deletes = snap.deletes ++ entries, schemaDdl = snap.schemaDdl)
   }
 
+  /** MERGE-ON-READ delete from an EXPLICIT key set — the apply-side verb
+    * of CDC replication ([[syncCdcMirror]]) and of any upstream system
+    * that already knows the keys to kill (a GDPR erasure feed, a spam-id
+    * list): write the keys as a delete file and commit — O(|keys|), ZERO
+    * scans of the table (deleteWhereMoR must scan to match a predicate;
+    * here the caller IS the matcher). Keys absent from the table are
+    * harmless (the anti-merge removes nothing). Sequence semantics as
+    * always: only files with seq < this commit are affected, so rows
+    * re-appended later survive. Returns the new version; empty key sets
+    * commit nothing unless a stream marker must advance.
+    */
+  def deleteKeysMoR(spark: SparkSession, dir: String, keys: DataFrame,
+                    key: String,
+                    streamMarker: Option[(String, Long)] = None): Int = {
+    val cur = currentVersion(dir)
+    require(cur > 0, s"no snapshots in $dir")
+    val snap = snapshot(dir, cur)
+    val batch = java.util.UUID.randomUUID().toString.take(8)
+    val delDir = s"$dir/deletes/$batch"
+    keys.select(col(keys.columns.head).as(key)).distinct()
+      .write.mode("error").parquet(delDir)
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(delDir)
+    val fs = p.getFileSystem(conf)
+    val delFiles = fs.listStatus(p).toSeq
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val rowsByFile = spark.read.parquet(delDir)
+      .groupBy(input_file_name().as("_f")).count()
+      .collect().map(r => norm(r.getString(0)) -> r.getLong(1)).toMap
+    val next = nextVersion(dir)
+    val entries = delFiles.flatMap { f =>
+      val path = f.getPath.toUri.getPath
+      val n = rowsByFile.getOrElse(norm(path), 0L)
+      if (n > 0) Some(DeleteEntry(path, n, key, next)) else None
+    }
+    if (entries.isEmpty && streamMarker.isEmpty) return cur
+    commitSnapshot(dir, cur, next, snap.files,
+      deletes = snap.deletes ++ entries, schemaDdl = snap.schemaDdl,
+      streamMarker = streamMarker)
+  }
+
+  /** CDC MIRROR — full replication of a source table INCLUDING
+    * merge-on-read deletes and add-column schema evolution (the
+    * "downstream replica" composition [[syncIncremental]] can't cover:
+    * that verb is append-only). Walks the source versions
+    * (lastApplied, current] IN ORDER and applies each commit's effect:
+    *   - appended files → [[append]] of exactly those rows;
+    *   - equality-delete generations → [[deleteKeysMoR]] from the delete
+    *     file's key set — O(|keys|), no mirror scan; the mirror's own
+    *     sequence numbers reproduce the source semantics (a row deleted
+    *     at v then re-appended at v' > v SURVIVES, because the mirror
+    *     delete commits before the mirror append — the ordering a naive
+    *     all-inserts-then-all-deletes replay gets wrong);
+    *   - schema DDL changes → [[addColumn]] for each new field
+    *     (idempotent: skipped if the mirror already has it).
+    * Exactly-once: the applied source version is the stream marker INSIDE
+    * each mirror commit; a crashed window resumes at the first unapplied
+    * version, and replays no-op. First call bootstraps the full source
+    * snapshot. RAISES on CoW rewrites (deleteWhere/merge/compact), on
+    * position-delete generations (their (file, pos) coordinates name
+    * SOURCE files — meaningless in the mirror; Iceberg CDC has the same
+    * caveat), and on rollback windows — schedule mirror syncs before
+    * maintenance, or re-bootstrap a fresh mirror.
+    */
+  def syncCdcMirror(spark: SparkSession, srcDir: String, dstDir: String,
+                    statsCol: Column, name: String): (Int, Long) = {
+    val from = if (currentVersion(dstDir) == 0) -1L else lastStreamBatch(dstDir, name)
+    val to = currentVersion(srcDir)
+    require(to > 0, s"source $srcDir has no snapshots")
+    if (from >= to) return (currentVersion(dstDir), from)
+    if (from < 1) {
+      val v = append(spark, dstDir, read(spark, srcDir, asOfVersion = to),
+        statsCol, streamMarker = Some((name, to.toLong)))
+      return (v, to.toLong)
+    }
+    var dstV = currentVersion(dstDir)
+    var v = from.toInt + 1
+    while (v <= to) {
+      val sv = snapshot(srcDir, v)
+      val pv = snapshot(srcDir, v - 1)
+      val prevPaths = pv.files.map(f => norm(f.path)).toSet
+      val removed = prevPaths -- sv.files.map(f => norm(f.path)).toSet
+      require(removed.isEmpty,
+        s"source v$v rewrites/removes ${removed.size} file(s) — CDC mirror is " +
+          "only defined over append/MoR-delete commits; re-bootstrap the mirror")
+      // schema evolution first: files added at v may carry the new column
+      if (sv.schemaDdl != pv.schemaDdl) {
+        val dstSchema = StructType.fromDDL(snapshot(dstDir, currentVersion(dstDir))
+          .schemaDdl.getOrElse(""))
+        sv.schemaDdl.map(StructType.fromDDL).foreach { ns =>
+          ns.fields.filter(f => f.name != "_stats" && !dstSchema.fieldNames.contains(f.name))
+            .foreach(f => addColumn(spark, dstDir, f.name, f.dataType.sql))
+        }
+      }
+      val newDeletes = sv.deletes.filter(_.seq == v)
+      require(!newDeletes.exists(_.key == PosDeleteKey),
+        s"source v$v commits a POSITION delete — (file, pos) pairs name source " +
+          "files and cannot be mirrored; fold them (compact) and re-bootstrap")
+      val added = sv.files.filter(f => !prevPaths.contains(norm(f.path)))
+      require(added.isEmpty || newDeletes.isEmpty,
+        s"source v$v both appends and deletes — no table verb produces this; " +
+          "the mirror's per-version marker cannot split one source commit")
+      if (newDeletes.nonEmpty) {
+        newDeletes.foreach { d =>
+          dstV = deleteKeysMoR(spark, dstDir,
+            spark.read.parquet(d.path).toDF(d.key), d.key,
+            streamMarker = Some((name, v.toLong)))
+        }
+      } else if (added.nonEmpty) {
+        dstV = append(spark, dstDir, readChanges(spark, srcDir, v - 1, v),
+          statsCol, streamMarker = Some((name, v.toLong)))
+      }
+      // metadata-only commits (pure schema change): nothing to apply; the
+      // marker advances with the next data commit, and re-walking them on
+      // resume is a deterministic no-op
+      v += 1
+    }
+    (dstV, to.toLong)
+  }
+
   /** Reserved `DeleteEntry.key` marker for POSITION delete files (the
     * second Iceberg v2 delete-file kind). Rows are `(file_path, pos)`
     * pairs naming deleted rows by physical location; `#` cannot appear in
@@ -1235,6 +1355,31 @@ object IcebergLite {
     val df = if (kept.isEmpty) emptyLike(spark, snap).drop("_stats")
     else mergedRead(spark, snap, kept).drop("_stats")
     (df, kept.size, all.size)
+  }
+
+  /** Region read — the user-facing "only this bbox" verb: manifest
+    * pruning on the z-order stats key (cover cells at `level` must match
+    * the level the table's `_stats` zcell was computed at), then the
+    * exact bbox filter on the named micro-degree columns. After a
+    * [[rewriteClustered]] on the same z-key this opens only the files
+    * whose z-range meets the bbox — the Iceberg scan-filter push-down
+    * shape. Returns (DataFrame, files kept, files total) so callers can
+    * assert/monitor the skip ratio.
+    */
+  def readBbox(spark: SparkSession, dir: String, bbox: graft.core.BBoxM,
+               level: Int, lonCol: String, latCol: String,
+               asOfVersion: Int = -1): (DataFrame, Int, Int) = {
+    val cells = graft.core.Seam.bboxCells(level, bbox)
+      .map { case (x, y) => graft.core.Morton.encode(x, y) }.toSet
+    val (df, kept, total) = pruneRead(spark, dir, cells, asOfVersion)
+    // seam-crossing bbox (lonMin > lonMax): the in-world lon test is an OR
+    val lonPred =
+      if (graft.core.Seam.crosses(bbox))
+        col(lonCol) >= bbox.lonMin || col(lonCol) <= bbox.lonMax
+      else col(lonCol) >= bbox.lonMin && col(lonCol) <= bbox.lonMax
+    val exact = df.where(lonPred &&
+      col(latCol) >= bbox.latMin && col(latCol) <= bbox.latMax)
+    (exact, kept, total)
   }
 
   private def writeAtomic(target: Path, content: String): Unit = {

@@ -249,6 +249,87 @@ class IcebergLiteSpec extends AnyFunSuite {
     assert(IcebergLite.read(spark, dst3).count() === 185)
   }
 
+  test("readBbox: pruned region read == full-scan filter, incl. a seam-crossing bbox") {
+    val dir = Files.createTempDirectory("iclite_bbox").toString
+    val z = 8
+    val cellCol = graft.functions.GraftFunctions.zcell(col("lonm"), col("latm"), z)
+    val world = (0L until 3000L).map { i =>
+      (i, (i % 75) * 4000000L - 150000000L, (i / 75) * 3000000L - 60000000L)
+    }.toDF("id", "lonm", "latm")
+    IcebergLite.append(spark, dir, world, cellCol)
+    IcebergLite.rewriteClustered(spark, dir, cellCol, targetFileRows = 400L)
+    val bbox = graft.core.BBoxM(20000000L, 10000000L, 70000000L, 45000000L)
+    val (df, kept, total) = IcebergLite.readBbox(spark, dir, bbox, z, "lonm", "latm")
+    assert(kept < total, s"region read must skip files (kept=$kept of $total)")
+    val brute = IcebergLite.read(spark, dir)
+      .where(col("lonm").between(20000000L, 70000000L) &&
+             col("latm").between(10000000L, 45000000L))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(df.select("id").collect().map(_.getLong(0)).toSet === brute && brute.nonEmpty)
+    // seam-crossing: lonMin > lonMax reads both world edges
+    val seam = graft.core.BBoxM(140000000L, 0L, -140000000L, 30000000L)
+    val (sdf, _, _) = IcebergLite.readBbox(spark, dir, seam, z, "lonm", "latm")
+    val sBrute = IcebergLite.read(spark, dir)
+      .where((col("lonm") >= 140000000L || col("lonm") <= -140000000L) &&
+             col("latm").between(0L, 30000000L))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(sdf.select("id").collect().map(_.getLong(0)).toSet === sBrute && sBrute.nonEmpty)
+  }
+
+  test("syncCdcMirror: ordered delete/re-append replication, schema evolution, replay, raises") {
+    val src = Files.createTempDirectory("iclite_cdcm_src").toString
+    val dst = Files.createTempDirectory("iclite_cdcm_dst").toString
+    val key = expr("lonm")
+    IcebergLite.append(spark, src, pts(0, 100), key) // v1
+    IcebergLite.syncCdcMirror(spark, src, dst, key, "cdc") // bootstrap
+    assert(IcebergLite.read(spark, dst).count() === 100)
+    IcebergLite.deleteWhereMoR(spark, src, col("id") % 10 === 7L, "id") // v2
+    IcebergLite.append(spark, src, pts(100, 50), key)                  // v3
+    IcebergLite.addColumn(spark, src, "flag", "BIGINT")                // v4
+    IcebergLite.append(spark, src, pts(150, 10), key)                  // v5 (flag null)
+    // v6: RE-APPEND the ids v2 deleted — the ordering case a naive
+    // all-inserts-then-all-deletes replay gets wrong
+    IcebergLite.append(spark, src,
+      (0L until 100L).filter(_ % 10 == 7L)
+        .map(i => (i, i * 1000000L - 170000000L, (i % 160) * 1000000L - 80000000L))
+        .toDF("id", "lonm", "latm"), key)
+    val (dv, sv) = IcebergLite.syncCdcMirror(spark, src, dst, key, "cdc")
+    assert(sv === 6L)
+    val got = IcebergLite.read(spark, dst)
+    // all 160 ids present (deleted ids restored by the ordered re-append)
+    assert(got.select("id").collect().map(_.getLong(0)).toSet === (0L until 160L).toSet)
+    // schema evolution propagated; old rows read the new column as null
+    assert(got.columns.contains("flag"))
+    assert(got.where(col("flag").isNotNull).count() === 0)
+    // mirror == source, row for row
+    val s0 = IcebergLite.read(spark, src).select("id", "lonm", "flag")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val d0 = got.select("id", "lonm", "flag")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(d0 === s0)
+    // replay: provable no-op
+    val before = IcebergLite.currentVersion(dst)
+    assert(IcebergLite.syncCdcMirror(spark, src, dst, key, "cdc")._1 === before)
+    assert(IcebergLite.currentVersion(dst) === before)
+    // position deletes cannot be mirrored — raise with the caveat
+    IcebergLite.deleteWhereMoRPos(spark, src, col("id") === 0L) // v7
+    val e = intercept[IllegalArgumentException] {
+      IcebergLite.syncCdcMirror(spark, src, dst, key, "cdc")
+    }
+    assert(e.getMessage.contains("POSITION"))
+    // CoW rewrite windows raise too (fresh mirror, compact on source)
+    val src2 = Files.createTempDirectory("iclite_cdcm_src2").toString
+    val dst2 = Files.createTempDirectory("iclite_cdcm_dst2").toString
+    IcebergLite.append(spark, src2, pts(0, 10), key)
+    IcebergLite.syncCdcMirror(spark, src2, dst2, key, "cdc")
+    IcebergLite.append(spark, src2, pts(10, 10), key)
+    IcebergLite.compact(spark, src2, targetFileRows = 100L)
+    val e2 = intercept[IllegalArgumentException] {
+      IcebergLite.syncCdcMirror(spark, src2, dst2, key, "cdc")
+    }
+    assert(e2.getMessage.contains("rewrites"))
+  }
+
   test("readChanges: added-file rows between snapshots; raises across rewrites") {
     val dir = Files.createTempDirectory("iclite_chg").toString
     val key = expr("lonm")
