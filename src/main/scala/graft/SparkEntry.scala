@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.api.Reducer
 import graft.fixtures.Fixtures
 import graft.functions.GraftFunctions._
-import graft.operators.{Dbscan, Dedup, Knn, Similarity, SpatialJoin, TextAnalysis}
+import graft.operators.{Dbscan, Dedup, Knn, MapMatch, Similarity, SpatialJoin, TextAnalysis}
 import graft.oracle.{Derive, TextOracle}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -502,6 +502,24 @@ object SparkEntry {
       SpatialJoin.unionAreaJoin(s, feats, col("flo"), col("fla"),
           col("fhi"), col("fha"), Derive.rects.toSeq)
         .orderBy("poly_id")
+    }),
+    // ---- MAP MATCHING: snap each point to its nearest segment within a
+    //      radius ("attach a GPS fix / photo location to the road
+    //      network"). Candidates via radius-expanded segment cover cells —
+    //      no broadcast, no all-pairs; the per-pair point-to-segment kernel
+    //      is a fixed IEEE double chain the oracle reproduces bit-for-bit;
+    //      argmin = min(struct(⌊d²⌋, seg_id)) with the id tie-break.
+    "q7t_map_match" -> ((s, dir) => {
+      val k = col("o_orderkey")
+      val segs = s.read.parquet(s"$dir/orders.parquet").select(k.as("sid"),
+        Derive.lonMicro(k).as("x1"), Derive.latMicro(k).as("y1"),
+        (Derive.lonMicro(k) + (k * 7919L) % 2000001L - 1000000L).as("x2"),
+        (Derive.latMicro(k) + (k * 104729L) % 2000001L - 1000000L).as("y2"))
+      MapMatch.snapToSegments(s, customerPts(s, dir), col("c_custkey"),
+          col("lonm"), col("latm"), segs, col("sid"),
+          col("x1"), col("y1"), col("x2"), col("y2"),
+          radiusMicro = 1500000L, level = 8)
+        .orderBy("qid")
     }),
     // ---- FILTERED vector search (FAISS IDSelector semantics): the index
     //      is built filter-agnostic over the whole corpus; an attribute
@@ -2092,6 +2110,34 @@ object SparkEntry {
          |  FROM grp GROUP BY poly_id, x0, g)
          |SELECT poly_id, CAST(sum((x1 - x0) * (hi - lo)) AS BIGINT) AS union_area
          |FROM isl GROUP BY poly_id ORDER BY poly_id""".stripMargin,
+    "q7t_map_match" ->
+      s"""WITH p AS (SELECT CAST(c_custkey AS BIGINT) AS qid,
+         |    ${Derive.lonSql("c_custkey")} AS px, ${Derive.latSql("c_custkey")} AS py
+         |  FROM customer),
+         |s AS (SELECT CAST(o_orderkey AS BIGINT) AS sid,
+         |    ${Derive.lonSql("o_orderkey")} AS x1, ${Derive.latSql("o_orderkey")} AS y1,
+         |    ${Derive.lonSql("o_orderkey")} + (o_orderkey * 7919) % 2000001 - 1000000 AS x2,
+         |    ${Derive.latSql("o_orderkey")} + (o_orderkey * 104729) % 2000001 - 1000000 AS y2
+         |  FROM orders),
+         |d AS (SELECT qid, sid,
+         |    CAST(px - x1 AS DOUBLE) AS wx, CAST(py - y1 AS DOUBLE) AS wy,
+         |    CAST(x2 - x1 AS DOUBLE) AS dx, CAST(y2 - y1 AS DOUBLE) AS dy,
+         |    CAST(x1 AS DOUBLE) AS x1d, CAST(y1 AS DOUBLE) AS y1d
+         |  FROM p CROSS JOIN s),
+         |t AS (SELECT qid, sid, x1d, y1d, dx, dy, wx, wy,
+         |    CASE WHEN dx * dx + dy * dy = 0.0 THEN 0.0
+         |         ELSE LEAST(GREATEST((wx * dx + wy * dy) / (dx * dx + dy * dy), 0.0), 1.0)
+         |    END AS t
+         |  FROM d),
+         |e AS (SELECT qid, sid,
+         |    CAST(floor((wx - t * dx) * (wx - t * dx) + (wy - t * dy) * (wy - t * dy)) AS BIGINT) AS snap_d2q,
+         |    CAST(floor(x1d + t * dx) AS BIGINT) AS snap_x,
+         |    CAST(floor(y1d + t * dy) AS BIGINT) AS snap_y
+         |  FROM t),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY snap_d2q, sid) AS rn
+         |  FROM e WHERE snap_d2q <= ${1500000L * 1500000L})
+         |SELECT qid, sid AS seg_id, snap_d2q, snap_x, snap_y
+         |FROM r WHERE rn = 1 ORDER BY qid""".stripMargin,
     "q7o_raster_tv" -> {
       // exact TV from the bit→block rule: horizontally-adjacent differing
       // bits (k, k+1 same block row) each contribute 150·(h/8) px pairs,
