@@ -521,6 +521,25 @@ object SparkEntry {
           radiusMicro = 1500000L, level = 8)
         .orderBy("qid")
     }),
+    // ---- GEO-SCOPED image near-dup: pairs that are BOTH perceptual
+    //      near-dups (phash hamming ≤ 1) AND spatially close ("same scene
+    //      re-uploaded"). Spatial cell blocking replaces corpus-wide hash
+    //      banding — exact hamming, exchange ∝ co-located pairs. The
+    //      fixture makes BOTH gates bite: groups of 4 share a location
+    //      cluster, groups of 8 share a phash family, and within a group
+    //      only xor-popcount ≤ 1 id pairs survive.
+    "q7u_geo_neardup" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet").select(col("doc_id"),
+        (Derive.lonMicro(expr("doc_id div 4") * 31L + 7L) +
+          (col("doc_id") % 4) * 400000L).as("lon"),
+        (Derive.latMicro(expr("doc_id div 4") * 17L + 3L) +
+          (col("doc_id") % 4) * 300000L).as("lat"),
+        graft.functions.TextFunctions.charHash64(expr("cast(doc_id div 8 as string)"))
+          .bitwiseXOR(col("doc_id") % 8).as("ph"))
+      Dedup.geoHammingPairs(docs, col("doc_id"), col("lon"), col("lat"),
+          col("ph"), radiusMicro = 2000000L, level = 9, maxDist = 1)
+        .orderBy("id_a", "id_b")
+    }),
     // ---- FILTERED vector search (FAISS IDSelector semantics): the index
     //      is built filter-agnostic over the whole corpus; an attribute
     //      predicate drops candidates inside the probed-list scan, before
@@ -2138,6 +2157,20 @@ object SparkEntry {
          |  FROM e WHERE snap_d2q <= ${1500000L * 1500000L})
          |SELECT qid, sid AS seg_id, snap_d2q, snap_x, snap_y
          |FROM r WHERE rn = 1 ORDER BY qid""".stripMargin,
+    "q7u_geo_neardup" ->
+      s"""WITH d0 AS (SELECT doc_id,
+         |    ${Derive.lonSql("(doc_id // 4 * 31 + 7)")} + (doc_id % 4) * 400000 AS lon,
+         |    ${Derive.latSql("(doc_id // 4 * 17 + 3)")} + (doc_id % 4) * 300000 AS lat,
+         |    xor(${TextOracle.charHash64Sql("CAST(doc_id // 8 AS VARCHAR)")}, doc_id % 8) AS ph
+         |  FROM documents)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.ph, b.ph)) AS INTEGER) AS hamming,
+         |  (b.lon - a.lon) * (b.lon - a.lon) + (b.lat - a.lat) * (b.lat - a.lat) AS d2
+         |FROM d0 a JOIN d0 b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.ph, b.ph)) <= 1
+         |  AND (b.lon - a.lon) * (b.lon - a.lon) + (b.lat - a.lat) * (b.lat - a.lat)
+         |      <= ${2000000L * 2000000L}
+         |ORDER BY id_a, id_b""".stripMargin,
     "q7o_raster_tv" -> {
       // exact TV from the bit→block rule: horizontally-adjacent differing
       // bits (k, k+1 same block row) each contribute 150·(h/8) px pairs,

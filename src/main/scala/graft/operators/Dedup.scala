@@ -431,6 +431,46 @@ object Dedup {
       .where(col("hamming") <= maxDist)
   }
 
+  /** GEO-SCOPED hamming near-dup — pairs that are BOTH perceptual near-dups
+    * (hamming(hash) ≤ maxDist) AND spatially close (planar micro-degree
+    * distance ≤ radius): the "same scene re-uploaded" detector for an image
+    * corpus with locations (photo near-dups of the same landmark are
+    * near-dups; the same sunset template shot on two continents is not).
+    *
+    * Scale re-expression: [[hammingPairs]]' corpus-wide hash banding is
+    * replaced by SPATIAL blocking — candidates come from the cell grid
+    * (a's Chebyshev cell ring covers b's cell whenever dist(a,b) ≤ r, the
+    * radius-join containment argument), so the exchange is ∝ spatially
+    * co-located pairs and the hamming test is EXACT — no banding recall
+    * trade and no corpus-wide hash shuffle; city-hotspot skew lands on
+    * many distinct cells (ring fan-out), AQE handles the rest. Each
+    * unordered pair is produced exactly once: b contributes its ONE cell,
+    * a explodes to the ring, and `a.id < b.id` picks one orientation.
+    */
+  def geoHammingPairs(df: DataFrame, idCol: Column, lonCol: Column,
+                      latCol: Column, hashCol: Column, radiusMicro: Long,
+                      level: Int, maxDist: Int = 3): DataFrame = {
+    require(radiusMicro > 0 && level >= 1 && level <= 16, "bad radius/level")
+    import graft.core.FixedPoint
+    val base = df.select(idCol.as("id"), lonCol.cast("long").as("lon"),
+      latCol.cast("long").as("lat"), hashCol.as("h"))
+    val rx = radiusMicro / (FixedPoint.LON_RANGE >> level)
+    val ry = radiusMicro / (FixedPoint.LAT_RANGE >> level)
+    val rr = (math.max(rx, ry) + 1).toInt
+    val ringSide = base.withColumn("_cell", explode(
+      graft.functions.GraftFunctions.ringCells(col("lon"), col("lat"), level, rr)))
+    val cellSide = base.withColumn("_cell",
+      graft.functions.GraftFunctions.zcell(col("lon"), col("lat"), level))
+    val ddx = col("b.lon") - col("a.lon")
+    val ddy = col("b.lat") - col("a.lat")
+    ringSide.as("a").join(cellSide.as("b"),
+        col("a._cell") === col("b._cell") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.h").bitwiseXOR(col("b.h"))).cast("int").as("hamming"),
+        (ddx * ddx + ddy * ddy).as("d2"))
+      .where(col("hamming") <= maxDist && col("d2") <= radiusMicro * radiusMicro)
+  }
+
   /** SUBSTRING-level exact dedup marks (the Lee et al. 2022 "Deduplicating
     * Training Data Makes Language Models Better" operator, public
     * knowledge): every position whose L-token window repeats an EARLIER

@@ -351,6 +351,32 @@ class DedupSpec extends AnyFunSuite {
       9L -> ((1L, 0L, ""))))
   }
 
+  test("geoHammingPairs: brute parity, each pair exactly once, both gates bite") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (0L until 300L).map { i =>
+      (i, rnd.nextLong(20000000L) - 10000000L,
+        rnd.nextLong(16000000L) - 8000000L, rnd.nextLong() & 0xffL)
+    }
+    val r = 1500000L
+    val got = Dedup.geoHammingPairs(rows.toDF("id", "lon", "lat", "h"),
+        col("id"), col("lon"), col("lat"), col("h"),
+        radiusMicro = r, level = 9, maxDist = 1)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getInt(2), x.getLong(3)))
+    assert(got.length === got.distinct.length, "a pair was produced twice")
+    val all = for {
+      a <- rows; b <- rows if a._1 < b._1
+      d2 = (b._2 - a._2) * (b._2 - a._2) + (b._3 - a._3) * (b._3 - a._3)
+      hm = java.lang.Long.bitCount(a._4 ^ b._4)
+    } yield (a._1, b._1, hm, d2, d2 <= r * r, hm <= 1)
+    val want = all.filter(p => p._5 && p._6).map(p => (p._1, p._2, p._3, p._4))
+    assert(got.toSet === want.toSet)
+    assert(want.nonEmpty, "fixture must produce pairs")
+    // both gates must exclude something the other admits
+    assert(all.count(p => p._5 && !p._6) > 0, "hamming gate never fired")
+    assert(all.count(p => !p._5 && p._6) > 0, "spatial gate never fired")
+  }
+
   test("bloomNew: sound (never returns a member), near-complete on the new side") {
     import spark.implicits._
     val corpus = (0L until 400L).map(i => (i, s"member text number $i"))
