@@ -521,6 +521,32 @@ object SparkEntry {
           radiusMicro = 1500000L, level = 8)
         .orderBy("qid")
     }),
+    // ---- VECTOR→RASTER: inverse-distance-weighted interpolation of a
+    //      point attribute onto the world grid (Shepard p=2), exact
+    //      integer weights scale div (d²+1) — every cell value is an
+    //      engine-invariant int64. Bounded per-point cell explode, one
+    //      partial-sum hash aggregate; the oracle derives the same raster
+    //      from the full grid × points-in-radius join.
+    "q7v_idw_grid" -> ((s, dir) => {
+      val pts = customerPts(s, dir)
+        .withColumn("v", col("c_custkey") % 1000L)
+      operators.GridRaster.idwGrid(pts, col("lonm"), col("latm"), col("v"),
+          cellMicro = 4000000L, radiusMicro = 5000000L)
+        .orderBy("cx", "cy")
+    }),
+    // ---- RASTER smoothing: per-cell point counts convolved with the 3×3
+    //      binomial kernel (zero-padded world edge) — the density heatmap
+    //      every tile server renders. Points collapse to raster size in
+    //      exchange one; the convolution is a 9-way explode of CELLS, not
+    //      points.
+    "q7w_heatmap" -> ((s, dir) => {
+      val pts = s.read.parquet(s"$dir/orders.parquet").select(
+        Derive.lonMicro(col("o_orderkey")).as("lonm"),
+        Derive.latMicro(col("o_orderkey")).as("latm"))
+      operators.GridRaster.heatmap(pts, col("lonm"), col("latm"),
+          cellMicro = 2000000L)
+        .orderBy("cx", "cy")
+    }),
     // ---- GEO-SCOPED image near-dup: pairs that are BOTH perceptual
     //      near-dups (phash hamming ≤ 1) AND spatially close ("same scene
     //      re-uploaded"). Spatial cell blocking replaces corpus-wide hash
@@ -2157,6 +2183,39 @@ object SparkEntry {
          |  FROM e WHERE snap_d2q <= ${1500000L * 1500000L})
          |SELECT qid, sid AS seg_id, snap_d2q, snap_x, snap_y
          |FROM r WHERE rn = 1 ORDER BY qid""".stripMargin,
+    "q7v_idw_grid" ->
+      s"""WITH p AS (SELECT ${Derive.lonSql("c_custkey")} + 180000000 AS wx,
+         |    ${Derive.latSql("c_custkey")} + 90000000 AS wy,
+         |    c_custkey % 1000 AS v FROM customer),
+         |grid AS (SELECT g1.range AS cx, g2.range AS cy
+         |  FROM range(0, ${360000000L / 4000000L}) g1, range(0, ${180000000L / 4000000L}) g2),
+         |j AS (SELECT grid.cx, grid.cy, p.v,
+         |    (p.wx - (grid.cx * 4000000 + 2000000)) * (p.wx - (grid.cx * 4000000 + 2000000))
+         |    + (p.wy - (grid.cy * 4000000 + 2000000)) * (p.wy - (grid.cy * 4000000 + 2000000)) AS d2
+         |  FROM grid JOIN p ON
+         |    (p.wx - (grid.cx * 4000000 + 2000000)) * (p.wx - (grid.cx * 4000000 + 2000000))
+         |    + (p.wy - (grid.cy * 4000000 + 2000000)) * (p.wy - (grid.cy * 4000000 + 2000000))
+         |    <= ${5000000L * 5000000L}),
+         |w AS (SELECT cx, cy, v, 1000000000000 // (d2 // 10000 + 1) AS w FROM j)
+         |SELECT cx, cy, count(*) AS n_points,
+         |  CAST(CAST(sum(w * v) AS BIGINT) // CAST(sum(w) AS BIGINT) AS BIGINT) AS idw_value
+         |FROM w GROUP BY cx, cy ORDER BY cx, cy""".stripMargin,
+    "q7w_heatmap" ->
+      s"""WITH p AS (SELECT ${Derive.lonSql("o_orderkey")} + 180000000 AS wx,
+         |    ${Derive.latSql("o_orderkey")} + 90000000 AS wy FROM orders),
+         |c AS (SELECT wx // 2000000 AS px, wy // 2000000 AS py, count(*) AS n
+         |  FROM p GROUP BY 1, 2),
+         |k AS (SELECT * FROM (VALUES (-1, -1, 1), (0, -1, 2), (1, -1, 1),
+         |    (-1, 0, 2), (0, 0, 4), (1, 0, 2),
+         |    (-1, 1, 1), (0, 1, 2), (1, 1, 1)) t(ox, oy, kw)),
+         |e AS (SELECT px + ox AS cx, py + oy AS cy, n * kw AS contrib,
+         |    CASE WHEN ox = 0 AND oy = 0 THEN n ELSE 0 END AS rawc
+         |  FROM c CROSS JOIN k)
+         |SELECT cx, cy, CAST(sum(rawc) AS BIGINT) AS raw,
+         |  CAST(sum(contrib) AS BIGINT) AS smoothed
+         |FROM e WHERE cx BETWEEN 0 AND ${360000000L / 2000000L - 1}
+         |  AND cy BETWEEN 0 AND ${180000000L / 2000000L - 1}
+         |GROUP BY cx, cy ORDER BY cx, cy""".stripMargin,
     "q7u_geo_neardup" ->
       s"""WITH d0 AS (SELECT doc_id,
          |    ${Derive.lonSql("(doc_id // 4 * 31 + 7)")} + (doc_id % 4) * 400000 AS lon,

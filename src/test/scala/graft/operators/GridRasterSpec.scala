@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** idwGrid / heatmap vs brute-force integer references (full-grid scan, same
+  * exact int64 arithmetic) plus hand cases: center-dominant weights, kernel
+  * mass at the world corner, and candidate-bound tightness at the radius.
+  */
+class GridRasterSpec extends AnyFunSuite {
+  lazy val spark = graft.SparkTestSession.spark
+  import spark.implicits._
+
+  private val SCALE = 1000000000000L
+
+  /** Brute IDW: scan the whole grid, all points, same integer chain. */
+  private def bruteIdw(pts: Seq[(Long, Long, Long)], g: Long, r: Long)
+      : Map[(Long, Long), (Long, Long)] = {
+    val cells = for {
+      cx <- 0L until 360000000L / g; cy <- 0L until 180000000L / g
+      inR = pts.flatMap { case (lon, lat, v) =>
+        val dx = (lon + 180000000L) - (cx * g + g / 2)
+        val dy = (lat + 90000000L) - (cy * g + g / 2)
+        val d2 = dx * dx + dy * dy
+        if (d2 <= r * r) Some((SCALE / (d2 / 10000L + 1), v)) else None
+      }
+      if inR.nonEmpty
+    } yield (cx, cy) -> ((inR.size.toLong,
+      inR.map(p => p._1 * p._2).sum / inR.map(_._1).sum))
+    cells.toMap
+  }
+
+  test("idwGrid: hand case — point on a center dominates; exact weighted div") {
+    // g=1000000 (centers at wx=cx*1e6+5e5): point A exactly on center of
+    // cell (180,90), point B at distance 1000 from the same center
+    val ptA = (500000L, 500000L, 100L)             // world-shifted (180.5e6, 90.5e6)
+    val ptB = (501000L, 500000L, 900L)
+    val got = GridRaster.idwGrid(Seq(ptA, ptB).toDF("lon", "lat", "v"),
+        col("lon"), col("lat"), col("v"), cellMicro = 1000000L,
+        radiusMicro = 400000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    val wA = SCALE                  // d2=0 → SCALE div 1
+    val wB = SCALE / (1000L * 1000L / 10000L + 1L)
+    assert(got((180L, 90L)) === ((2L, (wA * 100L + wB * 900L) / (wA + wB))))
+    // the on-center point dominates: value pulled close to A's 100
+    assert(got((180L, 90L))._2 < 110L)
+  }
+
+  test("idwGrid: brute parity on a random scatter (bounds exact at the radius)") {
+    val rnd = new scala.util.Random(11)
+    val pts = (0 until 200).map { _ =>
+      (rnd.nextLong(40000000L) - 20000000L,
+        rnd.nextLong(30000000L) - 15000000L, rnd.nextLong(1000L))
+    }
+    val g = 4000000L; val r = 5000000L
+    val got = GridRaster.idwGrid(pts.toDF("lon", "lat", "v"),
+        col("lon"), col("lat"), col("v"), g, r)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) ->
+        ((x.getLong(2), x.getLong(3)))).toMap
+    assert(got === bruteIdw(pts, g, r) && got.nonEmpty)
+  }
+
+  test("heatmap: single interior point spreads the binomial kernel; corner clips") {
+    val g = 1000000L
+    // interior point in cell (200, 100); corner point in cell (0, 0)
+    val pts = Seq((20500000L, 10500000L), (-179500000L, -89500000L))
+    val got = GridRaster.heatmap(pts.toDF("lon", "lat"), col("lon"), col("lat"), g)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    // interior: full 3x3, center raw=1 smoothed=4, edges 2/1
+    assert(got((200L, 100L)) === ((1L, 4L)))
+    assert(got((199L, 100L)) === ((0L, 2L)) && got((200L, 99L)) === ((0L, 2L)))
+    assert(got((199L, 99L)) === ((0L, 1L)) && got((201L, 101L)) === ((0L, 1L)))
+    // corner (0,0): only the 4 in-world neighbors exist
+    assert(got((0L, 0L)) === ((1L, 4L)) && got((1L, 0L)) === ((0L, 2L)))
+    assert(got((0L, 1L)) === ((0L, 2L)) && got((1L, 1L)) === ((0L, 1L)))
+    assert(!got.contains((-1L, 0L)) && !got.contains((0L, -1L)))
+    assert(got.size === 9 + 4)
+  }
+
+  test("heatmap: brute parity on a random scatter") {
+    val rnd = new scala.util.Random(13)
+    val pts = (0 until 500).map { _ =>
+      (rnd.nextLong(30000000L) - 15000000L, rnd.nextLong(20000000L) - 10000000L)
+    }
+    val g = 2000000L
+    val got = GridRaster.heatmap(pts.toDF("lon", "lat"), col("lon"), col("lat"), g)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    val counts = pts.groupBy(p =>
+        ((p._1 + 180000000L) / g, (p._2 + 90000000L) / g))
+      .map { case (k, v) => k -> v.size.toLong }
+    val kernel = Seq((-1, -1, 1L), (0, -1, 2L), (1, -1, 1L), (-1, 0, 2L),
+      (0, 0, 4L), (1, 0, 2L), (-1, 1, 1L), (0, 1, 2L), (1, 1, 1L))
+    val want = counts.toSeq.flatMap { case ((px, py), n) =>
+      kernel.map { case (ox, oy, kw) => ((px + ox, py + oy), (if (ox == 0 && oy == 0) n else 0L, n * kw)) }
+    }.groupBy(_._1).map { case (k, vs) =>
+      k -> ((vs.map(_._2._1).sum, vs.map(_._2._2).sum))
+    }
+    assert(got === want && got.nonEmpty)
+  }
+}
