@@ -34,10 +34,12 @@ import graft.core.{BBoxM, Morton, ZGrid}
   *      candidate pair appears exactly once and needs no dedup;
   *   2. one equi-join on the cell (shuffle ∝ candidates, AQE-skew-safe —
   *      no all-pairs stage anywhere);
-  *   3. the codegen double kernel filters to d² ≤ r² and one hash
-  *      aggregate takes min(struct(⌊d²⌋, sid, snap)) per point — partial
-  *      map-side argmin, so the second exchange carries ≤ one row per
-  *      (task, point).
+  *   3. the codegen double kernel filters to d² ≤ r² and ONE
+  *      ObjectHashAggregate takes the lexicographic argmin per point via
+  *      [[graft.functions.ArgMinLongsAgg]] — map-side partial argmin in a
+  *      hash table (min(struct) would plan as SortAggregate and sort the
+  *      candidate set on both exchange sides), so the second exchange
+  *      carries ≤ one row per (task, point) and the plan has NO sort node.
   * Containment proof: d(p, s) ≤ r ⇒ p lies in s's r-expanded bbox ⇒ p's
   * cell (same level, same clamped grid) is among that bbox's cover cells.
   */
@@ -99,8 +101,8 @@ object MapMatch {
       .withColumn("_snapy", floor(col("_y1").cast("double") + t * dy).cast("long"))
       .where(col("_d2q") <= lit(r * r))
       .groupBy("qid")
-      .agg(min(struct(col("_d2q"), col("_sid"), col("_snapx"), col("_snapy")))
-        .as("_best"))
+      .agg(graft.functions.ArgMinLongsAgg.argminLongs(
+        struct(col("_d2q"), col("_sid"), col("_snapx"), col("_snapy"))).as("_best"))
       .select(col("qid"), col("_best._sid").as("seg_id"),
         col("_best._d2q").as("snap_d2q"),
         col("_best._snapx").as("snap_x"), col("_best._snapy").as("snap_y"))
