@@ -566,6 +566,29 @@ object SparkEntry {
           col("ph"), radiusMicro = 2000000L, level = 9, maxDist = 1)
         .orderBy("id_a", "id_b")
     }),
+    // ---- SEGMENT-INTERSECTION join: all (road, river)-style pairs whose
+    //      segments share a point, decided in PURE int64 (4-orientation
+    //      test — zero float on the predicate path); proper crossings also
+    //      carry the ⌊crossing point⌋ via a fixed IEEE chain the oracle
+    //      reproduces bit-for-bit. Cover-cell equi-join; each pair produced
+    //      EXACTLY once in the canonical cell of its bbox-overlap corner
+    //      (Dittrich–Seeger reference point) — no dedup exchange.
+    "q7x_seg_intersect" -> ((s, dir) => {
+      val pk = col("p_partkey"); val ck = col("c_custkey")
+      val roads = s.read.parquet(s"$dir/part.parquet").select(pk.as("aid"),
+        Derive.lonMicro(pk).as("x1"), Derive.latMicro(pk).as("y1"),
+        (Derive.lonMicro(pk) + (pk * 7919L) % 20000001L - 10000000L).as("x2"),
+        (Derive.latMicro(pk) + (pk * 104729L) % 20000001L - 10000000L).as("y2"))
+      val rivers = s.read.parquet(s"$dir/customer.parquet").select(ck.as("bid"),
+        Derive.lonMicro(ck).as("x1"), Derive.latMicro(ck).as("y1"),
+        (Derive.lonMicro(ck) + (ck * 40503L) % 20000001L - 10000000L).as("x2"),
+        (Derive.latMicro(ck) + (ck * 65537L) % 20000001L - 10000000L).as("y2"))
+      operators.LineIntersect.intersectJoin(s,
+          roads, col("aid"), col("x1"), col("y1"), col("x2"), col("y2"),
+          rivers, col("bid"), col("x1"), col("y1"), col("x2"), col("y2"),
+          level = 8)
+        .orderBy("a_id", "b_id")
+    }),
     // ---- FILTERED vector search (FAISS IDSelector semantics): the index
     //      is built filter-agnostic over the whole corpus; an attribute
     //      predicate drops candidates inside the probed-list scan, before
@@ -2118,6 +2141,46 @@ object SparkEntry {
     "q7q_ivf_filtered" ->
       """SELECT count(*) AS n_queries, TRUE AS recall_ok
         |FROM embeddings WHERE vec_id % 100 = 0""".stripMargin,
+    "q7x_seg_intersect" ->
+      s"""WITH a AS (SELECT CAST(p_partkey AS BIGINT) AS a_id,
+         |    ${Derive.lonSql("p_partkey")} AS ax1, ${Derive.latSql("p_partkey")} AS ay1,
+         |    ${Derive.lonSql("p_partkey")} + (p_partkey * 7919) % 20000001 - 10000000 AS ax2,
+         |    ${Derive.latSql("p_partkey")} + (p_partkey * 104729) % 20000001 - 10000000 AS ay2
+         |  FROM part),
+         |b AS (SELECT CAST(c_custkey AS BIGINT) AS b_id,
+         |    ${Derive.lonSql("c_custkey")} AS bx1, ${Derive.latSql("c_custkey")} AS by1,
+         |    ${Derive.lonSql("c_custkey")} + (c_custkey * 40503) % 20000001 - 10000000 AS bx2,
+         |    ${Derive.latSql("c_custkey")} + (c_custkey * 65537) % 20000001 - 10000000 AS by2
+         |  FROM customer),
+         |x AS (SELECT *,
+         |    (ax2 - ax1) * (by1 - ay1) - (ay2 - ay1) * (bx1 - ax1) AS c1,
+         |    (ax2 - ax1) * (by2 - ay1) - (ay2 - ay1) * (bx2 - ax1) AS c2,
+         |    (bx2 - bx1) * (ay1 - by1) - (by2 - by1) * (ax1 - bx1) AS c3,
+         |    (bx2 - bx1) * (ay2 - by1) - (by2 - by1) * (ax2 - bx1) AS c4
+         |  FROM a CROSS JOIN b),
+         |g AS (SELECT *,
+         |    CASE WHEN c1 > 0 THEN 1 WHEN c1 < 0 THEN -1 ELSE 0 END AS d1,
+         |    CASE WHEN c2 > 0 THEN 1 WHEN c2 < 0 THEN -1 ELSE 0 END AS d2,
+         |    CASE WHEN c3 > 0 THEN 1 WHEN c3 < 0 THEN -1 ELSE 0 END AS d3,
+         |    CASE WHEN c4 > 0 THEN 1 WHEN c4 < 0 THEN -1 ELSE 0 END AS d4
+         |  FROM x),
+         |p AS (SELECT *, (d1 * d2 < 0 AND d3 * d4 < 0) AS proper,
+         |    ((d1 = 0 AND bx1 BETWEEN LEAST(ax1, ax2) AND GREATEST(ax1, ax2)
+         |              AND by1 BETWEEN LEAST(ay1, ay2) AND GREATEST(ay1, ay2))
+         |  OR (d2 = 0 AND bx2 BETWEEN LEAST(ax1, ax2) AND GREATEST(ax1, ax2)
+         |              AND by2 BETWEEN LEAST(ay1, ay2) AND GREATEST(ay1, ay2))
+         |  OR (d3 = 0 AND ax1 BETWEEN LEAST(bx1, bx2) AND GREATEST(bx1, bx2)
+         |              AND ay1 BETWEEN LEAST(by1, by2) AND GREATEST(by1, by2))
+         |  OR (d4 = 0 AND ax2 BETWEEN LEAST(bx1, bx2) AND GREATEST(bx1, bx2)
+         |              AND ay2 BETWEEN LEAST(by1, by2) AND GREATEST(by1, by2))) AS touches
+         |  FROM g),
+         |t AS (SELECT *, CAST((bx1 - ax1) * (by2 - by1) - (by1 - ay1) * (bx2 - bx1) AS DOUBLE)
+         |      / CAST((ax2 - ax1) * (by2 - by1) - (ay2 - ay1) * (bx2 - bx1) AS DOUBLE) AS tt
+         |  FROM p WHERE proper OR touches)
+         |SELECT a_id, b_id, proper,
+         |  CASE WHEN proper THEN CAST(floor(CAST(ax1 AS DOUBLE) + tt * CAST(ax2 - ax1 AS DOUBLE)) AS BIGINT) ELSE 0 END AS ix,
+         |  CASE WHEN proper THEN CAST(floor(CAST(ay1 AS DOUBLE) + tt * CAST(ay2 - ay1 AS DOUBLE)) AS BIGINT) ELSE 0 END AS iy
+         |FROM t ORDER BY a_id, b_id""".stripMargin,
     "q7s_cdc_mirror" ->
       s"""SELECT c_custkey, ${Derive.lonSql("c_custkey")} AS lonm
          |FROM customer
