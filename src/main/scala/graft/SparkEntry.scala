@@ -547,6 +547,19 @@ object SparkEntry {
           cellMicro = 2000000L)
         .orderBy("cx", "cy")
     }),
+    // ---- RASTER→VECTOR polygonize: threshold the density raster into a
+    //      binary mask and return one row per 4-connected region (GDAL
+    //      polygonize) — the inverse of q7v/q7w's vector→raster ops.
+    //      Points collapse to raster size in exchange one; components via
+    //      the pointer-doubling min-label kernel; region id = min cell.
+    "q7y_polygonize" -> ((s, dir) => {
+      val pts = s.read.parquet(s"$dir/orders.parquet").select(
+        Derive.lonMicro(col("o_orderkey")).as("lonm"),
+        Derive.latMicro(col("o_orderkey")).as("latm"))
+      operators.GridRaster.polygonize(pts, col("lonm"), col("latm"),
+          cellMicro = 4000000L, minCount = 4L)
+        .orderBy("rx", "ry")
+    }),
     // ---- GEO-SCOPED image near-dup: pairs that are BOTH perceptual
     //      near-dups (phash hamming ≤ 1) AND spatially close ("same scene
     //      re-uploaded"). Spatial cell blocking replaces corpus-wide hash
@@ -2141,6 +2154,24 @@ object SparkEntry {
     "q7q_ivf_filtered" ->
       """SELECT count(*) AS n_queries, TRUE AS recall_ok
         |FROM embeddings WHERE vec_id % 100 = 0""".stripMargin,
+    "q7y_polygonize" ->
+      s"""WITH RECURSIVE pts AS (SELECT ${Derive.lonSql("o_orderkey")} + 180000000 AS wx,
+         |    ${Derive.latSql("o_orderkey")} + 90000000 AS wy FROM orders),
+         |c AS (SELECT wx // 4000000 AS px, wy // 4000000 AS py, count(*) AS n
+         |  FROM pts GROUP BY 1, 2),
+         |m AS (SELECT px, py, n, px * 1073741824 + py AS k FROM c WHERE n >= 4),
+         |e AS (SELECT a.k AS src, b.k AS dst FROM m a JOIN m b
+         |  ON (b.px = a.px + 1 AND b.py = a.py) OR (b.px = a.px AND b.py = a.py + 1)),
+         |eu AS (SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e),
+         |comp(k, lbl) AS (SELECT k, k FROM m
+         |  UNION SELECT eu.dst, c.lbl FROM comp c JOIN eu ON eu.src = c.k),
+         |lbl AS (SELECT k, min(lbl) AS l FROM comp GROUP BY k)
+         |SELECT l // 1073741824 AS rx, l % 1073741824 AS ry,
+         |  count(*) AS n_cells, CAST(sum(n) AS BIGINT) AS total_points,
+         |  min(px) AS cx_min, max(px) AS cx_max,
+         |  min(py) AS cy_min, max(py) AS cy_max
+         |FROM m JOIN lbl USING (k)
+         |GROUP BY l ORDER BY rx, ry""".stripMargin,
     "q7x_seg_intersect" ->
       s"""WITH a AS (SELECT CAST(p_partkey AS BIGINT) AS a_id,
          |    ${Derive.lonSql("p_partkey")} AS ax1, ${Derive.latSql("p_partkey")} AS ay1,

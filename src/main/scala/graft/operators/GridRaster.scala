@@ -87,6 +87,64 @@ object GridRaster {
     * the same aggregate as the center-offset contribution, so the plan
     * stays two exchanges total and never re-touches the points.
     */
+  /** RASTER→VECTOR polygonization — the missing direction of the
+    * raster↔vector pair (GDAL `polygonize` / Rasterio `features.shapes`):
+    * threshold the per-cell density raster into a binary mask, then return
+    * one row per 4-CONNECTED REGION of mask cells — the "turn the density
+    * surface back into discrete places" verb (settlement footprints from
+    * photo density, burned-area patches from hotspot counts).
+    *
+    * Determinism: a region is identified by its minimum cell (row-major
+    * (cx, cy) packed key), so output is a pure function of the input —
+    * (rx, ry) = that cell's indices, plus cell count, total point mass and
+    * the region's cell-index bbox.
+    *
+    * Plan (100 TB posture): points collapse to (cell, count) in exchange
+    * one — everything after is RASTER-sized. Mask edges are one equi-join
+    * of each mask cell against its right/up neighbor keys (each undirected
+    * adjacency produced exactly once), components via [[Dedup.dupClusters]]
+    * (min-label + pointer doubling, O(log diameter) rounds, convergence
+    * `require`d — region diameters are raster-bounded), then ONE hash
+    * aggregate per region. No driver-side data, no all-pairs stage.
+    */
+  def polygonize(points: DataFrame, lonCol: Column, latCol: Column,
+                 cellMicro: Long, minCount: Long): DataFrame = {
+    require(cellMicro > 0, "cellMicro must be positive")
+    require(minCount >= 1, "minCount must be >= 1")
+    val g = cellMicro
+    val maxX = 360000000L / g - 1; val maxY = 180000000L / g - 1
+    val K = 1073741824L // pack (px, py): px < 2^29 for g >= 1, py < K
+    val mask = points.select(
+        (lonCol.cast("long") + 180000000L).as("_wx"),
+        (latCol.cast("long") + 90000000L).as("_wy"))
+      .select(expr(s"_wx div $g").as("px"), expr(s"_wy div $g").as("py"))
+      .where(col("px").between(0L, maxX) && col("py").between(0L, maxY))
+      .groupBy("px", "py").agg(count(lit(1)).as("n"))
+      .where(col("n") >= minCount)
+      .withColumn("k", col("px") * K + col("py"))
+      .localCheckpoint() // referenced by edges (twice) + labels + rollup
+    val edges = mask
+      .select(col("k").as("id_a"),
+        explode(array(col("k") + K, col("k") + 1L)).as("id_b"))
+      .join(mask.select(col("k").as("id_b")), "id_b")
+      // right-neighbor key of (maxX, py) would alias to px=0 of the next
+      // row-major block only if px could exceed maxX — it can't (masked
+      // above); +1 wraps py→py+1 only past maxY, also masked out
+      .select("id_a", "id_b")
+    val comp = Dedup.dupClusters(edges)
+      .select(col("doc_id").as("k"), col("cluster_id").as("_lbl"))
+    mask.join(comp, Seq("k"), "left")
+      .select(col("px"), col("py"), col("n"),
+        coalesce(col("_lbl"), col("k")).as("_lbl")) // isolated cell = own region
+      .groupBy("_lbl")
+      .agg(count(lit(1)).as("n_cells"), sum("n").as("total_points"),
+        min("px").as("cx_min"), max("px").as("cx_max"),
+        min("py").as("cy_min"), max("py").as("cy_max"))
+      .select(expr(s"_lbl div $K").as("rx"), (col("_lbl") % K).as("ry"),
+        col("n_cells"), col("total_points"),
+        col("cx_min"), col("cx_max"), col("cy_min"), col("cy_max"))
+  }
+
   def heatmap(points: DataFrame, lonCol: Column, latCol: Column,
               cellMicro: Long): DataFrame = {
     require(cellMicro > 0, "cellMicro must be positive")

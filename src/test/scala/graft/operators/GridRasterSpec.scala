@@ -100,4 +100,73 @@ class GridRasterSpec extends AnyFunSuite {
     }
     assert(got === want && got.nonEmpty)
   }
+
+  /** In-JVM polygonize reference: per-cell counts → mask → 4-connected
+    * flood fill, min-key region ids.
+    */
+  private def brutePolygonize(pts: Seq[(Long, Long)], g: Long, minCount: Long)
+      : Set[(Long, Long, Long, Long, Long, Long, Long, Long)] = {
+    val counts = pts.groupBy(p => ((p._1 + 180000000L) / g, (p._2 + 90000000L) / g))
+      .map { case (k, v) => k -> v.size.toLong }
+    val mask = counts.filter(_._2 >= minCount).keySet
+    val seen = scala.collection.mutable.Set[(Long, Long)]()
+    val out = scala.collection.mutable.Set[(Long, Long, Long, Long, Long, Long, Long, Long)]()
+    for (start <- mask if !seen(start)) {
+      val region = scala.collection.mutable.Set[(Long, Long)]()
+      val stack = scala.collection.mutable.Stack(start)
+      while (stack.nonEmpty) {
+        val c = stack.pop()
+        if (!region(c) && mask(c)) {
+          region += c
+          stack.push((c._1 + 1, c._2), (c._1 - 1, c._2), (c._1, c._2 + 1), (c._1, c._2 - 1))
+        }
+      }
+      seen ++= region
+      val minKey = region.map { case (x, y) => (x, y) }.min
+      out += ((minKey._1, minKey._2, region.size.toLong,
+        region.toSeq.map(counts).sum,
+        region.map(_._1).min, region.map(_._1).max,
+        region.map(_._2).min, region.map(_._2).max))
+    }
+    out.toSet
+  }
+
+  private def runPolygonize(pts: Seq[(Long, Long)], g: Long, minCount: Long)
+      : Set[(Long, Long, Long, Long, Long, Long, Long, Long)] =
+    GridRaster.polygonize(pts.toDF("lon", "lat"), col("lon"), col("lat"), g, minCount)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toSet
+
+  test("polygonize: hand case — L-region, diagonal NOT connected, threshold bites") {
+    val g = 1000000L
+    def cell(px: Long, py: Long, n: Int): Seq[(Long, Long)] =
+      Seq.fill(n)((px * g - 180000000L + g / 2, py * g - 90000000L + g / 2))
+    val pts =
+      cell(10, 10, 2) ++ cell(11, 10, 2) ++ cell(11, 11, 3) ++ // L-region of 3 cells
+      cell(12, 12, 2) ++   // touches (11,11) only DIAGONALLY -> own region
+      cell(20, 20, 1) ++   // below threshold -> not in mask
+      cell(30, 30, 5)      // isolated single-cell region
+    val got = runPolygonize(pts, g, minCount = 2)
+    assert(got === brutePolygonize(pts, g, 2))
+    assert(got === Set(
+      (10L, 10L, 3L, 7L, 10L, 11L, 10L, 11L),
+      (12L, 12L, 1L, 2L, 12L, 12L, 12L, 12L),
+      (30L, 30L, 1L, 5L, 30L, 30L, 30L, 30L)))
+  }
+
+  test("polygonize: brute parity on a clustered random scatter") {
+    val rnd = new scala.util.Random(7)
+    // clustered draws so the mask forms multi-cell blobs, not confetti
+    val centers = (0 until 12).map { _ =>
+      (rnd.nextLong(40000000L) - 20000000L, rnd.nextLong(30000000L) - 15000000L)
+    }
+    val pts = centers.flatMap { case (cx, cy) =>
+      (0 until 120).map { _ =>
+        (cx + rnd.nextLong(6000000L) - 3000000L, cy + rnd.nextLong(6000000L) - 3000000L)
+      }
+    }
+    val got = runPolygonize(pts, 1000000L, minCount = 3)
+    assert(got === brutePolygonize(pts, 1000000L, 3))
+    assert(got.exists(_._3 > 1), "scatter should produce at least one multi-cell region")
+  }
 }
