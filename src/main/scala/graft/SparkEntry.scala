@@ -547,6 +547,22 @@ object SparkEntry {
           cellMicro = 2000000L)
         .orderBy("cx", "cy")
     }),
+    // ---- POLYLINE SIMPLIFICATION (Douglas–Peucker 1973): drop interior
+    //      vertices within eps of the chord, deterministically (split at
+    //      max ⌊d²⌋, lowest-idx tie, strict >). One geometry-assembly hash
+    //      aggregate, then map-only; the per-vertex kernel is the q7t fixed
+    //      IEEE chain, so a DuckDB recursive CTE replays the WHOLE
+    //      recursion bit-for-bit.
+    "q7z_simplify" -> ((s, dir) => {
+      val verts = s.read.parquet(s"$dir/customer.parquet").select(
+        expr("(c_custkey - 1) div 10").as("doc"),
+        expr("(c_custkey - 1) % 10").as("i"),
+        expr("((c_custkey - 1) % 10) * 1000000").as("x"),
+        expr("(c_custkey * 2654435761) % 10000001 - 5000000").as("y"))
+      operators.Simplify.douglasPeucker(s, verts, col("doc"), col("i"),
+          col("x"), col("y"), epsMicro = 1200000L)
+        .orderBy("doc_id", "idx")
+    }),
     // ---- RASTER→VECTOR polygonize: threshold the density raster into a
     //      binary mask and return one row per 4-connected region (GDAL
     //      polygonize) — the inverse of q7v/q7w's vector→raster ops.
@@ -2154,6 +2170,39 @@ object SparkEntry {
     "q7q_ivf_filtered" ->
       """SELECT count(*) AS n_queries, TRUE AS recall_ok
         |FROM embeddings WHERE vec_id % 100 = 0""".stripMargin,
+    "q7z_simplify" -> {
+      // the fixed IEEE point-to-segment chain (q7t), inlined per reference
+      // so the recursive term stays one LATERAL scan; strict tie rule =
+      // ORDER BY d2q DESC, idx ASC LIMIT 1, split iff d2q > eps²
+      def d(v: String) = s"CAST($v AS DOUBLE)"
+      val len2 = s"(${d("b.x - a.x")} * ${d("b.x - a.x")} + ${d("b.y - a.y")} * ${d("b.y - a.y")})"
+      val dot = s"(${d("m.x - a.x")} * ${d("b.x - a.x")} + ${d("m.y - a.y")} * ${d("b.y - a.y")})"
+      val t = s"(CASE WHEN $len2 = 0.0 THEN 0.0 ELSE LEAST(GREATEST($dot / $len2, 0.0), 1.0) END)"
+      val ex = s"(${d("m.x - a.x")} - $t * ${d("b.x - a.x")})"
+      val ey = s"(${d("m.y - a.y")} - $t * ${d("b.y - a.y")})"
+      s"""WITH RECURSIVE p AS (SELECT (c_custkey - 1) // 10 AS doc,
+         |    (c_custkey - 1) % 10 AS idx,
+         |    ((c_custkey - 1) % 10) * 1000000 AS x,
+         |    (c_custkey * 2654435761) % 10000001 - 5000000 AS y
+         |  FROM customer),
+         |iv(doc, i, j) AS (
+         |  SELECT doc, min(idx), max(idx) FROM p GROUP BY doc
+         |  UNION ALL
+         |  SELECT iv.doc, CASE WHEN s.b = 0 THEN iv.i ELSE q.k END,
+         |    CASE WHEN s.b = 0 THEN q.k ELSE iv.j END
+         |  FROM iv JOIN LATERAL (
+         |    SELECT m.idx AS k, CAST(floor($ex * $ex + $ey * $ey) AS BIGINT) AS d2q
+         |    FROM p m, p a, p b
+         |    WHERE m.doc = iv.doc AND a.doc = iv.doc AND b.doc = iv.doc
+         |      AND a.idx = iv.i AND b.idx = iv.j AND m.idx > iv.i AND m.idx < iv.j
+         |    ORDER BY d2q DESC, m.idx ASC LIMIT 1
+         |  ) q ON q.d2q > ${1200000L * 1200000L}
+         |  CROSS JOIN (VALUES (0), (1)) s(b)),
+         |kept AS (SELECT DISTINCT doc, idx FROM
+         |  (SELECT doc, i AS idx FROM iv UNION ALL SELECT doc, j AS idx FROM iv) u)
+         |SELECT doc AS doc_id, idx, x, y FROM kept JOIN p USING (doc, idx)
+         |ORDER BY doc_id, idx""".stripMargin
+    },
     "q7y_polygonize" ->
       s"""WITH RECURSIVE pts AS (SELECT ${Derive.lonSql("o_orderkey")} + 180000000 AS wx,
          |    ${Derive.latSql("o_orderkey")} + 90000000 AS wy FROM orders),
