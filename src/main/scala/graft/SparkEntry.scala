@@ -710,6 +710,30 @@ object SparkEntry {
       graft.sources.IcebergLite.read(s, tbl)
         .select("c_custkey", "lonm", "flag").orderBy("c_custkey")
     }),
+    // ---- A1 full schema-evolution verb set: RENAME (old files read-mapped
+    //      via the col-op ledger, zero data files touched), DROP, and
+    //      re-ADD of a dropped name (pre-re-add files read NULL — dropped
+    //      data never resurrects, the Iceberg field-id rule). The output
+    //      mixes all three epochs in one scan.
+    "q80_iceberg_rename" -> ((s, dir) => {
+      val tbl = java.nio.file.Files.createTempDirectory("graft_iclite_q80").toString
+      val pts = customerPts(s, dir)
+      val key = graft.functions.GraftFunctions.zcell(col("lonm"), col("latm"), 12)
+      val I = graft.sources.IcebergLite
+      // epoch 1: evens, columns (c_custkey, lonm, latm)
+      I.append(s, tbl, pts.where(col("c_custkey") % 2 === 0), key)
+      I.renameColumn(s, tbl, "lonm", "lon_micro")
+      I.dropColumn(s, tbl, "latm")
+      // epoch 2: odds %4==1 under the renamed/narrowed schema
+      I.append(s, tbl, pts.where(col("c_custkey") % 4 === 1)
+        .withColumnRenamed("lonm", "lon_micro").drop("latm"), col("lon_micro"))
+      // re-add the dropped name: epoch-1 files must read it as NULL
+      I.addColumn(s, tbl, "latm", "BIGINT")
+      // epoch 3: odds %4==3 with real latm values again
+      I.append(s, tbl, pts.where(col("c_custkey") % 4 === 3)
+        .withColumnRenamed("lonm", "lon_micro"), col("lon_micro"))
+      I.read(s, tbl).select("c_custkey", "lon_micro", "latm").orderBy("c_custkey")
+    }),
     // ---- A1 CHANGELOG scan (CDC): inserts from window-appended files +
     //      full-content delete rows restored from the pre-delete snapshot
     //      (version d.seq−1 ⋉ delete keys). from=v1 here, so the odd-key
@@ -2170,6 +2194,11 @@ object SparkEntry {
     "q7q_ivf_filtered" ->
       """SELECT count(*) AS n_queries, TRUE AS recall_ok
         |FROM embeddings WHERE vec_id % 100 = 0""".stripMargin,
+    "q80_iceberg_rename" ->
+      s"""SELECT c_custkey, ${Derive.lonSql("c_custkey")} AS lon_micro,
+         |  CASE WHEN c_custkey % 4 = 3 THEN ${Derive.latSql("c_custkey")}
+         |       ELSE NULL END AS latm
+         |FROM customer ORDER BY c_custkey""".stripMargin,
     "q7z_simplify" -> {
       // the fixed IEEE point-to-segment chain (q7t), inlined per reference
       // so the recursive term stays one LATERAL scan; strict tie rule =

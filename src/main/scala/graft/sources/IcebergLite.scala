@@ -68,12 +68,23 @@ object IcebergLite {
     * (one snapshot JSON), not a parent-chain walk that degrades to
     * O(versions) on tables mixing batch appends with streaming.
     */
+  /** One schema-evolution event (Iceberg's field-id ledger re-expressed for
+    * name-based parquet reads): `v` = version at which it committed, `op` ∈
+    * {add, rename, drop}, `a`/`b` = column name(s). Carried forward in FULL
+    * at every commit (like `streams`), so a reader resolves any file's
+    * write-time column names from ONE snapshot JSON: a file with seq s was
+    * written under the names in effect at version s — ops with `v > s`
+    * are un-applied per file group at scan time (rename read-mapped,
+    * re-added columns nulled so dropped data never resurrects).
+    */
+  final case class ColOp(v: Int, op: String, a: String, b: String = "")
   final case class Snapshot(version: Int, snapshotId: String, parent: Option[Int],
                             files: Seq[FileEntry],
                             deletes: Seq[DeleteEntry] = Seq.empty,
                             schemaDdl: Option[String] = None,
                             streams: Map[String, Long] = Map.empty,
-                            ts: Long = 0L)
+                            ts: Long = 0L,
+                            colOps: Seq[ColOp] = Seq.empty)
 
   private def metaDir(dir: String): Path = Paths.get(dir, "metadata")
 
@@ -155,7 +166,11 @@ object IcebergLite {
     val streams = """"stream:([^"]+)": (-?\d+)""".r.findAllMatchIn(txt)
       .map(m => m.group(1) -> m.group(2).toLong).toMap
     val ts = """"ts": (\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toLong).getOrElse(0L)
-    Snapshot(version, sid, parent, files, deletes, schemaDdl, streams, ts)
+    val colOp = """\{"cv": (\d+), "op": "(add|rename|drop)", "a": "([^"]+)"(?:, "b": "([^"]+)")?\}""".r
+    val colOps = colOp.findAllMatchIn(txt).map(m =>
+      ColOp(m.group(1).toInt, m.group(2), m.group(3),
+        Option(m.group(4)).getOrElse(""))).toSeq
+    Snapshot(version, sid, parent, files, deletes, schemaDdl, streams, ts, colOps)
   }
 
   /** Highest streaming batchId committed for `name`, or -1. The per-stream
@@ -703,10 +718,9 @@ object IcebergLite {
     require(cur > 0, s"no snapshots in $dir")
     val snap = snapshot(dir, cur)
     if (snap.files.isEmpty) return cur
-    val matched = readFiles(spark, snap, snap.files)
+    val matched = readFiles(spark, snap, snap.files, withPos = true)
       .where(coalesce(predicate, lit(false)))
-      .select(col("_metadata.file_path").as("file_path"),
-        col("_metadata.row_index").as("pos"))
+      .select(col("_file_path").as("file_path"), col("_pos").as("pos"))
     val batch = java.util.UUID.randomUUID().toString.take(8)
     val delDir = s"$dir/deletes/$batch"
     matched.write.mode("error").parquet(delDir)
@@ -899,8 +913,68 @@ object IcebergLite {
     val newField = StructType.fromDDL(s"`$name` $dataType").fields.head
     val (before, after) = cur0.fields.partition(_.name != "_stats")
     val evolved = StructType(before ++ Array(newField) ++ after)
-    commitSnapshot(dir, cur, nextVersion(dir), snap.files, deletes = snap.deletes,
-      schemaDdl = Some(evolved.toDDL))
+    val next = nextVersion(dir)
+    commitSnapshot(dir, cur, next, snap.files, deletes = snap.deletes,
+      schemaDdl = Some(evolved.toDDL),
+      // the add is ledgered so a DROP + later re-ADD of the same name never
+      // resurrects the dropped data (files older than the add read null)
+      addColOps = Seq(ColOp(next, "add", name)))
+  }
+
+  /** Metadata-only column RENAME (Iceberg `ALTER TABLE … RENAME COLUMN`):
+    * zero data files touched; files written before the rename are read-
+    * mapped at scan time via the col-op ledger, files after carry the new
+    * name physically. Time travel to a pre-rename snapshot shows the old
+    * name. MoR delete files keyed by the old name keep applying: their key
+    * is resolved against each data file's WRITE-TIME names.
+    */
+  def renameColumn(spark: SparkSession, dir: String, from: String, to: String): Int = {
+    require(from != "_stats" && to != "_stats", "_stats is engine-internal")
+    val cur = currentVersion(dir)
+    require(cur > 0, s"no snapshots in $dir")
+    val snap = snapshot(dir, cur)
+    val ddl = snap.schemaDdl.getOrElse {
+      require(snap.files.nonEmpty, "cannot infer schema of an empty legacy table")
+      spark.read.parquet(snap.files.head.path).schema.toDDL
+    }
+    val cur0 = StructType.fromDDL(ddl)
+    require(cur0.fieldNames.contains(from), s"column $from does not exist")
+    require(!cur0.fieldNames.contains(to), s"column $to already exists")
+    require(!snap.deletes.exists(_.key == from),
+      s"un-compacted merge-on-read deletes are keyed by $from — compact first")
+    val evolved = StructType(cur0.fields.map(f =>
+      if (f.name == from) f.copy(name = to) else f))
+    val next = nextVersion(dir)
+    commitSnapshot(dir, cur, next, snap.files, deletes = snap.deletes,
+      schemaDdl = Some(evolved.toDDL), addColOps = Seq(ColOp(next, "rename", from, to)))
+  }
+
+  /** Metadata-only column DROP (Iceberg `ALTER TABLE … DROP COLUMN`): zero
+    * data files touched — old files keep the bytes but name-based
+    * projection never reads them, and a later re-`addColumn` of the same
+    * name reads NULL from pre-re-add files (the ledgered add), never the
+    * dropped data. Time travel to a pre-drop snapshot still shows the
+    * column.
+    */
+  def dropColumn(spark: SparkSession, dir: String, name: String): Int = {
+    require(name != "_stats", "_stats is engine-internal")
+    val cur = currentVersion(dir)
+    require(cur > 0, s"no snapshots in $dir")
+    val snap = snapshot(dir, cur)
+    val ddl = snap.schemaDdl.getOrElse {
+      require(snap.files.nonEmpty, "cannot infer schema of an empty legacy table")
+      spark.read.parquet(snap.files.head.path).schema.toDDL
+    }
+    val cur0 = StructType.fromDDL(ddl)
+    require(cur0.fieldNames.contains(name), s"column $name does not exist")
+    require(cur0.fields.count(_.name != "_stats") > 1,
+      "cannot drop the last data column")
+    require(!snap.deletes.exists(_.key == name),
+      s"un-compacted merge-on-read deletes are keyed by $name — compact first")
+    val evolved = StructType(cur0.fields.filter(_.name != name))
+    val next = nextVersion(dir)
+    commitSnapshot(dir, cur, next, snap.files, deletes = snap.deletes,
+      schemaDdl = Some(evolved.toDDL), addColOps = Seq(ColOp(next, "drop", name)))
   }
 
   /** Snapshot expiration + orphan-file removal (Iceberg's
@@ -984,8 +1058,11 @@ object IcebergLite {
     // schema — rollback across an addColumn restores the pre-evolution one
     require(target.schemaDdl.nonEmpty || target.files.isEmpty,
       s"snapshot v$version predates schema recording — cannot restore its schema")
+    // the restored line also pins the TARGET's col-op ledger: ops that
+    // happened after the target are void on this line (a later re-add of a
+    // column the target still has must not null the restored files)
     commitSnapshot(dir, cur, nextVersion(dir), target.files, deletes = target.deletes,
-      schemaDdl = target.schemaDdl)
+      schemaDdl = target.schemaDdl, colOpsOverride = Some(target.colOps))
   }
 
   /** Incremental append scan (Iceberg's incremental read contract): the
@@ -1179,7 +1256,9 @@ object IcebergLite {
                              schemaDdl: Option[String] = None,
                              streamMarker: Option[(String, Long)] = None,
                              advance: Boolean = true,
-                             extraStreams: Map[String, Long] = Map.empty): Int = {
+                             extraStreams: Map[String, Long] = Map.empty,
+                             addColOps: Seq[ColOp] = Seq.empty,
+                             colOpsOverride: Option[Seq[ColOp]] = None): Int = {
     require(version > parentVersion,
       s"version $version must follow parent $parentVersion")
     val sid = java.util.UUID.randomUUID().toString
@@ -1210,7 +1289,17 @@ object IcebergLite {
       else streams.toSeq.sortBy(_._1)
         .map { case (n, b) => s""""stream:$n": $b""" }
         .mkString(",\n  \"streams\": {", ", ", "}")
-    val json = s"""{\n  "version": $version,\n  "snapshot_id": "$sid"$parent$schemaLine$marker,\n  "ts": $ts,\n  "files": $body$delBody\n}\n"""
+    // full col-op ledger carried forward at every commit (like streams):
+    // any snapshot resolves any file's write-time names on its own
+    val colOps =
+      colOpsOverride.getOrElse(parentSnap.map(_.colOps).getOrElse(Seq.empty)) ++ addColOps
+    val colBody =
+      if (colOps.isEmpty) ""
+      else colOps.map { o =>
+        val b = if (o.b.nonEmpty) s""", "b": "${o.b}"""" else ""
+        s"""    {"cv": ${o.v}, "op": "${o.op}", "a": "${o.a}"$b}"""
+      }.mkString(",\n  \"col_ops\": [\n", ",\n", "\n  ]")
+    val json = s"""{\n  "version": $version,\n  "snapshot_id": "$sid"$parent$schemaLine$marker,\n  "ts": $ts,\n  "files": $body$delBody$colBody\n}\n"""
     Files.createDirectories(metaDir(dir))
     writeAtomic(metaDir(dir).resolve(f"v$version%05d.json"), json)
     if (advance) writeAtomic(metaDir(dir).resolve("_current"), version.toString)
@@ -1222,12 +1311,52 @@ object IcebergLite {
     * no delete merge here.
     */
   private def readFiles(spark: SparkSession, snap: Snapshot,
-                        files: Seq[FileEntry]): DataFrame = {
+                        files: Seq[FileEntry], withPos: Boolean = false): DataFrame = {
     require(files.nonEmpty, "readFiles needs at least one file")
+    // `_metadata` is only addressable directly on a parquet relation, so
+    // the position columns must be extracted BEFORE any evolution mapping
+    def pos(df: DataFrame): DataFrame =
+      if (!withPos) df
+      else df.withColumn("_file_path", col("_metadata.file_path"))
+             .withColumn("_pos", col("_metadata.row_index"))
     snap.schemaDdl match {
       case Some(ddl) =>
-        spark.read.schema(StructType.fromDDL(ddl)).parquet(files.map(_.path): _*)
-      case None => spark.read.parquet(files.map(_.path): _*)
+        val cur = StructType.fromDDL(ddl)
+        // group files by the col ops that postdate them (epoch signature);
+        // within a group every file was written under the SAME names
+        files.groupBy(f => snap.colOps.filter(_.v > f.seq)).map {
+          case (ops, fs) if ops.isEmpty =>
+            pos(spark.read.schema(cur).parquet(fs.map(_.path): _*))
+          case (ops, fs) =>
+            // per current field: its name AT WRITE TIME, or None if the
+            // field was (re-)added after these files were written — then it
+            // must read as NULL even if a same-named pre-drop column is
+            // physically present (Iceberg's field-id rule: dropped data
+            // never resurrects)
+            val atWrite: Array[Option[String]] = cur.fields.map { fld =>
+              var name = fld.name
+              var added = false
+              ops.reverseIterator.foreach { op =>
+                if (!added) op.op match {
+                  case "rename" if op.b == name => name = op.a
+                  case "add" if op.a == name    => added = true
+                  case _                        => ()
+                }
+              }
+              if (added) None else Some(name)
+            }
+            val readSchema = StructType(cur.fields.zip(atWrite).collect {
+              case (fld, Some(phys)) => fld.copy(name = phys)
+            })
+            val raw = pos(spark.read.schema(readSchema).parquet(fs.map(_.path): _*))
+            val mapped = cur.fields.zip(atWrite).map {
+              case (fld, Some(phys)) => col(s"`$phys`").cast(fld.dataType).as(fld.name)
+              case (fld, None)       => lit(null).cast(fld.dataType).as(fld.name)
+            }.toIndexedSeq
+            raw.select(mapped ++
+              (if (withPos) Seq(col("_file_path"), col("_pos")) else Nil): _*)
+        }.reduce(_ unionByName _)
+      case None => pos(spark.read.parquet(files.map(_.path): _*))
     }
   }
 
@@ -1277,11 +1406,7 @@ object IcebergLite {
       val applicable = snap.deletes.filter(d => delPaths.contains(d.path))
       val (posDels, eqDels) = applicable.partition(_.key == PosDeleteKey)
       val needPos = keepPos || posDels.nonEmpty
-      val base0 = readFiles(spark, snap, fs)
-      val base =
-        if (!needPos) base0
-        else base0.withColumn("_file_path", col("_metadata.file_path"))
-                  .withColumn("_pos", col("_metadata.row_index"))
+      val base = readFiles(spark, snap, fs, withPos = needPos)
       val afterEq = eqDels.groupBy(_.key).foldLeft(base) { case (acc, (k, ds)) =>
         val keys = spark.read.parquet(ds.map(_.path): _*).toDF(k).distinct()
         acc.join(broadcast(keys), Seq(k), "left_anti")

@@ -835,4 +835,75 @@ class IcebergLiteSpec extends AnyFunSuite {
     assert(IcebergLite.readBranch(spark, dir, "wip").count() === 45)
     assert(IcebergLite.listBranches(dir).keySet === Set("ingest", "ingest2", "wip"))
   }
+
+  test("renameColumn: metadata-only; old files read-mapped; time travel shows old name") {
+    val dir = Files.createTempDirectory("iclite_ren").toString
+    val key = expr("lonm")
+    IcebergLite.append(spark, dir, pts(0, 100), key)              // v1: lonm
+    val filesBefore = IcebergLite.snapshot(dir, 1).files.map(_.path).toSet
+    IcebergLite.renameColumn(spark, dir, "lonm", "lon_micro")     // v2
+    // zero data files touched
+    assert(IcebergLite.snapshot(dir, 2).files.map(_.path).toSet === filesBefore)
+    // values ride the rename: old files answer under the new name
+    val got = IcebergLite.read(spark, dir)
+    assert(got.columns.contains("lon_micro") && !got.columns.contains("lonm"))
+    assert(got.where(col("lon_micro").isNull).count() === 0)
+    assert(got.agg(sum("lon_micro")).head.getLong(0) ===
+      (0L until 100L).map(_ * 1000000L - 170000000L).sum)
+    // appends after the rename write the new name physically; both epochs union
+    IcebergLite.append(spark, dir,
+      pts(100, 50).withColumnRenamed("lonm", "lon_micro"), expr("lon_micro")) // v3
+    assert(IcebergLite.read(spark, dir).where(col("lon_micro").isNull).count() === 0)
+    assert(IcebergLite.read(spark, dir).count() === 150)
+    // time travel to v1 shows the ORIGINAL name
+    assert(IcebergLite.read(spark, dir, asOfVersion = 1).columns.contains("lonm"))
+    // chained rename keeps mapping old files
+    IcebergLite.renameColumn(spark, dir, "lon_micro", "x")        // v4
+    assert(IcebergLite.read(spark, dir).agg(sum("x")).head.getLong(0) ===
+      (0L until 150L).map(_ * 1000000L - 170000000L).sum)
+    // guard: renaming a column with outstanding MoR delete debt refuses
+    IcebergLite.deleteWhereMoR(spark, dir, col("id") === 1L, "id")
+    val e = intercept[IllegalArgumentException] {
+      IcebergLite.renameColumn(spark, dir, "id", "ident")
+    }
+    assert(e.getMessage.contains("compact"))
+  }
+
+  test("dropColumn + re-add: dropped data never resurrects; rollback restores it") {
+    val dir = Files.createTempDirectory("iclite_drop").toString
+    val key = expr("lonm")
+    IcebergLite.append(spark, dir, pts(0, 100), key)              // v1: id,lonm,latm
+    IcebergLite.dropColumn(spark, dir, "latm")                    // v2 (metadata-only)
+    val afterDrop = IcebergLite.read(spark, dir)
+    assert(!afterDrop.columns.contains("latm"))
+    assert(afterDrop.count() === 100)
+    // re-add the SAME name: pre-re-add files must read NULL, not old bytes
+    IcebergLite.addColumn(spark, dir, "latm", "BIGINT")           // v3
+    val readd = IcebergLite.read(spark, dir)
+    assert(readd.columns.contains("latm"))
+    assert(readd.where(col("latm").isNotNull).count() === 0)
+    // new appends fill it; old rows stay null
+    IcebergLite.append(spark, dir, pts(100, 50), key)             // v4
+    val mixed = IcebergLite.read(spark, dir)
+    assert(mixed.where(col("latm").isNotNull).count() === 50)
+    assert(mixed.count() === 150)
+    // time travel: v1 shows the original values
+    assert(IcebergLite.read(spark, dir, asOfVersion = 1)
+      .where(col("latm").isNull).count() === 0)
+    // rollback to v1 restores the ORIGINAL column line (ledger truncated:
+    // the v3 re-add must not null the restored files)
+    IcebergLite.rollbackTo(dir, 1)                                // v5
+    val restored = IcebergLite.read(spark, dir)
+    assert(restored.count() === 100)
+    assert(restored.where(col("latm").isNull).count() === 0)
+    // compact folds the evolution debt: one epoch, values preserved
+    val dir2 = Files.createTempDirectory("iclite_drop2").toString
+    IcebergLite.append(spark, dir2, pts(0, 40), key)
+    IcebergLite.dropColumn(spark, dir2, "latm")
+    IcebergLite.addColumn(spark, dir2, "latm", "BIGINT")
+    IcebergLite.append(spark, dir2, pts(40, 10), key)
+    IcebergLite.compact(spark, dir2, targetFileRows = 1000L)
+    val folded = IcebergLite.read(spark, dir2)
+    assert(folded.count() === 50 && folded.where(col("latm").isNotNull).count() === 10)
+  }
 }
