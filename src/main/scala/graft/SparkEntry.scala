@@ -1549,6 +1549,46 @@ object SparkEntry {
       q.awaitTermination()
       graft.sources.IcebergLite.read(s, tbl).orderBy("doc_id")
     }),
+    // ---- STREAMING dedup-within-watermark (J): dropDuplicatesWithinWatermark
+    //      state in front of the exactly-once Iceberg sink — the ingestion
+    //      guard against re-delivered rows. THREE micro-batches
+    //      (maxFilesPerTrigger=1) where every key arrives in MULTIPLE
+    //      batches (c_custkey % 3 splits the files, % 500 makes the key),
+    //      so only cross-batch dedup STATE — not per-batch distinct —
+    //      reproduces the batch DISTINCT twin. Duplicate rows are
+    //      byte-identical, so the survivor is order-independent.
+    "q81_stream_dedup" -> ((s, dir) => {
+      import java.nio.file.Files
+      val staged = Files.createTempDirectory("graft_q81_src")
+      val tmp = Files.createTempDirectory("graft_q81_tmp").toString
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+      def events(part: Int) = cust.where(col("c_custkey") % 3 === part)
+        .select((col("c_custkey") % 500L).as("k"),
+          expr("(c_custkey % 500) * 2654435761 % 1000000").as("payload"),
+          to_timestamp(lit("2024-01-01 00:00:00")).as("ts"))
+      (0 until 3).foreach { p =>
+        events(p).coalesce(1).write.mode("overwrite").parquet(s"$tmp/p$p")
+        val f = new java.io.File(s"$tmp/p$p").listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        Files.copy(f.toPath, staged.resolve(s"events-$p.parquet"))
+      }
+      val tbl = Files.createTempDirectory("graft_q81_tbl").toString
+      val ckpt = Files.createTempDirectory("graft_q81_ck").toString
+      val schema = events(0).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(staged.toString)
+      val deduped = graft.streaming.EventStream.streamingDedup(stream, Seq("k"))
+        .select("k", "payload")
+      val q = deduped.writeStream
+        .queryName("q81")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch(graft.streaming.EventStream.icebergBatchWriter(
+          tbl, col("k"), "q81"))
+        .start()
+      q.awaitTermination()
+      graft.sources.IcebergLite.read(s, tbl).orderBy("k")
+    }),
     // ---- STREAMING geospatial ingest (J on axis A): the tile-assignment
     //      transform run as a Structured Streaming job over a 3-file landing
     //      directory with maxFilesPerTrigger=1 — THREE micro-batches, each
@@ -2194,6 +2234,10 @@ object SparkEntry {
     "q7q_ivf_filtered" ->
       """SELECT count(*) AS n_queries, TRUE AS recall_ok
         |FROM embeddings WHERE vec_id % 100 = 0""".stripMargin,
+    "q81_stream_dedup" ->
+      """SELECT DISTINCT c_custkey % 500 AS k,
+        |  (c_custkey % 500) * 2654435761 % 1000000 AS payload
+        |FROM customer ORDER BY k""".stripMargin,
     "q80_iceberg_rename" ->
       s"""SELECT c_custkey, ${Derive.lonSql("c_custkey")} AS lon_micro,
          |  CASE WHEN c_custkey % 4 = 3 THEN ${Derive.latSql("c_custkey")}
