@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.api.Reducer
 import graft.fixtures.Fixtures
 import graft.functions.GraftFunctions._
-import graft.operators.{Dbscan, Dedup, Knn, MapMatch, Similarity, SpatialJoin, TextAnalysis}
+import graft.operators.{Dbscan, Dedup, Knn, MapMatch, Routing, Similarity, SpatialJoin, TextAnalysis, Trajectory}
 import graft.oracle.{Derive, TextOracle}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -1589,6 +1589,53 @@ object SparkEntry {
       q.awaitTermination()
       graft.sources.IcebergLite.read(s, tbl).orderBy("k")
     }),
+    // ---- TRAJECTORY segmentation: per-user GPS streams split into trips
+    //      at >12h dwell gaps, each trip reduced to fix count / start /
+    //      duration / path length (sessionization). ONE exchange on the
+    //      entity key serves both windows and the final aggregate; the hop
+    //      kernel is a fixed IEEE sqrt chain (correctly rounded BY the 754
+    //      standard) so ⌊hop⌋ and its int64 trip sum are engine-invariant.
+    "q82_trips" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet").select(
+        // parquet ts is NTZ; session tz is pinned UTC in both mains, so the
+        // cast re-types the same wall-clock instant DuckDB's epoch_us reads
+        col("user_id"), unix_micros(col("ts").cast("timestamp")).as("tus"),
+        col("event_id"),
+        Derive.lonMicro(col("event_id")).as("lonm"),
+        Derive.latMicro(col("event_id")).as("latm"))
+      Trajectory.trips(ev, col("user_id"), col("tus"), col("event_id"),
+          col("lonm"), col("latm"), gapUs = 43200L * 1000000L)
+        .orderBy("entity", "trip_no")
+    }),
+    // ---- ROUTING: bounded-hop single-source shortest path over a synthetic
+    //      road graph (Bellman-Ford rounds = Pregel shape: one frontier⋈edges
+    //      equi-join + one hash min-aggregate per round, localCheckpoint
+    //      lineage truncation, early exit at the fixpoint). Pure int64 adds
+    //      and mins — the DuckDB twin is H chained min-relaxation CTEs.
+    "q83_sssp" -> ((s, dir) => {
+      val k = col("o_orderkey")
+      // dst mixes in (k div 500) so parallel orders on the same src residue
+      // fan out to DIFFERENT neighbours (out-degree ~30) — a pure k·c % 500
+      // term is a function of src and would collapse the graph to one path
+      val edges = s.read.parquet(s"$dir/orders.parquet").select(
+        (k % 500L).as("src"),
+        expr("(o_orderkey div 500 + o_orderkey * 7919 + 13) % 500").as("dst"),
+        (k % 997L + 1L).as("w"))
+      Routing.shortestPaths(edges, col("src"), col("dst"), col("w"),
+          sources = Seq(0L), maxHops = 8)
+        .orderBy("node")
+    }),
+    // ---- TRIANGLE COUNT: degree-oriented wedge join (Suri–Vassilvitskii) —
+    //      orientation caps per-vertex wedge fan-out at outdeg² = O(m), so
+    //      no "last reducer" hot task on power-law hubs; three hash
+    //      exchanges, pure int64, single-row exact result.
+    "q84_triangles" -> ((s, dir) => {
+      val k = col("o_orderkey")
+      val edges = s.read.parquet(s"$dir/orders.parquet").select(
+        (k % 300L).as("u"),
+        expr("(o_orderkey div 300 + o_orderkey * 7919) % 300").as("v"))
+      operators.Graph.triangleCount(edges, col("u"), col("v"))
+    }),
     // ---- STREAMING geospatial ingest (J on axis A): the tile-assignment
     //      transform run as a Structured Streaming job over a 3-file landing
     //      directory with maxFilesPerTrigger=1 — THREE micro-batches, each
@@ -2238,6 +2285,56 @@ object SparkEntry {
       """SELECT DISTINCT c_custkey % 500 AS k,
         |  (c_custkey % 500) * 2654435761 % 1000000 AS payload
         |FROM customer ORDER BY k""".stripMargin,
+    "q82_trips" ->
+      s"""WITH p AS (SELECT user_id, epoch_us(ts) AS tus, event_id,
+         |  ${Derive.lonSql("event_id")} AS lonm,
+         |  ${Derive.latSql("event_id")} AS latm FROM events),
+         |l AS (SELECT *, lag(tus) OVER w AS ptus, lag(lonm) OVER w AS plon,
+         |  lag(latm) OVER w AS plat FROM p
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+         |f AS (SELECT *, CASE WHEN ptus IS NULL OR tus - ptus > 43200000000
+         |  THEN 1 ELSE 0 END AS nt FROM l),
+         |t AS (SELECT *, CAST(SUM(nt) OVER (PARTITION BY user_id
+         |    ORDER BY tus, event_id ROWS UNBOUNDED PRECEDING) - 1
+         |    AS BIGINT) AS trip_no,
+         |  CASE WHEN nt = 1 THEN 0 ELSE CAST(floor(sqrt(
+         |    CAST(lonm - plon AS DOUBLE) * CAST(lonm - plon AS DOUBLE) +
+         |    CAST(latm - plat AS DOUBLE) * CAST(latm - plat AS DOUBLE)))
+         |    AS BIGINT) END AS hop FROM f)
+         |SELECT user_id AS entity, trip_no, count(*) AS n_pts,
+         |  min(tus) AS start_us, max(tus) - min(tus) AS dur_us,
+         |  CAST(sum(hop) AS BIGINT) AS len_q
+         |FROM t GROUP BY 1, 2 ORDER BY entity, trip_no""".stripMargin,
+    "q83_sssp" -> {
+      // H chained Bellman-Ford relaxation CTEs: d_k = min over (d_{k-1} ∪
+      // one-edge extensions of d_{k-1}) — each CTE is the exact invariant
+      // dist_k, so d8 equals the engine's 8-round (early-exit-stable) run.
+      val rounds = (1 to 8).map { k =>
+        s"""d$k AS (SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+           |  SELECT node, dist FROM d${k - 1} UNION ALL
+           |  SELECT e.dst AS node, d${k - 1}.dist + e.w AS dist
+           |  FROM d${k - 1} JOIN e ON d${k - 1}.node = e.src) GROUP BY node)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT o_orderkey % 500 AS src,
+         |  (o_orderkey // 500 + o_orderkey * 7919 + 13) % 500 AS dst,
+         |  o_orderkey % 997 + 1 AS w FROM orders),
+         |d0 AS (SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist),
+         |$rounds
+         |SELECT node, dist FROM d8 ORDER BY node""".stripMargin
+    },
+    "q84_triangles" ->
+      // canonical a<b edges; triangle {x<y<z} counted once via
+      // (x,y)⋈(y,z)⋈(x,z) — the orientation trick is plan-side only,
+      // the counted set is identical
+      """WITH raw AS (SELECT
+        |  least(o_orderkey % 300, (o_orderkey // 300 + o_orderkey * 7919) % 300) AS a,
+        |  greatest(o_orderkey % 300, (o_orderkey // 300 + o_orderkey * 7919) % 300) AS b
+        |  FROM orders),
+        |e AS (SELECT DISTINCT a, b FROM raw WHERE a <> b)
+        |SELECT count(*) AS triangles FROM e e1
+        |JOIN e e2 ON e1.b = e2.a
+        |JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b""".stripMargin,
     "q80_iceberg_rename" ->
       s"""SELECT c_custkey, ${Derive.lonSql("c_custkey")} AS lon_micro,
          |  CASE WHEN c_custkey % 4 = 3 THEN ${Derive.latSql("c_custkey")}

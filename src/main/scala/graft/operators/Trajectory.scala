@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Trajectory segmentation — split each entity's time-ordered position
+  * stream into TRIPS at dwell gaps, and reduce each trip to its metrics
+  * (the sessionization verb of every GPS/telemetry pipeline; upstream
+  * users get this by composing OSHDB's contribution stream with manual
+  * window logic — we make it one operator).
+  *
+  * Semantics: per entity, order fixes by (t, orderId) — orderId breaks
+  * timestamp ties deterministically. A fix STARTS A NEW TRIP iff it is the
+  * entity's first fix or its gap to the previous fix exceeds `gapUs`
+  * (strictly >). Trips are numbered 0.. per entity in time order. Each trip
+  * reduces to: fix count, start time, duration (last − first, µs), and
+  * path length = Σ hop lengths, where a hop's length is
+  * ⌊√(dx² + dy²)⌋ planar micro-degrees (the trip's first fix contributes 0).
+  *
+  * Exactness / oracle parity: dx, dy are exact int64 differences; the hop
+  * kernel is a FIXED IEEE chain (the q74 trick) — cast to double (exact,
+  * |coords| < 2^53), dx·dx + dy·dy (correctly-rounded mul/add in fixed
+  * left-to-right order), IEEE-754 sqrt (correctly rounded BY THE STANDARD,
+  * unlike libm transcendentals) — so ⌊·⌋ is an engine-invariant integer and
+  * the per-trip SUM of hops is exact int64 arithmetic any engine
+  * reproduces bit-for-bit.
+  *
+  * Plan (100 TB posture): ONE hash exchange on the entity key; both window
+  * functions and the final aggregate reuse it (the aggregate keys
+  * (entity, trip) are a refinement of the window partitioning, so Catalyst
+  * plans no second exchange). The per-entity sort is task-local and spills;
+  * there is no global sort and no driver-side state. Skew = one entity's
+  * full history in one task — the standard sessionization bound; cap
+  * retention upstream if an entity can exceed a task's spill budget.
+  */
+object Trajectory {
+
+  /** @param fixes   position stream
+    * @param entity  grouping key (device / user id)
+    * @param tUs     event time, int64 microseconds
+    * @param orderId unique per-row tie-break for equal timestamps
+    * @param lon     longitude, micro-degrees (int64)
+    * @param lat     latitude, micro-degrees (int64)
+    * @param gapUs   dwell gap that splits trips (strictly greater starts new)
+    * @return (entity, trip_no, n_pts, start_us, dur_us, len_q) — one row
+    *         per trip, len_q in floor-quantized planar micro-degrees
+    */
+  def trips(fixes: DataFrame, entity: Column, tUs: Column, orderId: Column,
+            lon: Column, lat: Column, gapUs: Long): DataFrame = {
+    require(gapUs > 0, "gapUs must be positive")
+    val w = Window.partitionBy(col("_ent")).orderBy(col("_tus"), col("_oid"))
+
+    val base = fixes.select(entity.cast("long").as("_ent"),
+      tUs.cast("long").as("_tus"), orderId.cast("long").as("_oid"),
+      lon.cast("long").as("_lon"), lat.cast("long").as("_lat"))
+
+    val lagged = base
+      .withColumn("_ptus", lag(col("_tus"), 1).over(w))
+      .withColumn("_plon", lag(col("_lon"), 1).over(w))
+      .withColumn("_plat", lag(col("_lat"), 1).over(w))
+      .withColumn("_new",
+        when(col("_ptus").isNull || col("_tus") - col("_ptus") > gapUs, 1L)
+          .otherwise(0L))
+
+    // fixed IEEE hop chain — identical op order to the DuckDB twin
+    val dx = (col("_lon") - col("_plon")).cast("double")
+    val dy = (col("_lat") - col("_plat")).cast("double")
+    val hop = when(col("_new") === 1L, lit(0L))
+      .otherwise(floor(sqrt(dx * dx + dy * dy)).cast("long"))
+
+    lagged
+      .withColumn("_trip",
+        sum(col("_new")).over(w.rowsBetween(Window.unboundedPreceding, 0)) - 1L)
+      .withColumn("_hop", hop)
+      .groupBy(col("_ent").as("entity"), col("_trip").as("trip_no"))
+      .agg(count(lit(1)).as("n_pts"),
+        min(col("_tus")).as("start_us"),
+        (max(col("_tus")) - min(col("_tus"))).as("dur_us"),
+        sum(col("_hop")).as("len_q"))
+  }
+}

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** trips vs a brute single-threaded sessionizer using the SAME fixed IEEE
+  * hop chain, plus hand cases for the split rule: gap == gapUs stays in the
+  * trip (strictly >), gap + 1 splits, single-fix trips, timestamp ties
+  * broken by orderId, and multi-entity isolation.
+  */
+class TrajectorySpec extends AnyFunSuite {
+  lazy val spark = graft.SparkTestSession.spark
+  import spark.implicits._
+
+  /** (entity, tUs, oid, lon, lat) → (entity, trip) -> (n, start, dur, len) */
+  private def brute(rows: Seq[(Long, Long, Long, Long, Long)], gapUs: Long)
+      : Map[(Long, Long), (Long, Long, Long, Long)] =
+    rows.groupBy(_._1).flatMap { case (ent, rs) =>
+      val sorted = rs.sortBy(r => (r._2, r._3))
+      var trip = -1L; var prev: Option[(Long, Long, Long)] = None
+      val assigned = sorted.map { case (_, t, _, x, y) =>
+        val isNew = prev.forall(p => t - p._1 > gapUs)
+        if (isNew) trip += 1
+        val hop = if (isNew) 0L else {
+          val dx = (x - prev.get._2).toDouble; val dy = (y - prev.get._3).toDouble
+          math.floor(math.sqrt(dx * dx + dy * dy)).toLong
+        }
+        prev = Some((t, x, y))
+        (trip, t, hop)
+      }
+      assigned.groupBy(_._1).map { case (tr, hops) =>
+        val ts = hops.map(_._2)
+        (ent, tr) -> (hops.size.toLong, ts.min, ts.max - ts.min,
+          hops.map(_._3).sum)
+      }
+    }
+
+  private def run(rows: Seq[(Long, Long, Long, Long, Long)], gapUs: Long)
+      : Map[(Long, Long), (Long, Long, Long, Long)] =
+    Trajectory.trips(rows.toDF("ent", "tus", "oid", "lon", "lat"),
+        col("ent"), col("tus"), col("oid"), col("lon"), col("lat"), gapUs)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+
+  test("split rule: gap == gapUs stays, gap + 1 splits; lengths sum hops") {
+    val g = 100L
+    val rows = Seq(
+      (1L, 0L, 0L, 0L, 0L),
+      (1L, 100L, 1L, 30L, 40L),   // gap == g → same trip, hop = 50
+      (1L, 201L, 2L, 30L, 40L),   // gap = 101 > g → NEW trip, hop = 0
+      (1L, 300L, 3L, 33L, 44L))   // gap = 99 → same trip, hop = 5
+    val got = run(rows, g)
+    assert(got === Map(
+      (1L, 0L) -> (2L, 0L, 100L, 50L),
+      (1L, 1L) -> (2L, 201L, 99L, 5L)))
+  }
+
+  test("timestamp ties order by orderId; single-fix trips; entity isolation") {
+    val g = 10L
+    val rows = Seq(
+      // entity 2: two fixes at the SAME t — oid 5 precedes oid 7, so the
+      // hop is 5→7 (3-4-5 triangle scaled): len 500
+      (2L, 1000L, 7L, 300L, 400L),
+      (2L, 1000L, 5L, 0L, 0L),
+      // entity 3: one isolated fix = its own trip, zero length/duration
+      (3L, 50L, 9L, 7L, 7L))
+    val got = run(rows, g)
+    assert(got === Map(
+      (2L, 0L) -> (2L, 1000L, 0L, 500L),
+      (3L, 0L) -> (1L, 50L, 0L, 0L)))
+  }
+
+  test("brute parity on a pseudo-random multi-entity stream") {
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 600).map { i =>
+      (rnd.nextInt(7).toLong, rnd.nextInt(5000).toLong, i.toLong,
+        rnd.nextInt(2000000).toLong - 1000000L,
+        rnd.nextInt(2000000).toLong - 1000000L)
+    }
+    val g = 150L // mixed regime: plenty of splits AND multi-fix trips
+    assert(run(rows, g) === brute(rows, g))
+  }
+}
