@@ -1636,6 +1636,66 @@ object SparkEntry {
         expr("(o_orderkey div 300 + o_orderkey * 7919) % 300").as("v"))
       operators.Graph.triangleCount(edges, col("u"), col("v"))
     }),
+    // ---- STREAMING trajectory sessionization: the q82 semantics as managed
+    //      state — one TripState record per live entity carried across THREE
+    //      micro-batches (global (tus, oid) order split into tertile files,
+    //      so trips span batch boundaries and only cross-batch state can
+    //      reproduce the batch twin), completed trips emitted exactly-once
+    //      into the IcebergLite sink; a 4th past-horizon flush file closes
+    //      each entity's final trip. Identical fixed IEEE hop chain → the
+    //      oracle is the SAME SQL as the batch q82.
+    "q85_stream_trips" -> ((s, dir) => {
+      import java.nio.file.Files
+      import s.implicits._
+      val gapUs = 43200L * 1000000L
+      val staged = Files.createTempDirectory("graft_q85_src")
+      val tmp = Files.createTempDirectory("graft_q85_tmp").toString
+      val ev = s.read.parquet(s"$dir/events.parquet").select(
+        col("user_id").as("entity"),
+        unix_micros(col("ts").cast("timestamp")).as("tus"),
+        col("event_id").as("oid"),
+        Derive.lonMicro(col("event_id")).as("lon"),
+        Derive.latMicro(col("event_id")).as("lat"))
+      val maxTus = ev.agg(max("tus")).as[Long].head()
+      // fixture STAGING (not the operator): tertile files in global
+      // (tus, oid) order so per-entity arrival order across micro-batches
+      // matches the batch ordering; the single-partition window is staging-
+      // only scaffolding
+      val w = org.apache.spark.sql.expressions.Window.orderBy("tus", "oid")
+      val chunked = ev.withColumn("_c", ntile(3).over(w))
+      (1 to 3).foreach { c =>
+        chunked.where(col("_c") === c).drop("_c")
+          .coalesce(1).write.mode("overwrite").parquet(s"$tmp/p$c")
+        val f = new java.io.File(s"$tmp/p$c").listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        Files.copy(f.toPath, staged.resolve(s"fixes-$c.parquet"))
+      }
+      // flush file: one past-horizon fix per entity closes its last trip
+      // (the flush fix itself parks as an unemitted 1-fix trip in state)
+      ev.select(col("entity")).distinct()
+        .select(col("entity"), lit(maxTus + gapUs + 1L).as("tus"),
+          lit(-1L).as("oid"), lit(0L).as("lon"), lit(0L).as("lat"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/p4")
+      val f4 = new java.io.File(s"$tmp/p4").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.copy(f4.toPath, staged.resolve(s"fixes-4.parquet"))
+
+      val tbl = Files.createTempDirectory("graft_q85_tbl").toString
+      val ckpt = Files.createTempDirectory("graft_q85_ck").toString
+      val stream = s.readStream.schema(chunked.drop("_c").schema)
+        .option("maxFilesPerTrigger", 1).parquet(staged.toString)
+        .as[graft.streaming.EventStream.Fix]
+      val trips = graft.streaming.EventStream.streamingTrips(stream, gapUs)
+      val q = trips.toDF().writeStream
+        .queryName("q85")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch(graft.streaming.EventStream.icebergBatchWriter(
+          tbl, col("entity"), "q85"))
+        .start()
+      q.awaitTermination()
+      graft.sources.IcebergLite.read(s, tbl).orderBy("entity", "trip_no")
+    }),
     // ---- STREAMING geospatial ingest (J on axis A): the tile-assignment
     //      transform run as a Structured Streaming job over a 3-file landing
     //      directory with maxFilesPerTrigger=1 — THREE micro-batches, each
@@ -2007,6 +2067,31 @@ object SparkEntry {
     * (noise = -1). Must stay the exact rule set `operators.Dbscan`
     * implements.
     */
+  /** Batch sessionization twin (q82) — also the oracle for the STREAMING
+    * q85: managed-state session windows with full flush must reproduce the
+    * batch operator exactly, hop chain and all.
+    */
+  private def tripsOracleSql: String =
+    s"""WITH p AS (SELECT user_id, epoch_us(ts) AS tus, event_id,
+       |  ${Derive.lonSql("event_id")} AS lonm,
+       |  ${Derive.latSql("event_id")} AS latm FROM events),
+       |l AS (SELECT *, lag(tus) OVER w AS ptus, lag(lonm) OVER w AS plon,
+       |  lag(latm) OVER w AS plat FROM p
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+       |f AS (SELECT *, CASE WHEN ptus IS NULL OR tus - ptus > 43200000000
+       |  THEN 1 ELSE 0 END AS nt FROM l),
+       |t AS (SELECT *, CAST(SUM(nt) OVER (PARTITION BY user_id
+       |    ORDER BY tus, event_id ROWS UNBOUNDED PRECEDING) - 1
+       |    AS BIGINT) AS trip_no,
+       |  CASE WHEN nt = 1 THEN 0 ELSE CAST(floor(sqrt(
+       |    CAST(lonm - plon AS DOUBLE) * CAST(lonm - plon AS DOUBLE) +
+       |    CAST(latm - plat AS DOUBLE) * CAST(latm - plat AS DOUBLE)))
+       |    AS BIGINT) END AS hop FROM f)
+       |SELECT user_id AS entity, trip_no, count(*) AS n_pts,
+       |  min(tus) AS start_us, max(tus) - min(tus) AS dur_us,
+       |  CAST(sum(hop) AS BIGINT) AS len_q
+       |FROM t GROUP BY 1, 2 ORDER BY entity, trip_no""".stripMargin
+
   private def dbscanCteSql: String =
     s"""WITH RECURSIVE pts AS (SELECT c_custkey AS id,
        |  ${Derive.lonSql("c_custkey")} AS x, ${Derive.latSql("c_custkey")} AS y
@@ -2285,26 +2370,10 @@ object SparkEntry {
       """SELECT DISTINCT c_custkey % 500 AS k,
         |  (c_custkey % 500) * 2654435761 % 1000000 AS payload
         |FROM customer ORDER BY k""".stripMargin,
-    "q82_trips" ->
-      s"""WITH p AS (SELECT user_id, epoch_us(ts) AS tus, event_id,
-         |  ${Derive.lonSql("event_id")} AS lonm,
-         |  ${Derive.latSql("event_id")} AS latm FROM events),
-         |l AS (SELECT *, lag(tus) OVER w AS ptus, lag(lonm) OVER w AS plon,
-         |  lag(latm) OVER w AS plat FROM p
-         |  WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
-         |f AS (SELECT *, CASE WHEN ptus IS NULL OR tus - ptus > 43200000000
-         |  THEN 1 ELSE 0 END AS nt FROM l),
-         |t AS (SELECT *, CAST(SUM(nt) OVER (PARTITION BY user_id
-         |    ORDER BY tus, event_id ROWS UNBOUNDED PRECEDING) - 1
-         |    AS BIGINT) AS trip_no,
-         |  CASE WHEN nt = 1 THEN 0 ELSE CAST(floor(sqrt(
-         |    CAST(lonm - plon AS DOUBLE) * CAST(lonm - plon AS DOUBLE) +
-         |    CAST(latm - plat AS DOUBLE) * CAST(latm - plat AS DOUBLE)))
-         |    AS BIGINT) END AS hop FROM f)
-         |SELECT user_id AS entity, trip_no, count(*) AS n_pts,
-         |  min(tus) AS start_us, max(tus) - min(tus) AS dur_us,
-         |  CAST(sum(hop) AS BIGINT) AS len_q
-         |FROM t GROUP BY 1, 2 ORDER BY entity, trip_no""".stripMargin,
+    "q82_trips" -> tripsOracleSql,
+    // the STREAMING sessionization must equal the batch operator over the
+    // real fixes — same twin, by construction
+    "q85_stream_trips" -> tripsOracleSql,
     "q83_sssp" -> {
       // H chained Bellman-Ford relaxation CTEs: d_k = min over (d_{k-1} ∪
       // one-edge extensions of d_{k-1}) — each CTE is the exact invariant

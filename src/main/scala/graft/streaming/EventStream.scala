@@ -118,6 +118,67 @@ object EventStream {
       }
   }
 
+  final case class Fix(entity: Long, tus: Long, oid: Long, lon: Long, lat: Long)
+  final case class TripState(tripNo: Long, nPts: Long, startUs: Long,
+                             lastUs: Long, lastLon: Long, lastLat: Long,
+                             lenQ: Long)
+  final case class Trip(entity: Long, trip_no: Long, n_pts: Long,
+                        start_us: Long, dur_us: Long, len_q: Long)
+
+  /** Streaming twin of [[graft.operators.Trajectory.trips]] — session
+    * windows with a data-defined gap as MANAGED STATE rather than a batch
+    * window function: one `TripState` record per live entity carries the
+    * open trip (number, fix count, start, last fix, running Σ⌊hop⌋) across
+    * micro-batches; a fix whose gap to the carried last fix exceeds `gapUs`
+    * EMITS the completed trip and opens the next one. A trip is emitted
+    * exactly once, on the batch where its closing gap arrives — so a trip
+    * spanning micro-batches accumulates silently until its dwell gap shows
+    * up, exactly reproducing the batch operator's (tus, oid)-ordered
+    * semantics as long as each entity's fixes arrive in (tus, oid) order
+    * across batches (within a batch, order is free — the state function
+    * sorts). The final open trip per entity flushes when the caller sends a
+    * past-horizon fix (tus > everything + gapUs): the flush fix closes the
+    * last real trip and parks an unemitted 1-fix trip in state, so the
+    * emitted set equals the batch operator over the real fixes.
+    *
+    * The hop kernel is the identical fixed IEEE chain (exact int64 deltas →
+    * double mul/add in fixed order → correctly-rounded sqrt → ⌊·⌋), so
+    * streamed trip lengths are bit-equal to the batch/DuckDB twins.
+    *
+    * Scale: state is ONE fixed-width record per live entity (not per fix),
+    * partitioned by the entity-key shuffle; the per-batch per-group sort is
+    * task-local over that batch's fixes only. Nothing driver-sized.
+    */
+  def streamingTrips(fixes: Dataset[Fix], gapUs: Long): Dataset[Trip] = {
+    require(gapUs > 0, "gapUs must be positive")
+    import fixes.sparkSession.implicits._
+    fixes.groupByKey(_.entity)
+      .flatMapGroupsWithState[TripState, Trip](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (entity: Long, it: Iterator[Fix], state: GroupState[TripState]) =>
+          val sorted = it.toArray.sortBy(f => (f.tus, f.oid))
+          var st: TripState = state.getOption.orNull
+          val out = scala.collection.mutable.ArrayBuffer.empty[Trip]
+          sorted.foreach { f =>
+            if (st == null) {
+              st = TripState(0L, 1L, f.tus, f.tus, f.lon, f.lat, 0L)
+            } else if (f.tus - st.lastUs > gapUs) {
+              out += Trip(entity, st.tripNo, st.nPts, st.startUs,
+                st.lastUs - st.startUs, st.lenQ)
+              st = TripState(st.tripNo + 1, 1L, f.tus, f.tus, f.lon, f.lat, 0L)
+            } else {
+              val dx = (f.lon - st.lastLon).toDouble
+              val dy = (f.lat - st.lastLat).toDouble
+              val hop = math.floor(math.sqrt(dx * dx + dy * dy)).toLong
+              st = TripState(st.tripNo, st.nPts + 1, st.startUs, f.tus,
+                f.lon, f.lat, st.lenQ + hop)
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** Streaming ingest dedup: drop re-deliveries of the same key within the
     * watermark horizon — the standard exactly-once-ish ingestion guard in
     * front of a training-data pipeline. State = one entry per key within

@@ -299,4 +299,40 @@ class EventStreamSpec extends AnyFunSuite {
       assert(got.nonEmpty)
     } finally q.stop()
   }
+
+  test("streamingTrips: managed-state sessions equal the batch operator; trips span micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val gapUs = 50L
+    // entity 1: trip 0 = fixes at t 0/10/20 (SPANS b1/b2), trip 1 = t 100/120
+    // entity 2: single-fix trip 0 at t 5, trip 1 = t 200/210
+    // entity 7: fixes only in b2
+    val b1 = Seq(Fix(1, 0, 1, 0, 0), Fix(1, 10, 2, 3, 4), Fix(2, 5, 3, 10, 10))
+    val b2 = Seq(Fix(1, 20, 4, 6, 8), Fix(1, 100, 5, 0, 0), Fix(1, 120, 6, 5, 0),
+      Fix(2, 200, 7, 0, 0), Fix(2, 210, 8, 0, 7), Fix(7, 300, 9, 1, 1))
+    val real = b1 ++ b2
+    val maxT = real.map(_.tus).max
+    val flush = real.map(_.entity).distinct.map(e =>
+      Fix(e, maxT + gapUs + 1, -1, 0, 0))
+
+    val expect = graft.operators.Trajectory.trips(real.toDF(),
+        col("entity"), col("tus"), col("oid"), col("lon"), col("lat"), gapUs)
+      .collect().map(_.toSeq).toSet
+    assert(expect.size == 5) // 2 + 2 + 1 trips
+
+    val mem = MemoryStream[Fix]
+    val q = streamingTrips(mem.toDS(), gapUs)
+      .writeStream.format("memory").queryName("stream_trips").outputMode("append").start()
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      val afterB1 = spark.table("stream_trips").count()
+      mem.addData(b2: _*); q.processAllAvailable()
+      mem.addData(flush: _*); q.processAllAvailable()
+      val got = spark.table("stream_trips").collect().map(_.toSeq).toSet
+      assert(got === expect)
+      // nothing closed in b1 (both entities' first trips still open) — the
+      // cross-batch state is doing the work, not per-batch recompute
+      assert(afterB1 == 0)
+    } finally q.stop()
+  }
 }
