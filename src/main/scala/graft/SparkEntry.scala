@@ -1636,6 +1636,54 @@ object SparkEntry {
         expr("(o_orderkey div 300 + o_orderkey * 7919) % 300").as("v"))
       operators.Graph.triangleCount(edges, col("u"), col("v"))
     }),
+    // ---- PAGERANK: bounded-iteration link centrality in EXACT int64
+    //      fixed-point (SCALE 10^12, damping 85/100, integer `div` at both
+    //      the per-edge contribution and the damped sum) — the same Pregel
+    //      discipline as q83: one rank⋈edges equi-join + one hash
+    //      sum-aggregate per round, localCheckpoint lineage truncation.
+    //      6 rounds; the DuckDB twin is 6 chained CTEs replaying the rule.
+    "q86_pagerank" -> ((s, dir) => {
+      val k = col("o_orderkey")
+      val edges = s.read.parquet(s"$dir/orders.parquet").select(
+        (k % 400L).as("src"),
+        expr("(o_orderkey div 400 + o_orderkey * 7919 + 31) % 400").as("dst"))
+      operators.Graph.pageRank(edges, col("src"), col("dst"), iters = 6)
+        .orderBy("node")
+    }),
+    // ---- POLYGON CENTROID / label point: exact int64 shoelace over the
+    //      vertex-table form, translated to the ring's first vertex so every
+    //      product stays in int64 (ANSI-checked), label point via ONE
+    //      correctly-rounded IEEE division + floor → engine-invariant. One
+    //      exchange on the polygon key serves the ordering window AND the
+    //      final aggregate.
+    "q87_centroid" -> ((s, dir) => {
+      val k = col("c_custkey")
+      val pidE = expr("(c_custkey - 1) div 8")
+      val verts = s.read.parquet(s"$dir/customer.parquet").select(
+        pidE.as("pid"), expr("(c_custkey - 1) % 8").as("idx"),
+        // quadratic-in-key offsets: a LINEAR hash makes every non-wrapping
+        // ring collinear (a2 = 0); the square term keeps rings genuinely 2-D
+        (Derive.lonMicro(pidE) + (k * k * 48271L) % 600001L - 300000L).as("x"),
+        (Derive.latMicro(pidE) + ((k + 7L) * (k + 13L) * 16807L) % 600001L - 300000L).as("y"))
+      operators.Centroid.labelPoints(verts, col("pid"), col("idx"),
+          col("x"), col("y"))
+        .orderBy("poly_id")
+    }),
+    // ---- FEATURE DIAMETER via convex hull: exact int64 max pairwise
+    //      squared distance per feature — the hull (monotone chain, exact
+    //      cross products) is pure acceleration, turning the oracle's O(n²)
+    //      brute max into O(n log n) + O(h²); one geometry-assembly hash
+    //      aggregate then a map-only kernel, same shape as q7z.
+    "q88_diameter" -> ((s, dir) => {
+      val k = col("o_orderkey")
+      val pidE = expr("(o_orderkey - 1) div 30")
+      val verts = s.read.parquet(s"$dir/orders.parquet").select(
+        pidE.as("pid"),
+        (Derive.lonMicro(pidE) + (k * k * 48271L) % 600001L - 300000L).as("x"),
+        (Derive.latMicro(pidE) + ((k + 7L) * (k + 13L) * 16807L) % 600001L - 300000L).as("y"))
+      operators.Hull.diameter(s, verts, col("pid"), col("x"), col("y"))
+        .orderBy("poly_id")
+    }),
     // ---- STREAMING trajectory sessionization: the q82 semantics as managed
     //      state — one TripState record per live entity carried across THREE
     //      micro-batches (global (tus, oid) order split into tertile files,
@@ -2370,6 +2418,70 @@ object SparkEntry {
       """SELECT DISTINCT c_custkey % 500 AS k,
         |  (c_custkey % 500) * 2654435761 % 1000000 AS payload
         |FROM customer ORDER BY k""".stripMargin,
+    "q86_pagerank" -> {
+      // 6 chained CTEs replay the integer power-iteration rule exactly:
+      // r_k(v) = BASE + (85 * Σ (r_{k-1}(u) // out(u))) // 100
+      val rounds = (1 to 6).map { k =>
+        s"""r$k AS (SELECT n.node,
+           |  ${15L * 10000000000L} + (85 * coalesce(s.s, 0)) // 100 AS r
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT e.dst AS node, sum(r${k - 1}.r // e.out) AS s
+           |    FROM r${k - 1} JOIN e ON r${k - 1}.node = e.src
+           |    GROUP BY e.dst) s ON n.node = s.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH raw AS (SELECT DISTINCT o_orderkey % 400 AS src,
+         |  (o_orderkey // 400 + o_orderkey * 7919 + 31) % 400 AS dst
+         |  FROM orders),
+         |od AS (SELECT src, count(*) AS out FROM raw GROUP BY src),
+         |e AS (SELECT raw.src, raw.dst, od.out FROM raw JOIN od USING (src)),
+         |nodes AS (SELECT src AS node FROM raw UNION
+         |          SELECT dst AS node FROM raw),
+         |r0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS r FROM nodes),
+         |$rounds
+         |SELECT node, CAST(r AS BIGINT) AS r FROM r6 ORDER BY node""".stripMargin
+    },
+    "q87_centroid" ->
+      s"""WITH v AS (SELECT (c_custkey - 1) // 8 AS pid,
+         |  (c_custkey - 1) % 8 AS idx,
+         |  ${Derive.lonSql("((c_custkey - 1) // 8)")}
+         |    + (c_custkey * c_custkey * 48271) % 600001 - 300000 AS x,
+         |  ${Derive.latSql("((c_custkey - 1) // 8)")}
+         |    + ((c_custkey + 7) * (c_custkey + 13) * 16807) % 600001 - 300000
+         |    AS y FROM customer),
+         |w AS (SELECT *, first_value(x) OVER wo AS x0,
+         |  first_value(y) OVER wo AS y0,
+         |  coalesce(lead(x) OVER wo, first_value(x) OVER wo) AS xn,
+         |  coalesce(lead(y) OVER wo, first_value(y) OVER wo) AS yn
+         |  FROM v WINDOW wo AS (PARTITION BY pid ORDER BY idx)),
+         |c AS (SELECT pid, x0, y0, x - x0 AS dx, y - y0 AS dy,
+         |  xn - x0 AS dxn, yn - y0 AS dyn FROM w),
+         |s AS (SELECT pid AS poly_id,
+         |  CAST(sum(dx*dyn - dxn*dy) AS BIGINT) AS a2,
+         |  CAST(sum((dx + dxn) * (dx*dyn - dxn*dy)) AS BIGINT) AS cx6a,
+         |  CAST(sum((dy + dyn) * (dx*dyn - dxn*dy)) AS BIGINT) AS cy6a,
+         |  min(x0) AS x0, min(y0) AS y0 FROM c GROUP BY 1)
+         |SELECT poly_id, a2,
+         |  CAST(floor(CAST(x0 AS DOUBLE)
+         |    + CAST(cx6a AS DOUBLE) / CAST(3*a2 AS DOUBLE)) AS BIGINT) AS cx_q,
+         |  CAST(floor(CAST(y0 AS DOUBLE)
+         |    + CAST(cy6a AS DOUBLE) / CAST(3*a2 AS DOUBLE)) AS BIGINT) AS cy_q
+         |FROM s WHERE a2 <> 0 ORDER BY poly_id""".stripMargin,
+    "q88_diameter" ->
+      // brute max over ALL vertex pairs (self-pairs give the single-vertex
+      // d2 = 0 for free) — the engine's hull is acceleration, not semantics
+      s"""WITH v AS (SELECT (o_orderkey - 1) // 30 AS pid,
+         |  ${Derive.lonSql("((o_orderkey - 1) // 30)")}
+         |    + (o_orderkey * o_orderkey * 48271) % 600001 - 300000 AS x,
+         |  ${Derive.latSql("((o_orderkey - 1) // 30)")}
+         |    + ((o_orderkey + 7) * (o_orderkey + 13) * 16807) % 600001
+         |    - 300000 AS y FROM orders),
+         |n AS (SELECT pid, count(*) AS n_pts FROM v GROUP BY 1),
+         |d AS (SELECT a.pid,
+         |  CAST(max((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y))
+         |    AS BIGINT) AS d2
+         |  FROM v a JOIN v b ON a.pid = b.pid GROUP BY 1)
+         |SELECT n.pid AS poly_id, n.n_pts, d.d2
+         |FROM n JOIN d ON n.pid = d.pid ORDER BY poly_id""".stripMargin,
     "q82_trips" -> tripsOracleSql,
     // the STREAMING sessionization must equal the batch operator over the
     // real fixes — same twin, by construction

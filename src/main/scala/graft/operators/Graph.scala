@@ -66,4 +66,59 @@ object Graph {
         Seq("p", "q"))
       .agg(count(lit(1)).as("triangles"))
   }
+
+  /** Bounded-iteration PageRank in EXACT int64 fixed-point — the
+    * graph-centrality verb (road-network importance, link-graph quality
+    * weights for corpus curation à la Common Crawl's harmonic-centrality
+    * ranking).
+    *
+    * Deterministic integer rule (d = 85/100 damping, SCALE = 10^12):
+    *   V       = nodes appearing as src or dst of the deduped edge set
+    *   out(u)  = out-degree of u over DISTINCT (src, dst) edges
+    *   r_0(v)  = SCALE
+    *   r_k(v)  = BASE + (85 · Σ_{u→v} (r_{k-1}(u) div out(u))) div 100,
+    *             BASE = (15 · SCALE) div 100
+    * Every op is an int64 add / multiply / `div` — any engine replays it
+    * bit-for-bit (the float-free twin of the textbook power iteration;
+    * integer division drops sub-unit mass and dangling mass exactly like
+    * the "remove dangling nodes" simplification — deterministic, and
+    * irrelevant to ranking order at SCALE = 10^12). Σ stays < 2^63 for
+    * |V| ≤ ~9 M at this scale; lower SCALE for bigger graphs.
+    *
+    * Plan (100 TB posture): the same Pregel discipline as
+    * [[Routing.shortestPaths]] — per round ONE equi-join of the rank table
+    * against the out-degree-annotated edges on src and ONE hash
+    * sum-aggregate, then a left join back onto V for in-degree-0 nodes
+    * (BASE only); `localCheckpoint` truncates the iterative lineage each
+    * round. Edges are scanned once per round, never collected, never
+    * broadcast (rank and edge tables shuffle-join on the same key, and AQE
+    * may still choose broadcast when a side is genuinely small).
+    */
+  def pageRank(edges: DataFrame, u: Column, v: Column, iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 64, "iters must be in [1, 64]")
+    val SCALE = 1000000000000L
+    val BASE = 15L * SCALE / 100L
+
+    val e = edges.select(u.cast("long").as("_src"), v.cast("long").as("_dst"))
+      .distinct()
+    val nodes = e.select(col("_src").as("node"))
+      .union(e.select(col("_dst").as("node")))
+      .distinct()
+      .localCheckpoint()
+    val outDeg = e.groupBy("_src").agg(count(lit(1)).as("_out"))
+    val eAnn = e.join(outDeg, "_src").localCheckpoint() // derived ONCE
+
+    var rank = nodes.withColumn("r", lit(SCALE)).localCheckpoint()
+    (1 to iters).foreach { _ =>
+      val contrib = rank.join(eAnn, col("node") === col("_src"))
+        .select(col("_dst").as("node"),
+          expr("r div _out").as("c")) // exact int64 division, not `/`
+        .groupBy("node").agg(sum("c").as("s"))
+      rank = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          expr(s"$BASE + (85 * coalesce(s, 0)) div 100").as("r"))
+        .localCheckpoint()
+    }
+    rank
+  }
 }

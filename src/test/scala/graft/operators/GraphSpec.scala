@@ -45,4 +45,50 @@ class GraphSpec extends AnyFunSuite {
     }
     assert(run(edges) === brute(edges))
   }
+
+  // ---- pageRank: independent replay of the integer rule ----
+
+  private def brutePr(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val SCALE = 1000000000000L
+    val BASE = 15L * SCALE / 100L
+    val e = edges.distinct
+    val nodes = e.flatMap(p => Seq(p._1, p._2)).distinct
+    val out = e.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var r = nodes.map(_ -> SCALE).toMap
+    (1 to iters).foreach { _ =>
+      val s = e.groupBy(_._2).view.mapValues(
+        _.map { case (u, _) => r(u) / out(u) }.sum).toMap
+      r = nodes.map(n => n -> (BASE + 85L * s.getOrElse(n, 0L) / 100L)).toMap
+    }
+    r
+  }
+
+  private def runPr(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] =
+    Graph.pageRank(edges.toDF("u", "v"), col("u"), col("v"), iters)
+      .collect().map(row => row.getLong(0) -> row.getLong(1)).toMap
+
+  test("pageRank hand cases: cycle is uniform; star hub collects, leaves get BASE") {
+    val SCALE = 1000000000000L
+    val BASE = 15L * SCALE / 100L
+    // 4-cycle: out-degree 1 everywhere, perfectly symmetric → every round
+    // keeps all ranks equal; with r_0 = SCALE the fixpoint is SCALE itself
+    val cycle = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L))
+    assert(runPr(cycle, 5).values.toSet === Set(SCALE))
+    // star INTO the hub: leaves have no in-edges → BASE after round 1;
+    // hub's round-2 value is BASE + 85 * (3 * BASE) / 100
+    val star = Seq((1L, 0L), (2L, 0L), (3L, 0L))
+    val got = runPr(star, 2)
+    assert(got(1L) === BASE && got(2L) === BASE && got(3L) === BASE)
+    assert(got(0L) === BASE + 85L * (3L * BASE) / 100L)
+  }
+
+  test("pageRank brute parity on a pseudo-random digraph, incl dup edges and dangling nodes") {
+    val rnd = new scala.util.Random(23)
+    // node 50 only ever appears as dst (dangling in-only), dups frequent
+    val edges = (0 until 400).map { i =>
+      if (i % 40 == 0) (rnd.nextInt(30).toLong, 50L)
+      else (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong)
+    }.filter(p => p._1 != p._2)
+    assert(runPr(edges, 6) === brutePr(edges, 6))
+  }
 }
