@@ -1684,6 +1684,23 @@ object SparkEntry {
       operators.Hull.diameter(s, verts, col("pid"), col("x"), col("y"))
         .orderBy("poly_id")
     }),
+    // ---- OD FLOW MATRIX: trips → one flow per trip from its first fix's
+    //      cell to its last fix's cell, counted per directed cell pair —
+    //      the aggregate mobility verb on top of q82. Endpoint election is
+    //      a map-side-partial min_by/max_by keyed by the unique (tus, oid)
+    //      pair (no per-trip sort); shift-before-div keeps integer division
+    //      engine-invariant.
+    "q89_od_matrix" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet").select(
+        col("user_id"), unix_micros(col("ts").cast("timestamp")).as("tus"),
+        col("event_id"),
+        Derive.lonMicro(col("event_id")).as("lonm"),
+        Derive.latMicro(col("event_id")).as("latm"))
+      Trajectory.odMatrix(ev, col("user_id"), col("tus"), col("event_id"),
+          col("lonm"), col("latm"), gapUs = 43200L * 1000000L,
+          cellMicro = 8000000L)
+        .orderBy("o_cx", "o_cy", "d_cx", "d_cy")
+    }),
     // ---- STREAMING trajectory sessionization: the q82 semantics as managed
     //      state — one TripState record per live entity carried across THREE
     //      micro-batches (global (tus, oid) order split into tertile files,
@@ -2115,12 +2132,12 @@ object SparkEntry {
     * (noise = -1). Must stay the exact rule set `operators.Dbscan`
     * implements.
     */
-  /** Batch sessionization twin (q82) — also the oracle for the STREAMING
-    * q85: managed-state session windows with full flush must reproduce the
-    * batch operator exactly, hop chain and all.
+  /** Shared trip-segmentation CTE chain (p → l → f → t): per-user fixes,
+    * lag pairs, dwell-gap trip starts, running trip numbers + the fixed
+    * IEEE hop. Heads the q82/q85 twin and the q89 OD-matrix twin.
     */
-  private def tripsOracleSql: String =
-    s"""WITH p AS (SELECT user_id, epoch_us(ts) AS tus, event_id,
+  private def tripsCtes: String =
+    s"""p AS (SELECT user_id, epoch_us(ts) AS tus, event_id,
        |  ${Derive.lonSql("event_id")} AS lonm,
        |  ${Derive.latSql("event_id")} AS latm FROM events),
        |l AS (SELECT *, lag(tus) OVER w AS ptus, lag(lonm) OVER w AS plon,
@@ -2134,7 +2151,14 @@ object SparkEntry {
        |  CASE WHEN nt = 1 THEN 0 ELSE CAST(floor(sqrt(
        |    CAST(lonm - plon AS DOUBLE) * CAST(lonm - plon AS DOUBLE) +
        |    CAST(latm - plat AS DOUBLE) * CAST(latm - plat AS DOUBLE)))
-       |    AS BIGINT) END AS hop FROM f)
+       |    AS BIGINT) END AS hop FROM f)""".stripMargin
+
+  /** Batch sessionization twin (q82) — also the oracle for the STREAMING
+    * q85: managed-state session windows with full flush must reproduce the
+    * batch operator exactly, hop chain and all.
+    */
+  private def tripsOracleSql: String =
+    s"""WITH $tripsCtes
        |SELECT user_id AS entity, trip_no, count(*) AS n_pts,
        |  min(tus) AS start_us, max(tus) - min(tus) AS dur_us,
        |  CAST(sum(hop) AS BIGINT) AS len_q
@@ -2482,6 +2506,22 @@ object SparkEntry {
          |  FROM v a JOIN v b ON a.pid = b.pid GROUP BY 1)
          |SELECT n.pid AS poly_id, n.n_pts, d.d2
          |FROM n JOIN d ON n.pid = d.pid ORDER BY poly_id""".stripMargin,
+    "q89_od_matrix" ->
+      s"""WITH $tripsCtes,
+         |o AS (SELECT user_id, trip_no,
+         |  first_value(lonm) OVER wt AS o_lon, first_value(latm) OVER wt AS o_lat,
+         |  last_value(lonm) OVER wt AS d_lon, last_value(latm) OVER wt AS d_lat
+         |  FROM t WINDOW wt AS (PARTITION BY user_id, trip_no
+         |    ORDER BY tus, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)),
+         |od AS (SELECT DISTINCT user_id, trip_no, o_lon, o_lat, d_lon, d_lat
+         |  FROM o)
+         |SELECT (o_lon + 180000000) // 8000000 AS o_cx,
+         |  (o_lat + 90000000) // 8000000 AS o_cy,
+         |  (d_lon + 180000000) // 8000000 AS d_cx,
+         |  (d_lat + 90000000) // 8000000 AS d_cy,
+         |  count(*) AS flows
+         |FROM od GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4""".stripMargin,
     "q82_trips" -> tripsOracleSql,
     // the STREAMING sessionization must equal the batch operator over the
     // real fixes — same twin, by construction

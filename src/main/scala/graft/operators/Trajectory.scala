@@ -79,4 +79,61 @@ object Trajectory {
         (max(col("_tus")) - min(col("_tus"))).as("dur_us"),
         sum(col("_hop")).as("len_q"))
   }
+
+  /** Origin–destination flow matrix — the aggregate mobility verb on top
+    * of trip segmentation ("how many trips start in cell A and end in cell
+    * B"): each trip contributes one flow from its FIRST fix's cell to its
+    * LAST fix's cell (order = (t, orderId), the [[trips]] rule), counted
+    * per directed cell pair.
+    *
+    * Cells are `⌊(coord + shift) / cellMicro⌋` with the caller-supplied
+    * shift making coordinates non-negative FIRST — integer division
+    * truncates toward zero in some engines and floors in others, so the
+    * rule is only engine-invariant on non-negative operands (the same
+    * discipline as the tile operators).
+    *
+    * Plan (100 TB posture): the entity exchange serves the trip-numbering
+    * window AND the per-(entity, trip) min_by/max_by endpoint aggregate
+    * (its keys refine the window partitioning); the only other exchange is
+    * the final hash count on the cell-pair key. min_by/max_by keyed by the
+    * unique (t, orderId) pair make endpoint election a map-side-partial
+    * aggregate — no per-trip sort, no second window.
+    */
+  def odMatrix(fixes: DataFrame, entity: Column, tUs: Column, orderId: Column,
+               lon: Column, lat: Column, gapUs: Long,
+               cellMicro: Long, lonShift: Long = 180000000L,
+               latShift: Long = 90000000L): DataFrame = {
+    require(gapUs > 0, "gapUs must be positive")
+    require(cellMicro > 0, "cellMicro must be positive")
+    val w = Window.partitionBy(col("_ent")).orderBy(col("_tus"), col("_oid"))
+
+    val base = fixes.select(entity.cast("long").as("_ent"),
+      tUs.cast("long").as("_tus"), orderId.cast("long").as("_oid"),
+      lon.cast("long").as("_lon"), lat.cast("long").as("_lat"))
+
+    val withTrip = base
+      .withColumn("_ptus", lag(col("_tus"), 1).over(w))
+      .withColumn("_new",
+        when(col("_ptus").isNull || col("_tus") - col("_ptus") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("_trip",
+        sum(col("_new")).over(w.rowsBetween(Window.unboundedPreceding, 0)) - 1L)
+
+    withTrip
+      .groupBy(col("_ent"), col("_trip"))
+      .agg(
+        min_by(struct(col("_lon"), col("_lat")), struct(col("_tus"), col("_oid"))).as("_o"),
+        max_by(struct(col("_lon"), col("_lat")), struct(col("_tus"), col("_oid"))).as("_d"))
+      .select(
+        (col("_o._lon") + lonShift).as("_osx"), (col("_o._lat") + latShift).as("_osy"),
+        (col("_d._lon") + lonShift).as("_dsx"), (col("_d._lat") + latShift).as("_dsy"))
+      // `div` (exact int64 trunc) — non-negative operands make trunc ≡ floor
+      .select(
+        expr(s"_osx div $cellMicro").as("o_cx"),
+        expr(s"_osy div $cellMicro").as("o_cy"),
+        expr(s"_dsx div $cellMicro").as("d_cx"),
+        expr(s"_dsy div $cellMicro").as("d_cy"))
+      .groupBy("o_cx", "o_cy", "d_cx", "d_cy")
+      .agg(count(lit(1)).as("flows"))
+  }
 }

@@ -82,4 +82,36 @@ class TrajectorySpec extends AnyFunSuite {
     val g = 150L // mixed regime: plenty of splits AND multi-fix trips
     assert(run(rows, g) === brute(rows, g))
   }
+
+  test("odMatrix: brute parity (per-trip first→last cell flows) incl. negative coords and ties") {
+    val rnd = new scala.util.Random(43)
+    val rows = (0 until 600).map { i =>
+      (rnd.nextInt(7).toLong, rnd.nextInt(5000).toLong / 10 * 10, i.toLong,
+        rnd.nextInt(2000000).toLong - 1000000L,
+        rnd.nextInt(2000000).toLong - 1000000L)
+    }
+    val g = 150L; val cell = 700000L; val shx = 1000000L; val shy = 1000000L
+    // brute: sessionize, per trip take first/last by (tus, oid), floor-div cells
+    val expect = rows.groupBy(_._1).toSeq.flatMap { case (_, rs) =>
+      val sorted = rs.sortBy(r => (r._2, r._3))
+      var trips = List.empty[Vector[(Long, Long, Long, Long, Long)]]
+      sorted.foreach { r =>
+        if (trips.isEmpty || r._2 - trips.head.last._2 > g)
+          trips = Vector(r) :: trips
+        else trips = (trips.head :+ r) :: trips.tail
+      }
+      trips.map { t =>
+        ((t.head._4 + shx) / cell, (t.head._5 + shy) / cell,
+          (t.last._4 + shx) / cell, (t.last._5 + shy) / cell)
+      }
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = Trajectory.odMatrix(rows.toDF("ent", "tus", "oid", "lon", "lat"),
+        col("ent"), col("tus"), col("oid"), col("lon"), col("lat"),
+        gapUs = g, cellMicro = cell, lonShift = shx, latShift = shy)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) -> r.getLong(4))
+      .toMap
+    assert(got === expect)
+    assert(got.values.sum > got.size) // some cell pairs carry multiple flows
+  }
 }
