@@ -1701,6 +1701,25 @@ object SparkEntry {
           cellMicro = 8000000L)
         .orderBy("o_cx", "o_cy", "d_cx", "d_cy")
     }),
+    // ---- SPATIOTEMPORAL CO-LOCATION: contact events between DISTINCT
+    //      entities within 200k µdeg AND 6 h of each other, counted per
+    //      unordered pair — candidates from a (space-cell × τ-bucket) grid,
+    //      never all-pairs; exact int64 d²/|Δt| predicates decide. Fixture
+    //      places users on mod-13 hotspots with per-event jitter so
+    //      co-location actually occurs; the oracle is the brute-force
+    //      time-band self-join over the same derived fixes.
+    "q90_colocation" -> ((s, dir) => {
+      val hub = col("user_id") % 13L
+      val ev = s.read.parquet(s"$dir/events.parquet").select(
+        col("user_id"), unix_micros(col("ts").cast("timestamp")).as("tus"),
+        (Derive.lonMicro(hub) + (col("event_id") * 48271L) % 600001L
+          - 300000L).as("lonm"),
+        (Derive.latMicro(hub) + ((col("event_id") + 7L) * 16807L) % 600001L
+          - 300000L).as("latm"))
+      Trajectory.coLocation(ev, col("user_id"), col("tus"), col("lonm"),
+          col("latm"), radiusMicro = 200000L, tauUs = 21600000000L, level = 9)
+        .orderBy("ent_a", "ent_b")
+    }),
     // ---- STREAMING trajectory sessionization: the q82 semantics as managed
     //      state — one TripState record per live entity carried across THREE
     //      micro-batches (global (tus, oid) order split into tertile files,
@@ -2522,6 +2541,21 @@ object SparkEntry {
          |  (d_lat + 90000000) // 8000000 AS d_cy,
          |  count(*) AS flows
          |FROM od GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4""".stripMargin,
+    "q90_colocation" ->
+      // brute-force twin: the blocking grid is plan-side only — the
+      // counted set is decided by the same exact int64 d² / |Δt| tests
+      s"""WITH f AS (SELECT user_id AS ent, epoch_us(ts) AS tus,
+         |  ${Derive.lonSql("(user_id % 13)")}
+         |    + (event_id * 48271) % 600001 - 300000 AS lon,
+         |  ${Derive.latSql("(user_id % 13)")}
+         |    + ((event_id + 7) * 16807) % 600001 - 300000 AS lat
+         |  FROM events)
+         |SELECT a.ent AS ent_a, b.ent AS ent_b, count(*) AS contacts
+         |FROM f a JOIN f b ON a.ent < b.ent
+         |  AND abs(a.tus - b.tus) <= 21600000000
+         |  AND (b.lon - a.lon) * (b.lon - a.lon)
+         |    + (b.lat - a.lat) * (b.lat - a.lat) <= 40000000000
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q82_trips" -> tripsOracleSql,
     // the STREAMING sessionization must equal the batch operator over the
     // real fixes — same twin, by construction

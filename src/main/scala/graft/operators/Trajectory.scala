@@ -136,4 +136,59 @@ object Trajectory {
       .groupBy("o_cx", "o_cy", "d_cx", "d_cy")
       .agg(count(lit(1)).as("flows"))
   }
+
+  /** Spatiotemporal CO-LOCATION join — pairs of DISTINCT entities observed
+    * within planar distance ≤ `radiusMicro` AND within time ≤ `tauUs` of
+    * each other, counted per unordered entity pair (the contact/encounter
+    * verb: proximity tracing, co-travel detection, wildlife-encounter
+    * analysis). One output row per pair with its contact-event count.
+    *
+    * Scale re-expression (the [[graft.operators.Dedup.geoHammingPairs]]
+    * discipline extended with a TIME axis): candidates come from a
+    * (space cell × τ-bucket) grid, never an all-pairs stage — the
+    * b-side contributes its ONE (cell, bucket) key, the a-side explodes to
+    * its Chebyshev cell ring × {tb−1, tb, tb+1}, and `a.ent < b.ent` picks
+    * one orientation. Containment: dist ≤ r bounds the cell-index gap by
+    * the ring radius (the radius-join argument), and |Δt| ≤ τ bounds the
+    * τ-bucket gap by 1 for ANY sign of t (bucket boundaries are τ apart;
+    * a closed interval of length τ spans at most one boundary — trunc vs
+    * floor only re-labels the bucket at 0, never widens a gap past 1).
+    * The ring's (cell, bucket) keys are DISTINCT, so each qualifying fix
+    * pair is produced exactly ONCE — no dedup exchange. The exchange is
+    * ∝ co-located candidate pairs; city-hotspot skew fans out over many
+    * cells and AQE splits the rest. Exact predicates (int64 d², |Δt|)
+    * decide membership — blocking affects cost only, never the answer.
+    */
+  def coLocation(fixes: DataFrame, entity: Column, tUs: Column,
+                 lon: Column, lat: Column, radiusMicro: Long, tauUs: Long,
+                 level: Int): DataFrame = {
+    require(radiusMicro > 0, "radiusMicro must be positive")
+    require(tauUs > 0, "tauUs must be positive")
+    require(level >= 1 && level <= 16, "level out of range")
+    import graft.core.FixedPoint
+    val base = fixes.select(entity.cast("long").as("ent"),
+      tUs.cast("long").as("tus"), lon.cast("long").as("lon"),
+      lat.cast("long").as("lat"))
+    val rx = radiusMicro / (FixedPoint.LON_RANGE >> level)
+    val ry = radiusMicro / (FixedPoint.LAT_RANGE >> level)
+    val rr = (math.max(rx, ry) + 1).toInt
+    val tb = expr(s"tus div ${tauUs}L")
+    val cellSide = base
+      .withColumn("_cell",
+        graft.functions.GraftFunctions.zcell(col("lon"), col("lat"), level))
+      .withColumn("_tb", tb)
+    val ringSide = base
+      .withColumn("_cell", explode(
+        graft.functions.GraftFunctions.ringCells(col("lon"), col("lat"), level, rr)))
+      .withColumn("_tb", explode(array(tb - 1L, tb, tb + 1L)))
+    val ddx = col("b.lon") - col("a.lon")
+    val ddy = col("b.lat") - col("a.lat")
+    ringSide.as("a").join(cellSide.as("b"),
+        col("a._cell") === col("b._cell") && col("a._tb") === col("b._tb") &&
+        col("a.ent") < col("b.ent"))
+      .where(abs(col("a.tus") - col("b.tus")) <= tauUs &&
+        ddx * ddx + ddy * ddy <= radiusMicro * radiusMicro)
+      .groupBy(col("a.ent").as("ent_a"), col("b.ent").as("ent_b"))
+      .agg(count(lit(1)).as("contacts"))
+  }
 }

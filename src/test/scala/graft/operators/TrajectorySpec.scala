@@ -114,4 +114,54 @@ class TrajectorySpec extends AnyFunSuite {
     assert(got === expect)
     assert(got.values.sum > got.size) // some cell pairs carry multiple flows
   }
+
+  /** coLocation vs brute all-pairs: same exact int64 predicates, no grid. */
+  private def bruteContacts(rows: Seq[(Long, Long, Long, Long)],
+                            r: Long, tau: Long): Map[(Long, Long), Long] = {
+    val pairs = for {
+      i <- rows.indices; j <- rows.indices
+      a = rows(i); b = rows(j)
+      if a._1 < b._1 && math.abs(a._2 - b._2) <= tau &&
+        (b._3 - a._3) * (b._3 - a._3) + (b._4 - a._4) * (b._4 - a._4) <= r * r
+    } yield (a._1, b._1)
+    pairs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+  }
+
+  private def runCo(rows: Seq[(Long, Long, Long, Long)], r: Long, tau: Long,
+                    level: Int): Map[(Long, Long), Long] =
+    Trajectory.coLocation(rows.toDF("ent", "tus", "lon", "lat"),
+        col("ent"), col("tus"), col("lon"), col("lat"), r, tau, level)
+      .collect()
+      .map(x => (x.getLong(0), x.getLong(1)) -> x.getLong(2)).toMap
+
+  test("coLocation: boundary inclusion, orientation, self-pair exclusion") {
+    val r = 500L; val tau = 100L
+    val rows = Seq(
+      (1L, 0L, 0L, 0L),
+      (2L, 100L, 300L, 400L),  // d = 500 == r (closed), Δt = 100 == τ (closed)
+      (2L, 201L, 300L, 400L),  // Δt = 201 > τ vs ent 1 → no contact
+      (3L, 0L, 301L, 400L),    // d² = 301²+400² > r² vs ent 1 → no contact
+      (1L, 0L, 1L, 1L))        // same entity as row 0 → never paired
+    val got = runCo(rows, r, tau, 12)
+    // (1,2): both ent-1 fixes reach ent-2's t=100 fix — (0,0): d² exactly
+    //   r², Δt exactly τ, both closed → in; (1,1): 299²+399² = 248602 → in;
+    //   the t=201 fix fails the time gate against both. → 2
+    // (1,3): (0,0) vs (301,400): 250601 > r² → out; (1,1): 249201 → in. → 1
+    // (2,3): only the t=100 fix passes the time gate; d² = 1 → in. → 1
+    assert(got === Map((1L, 2L) -> 2L, (1L, 3L) -> 1L, (2L, 3L) -> 1L))
+  }
+
+  test("coLocation: brute parity incl. negative times/coords across τ-bucket and cell seams") {
+    val rnd = new scala.util.Random(44)
+    val rows = (0 until 500).map { i =>
+      ((i % 9).toLong, rnd.nextInt(4000).toLong - 2000L,
+        rnd.nextInt(3000000).toLong - 1500000L,
+        rnd.nextInt(3000000).toLong - 1500000L)
+    }
+    val r = 400000L; val tau = 300L
+    val expect = bruteContacts(rows, r, tau)
+    for (level <- Seq(8, 11)) // coarse AND fine grids — blocking never bites
+      assert(runCo(rows, r, tau, level) === expect, s"level $level")
+    assert(expect.values.sum > expect.size) // multi-contact pairs exercised
+  }
 }
