@@ -1720,6 +1720,21 @@ object SparkEntry {
           col("latm"), radiusMicro = 200000L, tauUs = 21600000000L, level = 9)
         .orderBy("ent_a", "ent_b")
     }),
+    // ---- k-CORE: the 2-core of a skewed hash graph UNION a 15-vertex
+    //      dangling path — the path peels from both ends at one vertex
+    //      per round (8 rounds at every SF), so only a genuinely iterative
+    //      peel reproduces the fixpoint; the oracle replays 12 synchronous
+    //      rounds (idempotent past convergence).
+    "q91_kcore" -> ((s, dir) => {
+      val ok = col("o_orderkey")
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val raw = orders.select(((ok * ok) % 2311L).as("x"),
+          ((ok * 7919L + 13L) % ((ok % 389L) + 7L)).as("y"))
+        .union(orders.select((ok % 14L + 10000L).as("x"),
+          (ok % 14L + 10001L).as("y")))
+      operators.Graph.kCore(raw, col("x"), col("y"), k = 2, maxRounds = 12)
+        .orderBy("n")
+    }),
     // ---- STREAMING trajectory sessionization: the q82 semantics as managed
     //      state — one TripState record per live entity carried across THREE
     //      micro-batches (global (tus, oid) order split into tertile files,
@@ -2556,6 +2571,33 @@ object SparkEntry {
          |  AND (b.lon - a.lon) * (b.lon - a.lon)
          |    + (b.lat - a.lat) * (b.lat - a.lat) <= 40000000000
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q91_kcore" -> {
+      // 12 synchronous peel rounds: d_i = degrees over e_{i-1}, e_i keeps
+      // edges whose BOTH endpoints have d_i ≥ 2. Fixpoint lands by round 8
+      // on every SF; rounds past it are idempotent, so e12 IS the 2-core.
+      // MATERIALIZED is load-bearing: each round references its predecessor
+      // 5× (d_i twice, e_i three ways) — inlined, the expansion is 5^12
+      // copies of the base scan; materialized, it is 12 linear passes.
+      val rounds = (1 to 12).map { i =>
+        s"""d$i AS MATERIALIZED (SELECT n, count(*) AS d FROM (
+           |  SELECT a AS n FROM e${i - 1} UNION ALL SELECT b FROM e${i - 1})
+           |  GROUP BY n),
+           |e$i AS MATERIALIZED (SELECT e.a, e.b FROM e${i - 1} e
+           |  JOIN d$i da ON e.a = da.n JOIN d$i db ON e.b = db.n
+           |  WHERE da.d >= 2 AND db.d >= 2)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e0 AS MATERIALIZED (SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
+         |  FROM (SELECT (o_orderkey * o_orderkey) % 2311 AS x,
+         |      (o_orderkey * 7919 + 13) % ((o_orderkey % 389) + 7) AS y
+         |    FROM orders
+         |    UNION ALL
+         |    SELECT o_orderkey % 14 + 10000, o_orderkey % 14 + 10001
+         |    FROM orders) t WHERE x <> y),
+         |$rounds
+         |SELECT n, count(*) AS core_deg FROM (
+         |  SELECT a AS n FROM e12 UNION ALL SELECT b FROM e12)
+         |GROUP BY n ORDER BY n""".stripMargin
+    },
     "q82_trips" -> tripsOracleSql,
     // the STREAMING sessionization must equal the batch operator over the
     // real fixes — same twin, by construction

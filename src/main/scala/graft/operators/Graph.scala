@@ -121,4 +121,58 @@ object Graph {
     }
     rank
   }
+
+  /** k-CORE decomposition — the maximal subgraph in which every vertex has
+    * degree ≥ k (the cohesion/robustness verb: community nuclei, spam-farm
+    * and fringe pruning before centrality, network backbone extraction).
+    * Returns the core's vertices with their WITHIN-CORE degree.
+    *
+    * Semantics: edges are undirected; self-loops and duplicate/reversed
+    * copies collapse first (canonical a < b, distinct). Then the unique
+    * fixpoint of "delete every vertex of degree < k": the k-core is
+    * order-independent (peeling is confluent), so the synchronous rule —
+    * remove ALL sub-k vertices each round — reaches the same set any
+    * schedule does, which is what makes a SQL round-replay twin possible.
+    *
+    * Plan (100 TB posture): per round ONE degree hash-aggregate over the
+    * live edge set + TWO anti-joins against the (small) peeled-vertex set —
+    * AQE broadcasts it; no window, no sort, no driver-side graph.
+    * `localCheckpoint` truncates the iterative lineage (the q83/q86 Pregel
+    * discipline). Round count = peeling DEPTH, not vertex count: one round
+    * per onion layer — O(log n) on cohesive graphs, but an L-vertex
+    * dangling chain peels from the ends at 2 vertices/round (the known
+    * parallel-peel worst case), so `maxRounds` is a contract:
+    * non-convergence RAISES (the dupClusters discipline) rather than
+    * returning a silently-unpeeled core.
+    */
+  def kCore(edges: DataFrame, u: Column, v: Column, k: Int,
+            maxRounds: Int = 32): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(maxRounds >= 1 && maxRounds <= 64, "maxRounds out of range")
+    var live = edges.select(
+        least(u.cast("long"), v.cast("long")).as("a"),
+        greatest(u.cast("long"), v.cast("long")).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+      .localCheckpoint()
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val deg = live.select(col("a").as("n"))
+        .union(live.select(col("b").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("d"))
+      val peel = deg.where(col("d") < k).select("n").localCheckpoint()
+      if (peel.isEmpty) converged = true
+      else {
+        live = live
+          .join(peel.select(col("n").as("a")), Seq("a"), "left_anti")
+          .join(peel.select(col("n").as("b")), Seq("b"), "left_anti")
+          .localCheckpoint()
+        round += 1
+      }
+    }
+    require(converged, s"k-core peel did not converge in $maxRounds rounds " +
+      "— raise maxRounds (long dangling chains peel at 2 vertices/round)")
+    live.select(col("a").as("n")).union(live.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("core_deg"))
+  }
 }

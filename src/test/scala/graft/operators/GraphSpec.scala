@@ -91,4 +91,57 @@ class GraphSpec extends AnyFunSuite {
     }.filter(p => p._1 != p._2)
     assert(runPr(edges, 6) === brutePr(edges, 6))
   }
+
+  // ---- kCore: brute sequential peel (any schedule — confluence) ----
+
+  private def bruteCore(edges: Seq[(Long, Long)], k: Int): Map[Long, Long] = {
+    val canon = edges.collect { case (u, v) if u != v =>
+      (math.min(u, v), math.max(u, v))
+    }.toSet
+    var adj = canon.toSeq.flatMap(p => Seq(p._1 -> p._2, p._2 -> p._1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    var changed = true
+    while (changed) { // ONE AT A TIME — confluence says it matches the
+      adj.find(_._2.size < k) match { // engine's all-at-once rounds
+        case Some((n, _)) =>
+          adj = (adj - n).view.mapValues(_ - n).toMap
+        case None => changed = false
+      }
+    }
+    adj.map { case (n, s) => n -> s.size.toLong }
+  }
+
+  private def runCore(edges: Seq[(Long, Long)], k: Int,
+                      maxRounds: Int = 32): Map[Long, Long] =
+    Graph.kCore(edges.toDF("u", "v"), col("u"), col("v"), k, maxRounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("kCore hand cases: path has no 2-core; triangle+tail keeps the triangle; K4 3-core") {
+    // pure 9-vertex path: peels from both ends, 4 rounds — empty 2-core
+    val path = (0L until 8L).map(i => (i, i + 1))
+    assert(runCore(path, 2) === Map.empty)
+    // triangle with a 3-vertex tail: tail unravels, triangle survives
+    val tri = Seq((0L, 1L), (1L, 2L), (0L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    assert(runCore(tri, 2) === Map(0L -> 2L, 1L -> 2L, 2L -> 2L))
+    // K4 (+ a dangling spoke): 3-core is the K4 itself
+    val k4 = (for { i <- 0L to 3L; j <- (i + 1) to 3L } yield (i, j)) :+ (3L, 9L)
+    assert(runCore(k4, 3) === Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+    // degenerate input: dups/reversals/self-loops collapse before peeling
+    assert(runCore(Seq((1L, 2L), (2L, 1L), (1L, 1L)), 2) === Map.empty)
+  }
+
+  test("kCore raises instead of returning an unpeeled core when maxRounds is too small") {
+    val path = (0L until 12L).map(i => (i, i + 1)) // needs 6 rounds
+    val ex = intercept[IllegalArgumentException](runCore(path, 2, maxRounds = 3))
+    assert(ex.getMessage.contains("did not converge"))
+  }
+
+  test("kCore brute parity on pseudo-random multigraphs across k") {
+    val rnd = new scala.util.Random(31)
+    val edges = (0 until 300).map { _ =>
+      (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong)
+    } ++ (100L until 112L).map(i => (i, i + 1)) // dangling chain stressor
+    for (k <- Seq(2, 3, 5, 8))
+      assert(runCore(edges, k) === bruteCore(edges, k), s"k=$k")
+  }
 }
