@@ -1735,6 +1735,22 @@ object SparkEntry {
       operators.Graph.kCore(raw, col("x"), col("y"), k = 2, maxRounds = 12)
         .orderBy("n")
     }),
+    // ---- TRAJECTORY SIMILARITY: grid-quantized symmetric Hausdorff
+    //      distance (squared cell units, level 12) between every entity
+    //      pair that ever visited a common cell — co-visitation blocking,
+    //      exact int64 throughout; same mod-13 hotspot fixture as q90.
+    "q92_traj_hausdorff" -> ((s, dir) => {
+      val hub = col("user_id") % 61L
+      val ev = s.read.parquet(s"$dir/events.parquet").select(
+        col("user_id"),
+        (Derive.lonMicro(hub) + (col("event_id") * 48271L) % 600001L
+          - 300000L).as("lonm"),
+        (Derive.latMicro(hub) + ((col("event_id") + 7L) * 16807L) % 600001L
+          - 300000L).as("latm"))
+      Trajectory.gridHausdorff(ev, col("user_id"), col("lonm"), col("latm"),
+          level = 12)
+        .orderBy("ent_a", "ent_b")
+    }),
     // ---- STREAMING trajectory sessionization: the q82 semantics as managed
     //      state — one TripState record per live entity carried across THREE
     //      micro-batches (global (tus, oid) order split into tertile files,
@@ -2598,6 +2614,37 @@ object SparkEntry {
          |  SELECT a AS n FROM e12 UNION ALL SELECT b FROM e12)
          |GROUP BY n ORDER BY n""".stripMargin
     },
+    "q92_traj_hausdorff" ->
+      // the twin is the definition itself: distinct visited cells, shared-
+      // cell pairs, per-direction max-min over the pair cross product.
+      // MATERIALIZED: c feeds three scans, x feeds both directions.
+      s"""WITH f AS (SELECT user_id AS ent,
+         |  ${Derive.lonSql("(user_id % 61)")}
+         |    + (event_id * 48271) % 600001 - 300000 AS lon,
+         |  ${Derive.latSql("(user_id % 61)")}
+         |    + ((event_id + 7) * 16807) % 600001 - 300000 AS lat
+         |  FROM events),
+         |c AS MATERIALIZED (SELECT DISTINCT ent,
+         |  ((lon + 180000000) * 4096) // 360000000 AS cx,
+         |  ((lat + 90000000) * 4096) // 180000000 AS cy FROM f),
+         |p AS MATERIALIZED (SELECT DISTINCT a.ent AS ea, b.ent AS eb
+         |  FROM c a JOIN c b
+         |  ON a.cx = b.cx AND a.cy = b.cy AND a.ent < b.ent),
+         |x AS MATERIALIZED (SELECT p.ea, p.eb, a.cx AS ax, a.cy AS ay,
+         |  b.cx AS bx, b.cy AS byy,
+         |  (a.cx - b.cx) * (a.cx - b.cx)
+         |    + (a.cy - b.cy) * (a.cy - b.cy) AS d2
+         |  FROM p JOIN c a ON a.ent = p.ea JOIN c b ON b.ent = p.eb),
+         |hab AS (SELECT ea, eb, max(m) AS h FROM (
+         |  SELECT ea, eb, ax, ay, min(d2) AS m FROM x GROUP BY 1, 2, 3, 4)
+         |  GROUP BY 1, 2),
+         |hba AS (SELECT ea, eb, max(m) AS h FROM (
+         |  SELECT ea, eb, bx, byy, min(d2) AS m FROM x GROUP BY 1, 2, 3, 4)
+         |  GROUP BY 1, 2)
+         |SELECT hab.ea AS ent_a, hab.eb AS ent_b,
+         |  greatest(hab.h, hba.h) AS haus_d2
+         |FROM hab JOIN hba ON hab.ea = hba.ea AND hab.eb = hba.eb
+         |ORDER BY 1, 2""".stripMargin,
     "q82_trips" -> tripsOracleSql,
     // the STREAMING sessionization must equal the batch operator over the
     // real fixes — same twin, by construction

@@ -191,4 +191,68 @@ object Trajectory {
       .groupBy(col("a.ent").as("ent_a"), col("b.ent").as("ent_b"))
       .agg(count(lit(1)).as("contacts"))
   }
+
+  /** GRID-QUANTIZED trajectory Hausdorff distance — the trajectory
+    * SIMILARITY verb (co-travel detection, route matching, movement-pattern
+    * clustering): for every pair of entities that ever visited a common
+    * grid cell, the symmetric discrete Hausdorff distance between their
+    * visited-cell SETS, in squared cell units:
+    *   H²(A,B) = max( max_{a∈A} min_{b∈B} d²(a,b),
+    *                  max_{b∈B} min_{a∈A} d²(b,a) ).
+    *
+    * Grid quantization is the SEMANTICS here, not an approximation knob:
+    * it bounds per-entity set size by the grid (an entity's footprint in
+    * cells), making exact Hausdorff — inherently |A|·|B| per pair —
+    * tractable at corpus scale, and it makes every number an
+    * engine-invariant int64 (cell indices from one multiply + one integer
+    * division on non-negative operands; d² exact).
+    *
+    * Plan (100 TB posture): the visited-cell table is distinct-collapsed
+    * FIRST (one hash aggregate — the only pass over raw fixes) and
+    * localCheckpointed once for its three consumers. Candidate pairs come
+    * from a cell equi-join (co-visitation blocking — no all-pairs stage);
+    * the per-pair cross product is produced by two equi-joins, and BOTH
+    * Hausdorff directions ride ONE exchange: each joined row explodes into
+    * its two direction keys (pos 0 = a-cell, pos 1 = b-cell), the
+    * per-direction min is a map-side-combined hash aggregate (keys collapse
+    * from |A|·|B| to |A|+|B| per pair before the shuffle), and the final
+    * max-per-direction is a second small aggregate. No window, no sort,
+    * no driver structure.
+    */
+  def gridHausdorff(fixes: DataFrame, entity: Column, lon: Column,
+                    lat: Column, level: Int): DataFrame = {
+    require(level >= 1 && level <= 16, "level out of range")
+    val n = 1L << level
+    val cells = fixes.select(entity.cast("long").as("ent"),
+        lon.cast("long").as("lon"), lat.cast("long").as("lat"))
+      .select(col("ent"),
+        expr(s"((lon + 180000000L) * ${n}L) div 360000000L").as("cx"),
+        expr(s"((lat + 90000000L) * ${n}L) div 180000000L").as("cy"))
+      .distinct()
+      .localCheckpoint() // derived once; feeds the pair join + both sides
+    val pairs = cells.as("a").join(cells.as("b"),
+        col("a.cx") === col("b.cx") && col("a.cy") === col("b.cy") &&
+        col("a.ent") < col("b.ent"))
+      .select(col("a.ent").as("ea"), col("b.ent").as("eb")).distinct()
+    val x = pairs
+      .join(cells.select(col("ent").as("ea"),
+        col("cx").as("ax"), col("cy").as("ay")), "ea")
+      .join(cells.select(col("ent").as("eb"),
+        col("cx").as("bx"), col("cy").as("byy")), "eb")
+      .withColumn("d2",
+        (col("ax") - col("bx")) * (col("ax") - col("bx")) +
+        (col("ay") - col("byy")) * (col("ay") - col("byy")))
+    val sided = x.select(col("ea"), col("eb"), col("d2"),
+      posexplode(array(
+        struct(col("ax").as("kx"), col("ay").as("ky")),
+        struct(col("bx").as("kx"), col("byy").as("ky")))))
+    sided.groupBy(col("ea"), col("eb"), col("pos"),
+        col("col.kx"), col("col.ky"))
+      .agg(min("d2").as("m"))
+      .groupBy("ea", "eb")
+      .agg(max(when(col("pos") === 0, col("m"))).as("hab"),
+           max(when(col("pos") === 1, col("m"))).as("hba"))
+      .select(col("ea").as("ent_a"), col("eb").as("ent_b"),
+        greatest(col("hab"), col("hba")).as("haus_d2"))
+  }
 }

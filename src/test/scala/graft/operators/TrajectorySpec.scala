@@ -164,4 +164,55 @@ class TrajectorySpec extends AnyFunSuite {
       assert(runCo(rows, r, tau, level) === expect, s"level $level")
     assert(expect.values.sum > expect.size) // multi-contact pairs exercised
   }
+
+  /** gridHausdorff vs a brute in-JVM reference over the SAME quantized
+    * cell sets (integer div on non-negative lon+180e6 — floor). */
+  private def bruteHaus(rows: Seq[(Long, Long, Long)], level: Int)
+      : Map[(Long, Long), Long] = {
+    val n = 1L << level
+    val cells = rows.map { case (e, lon, lat) =>
+      (e, ((lon + 180000000L) * n) / 360000000L,
+        ((lat + 90000000L) * n) / 180000000L)
+    }.distinct.groupBy(_._1).view
+      .mapValues(_.map(c => (c._2, c._3)).toSet).toMap
+    def h(a: Set[(Long, Long)], b: Set[(Long, Long)]): Long =
+      a.map(p => b.map(q =>
+        (p._1 - q._1) * (p._1 - q._1) + (p._2 - q._2) * (p._2 - q._2)).min).max
+    val ents = cells.keys.toSeq.sorted
+    (for {
+      i <- ents.indices; j <- (i + 1) until ents.size
+      a = cells(ents(i)); b = cells(ents(j))
+      if a.intersect(b).nonEmpty // co-visitation blocking IS the semantics
+    } yield (ents(i), ents(j)) -> math.max(h(a, b), h(b, a))).toMap
+  }
+
+  test("gridHausdorff: hand case — asymmetric footprints share one cell") {
+    // level 4: cells are 22.5e6 × 11.25e6 µdeg. A visits cells (8,8) and
+    // (11,8); B visits (8,8) only. h(A→B) = max(0, 9) = 9; h(B→A) = 0.
+    // C is far away, shares nothing → no row for (A,C)/(B,C).
+    val rows = Seq(
+      (1L, 1000000L, 1000000L),   // A → cell (8,8)
+      (1L, 70000000L, 1000000L),  // A → cell (11,8)
+      (2L, 2000000L, 2000000L),   // B → cell (8,8)
+      (3L, -150000000L, -80000000L)) // C → far cell
+    val got = Trajectory.gridHausdorff(rows.toDF("ent", "lon", "lat"),
+        col("ent"), col("lon"), col("lat"), 4)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getLong(2)).toMap
+    assert(got === Map((1L, 2L) -> 9L))
+  }
+
+  test("gridHausdorff: brute parity on clustered multi-entity footprints") {
+    val rnd = new scala.util.Random(45)
+    val rows = (0 until 800).map { i =>
+      val hub = (i % 11).toLong % 4L // 4 hubs → shared cells within a hub
+      (i % 11L,
+        hub * 40000000L - 60000000L + rnd.nextInt(3000000).toLong,
+        hub * 20000000L - 30000000L + rnd.nextInt(3000000).toLong)
+    }
+    for (level <- Seq(7, 10))
+      assert(Trajectory.gridHausdorff(rows.toDF("ent", "lon", "lat"),
+          col("ent"), col("lon"), col("lat"), level)
+        .collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getLong(2)).toMap
+        === bruteHaus(rows, level), s"level $level")
+  }
 }
