@@ -1751,6 +1751,21 @@ object SparkEntry {
           level = 12)
         .orderBy("ent_a", "ent_b")
     }),
+    // ---- GLOBAL MORAN'S I: spatial autocorrelation of the point-density
+    //      raster [Moran 1950] — ONE row (n_cells, w_ordered, num_scaled,
+    //      den_scaled) of exact int64 sums; I = (N/W)·num/den is the
+    //      consumer's single float division. Hub fixture with triangular
+    //      jitter so the raster has real density gradients (I > 0).
+    "q93_morans_i" -> ((s, dir) => {
+      val hub = col("o_orderkey") % 37L
+      val pts = s.read.parquet(s"$dir/orders.parquet").select(
+        (Derive.lonMicro(hub) + (col("o_orderkey") * 48271L) % 9000001L
+          - 4500000L).as("lonm"),
+        (Derive.latMicro(hub) + ((col("o_orderkey") + 7L) * 16807L) % 9000001L
+          - 4500000L).as("latm"))
+      operators.GridRaster.moransI(pts, col("lonm"), col("latm"),
+          cellMicro = 2000000L)
+    }),
     // ---- STREAMING trajectory sessionization: the q82 semantics as managed
     //      state — one TripState record per live entity carried across THREE
     //      micro-batches (global (tus, oid) order split into tertile files,
@@ -2645,6 +2660,28 @@ object SparkEntry {
          |  greatest(hab.h, hba.h) AS haus_d2
          |FROM hab JOIN hba ON hab.ea = hba.ea AND hab.eb = hba.eb
          |ORDER BY 1, 2""".stripMargin,
+    "q93_morans_i" ->
+      // definition replay: occupied cells → N-scaled deviations u = N·x − S
+      // → rook-adjacency products; all-int64 so the one row hashes exactly
+      s"""WITH pts AS (SELECT
+         |  ${Derive.lonSql("(o_orderkey % 37)")}
+         |    + (o_orderkey * 48271) % 9000001 - 4500000 + 180000000 AS wx,
+         |  ${Derive.latSql("(o_orderkey % 37)")}
+         |    + ((o_orderkey + 7) * 16807) % 9000001 - 4500000 + 90000000 AS wy
+         |  FROM orders),
+         |c AS (SELECT wx // 2000000 AS px, wy // 2000000 AS py,
+         |  count(*) AS n FROM pts GROUP BY 1, 2),
+         |st AS (SELECT count(*) AS nc, CAST(sum(n) AS BIGINT) AS s FROM c),
+         |u AS MATERIALIZED (SELECT px, py, nc * n - s AS u
+         |  FROM c CROSS JOIN st),
+         |adj AS (SELECT a.u * b.u AS p FROM u a JOIN u b
+         |  ON (b.px = a.px + 1 AND b.py = a.py)
+         |    OR (b.px = a.px AND b.py = a.py + 1))
+         |SELECT (SELECT nc FROM st) AS n_cells,
+         |  (SELECT count(*) * 2 FROM adj) AS w_ordered,
+         |  (SELECT COALESCE(CAST(sum(p) AS BIGINT), 0) * 2 FROM adj)
+         |    AS num_scaled,
+         |  (SELECT CAST(sum(u * u) AS BIGINT) FROM u) AS den_scaled""".stripMargin,
     "q82_trips" -> tripsOracleSql,
     // the STREAMING sessionization must equal the batch operator over the
     // real fixes — same twin, by construction

@@ -145,6 +145,61 @@ object GridRaster {
         col("cx_min"), col("cx_max"), col("cy_min"), col("cy_max"))
   }
 
+  /** Global MORAN'S I spatial autocorrelation of the point-density raster —
+    * the clustered-vs-dispersed diagnostic [Moran 1950], the standard first
+    * question asked of any geographic distribution (hotspot screening
+    * before drilling into local statistics).
+    *
+    * Units are the OCCUPIED cells (≥1 point — the quadrat convention for
+    * sparse point data); weights are rook adjacency (shared edge),
+    * symmetric, reported as ORDERED pair count W (each undirected adjacency
+    * contributes 2, the classical normalization). Exact integer surface:
+    * with N = #cells and S = Σx, the N-scaled deviation uᵢ = N·xᵢ − S turns
+    *   I = (N / W) · Σ_{i~j} uᵢuⱼ / Σᵢ uᵢ²
+    * into a ratio of exact int64 sums — the operator emits ONE row
+    * (n_cells, w_ordered, num_scaled, den_scaled) and leaves the single
+    * float division to the consumer, so the result is engine-invariant and
+    * oracle-hashable. Overflow ceiling: |u| ≤ N·max(x), so Σu² ≤ N³·max(x)²
+    * must stay < 2^63 — at a 10^6-cell raster that allows max(x) ~ 3·10³;
+    * coarsen the grid or pre-scale counts past it.
+    *
+    * Plan (100 TB posture): points collapse to (cell, count) in exchange
+    * ONE — everything after is raster-sized. (N, S) is a single tiny
+    * aggregate broadcast back onto the cells; adjacency is the polygonize
+    * equi-join of each cell against its right/up neighbor keys (each
+    * undirected pair produced exactly once, doubled in the sum — no 8× nor
+    * dedup exchange); numerator and denominator are single-row aggregates.
+    * No window, no sort, no driver-side raster.
+    */
+  def moransI(points: DataFrame, lonCol: Column, latCol: Column,
+              cellMicro: Long): DataFrame = {
+    require(cellMicro > 0, "cellMicro must be positive")
+    val g = cellMicro
+    val maxX = 360000000L / g - 1; val maxY = 180000000L / g - 1
+    val K = 1073741824L // pack (px, py); py ≤ maxY < K so +1 never rolls px
+    val cells = points.select(
+        (lonCol.cast("long") + 180000000L).as("_wx"),
+        (latCol.cast("long") + 90000000L).as("_wy"))
+      .select(expr(s"_wx div $g").as("px"), expr(s"_wy div $g").as("py"))
+      .where(col("px").between(0L, maxX) && col("py").between(0L, maxY))
+      .groupBy("px", "py").agg(count(lit(1)).as("n"))
+      .localCheckpoint() // feeds stats + both adjacency sides + denominator
+    val stats = cells.agg(count(lit(1)).as("nc"), sum("n").as("s"))
+    val u = cells.crossJoin(broadcast(stats))
+      .select(col("px"), col("py"), col("nc"),
+        (col("nc") * col("n") - col("s")).as("u"))
+    val uk = u.withColumn("k", col("px") * K + col("py"))
+    val adj = uk.select(col("k").as("ka"), col("u").as("ua"),
+        explode(array(col("k") + K, col("k") + 1L)).as("kb"))
+      .join(uk.select(col("k").as("kb"), col("u").as("ub")), "kb")
+    val num = adj.agg((sum(col("ua") * col("ub")) * 2L).as("_num"),
+      (count(lit(1)) * 2L).as("w_ordered"))
+    u.agg(max("nc").as("n_cells"), sum(col("u") * col("u")).as("den_scaled"))
+      .crossJoin(broadcast(num))
+      .select(col("n_cells"), col("w_ordered"),
+        coalesce(col("_num"), lit(0L)).as("num_scaled"), col("den_scaled"))
+  }
+
   def heatmap(points: DataFrame, lonCol: Column, latCol: Column,
               cellMicro: Long): DataFrame = {
     require(cellMicro > 0, "cellMicro must be positive")

@@ -169,4 +169,62 @@ class GridRasterSpec extends AnyFunSuite {
     assert(got === brutePolygonize(pts, 1000000L, 3))
     assert(got.exists(_._3 > 1), "scatter should produce at least one multi-cell region")
   }
+
+  private def runMorans(pts: Seq[(Long, Long)], g: Long): (Long, Long, Long, Long) = {
+    val r = GridRaster.moransI(pts.toDF("lon", "lat"), col("lon"), col("lat"), g)
+      .collect()
+    assert(r.length === 1)
+    (r(0).getLong(0), r(0).getLong(1), r(0).getLong(2), r(0).getLong(3))
+  }
+
+  /** Brute Moran surface: collect the occupied-cell raster, O(cells²) rook
+    * adjacency scan, same N-scaled integer deviations uᵢ = N·xᵢ − S. */
+  private def bruteMorans(pts: Seq[(Long, Long)], g: Long): (Long, Long, Long, Long) = {
+    val cells = pts.groupBy(p => ((p._1 + 180000000L) / g, (p._2 + 90000000L) / g))
+      .map { case (k, v) => k -> v.size.toLong }
+    val nc = cells.size.toLong
+    val s = cells.values.sum
+    val u = cells.map { case (k, n) => k -> (nc * n - s) }
+    val pairs = for {
+      ((ax, ay), ua) <- u.toSeq; ((bx, by), ub) <- u.toSeq
+      if (bx == ax + 1 && by == ay) || (bx == ax && by == ay + 1)
+    } yield ua * ub
+    (nc, 2L * pairs.size, 2L * pairs.sum, u.values.map(x => x * x).sum)
+  }
+
+  test("moransI: checkerboard disperses (I = -1), twin blobs attract (I = +1)") {
+    val g = 1000000L
+    def at(px: Long, py: Long, n: Int): Seq[(Long, Long)] =
+      Seq.fill(n)((px * g - 180000000L + g / 2, py * g - 90000000L + g / 2))
+    // 2×2 checkerboard of counts 1/3: u = ∓4, every rook edge joins opposite
+    // signs → I = (N/W)·(num/den) = (4/8)·(−128/64) = −1 (perfect dispersion)
+    val chk = at(10, 10, 1) ++ at(11, 10, 3) ++ at(10, 11, 3) ++ at(11, 11, 1)
+    assert(runMorans(chk, g) === ((4L, 8L, -128L, 64L)))
+    assert(bruteMorans(chk, g) === ((4L, 8L, -128L, 64L)))
+    // two far-apart uniform blobs: only hi-hi and lo-lo edges → I = +1
+    val blobs = at(10, 10, 5) ++ at(11, 10, 5) ++ at(30, 30, 1) ++ at(31, 30, 1)
+    assert(runMorans(blobs, g) === ((4L, 4L, 256L, 256L)))
+    // isolated cells, unequal counts: W = 0 and num coalesces to 0 while the
+    // denominator still reports the variance surface
+    val iso = at(10, 10, 1) ++ at(20, 20, 2) ++ at(30, 30, 3)
+    assert(runMorans(iso, g) === ((3L, 0L, 0L, 18L)))
+  }
+
+  test("moransI: brute parity on clustered scatter; density gradients attract") {
+    val rnd = new scala.util.Random(17)
+    val centers = (0 until 10).map { _ =>
+      (rnd.nextLong(60000000L) - 30000000L, rnd.nextLong(40000000L) - 20000000L)
+    }
+    // triangular (sum-of-uniforms) jitter → central density peak per blob,
+    // so occupied-cell counts form a gradient and I must come out positive
+    val pts = centers.flatMap { case (cx, cy) =>
+      (0 until 200).map { _ =>
+        (cx + rnd.nextLong(2500000L) + rnd.nextLong(2500000L) - 2500000L,
+          cy + rnd.nextLong(2500000L) + rnd.nextLong(2500000L) - 2500000L)
+      }
+    }
+    val got = runMorans(pts, 1000000L)
+    assert(got === bruteMorans(pts, 1000000L))
+    assert(got._3 > 0L && got._4 > 0L, "clustered fixture must autocorrelate positively")
+  }
 }
