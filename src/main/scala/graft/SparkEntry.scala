@@ -1766,6 +1766,22 @@ object SparkEntry {
       operators.GridRaster.moransI(pts, col("lonm"), col("latm"),
           cellMicro = 2000000L)
     }),
+    // ---- LOCAL Moran's I (LISA, Anselin 1995): the per-cell drill-down of
+    //      q93 — same occupied-cell units, rook weights and N-scaled
+    //      deviations, one row per cell whose (u_scaled, nbr_u_sum) signs
+    //      classify HH hotspots / LL coldspots / HL-LH outliers. Same hub
+    //      fixture so the two statistics decompose exactly.
+    "q94_local_morans" -> ((s, dir) => {
+      val hub = col("o_orderkey") % 37L
+      val pts = s.read.parquet(s"$dir/orders.parquet").select(
+        (Derive.lonMicro(hub) + (col("o_orderkey") * 48271L) % 9000001L
+          - 4500000L).as("lonm"),
+        (Derive.latMicro(hub) + ((col("o_orderkey") + 7L) * 16807L) % 9000001L
+          - 4500000L).as("latm"))
+      operators.GridRaster.localMorans(pts, col("lonm"), col("latm"),
+          cellMicro = 2000000L)
+        .orderBy("cx", "cy")
+    }),
     // ---- STREAMING trajectory sessionization: the q82 semantics as managed
     //      state — one TripState record per live entity carried across THREE
     //      micro-batches (global (tus, oid) order split into tertile files,
@@ -2682,6 +2698,25 @@ object SparkEntry {
          |  (SELECT COALESCE(CAST(sum(p) AS BIGINT), 0) * 2 FROM adj)
          |    AS num_scaled,
          |  (SELECT CAST(sum(u * u) AS BIGINT) FROM u) AS den_scaled""".stripMargin,
+    "q94_local_morans" ->
+      // per-cell replay: 4-way neighbor lookup against the same u surface
+      s"""WITH pts AS (SELECT
+         |  ${Derive.lonSql("(o_orderkey % 37)")}
+         |    + (o_orderkey * 48271) % 9000001 - 4500000 + 180000000 AS wx,
+         |  ${Derive.latSql("(o_orderkey % 37)")}
+         |    + ((o_orderkey + 7) * 16807) % 9000001 - 4500000 + 90000000 AS wy
+         |  FROM orders),
+         |c AS (SELECT wx // 2000000 AS px, wy // 2000000 AS py,
+         |  count(*) AS n FROM pts GROUP BY 1, 2),
+         |st AS (SELECT count(*) AS nc, CAST(sum(n) AS BIGINT) AS s FROM c),
+         |u AS MATERIALIZED (SELECT px, py, n, nc * n - s AS u
+         |  FROM c CROSS JOIN st)
+         |SELECT a.px AS cx, a.py AS cy, a.n, a.u AS u_scaled,
+         |  COALESCE(CAST(sum(b.u) AS BIGINT), 0) AS nbr_u_sum,
+         |  count(b.u) AS nbr_cnt
+         |FROM u a LEFT JOIN u b
+         |  ON abs(a.px - b.px) + abs(a.py - b.py) = 1
+         |GROUP BY 1, 2, 3, 4 ORDER BY cx, cy""".stripMargin,
     "q82_trips" -> tripsOracleSql,
     // the STREAMING sessionization must equal the batch operator over the
     // real fixes — same twin, by construction

@@ -200,6 +200,59 @@ object GridRaster {
         coalesce(col("_num"), lit(0L)).as("num_scaled"), col("den_scaled"))
   }
 
+  /** LOCAL Moran's I (LISA, [Anselin 1995]) — the per-cell drill-down of
+    * [[moransI]]: which cells are the hotspots, coldspots and spatial
+    * outliers behind the global statistic. Same units (occupied cells),
+    * same rook weights, same N-scaled deviations uᵢ = N·xᵢ − S, so the
+    * global numerator is exactly Σᵢ uᵢ·nbrᵢ over this output.
+    *
+    * Emits one row per occupied cell: (cx, cy, n, u_scaled, nbr_u_sum,
+    * nbr_cnt). Local Iᵢ ∝ uᵢ·nbr_u_sum (the classical zᵢ·Σwᵢⱼzⱼ up to the
+    * global variance divisor, which is one [[moransI]] call away) — the
+    * SIGNS alone classify the Anselin quadrants: u>0 ∧ nbr>0 = HH hotspot,
+    * u<0 ∧ nbr<0 = LL coldspot, opposite signs = HL/LH spatial outliers.
+    * All int64, engine-invariant, oracle-hashable.
+    *
+    * Plan: points collapse to (cell, count) in exchange one; each
+    * undirected rook adjacency is produced ONCE by the right/up-neighbor
+    * equi-join and then explodes into its two directed halves, so the
+    * per-cell neighbor aggregate is ONE map-side-combined hash aggregate —
+    * no 4-way neighbor fan-out, no second adjacency join. Isolated cells
+    * keep a row with nbr_cnt = 0 via the left join.
+    */
+  def localMorans(points: DataFrame, lonCol: Column, latCol: Column,
+                  cellMicro: Long): DataFrame = {
+    require(cellMicro > 0, "cellMicro must be positive")
+    val g = cellMicro
+    val maxX = 360000000L / g - 1; val maxY = 180000000L / g - 1
+    val K = 1073741824L // pack (px, py); py ≤ maxY < K so +1 never rolls px
+    val cells = points.select(
+        (lonCol.cast("long") + 180000000L).as("_wx"),
+        (latCol.cast("long") + 90000000L).as("_wy"))
+      .select(expr(s"_wx div $g").as("px"), expr(s"_wy div $g").as("py"))
+      .where(col("px").between(0L, maxX) && col("py").between(0L, maxY))
+      .groupBy("px", "py").agg(count(lit(1)).as("n"))
+      .localCheckpoint() // feeds stats, both adjacency sides, the left join
+    val stats = cells.agg(count(lit(1)).as("nc"), sum("n").as("s"))
+    val u = cells.crossJoin(broadcast(stats))
+      .select(col("px"), col("py"), col("n"),
+        (col("nc") * col("n") - col("s")).as("u"),
+        (col("px") * K + col("py")).as("k"))
+    val adj = u.select(col("k").as("ka"), col("u").as("ua"),
+        explode(array(col("k") + K, col("k") + 1L)).as("kb"))
+      .join(u.select(col("k").as("kb"), col("u").as("ub")), "kb")
+    val nbr = adj.select(explode(array(
+        struct(col("ka").as("k"), col("ub").as("v")),
+        struct(col("kb").as("k"), col("ua").as("v")))).as("d"))
+      .groupBy(col("d.k").as("k"))
+      .agg(sum("d.v").as("_nsum"), count(lit(1)).as("_ncnt"))
+    u.join(nbr, Seq("k"), "left")
+      .select(col("px").as("cx"), col("py").as("cy"), col("n"),
+        col("u").as("u_scaled"),
+        coalesce(col("_nsum"), lit(0L)).as("nbr_u_sum"),
+        coalesce(col("_ncnt"), lit(0L)).as("nbr_cnt"))
+  }
+
   def heatmap(points: DataFrame, lonCol: Column, latCol: Column,
               cellMicro: Long): DataFrame = {
     require(cellMicro > 0, "cellMicro must be positive")

@@ -227,4 +227,60 @@ class GridRasterSpec extends AnyFunSuite {
     assert(got === bruteMorans(pts, 1000000L))
     assert(got._3 > 0L && got._4 > 0L, "clustered fixture must autocorrelate positively")
   }
+
+  private def runLocalMorans(pts: Seq[(Long, Long)], g: Long)
+      : Map[(Long, Long), (Long, Long, Long, Long)] =
+    GridRaster.localMorans(pts.toDF("lon", "lat"), col("lon"), col("lat"), g)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+
+  private def bruteLocalMorans(pts: Seq[(Long, Long)], g: Long)
+      : Map[(Long, Long), (Long, Long, Long, Long)] = {
+    val cells = pts.groupBy(p => ((p._1 + 180000000L) / g, (p._2 + 90000000L) / g))
+      .map { case (k, v) => k -> v.size.toLong }
+    val nc = cells.size.toLong; val s = cells.values.sum
+    val u = cells.map { case (k, n) => k -> (nc * n - s) }
+    u.map { case ((x, y), ui) =>
+      val nbrs = Seq((x + 1, y), (x - 1, y), (x, y + 1), (x, y - 1)).flatMap(u.get)
+      (x, y) -> ((cells((x, y)), ui, nbrs.sum, nbrs.size.toLong))
+    }
+  }
+
+  test("localMorans: checkerboard quadrants are all outliers; isolated cell keeps a row") {
+    val g = 1000000L
+    def at(px: Long, py: Long, n: Int): Seq[(Long, Long)] =
+      Seq.fill(n)((px * g - 180000000L + g / 2, py * g - 90000000L + g / 2))
+    // q93's checkerboard: u = ∓4; every cell has 2 rook neighbors of the
+    // opposite sign → u·nbr < 0 everywhere (HL/LH spatial outliers)
+    val chk = at(10, 10, 1) ++ at(11, 10, 3) ++ at(10, 11, 3) ++ at(11, 11, 1)
+    val got = runLocalMorans(chk, g)
+    assert(got === Map(
+      (10L, 10L) -> ((1L, -4L, 8L, 2L)), (11L, 10L) -> ((3L, 4L, -8L, 2L)),
+      (10L, 11L) -> ((3L, 4L, -8L, 2L)), (11L, 11L) -> ((1L, -4L, 8L, 2L))))
+    assert(got.forall { case (_, (_, ui, nb, _)) => ui * nb < 0 })
+    // isolated unequal cells: every row survives with nbr_cnt = 0
+    val iso = at(10, 10, 1) ++ at(20, 20, 2) ++ at(30, 30, 3)
+    assert(runLocalMorans(iso, g) === Map(
+      (10L, 10L) -> ((1L, -3L, 0L, 0L)), (20L, 20L) -> ((2L, 0L, 0L, 0L)),
+      (30L, 30L) -> ((3L, 3L, 0L, 0L))))
+  }
+
+  test("localMorans: brute parity; locals sum exactly to the global statistic") {
+    val rnd = new scala.util.Random(19)
+    val centers = (0 until 8).map { _ =>
+      (rnd.nextLong(60000000L) - 30000000L, rnd.nextLong(40000000L) - 20000000L)
+    }
+    val pts = centers.flatMap { case (cx, cy) =>
+      (0 until 150).map { _ =>
+        (cx + rnd.nextLong(2500000L) + rnd.nextLong(2500000L) - 2500000L,
+          cy + rnd.nextLong(2500000L) + rnd.nextLong(2500000L) - 2500000L)
+      }
+    }
+    val got = runLocalMorans(pts, 1000000L)
+    assert(got === bruteLocalMorans(pts, 1000000L))
+    // LISA decomposition: Σᵢ uᵢ·nbrᵢ = global num_scaled, Σᵢ nbr_cnt = W
+    val (_, w, num, _) = runMorans(pts, 1000000L)
+    assert(got.values.map { case (_, ui, nb, _) => ui * nb }.sum === num)
+    assert(got.values.map(_._4).sum === w)
+  }
 }
