@@ -1782,6 +1782,22 @@ object SparkEntry {
           cellMicro = 2000000L)
         .orderBy("cx", "cy")
     }),
+    // ---- RIPLEY'S K pair counts (q95): the multi-scale clustering curve —
+    //      ordered pairs within r for four radii, zero-filled, exact int64
+    //      d² ≤ r². Candidates from a 3×3 ring at g = max(r); each pair
+    //      produced exactly once via id orientation; no all-pairs stage.
+    "q95_ripley_k" -> ((s, dir) => {
+      val hub = col("c_custkey") % 23L
+      val pts = s.read.parquet(s"$dir/customer.parquet").select(
+        col("c_custkey").as("id"),
+        (Derive.lonMicro(hub) + (col("c_custkey") * 48271L) % 7000001L
+          - 3500000L).as("lonm"),
+        (Derive.latMicro(hub) + ((col("c_custkey") + 7L) * 16807L) % 7000001L
+          - 3500000L).as("latm"))
+      operators.PointPattern.ripleyK(pts, col("id"), col("lonm"), col("latm"),
+          Seq(500000L, 1000000L, 2000000L, 4000000L))
+        .orderBy("r_micro")
+    }),
     // ---- STREAMING trajectory sessionization: the q82 semantics as managed
     //      state — one TripState record per live entity carried across THREE
     //      micro-batches (global (tus, oid) order split into tertile files,
@@ -2717,6 +2733,26 @@ object SparkEntry {
          |FROM u a LEFT JOIN u b
          |  ON abs(a.px - b.px) + abs(a.py - b.py) = 1
          |GROUP BY 1, 2, 3, 4 ORDER BY cx, cy""".stripMargin,
+    "q95_ripley_k" ->
+      // brute time-free twin: all id-ordered pairs within rmax, then the
+      // cumulative per-radius count via a theta left join
+      s"""WITH p AS MATERIALIZED (SELECT c_custkey AS id,
+         |  ${Derive.lonSql("(c_custkey % 23)")}
+         |    + (c_custkey * 48271) % 7000001 - 3500000 AS x,
+         |  ${Derive.latSql("(c_custkey % 23)")}
+         |    + ((c_custkey + 7) * 16807) % 7000001 - 3500000 AS y
+         |  FROM customer),
+         |d AS MATERIALIZED (SELECT
+         |    (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+         |  FROM p a JOIN p b ON a.id < b.id
+         |  WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+         |    <= ${4000000L * 4000000L}),
+         |r AS (SELECT CAST(unnest([500000, 1000000, 2000000, 4000000])
+         |  AS BIGINT) AS r_micro)
+         |SELECT r.r_micro, CAST(2 * count(d.d2) AS BIGINT) AS pairs_ordered,
+         |  (SELECT count(*) FROM p) AS n_points
+         |FROM r LEFT JOIN d ON d.d2 <= r.r_micro * r.r_micro
+         |GROUP BY r.r_micro ORDER BY r_micro""".stripMargin,
     "q82_trips" -> tripsOracleSql,
     // the STREAMING sessionization must equal the batch operator over the
     // real fixes — same twin, by construction

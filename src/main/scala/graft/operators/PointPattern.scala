@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Point-pattern statistics: distance-indexed summaries of a point set as a
+  * whole (vs the per-pair/per-cell outputs of [[Knn]] and [[GridRaster]]).
+  * Planar micro-degree coordinates, all predicates exact int64 — same
+  * conventions as the radius joins.
+  */
+object PointPattern {
+
+  /** RIPLEY'S K pair counts [Ripley 1976] — the multi-scale clustering
+    * diagnostic: for each radius r, how many ORDERED pairs of distinct
+    * points lie within r of each other. Under complete spatial randomness
+    * E[K(r)] ∝ πr², so the count curve's departure from quadratic growth
+    * localizes the scale at which clustering (above) or inhibition (below)
+    * operates — the question Moran's I ([[GridRaster.moransI]]) answers only
+    * at its single fixed grid scale.
+    *
+    * Emits one row per radius, zero-filled: (r_micro, pairs_ordered,
+    * n_points). The classical estimate K̂(r) = A·pairs_ordered / n² is the
+    * consumer's one float multiply (A = study-area); no edge correction is
+    * applied (raw counts — border corrections are a consumer-side reweight
+    * and would put floats on the driver surface).
+    *
+    * Plan (100 TB posture): candidates come from a cell grid at g = max(r)
+    * — the b-side keeps its one home-cell key, the a-side explodes its 3×3
+    * Chebyshev ring, and `a.id < b.id` picks one orientation, so each
+    * qualifying pair is produced EXACTLY once with no all-pairs stage and
+    * no dedup exchange (ring cells are distinct ⇒ one join hit per pair).
+    * The exact d² ≤ r² filters decide membership; blocking affects cost
+    * only. Per-pair radius assignment explodes map-locally into the ≤
+    * |radii| qualifying rows and collapses to |radii| partials per task in
+    * ONE map-side-combined hash aggregate; the final zero-fill join and
+    * the n_points broadcast are literal-sized.
+    */
+  def ripleyK(points: DataFrame, idCol: Column, lonCol: Column,
+              latCol: Column, radiiMicro: Seq[Long]): DataFrame = {
+    require(radiiMicro.nonEmpty && radiiMicro.forall(_ > 0),
+      "radii must be nonempty positive")
+    require(radiiMicro == radiiMicro.sorted && radiiMicro.distinct == radiiMicro,
+      "radii must be strictly increasing")
+    val rmax = radiiMicro.max
+    val g = rmax
+    val K = 1073741824L // pack (cx, cy); cy < K so ±1 never rolls cx
+    val pts = points.select(idCol.cast("long").as("id"),
+        (lonCol.cast("long") + 180000000L).as("wx"),
+        (latCol.cast("long") + 90000000L).as("wy"))
+      .where(col("wx").between(0L, 359999999L) && col("wy").between(0L, 179999999L))
+      .select(col("id"), col("wx"), col("wy"),
+        (expr(s"wx div $g") * K + expr(s"wy div $g")).as("cell"))
+    val ring = array((for (dx <- -1 to 1; dy <- -1 to 1)
+      yield col("cell") + lit(dx.toLong * K + dy.toLong)): _*)
+    val a = pts.select(col("id").as("ida"), col("wx").as("ax"),
+      col("wy").as("ay"), explode(ring).as("cell"))
+    val b = pts.select(col("id").as("idb"), col("wx").as("bx"),
+      col("wy").as("by"), col("cell"))
+    val d2 = (col("ax") - col("bx")) * (col("ax") - col("bx")) +
+      (col("ay") - col("by")) * (col("ay") - col("by"))
+    val radii = array(radiiMicro.map(lit): _*)
+    val counts = a.join(b, "cell")
+      .where(col("ida") < col("idb") && d2 <= lit(rmax * rmax))
+      .select(d2.as("d2"))
+      .select(explode(filter(radii, r => col("d2") <= r * r)).as("r_micro"))
+      .groupBy("r_micro").agg((count(lit(1)) * 2L).as("_cnt"))
+    val n = pts.agg(count(lit(1)).as("n_points"))
+    points.sparkSession.range(radiiMicro.size)
+      .select(element_at(radii, col("id").cast("int") + 1).as("r_micro"))
+      .join(counts, Seq("r_micro"), "left")
+      .crossJoin(broadcast(n))
+      .select(col("r_micro"), coalesce(col("_cnt"), lit(0L)).as("pairs_ordered"),
+        col("n_points"))
+  }
+}

@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ripleyK vs a brute all-pairs reference plus hand cases: exact ≤ at the
+  * radius, coincident distinct-id points, zero-filled empty radii, and
+  * cross-cell pairs (the ring join must see neighbors in adjacent cells).
+  */
+class PointPatternSpec extends AnyFunSuite {
+  lazy val spark = graft.SparkTestSession.spark
+  import spark.implicits._
+
+  private def run(pts: Seq[(Long, Long, Long)], radii: Seq[Long])
+      : Map[Long, (Long, Long)] =
+    PointPattern.ripleyK(pts.toDF("id", "lon", "lat"), col("id"), col("lon"),
+        col("lat"), radii)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+
+  private def brute(pts: Seq[(Long, Long, Long)], radii: Seq[Long])
+      : Map[Long, (Long, Long)] = {
+    val n = pts.size.toLong
+    radii.map { r =>
+      val cnt = (for {
+        a <- pts; b <- pts
+        if a._1 != b._1
+        dx = a._2 - b._2; dy = a._3 - b._3
+        if dx * dx + dy * dy <= r * r
+      } yield 1L).sum
+      r -> ((cnt, n))
+    }.toMap
+  }
+
+  test("ripleyK: hand case — cumulative counts, exact <= at the radius, zero-fill") {
+    // collinear points at gaps 600k / 900k (AC = 1.5e6 = exactly r3)
+    val pts = Seq((1L, 0L, 0L), (2L, 600000L, 0L), (3L, 1500000L, 0L))
+    val got = run(pts, Seq(500000L, 1000000L, 1500000L, 4000000L))
+    assert(got === Map(500000L -> ((0L, 3L)), 1000000L -> ((4L, 3L)),
+      1500000L -> ((6L, 3L)), 4000000L -> ((6L, 3L))))
+    // coincident points with distinct ids are a pair at every radius
+    val coin = Seq((1L, 5000000L, 5000000L), (2L, 5000000L, 5000000L))
+    assert(run(coin, Seq(1L, 1000000L)) ===
+      Map(1L -> ((2L, 2L)), 1000000L -> ((2L, 2L))))
+  }
+
+  test("ripleyK: brute parity on a clustered scatter; clustering exceeds CSR slope") {
+    val rnd = new scala.util.Random(23)
+    val centers = (0 until 6).map { _ =>
+      (rnd.nextLong(40000000L) - 20000000L, rnd.nextLong(30000000L) - 15000000L)
+    }
+    val pts = centers.zipWithIndex.flatMap { case ((cx, cy), ci) =>
+      (0 until 60).map { i =>
+        (ci * 60L + i, cx + rnd.nextLong(3000000L) - 1500000L,
+          cy + rnd.nextLong(3000000L) - 1500000L)
+      }
+    }
+    val radii = Seq(400000L, 800000L, 1600000L, 3200000L)
+    val got = run(pts, radii)
+    assert(got === brute(pts, radii))
+    // every radius sees pairs and counts are strictly cumulative here
+    assert(radii.map(got(_)._1).sliding(2).forall(w => w(0) < w(1)))
+  }
+}
