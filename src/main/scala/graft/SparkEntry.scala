@@ -1798,6 +1798,23 @@ object SparkEntry {
           Seq(500000L, 1000000L, 2000000L, 4000000L))
         .orderBy("r_micro")
     }),
+    // ---- EMERGING HOTSPOTS (q96): per-cell Mann-Kendall S over the
+    //      space-time cube — 10 three-day bins across the events month,
+    //      empty bins are real zeros in each cell's series. The hub fixture
+    //      gives cells genuine per-bin count fluctuation; S is pure int64.
+    "q96_emerging_hotspots" -> ((s, dir) => {
+      val hub = col("user_id") % 13L
+      val ev = s.read.parquet(s"$dir/events.parquet").select(
+        unix_micros(col("ts").cast("timestamp")).as("tus"),
+        (Derive.lonMicro(hub) + (col("event_id") * 48271L) % 600001L
+          - 300000L).as("lonm"),
+        (Derive.latMicro(hub) + ((col("event_id") + 7L) * 16807L) % 600001L
+          - 300000L).as("latm"))
+      operators.GridRaster.emergingHotspots(ev, col("lonm"), col("latm"),
+          col("tus"), cellMicro = 200000L, t0Us = 1704067200000000L,
+          binUs = 259200000000L, nBins = 10)
+        .orderBy("cx", "cy")
+    }),
     // ---- STREAMING trajectory sessionization: the q82 semantics as managed
     //      state — one TripState record per live entity carried across THREE
     //      micro-batches (global (tus, oid) order split into tertile files,
@@ -2753,6 +2770,34 @@ object SparkEntry {
          |  (SELECT count(*) FROM p) AS n_points
          |FROM r LEFT JOIN d ON d.d2 <= r.r_micro * r.r_micro
          |GROUP BY r.r_micro ORDER BY r_micro""".stripMargin,
+    "q96_emerging_hotspots" ->
+      // definition replay: (cell, bin) counts → densified series via a
+      // bin-ladder cross join (empty bins are REAL zeros) → pairwise sgn sum
+      s"""WITH f AS (SELECT
+         |  ${Derive.lonSql("(user_id % 13)")}
+         |    + (event_id * 48271) % 600001 - 300000 + 180000000 AS wx,
+         |  ${Derive.latSql("(user_id % 13)")}
+         |    + ((event_id + 7) * 16807) % 600001 - 300000 + 90000000 AS wy,
+         |  epoch_us(ts) - 1704067200000000 AS dt FROM events),
+         |e AS (SELECT wx // 200000 AS cx, wy // 200000 AS cy,
+         |  dt // 259200000000 AS b FROM f
+         |  WHERE dt >= 0 AND dt < ${259200000000L * 10L}),
+         |c AS MATERIALIZED (SELECT cx, cy, b, count(*) AS n
+         |  FROM e GROUP BY 1, 2, 3),
+         |cells AS MATERIALIZED (SELECT cx, cy, CAST(sum(n) AS BIGINT)
+         |  AS total FROM c GROUP BY 1, 2),
+         |dense AS MATERIALIZED (SELECT cells.cx, cells.cy, bins.b,
+         |  COALESCE(c.n, 0) AS x
+         |  FROM cells CROSS JOIN
+         |    (SELECT unnest(generate_series(0, 9)) AS b) bins
+         |  LEFT JOIN c ON c.cx = cells.cx AND c.cy = cells.cy AND c.b = bins.b),
+         |s AS (SELECT a.cx, a.cy, CAST(sum(CASE WHEN d.x > a.x THEN 1
+         |    WHEN d.x < a.x THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+         |  FROM dense a JOIN dense d
+         |    ON d.cx = a.cx AND d.cy = a.cy AND d.b > a.b
+         |  GROUP BY 1, 2)
+         |SELECT cells.cx, cells.cy, total, s_stat
+         |FROM cells JOIN s USING (cx, cy) ORDER BY cx, cy""".stripMargin,
     "q82_trips" -> tripsOracleSql,
     // the STREAMING sessionization must equal the batch operator over the
     // real fixes — same twin, by construction

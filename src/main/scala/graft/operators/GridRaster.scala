@@ -253,6 +253,57 @@ object GridRaster {
         coalesce(col("_ncnt"), lit(0L)).as("nbr_cnt"))
   }
 
+  /** EMERGING-HOTSPOT trend raster — the space-time-cube question ("which
+    * cells are heating up / cooling down?"): per occupied cell, the
+    * MANN-KENDALL S statistic [Mann 1945; Kendall 1975] of its time-binned
+    * count series, S = Σ_{i<j} sgn(xⱼ − xᵢ) over the `nBins` fixed bins
+    * [t0, t0 + nBins·binUs). Empty bins are REAL zeros in the series (a
+    * cell that appears late trends up against its silent past — the whole
+    * point of the statistic), which is why the per-cell series is densified
+    * to all nBins positions before the pair scan. S is a pure integer in
+    * [−T(T−1)/2, T(T−1)/2]; the normal-approximation z-score (the
+    * significance gate) is the consumer's one float division against the
+    * closed-form variance, keeping every emitted number engine-invariant.
+    *
+    * Output: (cx, cy, total, s_stat) per occupied cell.
+    *
+    * Plan (100 TB posture): events collapse to (cell, bin, count) in
+    * exchange ONE — map-side combined, so the shuffle carries at most
+    * raster×T rows; exchange two builds the per-cell T-entry map (bounded
+    * by nBins ≤ 64). The O(T²) pair scan is a map-only codegen'd
+    * higher-order expression over the dense array — no self-join of the
+    * bin table, no window, nothing driver-side.
+    */
+  def emergingHotspots(points: DataFrame, lonCol: Column, latCol: Column,
+                       tsUsCol: Column, cellMicro: Long, t0Us: Long,
+                       binUs: Long, nBins: Int): DataFrame = {
+    require(cellMicro > 0, "cellMicro must be positive")
+    require(binUs > 0 && nBins >= 2 && nBins <= 64,
+      "need binUs > 0 and 2 <= nBins <= 64")
+    val g = cellMicro
+    val maxX = 360000000L / g - 1; val maxY = 180000000L / g - 1
+    val binned = points.select(
+        (lonCol.cast("long") + 180000000L).as("_wx"),
+        (latCol.cast("long") + 90000000L).as("_wy"),
+        (tsUsCol.cast("long") - t0Us).as("_dt"))
+      .where(col("_dt") >= 0L && col("_dt") < binUs * nBins)
+      .select(expr(s"_wx div $g").as("cx"), expr(s"_wy div $g").as("cy"),
+        expr(s"_dt div $binUs").as("b"))
+      .where(col("cx").between(0L, maxX) && col("cy").between(0L, maxY))
+      .groupBy("cx", "cy", "b").agg(count(lit(1)).as("n"))
+    binned.groupBy("cx", "cy")
+      .agg(map_from_entries(collect_list(struct(col("b"), col("n")))).as("m"),
+        sum("n").as("total"))
+      .withColumn("xs",
+        expr(s"transform(sequence(0L, ${nBins - 1}L), t -> coalesce(m[t], 0L))"))
+      .select(col("cx"), col("cy"), col("total"),
+        expr(s"""aggregate(sequence(1, ${nBins - 1}), 0L, (acc, j) ->
+          acc + aggregate(sequence(0, j - 1), 0L, (a, i) ->
+            a + CASE WHEN xs[j] > xs[i] THEN 1L
+                     WHEN xs[j] < xs[i] THEN -1L ELSE 0L END))""")
+          .as("s_stat"))
+  }
+
   def heatmap(points: DataFrame, lonCol: Column, latCol: Column,
               cellMicro: Long): DataFrame = {
     require(cellMicro > 0, "cellMicro must be positive")

@@ -283,4 +283,64 @@ class GridRasterSpec extends AnyFunSuite {
     assert(got.values.map { case (_, ui, nb, _) => ui * nb }.sum === num)
     assert(got.values.map(_._4).sum === w)
   }
+
+  private def runEmerging(pts: Seq[(Long, Long, Long)], g: Long, t0: Long,
+                          binUs: Long, nBins: Int): Map[(Long, Long), (Long, Long)] =
+    GridRaster.emergingHotspots(pts.toDF("lon", "lat", "tus"), col("lon"),
+        col("lat"), col("tus"), g, t0, binUs, nBins)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+
+  private def bruteEmerging(pts: Seq[(Long, Long, Long)], g: Long, t0: Long,
+                            binUs: Long, nBins: Int): Map[(Long, Long), (Long, Long)] =
+    pts.filter(p => p._3 >= t0 && p._3 < t0 + binUs * nBins)
+      .groupBy(p => ((p._1 + 180000000L) / g, (p._2 + 90000000L) / g))
+      .map { case (k, evs) =>
+        val xs = (0 until nBins).map(b =>
+          evs.count(e => (e._3 - t0) / binUs == b).toLong)
+        val s = (for (j <- 1 until nBins; i <- 0 until j)
+          yield java.lang.Long.signum(xs(j) - xs(i)).toLong).sum
+        k -> ((evs.size.toLong, s))
+      }
+
+  test("emergingHotspots: monotone up/down/late-arrival hand cases; window excludes") {
+    val g = 1000000L
+    def ev(px: Long, py: Long, tus: Long, n: Int): Seq[(Long, Long, Long)] =
+      Seq.fill(n)((px * g - 180000000L + g / 2, py * g - 90000000L + g / 2, tus))
+    val pts =
+      // cell A: counts 1,2,3,4 across the 4 bins → S = +6 (perfect uptrend)
+      ev(10, 10, 50, 1) ++ ev(10, 10, 150, 2) ++ ev(10, 10, 250, 3) ++ ev(10, 10, 350, 4) ++
+      // cell B: all mass in bin 0 → series (5,0,0,0) → S = −3
+      ev(20, 20, 10, 5) ++
+      // cell C: appears only in the LAST bin → zeros before it → S = +3
+      ev(30, 30, 399, 2) ++
+      // out-of-window events must not create cells or counts
+      ev(40, 40, 400, 3) ++ ev(41, 41, -1, 3)
+    val got = runEmerging(pts, g, t0 = 0L, binUs = 100L, nBins = 4)
+    assert(got === Map((10L, 10L) -> ((10L, 6L)), (20L, 20L) -> ((5L, -3L)),
+      (30L, 30L) -> ((2L, 3L))))
+    assert(got === bruteEmerging(pts, g, 0L, 100L, 4))
+  }
+
+  test("emergingHotspots: brute parity on a drifting clustered scatter") {
+    val rnd = new scala.util.Random(29)
+    val centers = (0 until 6).map { _ =>
+      (rnd.nextLong(40000000L) - 20000000L, rnd.nextLong(30000000L) - 15000000L)
+    }
+    // event rate per center grows/shrinks linearly over 8 bins → real trends
+    val pts = centers.zipWithIndex.flatMap { case ((cx, cy), ci) =>
+      (0 until 8).flatMap { b =>
+        val rate = if (ci % 2 == 0) 3 + 2 * b else 17 - 2 * b
+        (0 until rate).map { _ =>
+          (cx + rnd.nextLong(3000000L) - 1500000L,
+            cy + rnd.nextLong(3000000L) - 1500000L,
+            b * 1000L + rnd.nextLong(1000L))
+        }
+      }
+    }
+    val got = runEmerging(pts, 1000000L, t0 = 0L, binUs = 1000L, nBins = 8)
+    assert(got === bruteEmerging(pts, 1000000L, 0L, 1000L, 8))
+    assert(got.values.exists(_._2 > 0) && got.values.exists(_._2 < 0),
+      "drifting fixture must produce both up- and down-trending cells")
+  }
 }
