@@ -1815,6 +1815,16 @@ object SparkEntry {
           binUs = 259200000000L, nBins = 10)
         .orderBy("cx", "cy")
     }),
+    // ---- IMAGE OBJECT COUNT (q97): decode (PNG/VP8L/raw) → 8×8 integer
+    //      mean-pool → threshold → 4-connected blob count per image, as a
+    //      corpus histogram. On the generator's bit→block images the mask
+    //      equals the phash bit grid, so the oracle re-derives every count
+    //      from the rules alone — the decode+pool+CC chain must agree.
+    "q97_object_count" -> ((s, dir) => {
+      operators.Multimodal.objectCount(Fixtures.images(s, 5000))
+        .groupBy("n_objects").agg(count(lit(1)).as("n_images"))
+        .orderBy("n_objects")
+    }),
     // ---- STREAMING trajectory sessionization: the q82 semantics as managed
     //      state — one TripState record per live entity carried across THREE
     //      micro-batches (global (tus, oid) order split into tertile files,
@@ -2798,6 +2808,39 @@ object SparkEntry {
          |  GROUP BY 1, 2)
          |SELECT cells.cx, cells.cy, total, s_stat
          |FROM cells JOIN s USING (cx, cy) ORDER BY cx, cy""".stripMargin,
+    "q97_object_count" -> {
+      // generator-rule replay: block value 200 ≥ 128 > 50 ⇒ the pooled mask
+      // IS the phash bit grid; components via an independent BFS flood fill
+      import graft.fixtures.Fixtures
+      val hist = scala.collection.mutable.Map[Int, Long]()
+      (0L until 5000L).foreach { i =>
+        val (lon, lat) = Fixtures.locOf(i)
+        val bits = graft.core.PhashLoc.encode(lon, lat)
+        def set(c: Int): Boolean = ((bits >>> c) & 1L) == 1L
+        var seen = Set.empty[Int]; var cnt = 0
+        (0 until 64).foreach { s0 =>
+          if (set(s0) && !seen(s0)) {
+            cnt += 1
+            var frontier = List(s0)
+            while (frontier.nonEmpty) {
+              val c = frontier.head; frontier = frontier.tail
+              if (!seen(c)) {
+                seen += c
+                val cx = c % 8; val cy = c / 8
+                frontier = List((cx + 1, cy), (cx - 1, cy), (cx, cy + 1), (cx, cy - 1))
+                  .collect { case (x, y)
+                    if x >= 0 && x < 8 && y >= 0 && y < 8 && set(y * 8 + x) =>
+                      y * 8 + x } ::: frontier
+              }
+            }
+          }
+        }
+        hist(cnt) = hist.getOrElse(cnt, 0L) + 1L
+      }
+      val vals = hist.toSeq.sorted
+        .map { case (k, n) => s"($k, CAST($n AS BIGINT))" }.mkString(", ")
+      s"SELECT * FROM (VALUES $vals) AS t(n_objects, n_images) ORDER BY n_objects"
+    },
     "q82_trips" -> tripsOracleSql,
     // the STREAMING sessionization must equal the batch operator over the
     // real fixes — same twin, by construction

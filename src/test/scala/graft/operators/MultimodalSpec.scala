@@ -345,6 +345,73 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  /** Independent 4-connected component count over a phash bit grid. */
+  private def bitBlobs(bits: Long): Int = {
+    def set(c: Int) = ((bits >>> c) & 1L) == 1L
+    val seen = scala.collection.mutable.Set[Int]()
+    var cnt = 0
+    for (s <- 0 until 64 if set(s) && !seen(s)) {
+      cnt += 1
+      val q = scala.collection.mutable.Queue(s)
+      while (q.nonEmpty) {
+        val c = q.dequeue()
+        if (!seen(c) && set(c)) {
+          seen += c
+          val (x, y) = (c % 8, c / 8)
+          if (x < 7) q += c + 1; if (x > 0) q += c - 1
+          if (y < 7) q += c + 8; if (y > 0) q += c - 8
+        }
+      }
+    }
+    cnt
+  }
+
+  test("objectCount: hand patterns across formats; fixture parity vs phash-bit CC") {
+    import spark.implicits._
+    // stripes (4 blobs each way), checkerboard (32 isolated), empty, full
+    val rows = Seq(
+      (0xAAAAAAAAAAAAAAAAL, 32, 32, "raw", 4), (0x00FF00FF00FF00FFL, 64, 32, "png", 4),
+      (0x55AA55AA55AA55AAL, 96, 64, "webp", 32), (0L, 32, 64, "png", 0),
+      (-1L, 96, 32, "webp", 1), (0x0000000000000001L, 64, 64, "raw", 1))
+      .map { case (p, w, h, fmt, want) =>
+        val px = ImageCodec.pixelsFromHash(p, w, h)
+        val bytes = fmt match {
+          case "png"  => ImageCodec.encodePng(px, w, h)
+          case "webp" => ImageCodec.encodeWebp(px, w, h)
+          case _      => px
+        }
+        (p, bytes, w, h, fmt, want)
+      }
+    val got = Multimodal.objectCount(
+        rows.map(r => (r._1, r._2, r._3, r._4, r._5)).toDF("phash", "bytes", "w", "h", "fmt"))
+      .collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
+    rows.foreach { case (p, _, _, _, _, want) =>
+      assert(got(p) === want && bitBlobs(p) === want, s"phash $p")
+    }
+    // fixture corpus: kernel count == independent bit-grid flood fill, all fmts
+    val fx = Multimodal.objectCount(imgs).collect()
+    assert(fx.length === 500)
+    fx.foreach(r => assert(r.getInt(3) === bitBlobs(r.getLong(0))))
+  }
+
+  test("objectCount: integer mean-pool floor decides the mask at the threshold") {
+    import spark.implicits._
+    // 32x32 zeros; block cells are 4x4 = 16 px. Block (0,0) gets k pixels of
+    // 255: k=8 → mean 127 (floor) < 128 → dark; k=9 → 143 → bright.
+    // Block (7,7) all 128 → mean exactly 128 → bright (>= is inclusive).
+    def img(k: Int): Array[Byte] = {
+      val px = new Array[Byte](32 * 32)
+      for (i <- 0 until k) px((i / 4) * 32 + i % 4) = 255.toByte
+      for (y <- 28 until 32; x <- 28 until 32) px(y * 32 + x) = 128.toByte
+      px
+    }
+    val got = Multimodal.objectCount(
+        Seq((8L, img(8), 32, 32, "raw"), (9L, img(9), 32, 32, "raw"))
+          .toDF("phash", "bytes", "w", "h", "fmt"))
+      .collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
+    assert(got === Map(8L -> 1, 9L -> 2))
+  }
+
   test("bmp and gif decode are real and lossless for gray fixtures") {
     val px = ImageCodec.pixelsFromHash(0xBEEF_CAFEL, 64, 64)
     assert(ImageCodec.decode(ImageCodec.encodeBmp(px, 64, 64), "bmp", 64, 64)
