@@ -1825,6 +1825,21 @@ object SparkEntry {
         .groupBy("n_objects").agg(count(lit(1)).as("n_images"))
         .orderBy("n_objects")
     }),
+    // ---- GETIS-ORD Gi* (q98): neighborhood-total hot/cold-spot surface —
+    //      queen 3×3 weights INCLUDING self over occupied cells, globals on
+    //      every row so the consumer's z-score is self-contained; all int64.
+    //      Same hub fixture as q93/q94 — the three statistics triangulate.
+    "q98_getis_ord" -> ((s, dir) => {
+      val hub = col("o_orderkey") % 37L
+      val pts = s.read.parquet(s"$dir/orders.parquet").select(
+        (Derive.lonMicro(hub) + (col("o_orderkey") * 48271L) % 9000001L
+          - 4500000L).as("lonm"),
+        (Derive.latMicro(hub) + ((col("o_orderkey") + 7L) * 16807L) % 9000001L
+          - 4500000L).as("latm"))
+      operators.GridRaster.getisOrd(pts, col("lonm"), col("latm"),
+          cellMicro = 2000000L)
+        .orderBy("cx", "cy")
+    }),
     // ---- STREAMING trajectory sessionization: the q82 semantics as managed
     //      state — one TripState record per live entity carried across THREE
     //      micro-batches (global (tus, oid) order split into tertile files,
@@ -2841,6 +2856,24 @@ object SparkEntry {
         .map { case (k, n) => s"($k, CAST($n AS BIGINT))" }.mkString(", ")
       s"SELECT * FROM (VALUES $vals) AS t(n_objects, n_images) ORDER BY n_objects"
     },
+    "q98_getis_ord" ->
+      // queen-contiguity theta join includes self (|0| ≤ 1), matching Gi*
+      s"""WITH pts AS (SELECT
+         |  ${Derive.lonSql("(o_orderkey % 37)")}
+         |    + (o_orderkey * 48271) % 9000001 - 4500000 + 180000000 AS wx,
+         |  ${Derive.latSql("(o_orderkey % 37)")}
+         |    + ((o_orderkey + 7) * 16807) % 9000001 - 4500000 + 90000000 AS wy
+         |  FROM orders),
+         |c AS MATERIALIZED (SELECT wx // 2000000 AS px, wy // 2000000 AS py,
+         |  count(*) AS n FROM pts GROUP BY 1, 2)
+         |SELECT a.px AS cx, a.py AS cy, a.n,
+         |  CAST(sum(b.n) AS BIGINT) AS hood_sum, count(*) AS hood_cnt,
+         |  (SELECT count(*) FROM c) AS n_cells,
+         |  (SELECT CAST(sum(n) AS BIGINT) FROM c) AS s_total,
+         |  (SELECT CAST(sum(n * n) AS BIGINT) FROM c) AS sq_total
+         |FROM c a JOIN c b
+         |  ON abs(a.px - b.px) <= 1 AND abs(a.py - b.py) <= 1
+         |GROUP BY 1, 2, 3 ORDER BY cx, cy""".stripMargin,
     "q82_trips" -> tripsOracleSql,
     // the STREAMING sessionization must equal the batch operator over the
     // real fixes — same twin, by construction

@@ -253,6 +253,61 @@ object GridRaster {
         coalesce(col("_ncnt"), lit(0L)).as("nbr_cnt"))
   }
 
+  /** GETIS-ORD Gi* hot/cold-spot surface [Getis & Ord 1992; Ord & Getis
+    * 1995] — the third member of the spatial-autocorrelation family:
+    * [[moransI]] asks "is the map clustered?", [[localMorans]] asks "is
+    * this cell LIKE its neighbors?", Gi* asks "is this NEIGHBORHOOD's
+    * total high or low vs the map?" — the statistic behind every "hotspot
+    * analysis" layer. Weights are the queen 3×3 contiguity INCLUDING self
+    * (the * variant), over occupied cells.
+    *
+    * Emits per occupied cell: (cx, cy, n, hood_sum, hood_cnt, n_cells,
+    * s_total, sq_total) — hood_sum/hood_cnt are the Σxⱼ and k of the
+    * neighborhood, the three globals make each row self-contained for the
+    * consumer's z-score z = (hood_sum − k·S/N) / (σ·√…) — the only float
+    * steps, kept off the engine surface so every emitted number is exact
+    * int64.
+    *
+    * Plan: points collapse to (cell, count) in exchange one; each
+    * undirected queen adjacency is produced ONCE by a 4-direction
+    * (E, N, NE, SE) neighbor equi-join and exploded into its two directed
+    * halves through ONE map-side-combined hash aggregate (4× fan-out, not
+    * 9×, and never a dedup); self joins in as a plain column add. Globals
+    * are a tiny broadcast.
+    */
+  def getisOrd(points: DataFrame, lonCol: Column, latCol: Column,
+               cellMicro: Long): DataFrame = {
+    require(cellMicro > 0, "cellMicro must be positive")
+    val g = cellMicro
+    val maxX = 360000000L / g - 1; val maxY = 180000000L / g - 1
+    val K = 1073741824L // pack (px, py); |dy| ≤ 1 never crosses a px step
+    val cells = points.select(
+        (lonCol.cast("long") + 180000000L).as("_wx"),
+        (latCol.cast("long") + 90000000L).as("_wy"))
+      .select(expr(s"_wx div $g").as("px"), expr(s"_wy div $g").as("py"))
+      .where(col("px").between(0L, maxX) && col("py").between(0L, maxY))
+      .groupBy("px", "py").agg(count(lit(1)).as("n"))
+      .localCheckpoint() // feeds stats, both adjacency sides, the left join
+    val stats = cells.agg(count(lit(1)).as("n_cells"), sum("n").as("s_total"),
+      sum(col("n") * col("n")).as("sq_total"))
+    val ck = cells.withColumn("k", col("px") * K + col("py"))
+    val dirs = Seq(K, 1L, K + 1L, K - 1L) // E, N, NE, SE cover all 8 once
+    val adj = ck.select(col("k").as("ka"), col("n").as("na"),
+        explode(array(dirs.map(d => col("k") + lit(d)): _*)).as("kb"))
+      .join(ck.select(col("k").as("kb"), col("n").as("nb")), "kb")
+    val hood = adj.select(explode(array(
+        struct(col("ka").as("k"), col("nb").as("v")),
+        struct(col("kb").as("k"), col("na").as("v")))).as("d"))
+      .groupBy(col("d.k").as("k"))
+      .agg(sum("d.v").as("_hs"), count(lit(1)).as("_hc"))
+    ck.join(hood, Seq("k"), "left")
+      .crossJoin(broadcast(stats))
+      .select(col("px").as("cx"), col("py").as("cy"), col("n"),
+        (coalesce(col("_hs"), lit(0L)) + col("n")).as("hood_sum"),
+        (coalesce(col("_hc"), lit(0L)) + lit(1L)).as("hood_cnt"),
+        col("n_cells"), col("s_total"), col("sq_total"))
+  }
+
   /** EMERGING-HOTSPOT trend raster — the space-time-cube question ("which
     * cells are heating up / cooling down?"): per occupied cell, the
     * MANN-KENDALL S statistic [Mann 1945; Kendall 1975] of its time-binned

@@ -284,6 +284,56 @@ class GridRasterSpec extends AnyFunSuite {
     assert(got.values.map(_._4).sum === w)
   }
 
+  private def runGetis(pts: Seq[(Long, Long)], g: Long)
+      : Map[(Long, Long), Seq[Long]] =
+    GridRaster.getisOrd(pts.toDF("lon", "lat"), col("lon"), col("lat"), g)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (2 to 7).map(r.getLong).toList).toMap
+
+  private def bruteGetis(pts: Seq[(Long, Long)], g: Long)
+      : Map[(Long, Long), Seq[Long]] = {
+    val cells = pts.groupBy(p => ((p._1 + 180000000L) / g, (p._2 + 90000000L) / g))
+      .map { case (k, v) => k -> v.size.toLong }
+    val nc = cells.size.toLong; val s = cells.values.sum
+    val sq = cells.values.map(v => v * v).sum
+    cells.map { case ((x, y), n) =>
+      val hood = cells.filter { case ((bx, by), _) =>
+        math.abs(bx - x) <= 1 && math.abs(by - y) <= 1 }
+      (x, y) -> List(n, hood.values.sum, hood.size.toLong, nc, s, sq)
+    }
+  }
+
+  test("getisOrd: queen+self hand case — 2×2 block all-mutual; isolated cell self-only") {
+    val g = 1000000L
+    def at(px: Long, py: Long, n: Int): Seq[(Long, Long)] =
+      Seq.fill(n)((px * g - 180000000L + g / 2, py * g - 90000000L + g / 2))
+    val pts = at(10, 10, 1) ++ at(11, 10, 3) ++ at(10, 11, 3) ++ at(11, 11, 1) ++
+      at(30, 30, 5)
+    val got = runGetis(pts, g)
+    // the 2×2 block is queen-complete: every cell's hood is the whole block
+    assert(got((10L, 10L)) === List(1L, 8L, 4L, 5L, 13L, 45L))
+    assert(got((11L, 10L)) === List(3L, 8L, 4L, 5L, 13L, 45L))
+    // diagonal-only neighbors count (queen, unlike the rook moran weights)
+    assert(got((30L, 30L)) === List(5L, 5L, 1L, 5L, 13L, 45L))
+    assert(got === bruteGetis(pts, g))
+  }
+
+  test("getisOrd: brute parity on the clustered scatter; hoods cover the blobs") {
+    val rnd = new scala.util.Random(31)
+    val centers = (0 until 8).map { _ =>
+      (rnd.nextLong(60000000L) - 30000000L, rnd.nextLong(40000000L) - 20000000L)
+    }
+    val pts = centers.flatMap { case (cx, cy) =>
+      (0 until 150).map { _ =>
+        (cx + rnd.nextLong(2500000L) + rnd.nextLong(2500000L) - 2500000L,
+          cy + rnd.nextLong(2500000L) + rnd.nextLong(2500000L) - 2500000L)
+      }
+    }
+    val got = runGetis(pts, 1000000L)
+    assert(got === bruteGetis(pts, 1000000L))
+    assert(got.values.exists(_(2) == 9L), "interior cells must see full 3×3 hoods")
+  }
+
   private def runEmerging(pts: Seq[(Long, Long, Long)], g: Long, t0: Long,
                           binUs: Long, nBins: Int): Map[(Long, Long), (Long, Long)] =
     GridRaster.emergingHotspots(pts.toDF("lon", "lat", "tus"), col("lon"),
