@@ -1840,6 +1840,29 @@ object SparkEntry {
           cellMicro = 2000000L)
         .orderBy("cx", "cy")
     }),
+    // ---- STAY-POINT detection (q99): per-entity maximal same-cell runs
+    //      lasting ≥ 1 day with ≥ 3 fixes — the place-based complement of
+    //      trip segmentation. Fixture: each user sits at a (user, 3-day
+    //      slot) anchor with ±100k jitter over 400k cells, so runs dwell
+    //      within slots and sometimes break at cell seams mid-slot.
+    "q99_stay_points" -> ((s, dir) => {
+      val hub = col("user_id") % 13L
+      val tus = unix_micros(col("ts").cast("timestamp"))
+      val slot = expr("(unix_micros(cast(ts as timestamp)) " +
+        "- 1704067200000000) div 259200000000")
+      val ev = s.read.parquet(s"$dir/events.parquet").select(
+        col("user_id"), tus.as("tus"), col("event_id").as("oid"),
+        (Derive.lonMicro(hub)
+          + ((col("user_id") * 31L + slot * 7L) * 48271L) % 600001L - 300000L
+          + (col("event_id") * 7919L) % 200001L - 100000L).as("lonm"),
+        (Derive.latMicro(hub)
+          + ((col("user_id") * 17L + slot * 11L) * 16807L) % 600001L - 300000L
+          + ((col("event_id") + 3L) * 104729L) % 200001L - 100000L).as("latm"))
+      Trajectory.stayPoints(ev, col("user_id"), col("tus"), col("oid"),
+          col("lonm"), col("latm"), cellMicro = 400000L,
+          minStayUs = 86400000000L, minFixes = 3L)
+        .orderBy("entity", "enter_us")
+    }),
     // ---- STREAMING trajectory sessionization: the q82 semantics as managed
     //      state — one TripState record per live entity carried across THREE
     //      micro-batches (global (tus, oid) order split into tertile files,
@@ -2874,6 +2897,33 @@ object SparkEntry {
          |FROM c a JOIN c b
          |  ON abs(a.px - b.px) <= 1 AND abs(a.py - b.py) <= 1
          |GROUP BY 1, 2, 3 ORDER BY cx, cy""".stripMargin,
+    "q99_stay_points" ->
+      // window replay: same (t, oid) order, same cell-change run numbering,
+      // same post-aggregate gates
+      s"""WITH f AS (SELECT user_id AS ent, epoch_us(ts) AS tus,
+         |  event_id AS oid,
+         |  ${Derive.lonSql("(user_id % 13)")}
+         |    + ((user_id * 31 + ((epoch_us(ts) - 1704067200000000)
+         |        // 259200000000) * 7) * 48271) % 600001 - 300000
+         |    + (event_id * 7919) % 200001 - 100000 AS lon,
+         |  ${Derive.latSql("(user_id % 13)")}
+         |    + ((user_id * 17 + ((epoch_us(ts) - 1704067200000000)
+         |        // 259200000000) * 11) * 16807) % 600001 - 300000
+         |    + ((event_id + 3) * 104729) % 200001 - 100000 AS lat
+         |  FROM events),
+         |c AS (SELECT ent, tus, oid, (lon + 180000000) // 400000 AS cx,
+         |  (lat + 90000000) // 400000 AS cy FROM f),
+         |l AS (SELECT *, CASE WHEN lag(cx) OVER w IS NULL
+         |    OR lag(cx) OVER w <> cx OR lag(cy) OVER w <> cy
+         |  THEN 1 ELSE 0 END AS nw FROM c
+         |  WINDOW w AS (PARTITION BY ent ORDER BY tus, oid)),
+         |r AS (SELECT *, sum(nw) OVER (PARTITION BY ent ORDER BY tus, oid
+         |  ROWS UNBOUNDED PRECEDING) AS run FROM l)
+         |SELECT ent AS entity, min(cx) AS cx, min(cy) AS cy,
+         |  min(tus) AS enter_us, max(tus) AS exit_us, count(*) AS n_fixes
+         |FROM r GROUP BY ent, run
+         |HAVING max(tus) - min(tus) >= 86400000000 AND count(*) >= 3
+         |ORDER BY entity, enter_us""".stripMargin,
     "q82_trips" -> tripsOracleSql,
     // the STREAMING sessionization must equal the batch operator over the
     // real fixes — same twin, by construction

@@ -80,6 +80,63 @@ object Trajectory {
         sum(col("_hop")).as("len_q"))
   }
 
+  /** STAY-POINT (dwell) detection — the place-based complement of [[trips]]
+    * (which segments by time gaps): per entity, each MAXIMAL run of
+    * consecutive fixes inside one grid cell that lasts ≥ `minStayUs` and
+    * has ≥ `minFixes` fixes is a stay point — "where did this entity
+    * actually spend time", the primitive under visit mining, POI
+    * extraction and OD endpoints [Li et al. 2008, grid-quantized].
+    * Quantization is the semantics (the q92 discipline): cell membership
+    * is an exact integer predicate, so runs — and therefore every emitted
+    * number — are engine-invariant, where the classical radius rule's
+    * float centroid chain is not.
+    *
+    * Consecutive = adjacent in the (t, orderId) order; a single far fix
+    * inside a dwell breaks the run (GPS jitter is the caller's smoothing
+    * concern — pick the cell size to absorb it). Runs, not visits: the
+    * same cell revisited later is a NEW stay point.
+    *
+    * Output: (entity, cx, cy, enter_us, exit_us, n_fixes) per stay point.
+    *
+    * Plan (100 TB posture): ONE hash exchange on the entity key serves the
+    * lag window, the run-numbering running sum AND the per-(entity, run)
+    * aggregate (the agg keys refine the window partitioning — the [[trips]]
+    * discipline); the duration/count gates are post-aggregate filters on
+    * run-sized rows. Shift-before-div keeps cell assignment
+    * engine-invariant (trunc = floor on non-negative operands).
+    */
+  def stayPoints(fixes: DataFrame, entity: Column, tUs: Column,
+                 orderId: Column, lon: Column, lat: Column, cellMicro: Long,
+                 minStayUs: Long, minFixes: Long,
+                 lonShift: Long = 180000000L, latShift: Long = 90000000L)
+      : DataFrame = {
+    require(cellMicro > 0 && minStayUs >= 0 && minFixes >= 1,
+      "need cellMicro > 0, minStayUs >= 0, minFixes >= 1")
+    val w = Window.partitionBy(col("_ent")).orderBy(col("_tus"), col("_oid"))
+    val g = cellMicro
+    val base = fixes.select(entity.cast("long").as("_ent"),
+        tUs.cast("long").as("_tus"), orderId.cast("long").as("_oid"),
+        lon.cast("long").as("_lon"), lat.cast("long").as("_lat"))
+      .select(col("_ent"), col("_tus"), col("_oid"),
+        expr(s"(_lon + $lonShift) div $g").as("_cx"),
+        expr(s"(_lat + $latShift) div $g").as("_cy"))
+    base
+      .withColumn("_new",
+        when(lag(col("_cx"), 1).over(w).isNull
+            || lag(col("_cx"), 1).over(w) =!= col("_cx")
+            || lag(col("_cy"), 1).over(w) =!= col("_cy"), 1L)
+          .otherwise(0L))
+      .withColumn("_run",
+        sum(col("_new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("_ent").as("entity"), col("_run"))
+      .agg(min(col("_cx")).as("cx"), min(col("_cy")).as("cy"),
+        min(col("_tus")).as("enter_us"), max(col("_tus")).as("exit_us"),
+        count(lit(1)).as("n_fixes"))
+      .where(col("exit_us") - col("enter_us") >= minStayUs
+        && col("n_fixes") >= minFixes)
+      .drop("_run")
+  }
+
   /** Origin–destination flow matrix — the aggregate mobility verb on top
     * of trip segmentation ("how many trips start in cell A and end in cell
     * B"): each trip contributes one flow from its FIRST fix's cell to its

@@ -215,4 +215,74 @@ class TrajectorySpec extends AnyFunSuite {
         .collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getLong(2)).toMap
         === bruteHaus(rows, level), s"level $level")
   }
+
+  // ---- stayPoints ----
+
+  private def runStays(rows: Seq[(Long, Long, Long, Long, Long)], g: Long,
+                       minStay: Long, minFix: Long)
+      : Set[(Long, Long, Long, Long, Long, Long)] = {
+    import spark.implicits._
+    Trajectory.stayPoints(rows.toDF("ent", "tus", "oid", "lon", "lat"),
+        col("ent"), col("tus"), col("oid"), col("lon"), col("lat"),
+        g, minStay, minFix)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+  }
+
+  private def bruteStays(rows: Seq[(Long, Long, Long, Long, Long)], g: Long,
+                         minStay: Long, minFix: Long)
+      : Set[(Long, Long, Long, Long, Long, Long)] =
+    rows.groupBy(_._1).flatMap { case (ent, evs) =>
+      val sorted = evs.sortBy(e => (e._2, e._3))
+        .map(e => (e._2, (e._4 + 180000000L) / g, (e._5 + 90000000L) / g))
+      // split into maximal same-cell runs
+      val runs = sorted.foldLeft(List.empty[List[(Long, Long, Long)]]) {
+        case (acc, f) => acc match {
+          case h :: t if h.head._2 == f._2 && h.head._3 == f._3 => (f :: h) :: t
+          case _ => List(f) :: acc
+        }
+      }
+      runs.filter(r => r.map(_._1).max - r.map(_._1).min >= minStay
+          && r.size >= minFix)
+        .map(r => (ent, r.head._2, r.head._3, r.map(_._1).min,
+          r.map(_._1).max, r.size.toLong))
+    }.toSet
+
+  test("stayPoints: dwell gates, run break on a single far fix, revisit = new stay") {
+    val g = 1000000L
+    def f(ent: Long, t: Long, oid: Long, cellX: Long, cellY: Long) =
+      (ent, t, oid, cellX * g - 180000000L + g / 2, cellY * g - 90000000L + g / 2)
+    val rows = Seq(
+      // entity 1: dwell in (5,5) for 3 fixes / 200 µs, ONE far fix breaks it,
+      // then revisit (5,5) → a SECOND stay point
+      f(1, 100, 1, 5, 5), f(1, 200, 2, 5, 5), f(1, 300, 3, 5, 5),
+      f(1, 400, 4, 9, 9),
+      f(1, 500, 5, 5, 5), f(1, 650, 6, 5, 5), f(1, 800, 7, 5, 5),
+      // entity 2: long enough but only 2 fixes → minFixes gate drops it
+      f(2, 100, 1, 7, 7), f(2, 900, 2, 7, 7),
+      // entity 2: 3 fixes but duration 199 < 200 → minStay gate drops it
+      f(2, 1000, 3, 8, 8), f(2, 1100, 4, 8, 8), f(2, 1199, 5, 8, 8))
+    val got = runStays(rows, g, minStay = 200L, minFix = 3L)
+    assert(got === Set((1L, 5L, 5L, 100L, 300L, 3L), (1L, 5L, 5L, 500L, 800L, 3L)))
+    assert(got === bruteStays(rows, g, 200L, 3L))
+    // exactly-at-threshold duration (300-100 = 200 = minStay) is INCLUDED
+    assert(got.exists(_._4 === 100L))
+  }
+
+  test("stayPoints: brute parity on a jittered multi-entity stream with ties") {
+    val rnd = new scala.util.Random(37)
+    val rows = (0 until 5).flatMap { e =>
+      var t = 0L
+      (0 until 200).map { i =>
+        t += rnd.nextLong(3L) // frequent timestamp TIES → oid must decide
+        val slot = i / 20
+        (e.toLong, t, i.toLong,
+          e * 10000000L + slot * 997000L + rnd.nextLong(600001L) - 300000L,
+          e * 8000000L + slot * 1009000L + rnd.nextLong(600001L) - 300000L)
+      }
+    }
+    for (minStay <- Seq(0L, 5L, 20L); minFix <- Seq(1L, 3L))
+      assert(runStays(rows, 1000000L, minStay, minFix)
+        === bruteStays(rows, 1000000L, minStay, minFix), s"$minStay/$minFix")
+  }
 }
