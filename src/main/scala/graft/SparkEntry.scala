@@ -1863,6 +1863,22 @@ object SparkEntry {
           minStayUs = 86400000000L, minFixes = 3L)
         .orderBy("entity", "enter_us")
     }),
+    // ---- AREAL INTERPOLATION (q9a): area-weighted reaggregation — each
+    //      source rect spreads its value uniformly, target zones receive
+    //      value·clip div srcArea (integer floor, engine-invariant). Same
+    //      feature fixture as q75 with a value column; mass ≤ inputs.
+    "q9a_areal_interp" -> ((s, dir) => {
+      val k = col("c_custkey")
+      val feats = s.read.parquet(s"$dir/customer.parquet").select(k,
+        (Derive.lonMicro(k) - (k * 6101L) % 1500001L).as("flo"),
+        (Derive.latMicro(k) - (k * 9203L) % 1500001L).as("fla"),
+        (Derive.lonMicro(k) + (k * 6101L) % 1500001L).as("fhi"),
+        (Derive.latMicro(k) + (k * 9203L) % 1500001L).as("fha"),
+        (k % 1000L).as("v"))
+      SpatialJoin.arealInterpolate(s, feats, k, col("flo"), col("fla"),
+          col("fhi"), col("fha"), col("v"), Derive.rectSpecs)
+        .orderBy("poly_id")
+    }),
     // ---- STREAMING trajectory sessionization: the q82 semantics as managed
     //      state — one TripState record per live entity carried across THREE
     //      micro-batches (global (tus, oid) order split into tertile files,
@@ -2924,6 +2940,24 @@ object SparkEntry {
          |FROM r GROUP BY ent, run
          |HAVING max(tus) - min(tus) >= 86400000000 AND count(*) >= 3
          |ORDER BY entity, enter_us""".stripMargin,
+    "q9a_areal_interp" ->
+      // closed-form rect overlap + the same integer floor share
+      s"""WITH f AS (SELECT c_custkey,
+         |  ${Derive.lonSql("c_custkey")} - (c_custkey * 6101) % 1500001 AS flo,
+         |  ${Derive.latSql("c_custkey")} - (c_custkey * 9203) % 1500001 AS fla,
+         |  ${Derive.lonSql("c_custkey")} + (c_custkey * 6101) % 1500001 AS fhi,
+         |  ${Derive.latSql("c_custkey")} + (c_custkey * 9203) % 1500001 AS fha,
+         |  c_custkey % 1000 AS v
+         |  FROM customer),
+         |o AS (SELECT r.poly_id, f.v,
+         |    LEAST(f.fhi, r.lon_max) - GREATEST(f.flo, r.lon_min) AS w,
+         |    LEAST(f.fha, r.lat_max) - GREATEST(f.fla, r.lat_min) AS h,
+         |    (f.fhi - f.flo) * (f.fha - f.fla) AS fa
+         |  FROM f CROSS JOIN ${Derive.rectsSqlValues})
+         |SELECT poly_id, count(*) AS n_sources,
+         |  CAST(sum((v * (w * h)) // fa) AS BIGINT) AS est_value
+         |FROM o WHERE w > 0 AND h > 0
+         |GROUP BY poly_id ORDER BY poly_id""".stripMargin,
     "q82_trips" -> tripsOracleSql,
     // the STREAMING sessionization must equal the batch operator over the
     // real fixes — same twin, by construction

@@ -398,6 +398,89 @@ object SpatialJoin {
           .as(if (meters) "clipped_m2" else "clipped_area"))
   }
 
+  /** AREAL INTERPOLATION (area-weighted reaggregation [Goodchild & Lam
+    * 1980]) — re-express a value carried by one zone system on another:
+    * each source rect `s` spreads its `value` uniformly over its own area,
+    * and target zone `t` receives Σₛ (valueₛ · area(s∩t)) div areaₛ — the
+    * census-tract→grid / admin→watershed verb every GIS stack ships as
+    * "areal weighting". The division is INTEGER (floor), making every
+    * contribution — and the per-target sum — engine-invariant; the floor
+    * loses < 1 unit per (source, target) pair, so Σₜ estₜ ≤ Σₛ valueₛ with
+    * deficit < |contributing pairs| (mass is conserved up to quantization;
+    * pick value units coarse enough that 1 unit is noise).
+    *
+    * Output: (poly_id, n_sources, est_value) — n_sources counts sources
+    * with positive overlap, including those whose floored share is 0.
+    *
+    * Plan: identical posture to [[clipAreaJoin]] — features explode to
+    * bbox cover cells, broadcast-join the zone cover, pair-distinct, ONE
+    * exact clip per pair (closed-form int64 rect overlap / per-task-cached
+    * JTS for general polygon zones), one hash aggregate per zone. Overflow
+    * ceiling: valueₛ · area(s∩t) must stay < 2^63 — at µdeg² areas (≤
+    * ~10¹² for 1°-scale features) that allows values to ~10⁶.
+    */
+  def arealInterpolate(spark: SparkSession, feats: DataFrame, featCol: Column,
+                       fLo: Column, fLa: Column, fHi: Column, fHa: Column,
+                       valueCol: Column, specs: Array[PolySpec],
+                       budget: Int = PolyCover.DEFAULT_BUDGET,
+                       allowed: Array[Int] = DefaultLevels): DataFrame = {
+    import spark.implicits._
+    val c = cover(specs, budget, allowed)
+    require(c.levels.forall(_ <= PolyCover.MAX_LEVEL), "key packing assumes level<=16")
+    def packed(lvl: Int, cell: Long): Long = (lvl.toLong << 34) | cell
+    val coverDf = c.rows.map { case (pid, pidx, lvl, cell, _) =>
+      (pid, pidx, packed(lvl, cell))
+    }.toDF("poly_id", "_pidx", "_lc")
+    val levels = c.levels
+    val prepared = feats.select(featCol.cast("long").as("_fid"),
+        fLo.cast("long").as("_lo"), fLa.cast("long").as("_la"),
+        fHi.cast("long").as("_hi"), fHa.cast("long").as("_ha"),
+        valueCol.cast("long").as("_v"))
+      .where(col("_hi") > col("_lo") && col("_ha") > col("_la"))
+    val exploded = prepared.flatMap { r =>
+      val b = BBoxM(r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      val v = r.getLong(5)
+      levels.iterator.flatMap { z =>
+        ZGrid.bboxCells(z, b).map { case (cx, cy) =>
+          (r.getLong(0), b.lonMin, b.latMin, b.lonMax, b.latMax, v,
+            packed(z, Morton.encode(cx, cy)))
+        }
+      }
+    }.toDF("_fid", "_lo", "_la", "_hi", "_ha", "_v", "_lc")
+    val pairs = exploded.join(broadcast(coverDf), Seq("_lc"))
+      .select("_fid", "_lo", "_la", "_hi", "_ha", "_v", "_pidx", "poly_id")
+      .distinct()
+    val polyArr = c.polyArr
+    val contrib = pairs.mapPartitions { it =>
+      val kinds = new Array[AnyRef](polyArr.length)
+      val gf = new org.locationtech.jts.geom.GeometryFactory()
+      it.map { r =>
+        val (lo, la, hi, ha) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+        val v = r.getLong(5); val pidx = r.getInt(6)
+        if (kinds(pidx) == null) kinds(pidx) = classifyZone(polyArr(pidx))
+        val area: Long = kinds(pidx) match {
+          case b: BBoxM =>
+            val w = math.min(hi, b.lonMax) - math.max(lo, b.lonMin)
+            val h = math.min(ha, b.latMax) - math.max(la, b.latMin)
+            if (w <= 0 || h <= 0) 0L else w * h
+          case g: org.locationtech.jts.geom.Geometry =>
+            val shell = gf.createPolygon(Array(
+              new org.locationtech.jts.geom.Coordinate(lo.toDouble, la.toDouble),
+              new org.locationtech.jts.geom.Coordinate(hi.toDouble, la.toDouble),
+              new org.locationtech.jts.geom.Coordinate(hi.toDouble, ha.toDouble),
+              new org.locationtech.jts.geom.Coordinate(lo.toDouble, ha.toDouble),
+              new org.locationtech.jts.geom.Coordinate(lo.toDouble, la.toDouble)))
+            math.floor(g.intersection(shell).getArea).toLong
+        }
+        val fArea = (hi - lo) * (ha - la)
+        (r.getString(7), area, v * area / fArea)
+      }
+    }.toDF("poly_id", "_area", "_share")
+    contrib.where(col("_area") > 0)
+      .groupBy("poly_id")
+      .agg(count(lit(1)).as("n_sources"), sum("_share").as("est_value"))
+  }
+
   /** A zone is an axis-aligned rectangle iff its single 4-vertex ring has
     * axis-parallel edges — then the closed-form slab clip applies.
     */

@@ -305,6 +305,57 @@ class FlagshipSpec extends AnyFunSuite {
     }
   }
 
+  test("arealInterpolate == brute floor-share; mass conserved up to quantization") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val feats = (0L until 2000L).map { i =>
+      val cx = rnd.nextLong(338000000L) - 169000000L
+      val cy = rnd.nextLong(158000000L) - 79000000L
+      val hw = rnd.nextLong(1000000L) + 1L; val hh = rnd.nextLong(1000000L) + 1L
+      (i, cx - hw, cy - hh, cx + hw, cy + hh, rnd.nextLong(1000L))
+    }
+    val df = feats.toDF("fid", "flo", "fla", "fhi", "fha", "v")
+    val rects = graft.oracle.Derive.rectSpecs
+    val got = SpatialJoin.arealInterpolate(spark, df, col("fid"),
+        col("flo"), col("fla"), col("fhi"), col("fha"), col("v"), rects)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val expect = scala.collection.mutable.Map[String, (Long, Long)]()
+    var pairs = 0L
+    for ((_, flo, fla, fhi, fha, v) <- feats;
+         (pid, lo, la, hi, ha) <- graft.oracle.Derive.rects) {
+      val w = math.min(fhi, hi) - math.max(flo, lo)
+      val h = math.min(fha, ha) - math.max(fla, la)
+      if (w > 0 && h > 0) {
+        pairs += 1
+        val (n, s) = expect.getOrElse(pid, (0L, 0L))
+        expect(pid) = (n + 1, s + v * (w * h) / ((fhi - flo) * (fha - fla)))
+      }
+    }
+    assert(got === expect.toMap)
+    // mass never exceeds the inputs (Σ floor shares ≤ Σ values)
+    assert(got.values.map(_._2).sum <= feats.map(_._6).sum)
+    // a source fully inside a zone hands over its WHOLE value exactly
+    val (pid0, lo0, la0, _, _) = graft.oracle.Derive.rects.head
+    val inner = Seq((9999L, lo0 + 10L, la0 + 10L, lo0 + 110L, la0 + 110L, 777L))
+      .toDF("fid", "flo", "fla", "fhi", "fha", "v")
+    val one = SpatialJoin.arealInterpolate(spark, inner, col("fid"),
+        col("flo"), col("fla"), col("fhi"), col("fha"), col("v"), rects)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(one(pid0) === ((1L, 777L)))
+    // JTS arm exact on integer rects (5-vertex rings dodge the fast path)
+    val rects5 = rects.map { sp =>
+      val r = sp.poly.rings(0)
+      val midX = (r.xs(0) + r.xs(1)) / 2
+      graft.fixtures.PolySpec(sp.poly_id, sp.kind, PolyM(Array(RingM(
+        Array(r.xs(0), midX, r.xs(1), r.xs(2), r.xs(3)),
+        Array(r.ys(0), r.ys(0), r.ys(1), r.ys(2), r.ys(3))))))
+    }
+    val viaJts = SpatialJoin.arealInterpolate(spark, df, col("fid"),
+        col("flo"), col("fla"), col("fhi"), col("fha"), col("v"), rects5)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(viaJts === expect.toMap)
+  }
+
   test("cosPoly: ≤7e-9 of libm cos over |lat|≤90°, exactly 1 at the equator") {
     assert(SpatialJoin.cosPoly(0.0) === 1.0)
     val rnd = new scala.util.Random(3)
