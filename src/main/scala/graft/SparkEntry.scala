@@ -1879,6 +1879,23 @@ object SparkEntry {
           col("fhi"), col("fha"), col("v"), Derive.rectSpecs)
         .orderBy("poly_id")
     }),
+    // ---- CONVOY detection (q9b): pairs together in ≥ 3 CONSECUTIVE 3-day
+    //      bins — the sequential extension of q90's co-location (contacts
+    //      alone don't make a convoy; absence breaks runs). Same mod-13 hub
+    //      fixture; per-bin together = any fix pair within 200k µdeg.
+    "q9b_convoys" -> ((s, dir) => {
+      val hub = col("user_id") % 13L
+      val ev = s.read.parquet(s"$dir/events.parquet").select(
+        col("user_id"), unix_micros(col("ts").cast("timestamp")).as("tus"),
+        (Derive.lonMicro(hub) + (col("event_id") * 48271L) % 600001L
+          - 300000L).as("lonm"),
+        (Derive.latMicro(hub) + ((col("event_id") + 7L) * 16807L) % 600001L
+          - 300000L).as("latm"))
+      Trajectory.convoyPairs(ev, col("user_id"), col("tus"), col("lonm"),
+          col("latm"), radiusMicro = 200000L, t0Us = 1704067200000000L,
+          binUs = 259200000000L, nBins = 10, minRun = 3, level = 9)
+        .orderBy("ent_a", "ent_b")
+    }),
     // ---- STREAMING trajectory sessionization: the q82 semantics as managed
     //      state — one TripState record per live entity carried across THREE
     //      micro-batches (global (tus, oid) order split into tertile files,
@@ -2958,6 +2975,28 @@ object SparkEntry {
          |  CAST(sum((v * (w * h)) // fa) AS BIGINT) AS est_value
          |FROM o WHERE w > 0 AND h > 0
          |GROUP BY poly_id ORDER BY poly_id""".stripMargin,
+    "q9b_convoys" ->
+      // brute same-bin self-join → distinct together-bins → gaps-and-islands
+      s"""WITH f AS (SELECT user_id AS ent,
+         |  epoch_us(ts) - 1704067200000000 AS dt,
+         |  ${Derive.lonSql("(user_id % 13)")}
+         |    + (event_id * 48271) % 600001 - 300000 AS lon,
+         |  ${Derive.latSql("(user_id % 13)")}
+         |    + ((event_id + 7) * 16807) % 600001 - 300000 AS lat
+         |  FROM events),
+         |e AS MATERIALIZED (SELECT ent, dt // 259200000000 AS b, lon, lat
+         |  FROM f WHERE dt >= 0 AND dt < ${259200000000L * 10L}),
+         |t AS MATERIALIZED (SELECT DISTINCT a.ent AS ea, b.ent AS eb,
+         |  a.b AS bin FROM e a JOIN e b ON a.b = b.b AND a.ent < b.ent
+         |  AND (b.lon - a.lon) * (b.lon - a.lon)
+         |    + (b.lat - a.lat) * (b.lat - a.lat) <= ${200000L * 200000L}),
+         |r AS (SELECT ea, eb, bin, bin - row_number()
+         |  OVER (PARTITION BY ea, eb ORDER BY bin) AS isl FROM t),
+         |g AS (SELECT ea, eb, isl, count(*) AS run FROM r GROUP BY 1, 2, 3)
+         |SELECT ea AS ent_a, eb AS ent_b,
+         |  CAST(sum(run) AS BIGINT) AS bins_together,
+         |  CAST(max(run) AS BIGINT) AS max_run
+         |FROM g GROUP BY 1, 2 HAVING max(run) >= 3 ORDER BY 1, 2""".stripMargin,
     "q82_trips" -> tripsOracleSql,
     // the STREAMING sessionization must equal the batch operator over the
     // real fixes — same twin, by construction

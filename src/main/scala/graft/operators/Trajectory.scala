@@ -249,6 +249,69 @@ object Trajectory {
       .agg(count(lit(1)).as("contacts"))
   }
 
+  /** CONVOY / co-movement detection [Jeung et al. 2008, bin-quantized] —
+    * the SEQUENTIAL extension of [[coLocation]]: a contact is not enough,
+    * a convoy is entities that stay together across ≥ `minRun` CONSECUTIVE
+    * time bins ("traveled together", not "bumped into each other"). Two
+    * entities are together in bin b iff some fix of each, both falling in
+    * b, lie within `radiusMicro` (exact int64 d²); a pair's convoys are
+    * the maximal runs of consecutive together-bins. Bins an entity is
+    * absent from break the run — silence is evidence of separation at this
+    * sampling density, which is what distinguishes a convoy from a
+    * recurring haunt (same café every morning = many 1-runs, never a
+    * convoy).
+    *
+    * Output per qualifying pair: (ent_a, ent_b, bins_together, max_run)
+    * where max_run ≥ minRun.
+    *
+    * Plan (100 TB posture): per-bin candidates use the [[coLocation]]
+    * blocking — b-side keeps its one (cell, bin) key, a-side explodes its
+    * Chebyshev ring (SAME bin only; consecutiveness is resolved later, not
+    * by a bucket ring), `a.ent < b.ent` orientation — no all-pairs stage;
+    * the together-set collapse is one (pair, bin) hash aggregate, and the
+    * island window + both run aggregates ride ONE pair exchange (each
+    * stage's keys refine the previous partitioning). Exact d² decides;
+    * blocking affects cost only.
+    */
+  def convoyPairs(fixes: DataFrame, entity: Column, tUs: Column,
+                  lon: Column, lat: Column, radiusMicro: Long,
+                  t0Us: Long, binUs: Long, nBins: Int, minRun: Int,
+                  level: Int): DataFrame = {
+    require(radiusMicro > 0 && binUs > 0 && nBins >= 1 && minRun >= 1,
+      "need positive radius/bin, nBins >= 1, minRun >= 1")
+    require(level >= 1 && level <= 16, "level out of range")
+    import graft.core.FixedPoint
+    val base = fixes.select(entity.cast("long").as("ent"),
+        (tUs.cast("long") - t0Us).as("_dt"),
+        lon.cast("long").as("lon"), lat.cast("long").as("lat"))
+      .where(col("_dt") >= 0L && col("_dt") < binUs * nBins)
+      .withColumn("_b", expr(s"_dt div ${binUs}L"))
+    val rx = radiusMicro / (FixedPoint.LON_RANGE >> level)
+    val ry = radiusMicro / (FixedPoint.LAT_RANGE >> level)
+    val rr = (math.max(rx, ry) + 1).toInt
+    val cellSide = base.withColumn("_cell",
+      graft.functions.GraftFunctions.zcell(col("lon"), col("lat"), level))
+    val ringSide = base.withColumn("_cell", explode(
+      graft.functions.GraftFunctions.ringCells(col("lon"), col("lat"), level, rr)))
+    val ddx = col("b.lon") - col("a.lon")
+    val ddy = col("b.lat") - col("a.lat")
+    val together = ringSide.as("a").join(cellSide.as("b"),
+        col("a._cell") === col("b._cell") && col("a._b") === col("b._b") &&
+        col("a.ent") < col("b.ent"))
+      .where(ddx * ddx + ddy * ddy <= radiusMicro * radiusMicro)
+      .groupBy(col("a.ent").as("ent_a"), col("b.ent").as("ent_b"),
+        col("a._b").as("bin"))
+      .agg(count(lit(1)).as("_c")).drop("_c")
+    val w = Window.partitionBy(col("ent_a"), col("ent_b")).orderBy(col("bin"))
+    together
+      .withColumn("_isl", col("bin") - row_number().over(w))
+      .groupBy("ent_a", "ent_b", "_isl")
+      .agg(count(lit(1)).as("_run"))
+      .groupBy("ent_a", "ent_b")
+      .agg(sum("_run").as("bins_together"), max("_run").as("max_run"))
+      .where(col("max_run") >= minRun)
+  }
+
   /** GRID-QUANTIZED trajectory Hausdorff distance — the trajectory
     * SIMILARITY verb (co-travel detection, route matching, movement-pattern
     * clustering): for every pair of entities that ever visited a common

@@ -269,6 +269,83 @@ class TrajectorySpec extends AnyFunSuite {
     assert(got.exists(_._4 === 100L))
   }
 
+  // ---- convoyPairs ----
+
+  private def runConvoys(rows: Seq[(Long, Long, Long, Long)], r: Long,
+                         binUs: Long, nBins: Int, minRun: Int, level: Int)
+      : Set[(Long, Long, Long, Long)] = {
+    import spark.implicits._
+    Trajectory.convoyPairs(rows.toDF("ent", "tus", "lon", "lat"),
+        col("ent"), col("tus"), col("lon"), col("lat"), r,
+        t0Us = 0L, binUs = binUs, nBins = nBins, minRun = minRun, level = level)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        x.getLong(3))).toSet
+  }
+
+  private def bruteConvoys(rows: Seq[(Long, Long, Long, Long)], r: Long,
+                           binUs: Long, nBins: Int, minRun: Int)
+      : Set[(Long, Long, Long, Long)] = {
+    val evs = rows.filter(e => e._2 >= 0 && e._2 < binUs * nBins)
+      .map(e => (e._1, e._2 / binUs, e._3, e._4))
+    val together = (for {
+      a <- evs; b <- evs
+      if a._1 < b._1 && a._2 == b._2
+      dx = b._3 - a._3; dy = b._4 - a._4
+      if dx * dx + dy * dy <= r * r
+    } yield ((a._1, b._1), a._2)).distinct.groupBy(_._1)
+    together.flatMap { case ((ea, eb), bs) =>
+      val bins = bs.map(_._2).distinct.sorted
+      val runs = bins.foldLeft(List.empty[List[Long]]) {
+        case (h :: t, b) if b == h.head + 1 => (b :: h) :: t
+        case (acc, b) => List(b) :: acc
+      }.map(_.size.toLong)
+      if (runs.max >= minRun) Some((ea, eb, bins.size.toLong, runs.max))
+      else None
+    }.toSet
+  }
+
+  test("convoyPairs: consecutive-run gate; absence breaks runs; revisits don't") {
+    val B = 1000L
+    def at(ent: Long, bin: Long, lon: Long, lat: Long) =
+      (ent, bin * B + 5L, lon, lat)
+    val hub = (20000000L, 10000000L); val far = (90000000L, -40000000L)
+    val rows = Seq(
+      // A(1) & B(2): together bins 1,2,3 then 6,7 → max_run 3, 5 together
+      at(1, 1, hub._1, hub._2), at(2, 1, hub._1 + 50, hub._2),
+      at(1, 2, hub._1, hub._2), at(2, 2, hub._1, hub._2 + 50),
+      at(1, 3, hub._1 + 30, hub._2), at(2, 3, hub._1, hub._2),
+      at(1, 4, far._1, far._2), at(2, 4, hub._1, hub._2), // apart in 4
+      at(1, 6, hub._1, hub._2), at(2, 6, hub._1 + 10, hub._2),
+      at(1, 7, hub._1, hub._2), at(2, 7, hub._1, hub._2 + 10),
+      // A(1) & C(3): together 0 and 2,3 — C ABSENT in bin 1 → runs 1, 2
+      at(3, 0, hub._1, hub._2), at(1, 0, hub._1 + 20, hub._2),
+      at(3, 2, hub._1 + 40, hub._2), at(3, 3, hub._1, hub._2 + 40))
+    val got = runConvoys(rows, r = 100L, binUs = B, nBins = 10,
+      minRun = 3, level = 12)
+    assert(got === Set((1L, 2L, 5L, 3L)))
+    assert(got === bruteConvoys(rows, 100L, B, 10, 3))
+    // minRun = 2 admits A-C (runs 1,2) and B-C (incidental 2-run in bins 2,3)
+    val lo = runConvoys(rows, 100L, B, 10, 2, 12)
+    assert(lo === Set((1L, 2L, 5L, 3L), (1L, 3L, 3L, 2L), (2L, 3L, 2L, 2L)))
+    assert(lo === bruteConvoys(rows, 100L, B, 10, 2))
+  }
+
+  test("convoyPairs: brute parity on hub-jittered entities across two levels") {
+    val rnd = new scala.util.Random(41)
+    val rows = (0 until 40).flatMap { e =>
+      val hub = e % 5
+      (0 until 12).flatMap { b =>
+        if (rnd.nextInt(10) < 7) Some((e.toLong, b * 1000L + rnd.nextLong(1000L),
+          hub * 30000000L - 60000000L + rnd.nextLong(400001L) - 200000L,
+          hub * 20000000L - 40000000L + rnd.nextLong(400001L) - 200000L))
+        else None // random absences → genuine run breaks
+      }
+    }
+    for (level <- Seq(9, 12); minRun <- Seq(2, 4))
+      assert(runConvoys(rows, 250000L, 1000L, 12, minRun, level)
+        === bruteConvoys(rows, 250000L, 1000L, 12, minRun), s"$level/$minRun")
+  }
+
   test("stayPoints: brute parity on a jittered multi-entity stream with ties") {
     val rnd = new scala.util.Random(37)
     val rows = (0 until 5).flatMap { e =>
