@@ -1896,6 +1896,67 @@ object SparkEntry {
           binUs = 259200000000L, nBins = 10, minRun = 3, level = 9)
         .orderBy("ent_a", "ent_b")
     }),
+    // ---- STREAMING stay points (q9c): the q99 semantics as managed state —
+    //      one StayState per live entity across THREE micro-batches (global
+    //      (tus, oid)-ordered tertile files, so runs span batch boundaries
+    //      and only cross-batch state reproduces the batch twin), stays
+    //      emitted exactly-once into the IcebergLite sink; a 4th flush file
+    //      (past-horizon fix in the traffic-free corner cell) closes each
+    //      entity's final run. Oracle IS the batch q99 SQL.
+    "q9c_stream_stays" -> ((s, dir) => {
+      import java.nio.file.Files
+      import s.implicits._
+      val staged = Files.createTempDirectory("graft_q9c_src")
+      val tmp = Files.createTempDirectory("graft_q9c_tmp").toString
+      val hub = col("user_id") % 13L
+      val tusC = unix_micros(col("ts").cast("timestamp"))
+      val slot = expr("(unix_micros(cast(ts as timestamp)) " +
+        "- 1704067200000000) div 259200000000")
+      val ev = s.read.parquet(s"$dir/events.parquet").select(
+        col("user_id").as("entity"), tusC.as("tus"),
+        col("event_id").as("oid"),
+        (Derive.lonMicro(hub)
+          + ((col("user_id") * 31L + slot * 7L) * 48271L) % 600001L - 300000L
+          + (col("event_id") * 7919L) % 200001L - 100000L).as("lon"),
+        (Derive.latMicro(hub)
+          + ((col("user_id") * 17L + slot * 11L) * 16807L) % 600001L - 300000L
+          + ((col("event_id") + 3L) * 104729L) % 200001L - 100000L).as("lat"))
+      val maxTus = ev.agg(max("tus")).as[Long].head()
+      val w = org.apache.spark.sql.expressions.Window.orderBy("tus", "oid")
+      val chunked = ev.withColumn("_c", ntile(3).over(w))
+      (1 to 3).foreach { c =>
+        chunked.where(col("_c") === c).drop("_c")
+          .coalesce(1).write.mode("overwrite").parquet(s"$tmp/p$c")
+        val f = new java.io.File(s"$tmp/p$c").listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        Files.copy(f.toPath, staged.resolve(s"fixes-$c.parquet"))
+      }
+      // flush: cell (0,0) is unreachable by the fixture (hub lon ≥ −171°),
+      // so the flush breaks every final run and parks unemitted
+      ev.select(col("entity")).distinct()
+        .select(col("entity"), lit(maxTus + 1L).as("tus"), lit(-1L).as("oid"),
+          lit(-179999999L).as("lon"), lit(-89999999L).as("lat"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/p4")
+      val f4 = new java.io.File(s"$tmp/p4").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.copy(f4.toPath, staged.resolve(s"fixes-4.parquet"))
+      val tbl = Files.createTempDirectory("graft_q9c_tbl").toString
+      val ckpt = Files.createTempDirectory("graft_q9c_ck").toString
+      val stream = s.readStream.schema(chunked.drop("_c").schema)
+        .option("maxFilesPerTrigger", 1).parquet(staged.toString)
+        .as[graft.streaming.EventStream.Fix]
+      val stays = graft.streaming.EventStream.streamingStayPoints(stream,
+        cellMicro = 400000L, minStayUs = 86400000000L, minFixes = 3L)
+      val q = stays.toDF().writeStream
+        .queryName("q9c")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch(graft.streaming.EventStream.icebergBatchWriter(
+          tbl, col("entity"), "q9c"))
+        .start()
+      q.awaitTermination()
+      graft.sources.IcebergLite.read(s, tbl).orderBy("entity", "enter_us")
+    }),
     // ---- STREAMING trajectory sessionization: the q82 semantics as managed
     //      state — one TripState record per live entity carried across THREE
     //      micro-batches (global (tus, oid) order split into tertile files,
@@ -2358,6 +2419,36 @@ object SparkEntry {
        |  min(tus) AS start_us, max(tus) - min(tus) AS dur_us,
        |  CAST(sum(hop) AS BIGINT) AS len_q
        |FROM t GROUP BY 1, 2 ORDER BY entity, trip_no""".stripMargin
+
+  /** Batch stay-point twin (q99) — also the oracle for the STREAMING q9c:
+    * window replay of the (t, oid) order, cell-change run numbering and
+    * post-aggregate gates over the slot-anchored jittered fixture.
+    */
+  private def stayPointsOracleSql: String =
+    s"""WITH f AS (SELECT user_id AS ent, epoch_us(ts) AS tus,
+       |  event_id AS oid,
+       |  ${Derive.lonSql("(user_id % 13)")}
+       |    + ((user_id * 31 + ((epoch_us(ts) - 1704067200000000)
+       |        // 259200000000) * 7) * 48271) % 600001 - 300000
+       |    + (event_id * 7919) % 200001 - 100000 AS lon,
+       |  ${Derive.latSql("(user_id % 13)")}
+       |    + ((user_id * 17 + ((epoch_us(ts) - 1704067200000000)
+       |        // 259200000000) * 11) * 16807) % 600001 - 300000
+       |    + ((event_id + 3) * 104729) % 200001 - 100000 AS lat
+       |  FROM events),
+       |c AS (SELECT ent, tus, oid, (lon + 180000000) // 400000 AS cx,
+       |  (lat + 90000000) // 400000 AS cy FROM f),
+       |l AS (SELECT *, CASE WHEN lag(cx) OVER w IS NULL
+       |    OR lag(cx) OVER w <> cx OR lag(cy) OVER w <> cy
+       |  THEN 1 ELSE 0 END AS nw FROM c
+       |  WINDOW w AS (PARTITION BY ent ORDER BY tus, oid)),
+       |r AS (SELECT *, sum(nw) OVER (PARTITION BY ent ORDER BY tus, oid
+       |  ROWS UNBOUNDED PRECEDING) AS run FROM l)
+       |SELECT ent AS entity, min(cx) AS cx, min(cy) AS cy,
+       |  min(tus) AS enter_us, max(tus) AS exit_us, count(*) AS n_fixes
+       |FROM r GROUP BY ent, run
+       |HAVING max(tus) - min(tus) >= 86400000000 AND count(*) >= 3
+       |ORDER BY entity, enter_us""".stripMargin
 
   private def dbscanCteSql: String =
     s"""WITH RECURSIVE pts AS (SELECT c_custkey AS id,
@@ -2930,33 +3021,10 @@ object SparkEntry {
          |FROM c a JOIN c b
          |  ON abs(a.px - b.px) <= 1 AND abs(a.py - b.py) <= 1
          |GROUP BY 1, 2, 3 ORDER BY cx, cy""".stripMargin,
-    "q99_stay_points" ->
-      // window replay: same (t, oid) order, same cell-change run numbering,
-      // same post-aggregate gates
-      s"""WITH f AS (SELECT user_id AS ent, epoch_us(ts) AS tus,
-         |  event_id AS oid,
-         |  ${Derive.lonSql("(user_id % 13)")}
-         |    + ((user_id * 31 + ((epoch_us(ts) - 1704067200000000)
-         |        // 259200000000) * 7) * 48271) % 600001 - 300000
-         |    + (event_id * 7919) % 200001 - 100000 AS lon,
-         |  ${Derive.latSql("(user_id % 13)")}
-         |    + ((user_id * 17 + ((epoch_us(ts) - 1704067200000000)
-         |        // 259200000000) * 11) * 16807) % 600001 - 300000
-         |    + ((event_id + 3) * 104729) % 200001 - 100000 AS lat
-         |  FROM events),
-         |c AS (SELECT ent, tus, oid, (lon + 180000000) // 400000 AS cx,
-         |  (lat + 90000000) // 400000 AS cy FROM f),
-         |l AS (SELECT *, CASE WHEN lag(cx) OVER w IS NULL
-         |    OR lag(cx) OVER w <> cx OR lag(cy) OVER w <> cy
-         |  THEN 1 ELSE 0 END AS nw FROM c
-         |  WINDOW w AS (PARTITION BY ent ORDER BY tus, oid)),
-         |r AS (SELECT *, sum(nw) OVER (PARTITION BY ent ORDER BY tus, oid
-         |  ROWS UNBOUNDED PRECEDING) AS run FROM l)
-         |SELECT ent AS entity, min(cx) AS cx, min(cy) AS cy,
-         |  min(tus) AS enter_us, max(tus) AS exit_us, count(*) AS n_fixes
-         |FROM r GROUP BY ent, run
-         |HAVING max(tus) - min(tus) >= 86400000000 AND count(*) >= 3
-         |ORDER BY entity, enter_us""".stripMargin,
+    "q99_stay_points" -> stayPointsOracleSql,
+    // the STREAMING stay detector must equal the batch operator over the
+    // real fixes — same twin, by construction
+    "q9c_stream_stays" -> stayPointsOracleSql,
     "q9a_areal_interp" ->
       // closed-form rect overlap + the same integer floor share
       s"""WITH f AS (SELECT c_custkey,

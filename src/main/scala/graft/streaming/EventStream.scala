@@ -179,6 +179,63 @@ object EventStream {
       }
   }
 
+  final case class StayState(cx: Long, cy: Long, enterUs: Long, lastUs: Long,
+                             nFixes: Long)
+  final case class Stay(entity: Long, cx: Long, cy: Long, enter_us: Long,
+                        exit_us: Long, n_fixes: Long)
+
+  /** Streaming twin of [[graft.operators.Trajectory.stayPoints]] — the
+    * place-based dwell detector as MANAGED STATE: one `StayState` per live
+    * entity carries the open same-cell run (cell, enter, last, fix count)
+    * across micro-batches; a fix in a DIFFERENT cell emits the closed run
+    * iff it passes the `minStayUs`/`minFixes` gates and opens the next run.
+    * A stay is emitted exactly once, on the batch where the breaking fix
+    * arrives, reproducing the batch operator's (tus, oid)-ordered runs as
+    * long as each entity's fixes arrive in (tus, oid) order across batches
+    * (within a batch the state function sorts). The final open run flushes
+    * when the caller sends a past-horizon fix in an out-of-world-traffic
+    * cell; the flush fix parks as an unemitted 1-fix run, so the emitted
+    * set equals the batch operator over the real fixes. Cell assignment is
+    * the same shift-before-div integer rule — every emitted number is
+    * bit-equal to the batch/DuckDB twins.
+    *
+    * Scale: ONE fixed-width record per live entity, entity-key
+    * partitioned; per-batch per-group sort is task-local. Nothing
+    * driver-sized.
+    */
+  def streamingStayPoints(fixes: Dataset[Fix], cellMicro: Long,
+                          minStayUs: Long, minFixes: Long,
+                          lonShift: Long = 180000000L,
+                          latShift: Long = 90000000L): Dataset[Stay] = {
+    require(cellMicro > 0 && minStayUs >= 0 && minFixes >= 1,
+      "need cellMicro > 0, minStayUs >= 0, minFixes >= 1")
+    import fixes.sparkSession.implicits._
+    fixes.groupByKey(_.entity)
+      .flatMapGroupsWithState[StayState, Stay](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (entity: Long, it: Iterator[Fix], state: GroupState[StayState]) =>
+          val sorted = it.toArray.sortBy(f => (f.tus, f.oid))
+          var st: StayState = state.getOption.orNull
+          val out = scala.collection.mutable.ArrayBuffer.empty[Stay]
+          sorted.foreach { f =>
+            val cx = (f.lon + lonShift) / cellMicro
+            val cy = (f.lat + latShift) / cellMicro
+            if (st == null) {
+              st = StayState(cx, cy, f.tus, f.tus, 1L)
+            } else if (cx == st.cx && cy == st.cy) {
+              st = st.copy(lastUs = f.tus, nFixes = st.nFixes + 1)
+            } else {
+              if (st.lastUs - st.enterUs >= minStayUs && st.nFixes >= minFixes)
+                out += Stay(entity, st.cx, st.cy, st.enterUs, st.lastUs,
+                  st.nFixes)
+              st = StayState(cx, cy, f.tus, f.tus, 1L)
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** Streaming ingest dedup: drop re-deliveries of the same key within the
     * watermark horizon — the standard exactly-once-ish ingestion guard in
     * front of a training-data pipeline. State = one entry per key within

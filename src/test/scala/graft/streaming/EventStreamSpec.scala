@@ -335,4 +335,47 @@ class EventStreamSpec extends AnyFunSuite {
       assert(afterB1 == 0)
     } finally q.stop()
   }
+
+  test("streamingStayPoints: managed-state dwells equal the batch operator; runs span batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val g = 1000000L
+    def cell(px: Long, py: Long) = (px * g - 180000000L + g / 2,
+      py * g - 90000000L + g / 2)
+    val home = cell(200, 100); val work = cell(210, 110)
+    // entity 1: dwell at home t 0..40 (SPANS b1/b2: 3 then 2 fixes), move to
+    // work for 3 fixes, back home (revisit = new stay)
+    val b1 = Seq(Fix(1, 0, 1, home._1, home._2), Fix(1, 10, 2, home._1 + 9, home._2),
+      Fix(1, 20, 3, home._1, home._2 + 9), Fix(2, 5, 4, work._1, work._2))
+    val b2 = Seq(Fix(1, 30, 5, home._1, home._2), Fix(1, 40, 6, home._1 + 3, home._2),
+      Fix(1, 50, 7, work._1, work._2), Fix(1, 60, 8, work._1 + 2, work._2),
+      Fix(1, 75, 9, work._1, work._2 + 2),
+      Fix(1, 80, 10, home._1, home._2), Fix(1, 95, 11, home._1, home._2 + 1),
+      Fix(1, 99, 12, home._1 + 1, home._2),
+      // entity 2: too few fixes per cell — never a stay
+      Fix(2, 90, 13, home._1, home._2))
+    val real = b1 ++ b2
+    val flush = real.map(_.entity).distinct.map(e =>
+      Fix(e, 1000L, -1, -179999999L, -89999999L))
+    val expect = graft.operators.Trajectory.stayPoints(real.toDF(),
+        col("entity"), col("tus"), col("oid"), col("lon"), col("lat"),
+        g, minStayUs = 15L, minFixes = 3L)
+      .collect().map(_.toSeq).toSet
+    assert(expect.size == 3) // home run, work run, home revisit
+    val mem = MemoryStream[Fix]
+    val q = streamingStayPoints(mem.toDS(), g, minStayUs = 15L, minFixes = 3L)
+      .writeStream.format("memory").queryName("stream_stays")
+      .outputMode("append").start()
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      val afterB1 = spark.table("stream_stays").count()
+      mem.addData(b2: _*); q.processAllAvailable()
+      mem.addData(flush: _*); q.processAllAvailable()
+      val got = spark.table("stream_stays").collect().map(_.toSeq).toSet
+      assert(got === expect)
+      // the home dwell spans b1/b2 and closes only when the work fix
+      // arrives in b2 — nothing can emit during b1
+      assert(afterB1 == 0)
+    } finally q.stop()
+  }
 }
