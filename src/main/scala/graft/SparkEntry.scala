@@ -1957,6 +1957,85 @@ object SparkEntry {
       q.awaitTermination()
       graft.sources.IcebergLite.read(s, tbl).orderBy("entity", "enter_us")
     }),
+    // ---- GEOFENCE transition events (q9d): enter/exit crossings of 13
+    //      hub-centered rect fences over the slot-anchored mobility
+    //      fixture — users oscillate ±300k+jitter around hubs with 250k
+    //      fences, so both directions fire. Inclusive bounds; first fix
+    //      inside = enter. One broadcast nested loop + one entity window.
+    "q9d_geofence" -> ((s, dir) => {
+      val hub = col("user_id") % 13L
+      val tusC = unix_micros(col("ts").cast("timestamp"))
+      val slot = expr("(unix_micros(cast(ts as timestamp)) " +
+        "- 1704067200000000) div 259200000000")
+      val ev = s.read.parquet(s"$dir/events.parquet").select(
+        col("user_id"), tusC.as("tus"), col("event_id").as("oid"),
+        (Derive.lonMicro(hub)
+          + ((col("user_id") * 31L + slot * 7L) * 48271L) % 600001L - 300000L
+          + (col("event_id") * 7919L) % 200001L - 100000L).as("lonm"),
+        (Derive.latMicro(hub)
+          + ((col("user_id") * 17L + slot * 11L) * 16807L) % 600001L - 300000L
+          + ((col("event_id") + 3L) * 104729L) % 200001L - 100000L).as("latm"))
+      val fences = s.range(0, 13).select(col("id").as("fence_id"),
+        (Derive.lonMicro(col("id")) - 250000L).as("lon_min"),
+        (Derive.latMicro(col("id")) - 250000L).as("lat_min"),
+        (Derive.lonMicro(col("id")) + 250000L).as("lon_max"),
+        (Derive.latMicro(col("id")) + 250000L).as("lat_max"))
+      Trajectory.geofenceEvents(ev, col("user_id"), col("tus"), col("oid"),
+          col("lonm"), col("latm"), fences)
+        .orderBy("entity", "fence_id", "tus")
+    }),
+    // ---- STREAMING geofence alerting (q9e): the q9d semantics as managed
+    //      state — the inside-set per live entity carried across THREE
+    //      micro-batches; crossings emit on the batch where the crossing
+    //      fix arrives (no flush file: a crossing is its own evidence).
+    //      Exactly-once into the IcebergLite sink; oracle IS the batch SQL.
+    "q9e_stream_geofence" -> ((s, dir) => {
+      import java.nio.file.Files
+      val hub = col("user_id") % 13L
+      val tusC = unix_micros(col("ts").cast("timestamp"))
+      val slot = expr("(unix_micros(cast(ts as timestamp)) " +
+        "- 1704067200000000) div 259200000000")
+      val ev = s.read.parquet(s"$dir/events.parquet").select(
+        col("user_id").as("entity"), tusC.as("tus"),
+        col("event_id").as("oid"),
+        (Derive.lonMicro(hub)
+          + ((col("user_id") * 31L + slot * 7L) * 48271L) % 600001L - 300000L
+          + (col("event_id") * 7919L) % 200001L - 100000L).as("lon"),
+        (Derive.latMicro(hub)
+          + ((col("user_id") * 17L + slot * 11L) * 16807L) % 600001L - 300000L
+          + ((col("event_id") + 3L) * 104729L) % 200001L - 100000L).as("lat"))
+      val staged = Files.createTempDirectory("graft_q9e_src")
+      val tmp = Files.createTempDirectory("graft_q9e_tmp").toString
+      val w = org.apache.spark.sql.expressions.Window.orderBy("tus", "oid")
+      val chunked = ev.withColumn("_c", ntile(3).over(w))
+      (1 to 3).foreach { c =>
+        chunked.where(col("_c") === c).drop("_c")
+          .coalesce(1).write.mode("overwrite").parquet(s"$tmp/p$c")
+        val f = new java.io.File(s"$tmp/p$c").listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        Files.copy(f.toPath, staged.resolve(s"fixes-$c.parquet"))
+      }
+      val fences = (0L until 13L).map(j => (j,
+        Derive.lonMicroL(j) - 250000L, Derive.latMicroL(j) - 250000L,
+        Derive.lonMicroL(j) + 250000L, Derive.latMicroL(j) + 250000L)).toArray
+      val tbl = Files.createTempDirectory("graft_q9e_tbl").toString
+      val ckpt = Files.createTempDirectory("graft_q9e_ck").toString
+      val stream = s.readStream.schema(chunked.drop("_c").schema)
+        .option("maxFilesPerTrigger", 1).parquet(staged.toString)
+        .as[graft.streaming.EventStream.Fix](
+          org.apache.spark.sql.Encoders.product[graft.streaming.EventStream.Fix])
+      val evts = graft.streaming.EventStream.streamingGeofence(stream, fences)
+      val q = evts.toDF().writeStream
+        .queryName("q9e")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch(graft.streaming.EventStream.icebergBatchWriter(
+          tbl, col("entity"), "q9e"))
+        .start()
+      q.awaitTermination()
+      graft.sources.IcebergLite.read(s, tbl)
+        .orderBy("entity", "fence_id", "tus")
+    }),
     // ---- STREAMING trajectory sessionization: the q82 semantics as managed
     //      state — one TripState record per live entity carried across THREE
     //      micro-batches (global (tus, oid) order split into tertile files,
@@ -2449,6 +2528,37 @@ object SparkEntry {
        |FROM r GROUP BY ent, run
        |HAVING max(tus) - min(tus) >= 86400000000 AND count(*) >= 3
        |ORDER BY entity, enter_us""".stripMargin
+
+  /** Geofence transition twin (q9d) — also the oracle for the STREAMING
+    * q9e: flag-series replay with the same fixture, inclusive containment
+    * and lag-with-0-default transition filter.
+    */
+  private def geofenceOracleSql: String =
+    s"""WITH f AS (SELECT user_id AS ent, epoch_us(ts) AS tus,
+       |  event_id AS oid,
+       |  ${Derive.lonSql("(user_id % 13)")}
+       |    + ((user_id * 31 + ((epoch_us(ts) - 1704067200000000)
+       |        // 259200000000) * 7) * 48271) % 600001 - 300000
+       |    + (event_id * 7919) % 200001 - 100000 AS lon,
+       |  ${Derive.latSql("(user_id % 13)")}
+       |    + ((user_id * 17 + ((epoch_us(ts) - 1704067200000000)
+       |        // 259200000000) * 11) * 16807) % 600001 - 300000
+       |    + ((event_id + 3) * 104729) % 200001 - 100000 AS lat
+       |  FROM events),
+       |fc AS (SELECT CAST(j AS BIGINT) AS fence_id,
+       |  ${Derive.lonSql("j")} - 250000 AS lon_min,
+       |  ${Derive.latSql("j")} - 250000 AS lat_min,
+       |  ${Derive.lonSql("j")} + 250000 AS lon_max,
+       |  ${Derive.latSql("j")} + 250000 AS lat_max
+       |  FROM (SELECT unnest(generate_series(0, 12)) AS j)),
+       |x AS (SELECT f.ent, fc.fence_id, f.tus, f.oid,
+       |  CASE WHEN f.lon >= fc.lon_min AND f.lon <= fc.lon_max
+       |    AND f.lat >= fc.lat_min AND f.lat <= fc.lat_max
+       |  THEN 1 ELSE 0 END AS i FROM f CROSS JOIN fc),
+       |l AS (SELECT ent, fence_id, tus, i, COALESCE(lag(i) OVER (
+       |  PARTITION BY ent, fence_id ORDER BY tus, oid), 0) AS pi FROM x)
+       |SELECT ent AS entity, fence_id, tus, CAST(i AS BIGINT) AS enter
+       |FROM l WHERE i <> pi ORDER BY entity, fence_id, tus""".stripMargin
 
   private def dbscanCteSql: String =
     s"""WITH RECURSIVE pts AS (SELECT c_custkey AS id,
@@ -3025,6 +3135,9 @@ object SparkEntry {
     // the STREAMING stay detector must equal the batch operator over the
     // real fixes — same twin, by construction
     "q9c_stream_stays" -> stayPointsOracleSql,
+    "q9d_geofence" -> geofenceOracleSql,
+    // the STREAMING geofence must equal the batch operator — same twin
+    "q9e_stream_geofence" -> geofenceOracleSql,
     "q9a_areal_interp" ->
       // closed-form rect overlap + the same integer floor share
       s"""WITH f AS (SELECT c_custkey,

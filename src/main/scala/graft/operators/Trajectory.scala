@@ -249,6 +249,53 @@ object Trajectory {
       .agg(count(lit(1)).as("contacts"))
   }
 
+  /** GEOFENCE transition events — the real-time geospatial verb (fleet
+    * compliance, arrival alerts, zone billing): for each (entity, fence)
+    * pair, emit one event per boundary CROSSING of the entity's
+    * (t, orderId)-ordered fix stream — `enter = 1` when a fix is inside a
+    * fence its previous fix was not, `enter = 0` on the way out. An
+    * entity's FIRST fix inside a fence is an enter (state unknown before
+    * observation begins); a first fix outside emits nothing. Containment
+    * is the inclusive integer bbox test (boundary fixes are inside —
+    * the H6 seam discipline), so the event set is engine-invariant.
+    *
+    * Fences: axis-aligned rect rows (fence_id, lon_min, lat_min, lon_max,
+    * lat_max) — the operator broadcasts them, the standard geofencing
+    * cardinality (thousands of fences, billions of fixes).
+    *
+    * Output: (entity, fence_id, tus, enter) per transition.
+    *
+    * Plan (100 TB posture): the fix stream crosses the broadcast fence
+    * table ONCE (map-side nested loop over the small side — no shuffle);
+    * the inside-flag series then rides the SAME single entity-key exchange
+    * pattern as [[trips]]/[[stayPoints]], with the lag window partitioned
+    * by (entity, fence) — a refinement of the entity key, one exchange.
+    * Note the flag series carries one row per (fix, fence) pair: the
+    * transition filter runs AFTER the lag, so cost is fix×fence rows
+    * through one window — bounded by the broadcast-side cardinality the
+    * operator is specified for.
+    */
+  def geofenceEvents(fixes: DataFrame, entity: Column, tUs: Column,
+                     orderId: Column, lon: Column, lat: Column,
+                     fences: DataFrame): DataFrame = {
+    val base = fixes.select(entity.cast("long").as("_ent"),
+      tUs.cast("long").as("_tus"), orderId.cast("long").as("_oid"),
+      lon.cast("long").as("_lon"), lat.cast("long").as("_lat"))
+    val f = fences.select(col("fence_id").cast("long").as("_fid"),
+      col("lon_min").cast("long").as("_flo"), col("lat_min").cast("long").as("_fla"),
+      col("lon_max").cast("long").as("_fhi"), col("lat_max").cast("long").as("_fha"))
+    val inside = (col("_lon") >= col("_flo") && col("_lon") <= col("_fhi") &&
+      col("_lat") >= col("_fla") && col("_lat") <= col("_fha")).cast("long")
+    val w = Window.partitionBy(col("_ent"), col("_fid"))
+      .orderBy(col("_tus"), col("_oid"))
+    base.crossJoin(broadcast(f))
+      .withColumn("_in", inside)
+      .withColumn("_pin", lag(col("_in"), 1, 0L).over(w))
+      .where(col("_in") =!= col("_pin"))
+      .select(col("_ent").as("entity"), col("_fid").as("fence_id"),
+        col("_tus").as("tus"), col("_in").as("enter"))
+  }
+
   /** CONVOY / co-movement detection [Jeung et al. 2008, bin-quantized] —
     * the SEQUENTIAL extension of [[coLocation]]: a contact is not enough,
     * a convoy is entities that stay together across ≥ `minRun` CONSECUTIVE

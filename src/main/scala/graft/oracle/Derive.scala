@@ -20,6 +20,9 @@ object Derive {
   def latMicro(key: Column): Column = (key * LAT_MUL) % 160000000L - 80000000L
   def lonSql(key: String): String = s"(($key * $LON_MUL) % 340000000 - 170000000)"
   def latSql(key: String): String = s"(($key * $LAT_MUL) % 160000000 - 80000000)"
+  /** Literal twins (key ≥ 0 so %-sign semantics can't diverge). */
+  def lonMicroL(key: Long): Long = (key * LON_MUL) % 340000000L - 170000000L
+  def latMicroL(key: Long): Long = (key * LAT_MUL) % 160000000L - 80000000L
 
   /** Fixed world rectangles for oracle-expressible spatial joins: the engine
     * runs its REAL cover-join + raycast path on them, while the DuckDB twin

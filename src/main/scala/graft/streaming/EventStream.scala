@@ -236,6 +236,55 @@ object EventStream {
       }
   }
 
+  final case class FenceState(inside: Seq[Long])
+  final case class FenceEvent(entity: Long, fence_id: Long, tus: Long,
+                              enter: Long)
+
+  /** Streaming twin of [[graft.operators.Trajectory.geofenceEvents]] — the
+    * alerting deployment shape of geofencing: one `FenceState` per live
+    * entity carries the set of fences it is currently inside across
+    * micro-batches; each fix emits enter/exit events for exactly the
+    * fences whose containment flag flips, ON the batch where the crossing
+    * fix arrives (no flush needed — a crossing is emitted by the crossing
+    * fix itself, unlike the run-closing semantics of trips/stays). The
+    * before-first-observation state is "outside everything", matching the
+    * batch operator's lag default. Same inclusive integer bbox containment
+    * — the event stream is bit-equal to the batch/DuckDB twins given
+    * per-entity (tus, oid) arrival order across batches.
+    *
+    * `fences` is a driver-side array (fence_id, lonMin, latMin, lonMax,
+    * latMax) serialized into the state closure — the broadcast-sized
+    * cardinality the batch operator specifies. State is O(#fences inside)
+    * per entity, not per fix.
+    */
+  def streamingGeofence(fixes: Dataset[Fix],
+                        fences: Array[(Long, Long, Long, Long, Long)])
+      : Dataset[FenceEvent] = {
+    require(fences.nonEmpty, "need at least one fence")
+    import fixes.sparkSession.implicits._
+    fixes.groupByKey(_.entity)
+      .flatMapGroupsWithState[FenceState, FenceEvent](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (entity: Long, it: Iterator[Fix], state: GroupState[FenceState]) =>
+          val sorted = it.toArray.sortBy(f => (f.tus, f.oid))
+          var inside = state.getOption
+            .map(_.inside.toSet).getOrElse(Set.empty[Long])
+          val out = scala.collection.mutable.ArrayBuffer.empty[FenceEvent]
+          sorted.foreach { f =>
+            fences.foreach { case (fid, lo, la, hi, ha) =>
+              val in = f.lon >= lo && f.lon <= hi && f.lat >= la && f.lat <= ha
+              if (in && !inside(fid)) {
+                out += FenceEvent(entity, fid, f.tus, 1L); inside += fid
+              } else if (!in && inside(fid)) {
+                out += FenceEvent(entity, fid, f.tus, 0L); inside -= fid
+              }
+            }
+          }
+          state.update(FenceState(inside.toSeq.sorted))
+          out.iterator
+      }
+  }
+
   /** Streaming ingest dedup: drop re-deliveries of the same key within the
     * watermark horizon — the standard exactly-once-ish ingestion guard in
     * front of a training-data pipeline. State = one entry per key within

@@ -269,6 +269,69 @@ class TrajectorySpec extends AnyFunSuite {
     assert(got.exists(_._4 === 100L))
   }
 
+  // ---- geofenceEvents ----
+
+  private val testFences = Seq(
+    (1L, 10000000L, 10000000L, 20000000L, 20000000L),
+    (2L, 15000000L, 15000000L, 30000000L, 25000000L), // overlaps fence 1
+    (3L, -50000000L, -50000000L, -40000000L, -45000000L))
+
+  private def runFence(rows: Seq[(Long, Long, Long, Long, Long)])
+      : Set[(Long, Long, Long, Long)] = {
+    import spark.implicits._
+    Trajectory.geofenceEvents(rows.toDF("ent", "tus", "oid", "lon", "lat"),
+        col("ent"), col("tus"), col("oid"), col("lon"), col("lat"),
+        testFences.toDF("fence_id", "lon_min", "lat_min", "lon_max", "lat_max"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+  }
+
+  private def bruteFence(rows: Seq[(Long, Long, Long, Long, Long)])
+      : Set[(Long, Long, Long, Long)] =
+    (for {
+      (fid, lo, la, hi, ha) <- testFences
+      (ent, evs) <- rows.groupBy(_._1)
+      sorted = evs.sortBy(e => (e._2, e._3))
+      flags = sorted.map(e =>
+        (e._2, if (e._4 >= lo && e._4 <= hi && e._5 >= la && e._5 <= ha) 1L else 0L))
+      ((tus, in), i) <- flags.zipWithIndex
+      if in != (if (i == 0) 0L else flags(i - 1)._2)
+    } yield (ent, fid, tus, in)).toSet
+
+  test("geofenceEvents: crossings incl. boundary-inclusive edges; first-fix rules") {
+    val rows = Seq(
+      // entity 1: outside → ON the fence-1 corner (inclusive=enter) → deep in
+      // both 1 and 2 → out of everything → back into 2
+      (1L, 100L, 1L, 0L, 0L),
+      (1L, 200L, 2L, 10000000L, 10000000L),          // enter 1 (boundary)
+      (1L, 300L, 3L, 18000000L, 18000000L),          // enter 2, still in 1
+      (1L, 400L, 4L, 90000000L, 0L),                 // exit 1 AND 2
+      (1L, 500L, 5L, 29000000L, 24000000L),          // enter 2 only
+      // entity 2: FIRST fix already inside fence 1 → enter at first fix
+      (2L, 50L, 6L, 15000000L, 15000000L))
+    val got = runFence(rows)
+    assert(got === Set(
+      (1L, 1L, 200L, 1L), (1L, 1L, 400L, 0L),
+      (1L, 2L, 300L, 1L), (1L, 2L, 400L, 0L), (1L, 2L, 500L, 1L),
+      (2L, 1L, 50L, 1L), (2L, 2L, 50L, 1L)))
+    assert(got === bruteFence(rows))
+  }
+
+  test("geofenceEvents: brute parity on a random walk with timestamp ties") {
+    val rnd = new scala.util.Random(43)
+    val rows = (0 until 6).flatMap { e =>
+      var (x, y) = (rnd.nextLong(60000001L) - 30000000L,
+        rnd.nextLong(60000001L) - 30000000L)
+      (0 until 150).map { i =>
+        x += rnd.nextLong(8000001L) - 4000000L
+        y += rnd.nextLong(8000001L) - 4000000L
+        (e.toLong, (i / 3).toLong, i.toLong, x, y) // ties every 3 fixes
+      }
+    }
+    assert(runFence(rows) === bruteFence(rows))
+    assert(runFence(rows).nonEmpty, "walk must cross fences")
+  }
+
   // ---- convoyPairs ----
 
   private def runConvoys(rows: Seq[(Long, Long, Long, Long)], r: Long,

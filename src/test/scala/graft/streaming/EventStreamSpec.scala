@@ -378,4 +378,35 @@ class EventStreamSpec extends AnyFunSuite {
       assert(afterB1 == 0)
     } finally q.stop()
   }
+
+  test("streamingGeofence: cross-batch inside-state equals batch transitions") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val fences = Array((1L, 0L, 0L, 10000000L, 10000000L),
+      (2L, 5000000L, 5000000L, 20000000L, 20000000L))
+    // entity 1 ends b1 INSIDE fence 1; in b2 its first fix is still inside
+    // (no event — state must remember), then exits 1 and enters 2
+    val b1 = Seq(Fix(1, 10, 1, -5000000L, 0), Fix(1, 20, 2, 3000000L, 3000000L))
+    val b2 = Seq(Fix(1, 30, 3, 4000000L, 4000000L),
+      Fix(1, 40, 4, 15000000L, 15000000L),
+      Fix(2, 35, 5, 6000000L, 6000000L)) // first fix inside BOTH
+    val real = b1 ++ b2
+    val expect = graft.operators.Trajectory.geofenceEvents(real.toDF(),
+        col("entity"), col("tus"), col("oid"), col("lon"), col("lat"),
+        fences.toSeq.toDF("fence_id", "lon_min", "lat_min", "lon_max", "lat_max"))
+      .collect().map(_.toSeq).toSet
+    assert(expect === Set(Seq(1L, 1L, 20L, 1L), Seq(1L, 1L, 40L, 0L),
+      Seq(1L, 2L, 40L, 1L), Seq(2L, 1L, 35L, 1L), Seq(2L, 2L, 35L, 1L)))
+    val mem = MemoryStream[Fix]
+    val q = streamingGeofence(mem.toDS(), fences)
+      .writeStream.format("memory").queryName("stream_fence")
+      .outputMode("append").start()
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      // the enter in b1 emits immediately (crossings are their own evidence)
+      assert(spark.table("stream_fence").count() == 1)
+      mem.addData(b2: _*); q.processAllAvailable()
+      assert(spark.table("stream_fence").collect().map(_.toSeq).toSet === expect)
+    } finally q.stop()
+  }
 }
