@@ -2036,6 +2036,27 @@ object SparkEntry {
       graft.sources.IcebergLite.read(s, tbl)
         .orderBy("entity", "fence_id", "tus")
     }),
+    // ---- CELL-TRANSITION matrix (q9f): the first-order mobility Markov
+    //      chain — directed edges between successive VISIT cells (runs
+    //      collapse first, so no self-loops), every intermediate movement
+    //      edge that q89's OD matrix throws away. Same slot fixture.
+    "q9f_transitions" -> ((s, dir) => {
+      val hub = col("user_id") % 13L
+      val tusC = unix_micros(col("ts").cast("timestamp"))
+      val slot = expr("(unix_micros(cast(ts as timestamp)) " +
+        "- 1704067200000000) div 259200000000")
+      val ev = s.read.parquet(s"$dir/events.parquet").select(
+        col("user_id"), tusC.as("tus"), col("event_id").as("oid"),
+        (Derive.lonMicro(hub)
+          + ((col("user_id") * 31L + slot * 7L) * 48271L) % 600001L - 300000L
+          + (col("event_id") * 7919L) % 200001L - 100000L).as("lonm"),
+        (Derive.latMicro(hub)
+          + ((col("user_id") * 17L + slot * 11L) * 16807L) % 600001L - 300000L
+          + ((col("event_id") + 3L) * 104729L) % 200001L - 100000L).as("latm"))
+      Trajectory.cellTransitions(ev, col("user_id"), col("tus"), col("oid"),
+          col("lonm"), col("latm"), cellMicro = 400000L)
+        .orderBy("f_cx", "f_cy", "t_cx", "t_cy")
+    }),
     // ---- STREAMING trajectory sessionization: the q82 semantics as managed
     //      state — one TripState record per live entity carried across THREE
     //      micro-batches (global (tus, oid) order split into tertile files,
@@ -3138,6 +3159,36 @@ object SparkEntry {
     "q9d_geofence" -> geofenceOracleSql,
     // the STREAMING geofence must equal the batch operator — same twin
     "q9e_stream_geofence" -> geofenceOracleSql,
+    "q9f_transitions" ->
+      // stay-chain replay without gates → per-run representative → run lag
+      s"""WITH f AS (SELECT user_id AS ent, epoch_us(ts) AS tus,
+         |  event_id AS oid,
+         |  ${Derive.lonSql("(user_id % 13)")}
+         |    + ((user_id * 31 + ((epoch_us(ts) - 1704067200000000)
+         |        // 259200000000) * 7) * 48271) % 600001 - 300000
+         |    + (event_id * 7919) % 200001 - 100000 AS lon,
+         |  ${Derive.latSql("(user_id % 13)")}
+         |    + ((user_id * 17 + ((epoch_us(ts) - 1704067200000000)
+         |        // 259200000000) * 11) * 16807) % 600001 - 300000
+         |    + ((event_id + 3) * 104729) % 200001 - 100000 AS lat
+         |  FROM events),
+         |c AS (SELECT ent, tus, oid, (lon + 180000000) // 400000 AS cx,
+         |  (lat + 90000000) // 400000 AS cy FROM f),
+         |l AS (SELECT *, CASE WHEN lag(cx) OVER w IS NULL
+         |    OR lag(cx) OVER w <> cx OR lag(cy) OVER w <> cy
+         |  THEN 1 ELSE 0 END AS nw FROM c
+         |  WINDOW w AS (PARTITION BY ent ORDER BY tus, oid)),
+         |r AS (SELECT *, sum(nw) OVER (PARTITION BY ent ORDER BY tus, oid
+         |  ROWS UNBOUNDED PRECEDING) AS run FROM l),
+         |v AS (SELECT ent, run, min(cx) AS cx, min(cy) AS cy
+         |  FROM r GROUP BY 1, 2),
+         |e AS (SELECT ent, cx, cy,
+         |  lag(cx) OVER w2 AS pcx, lag(cy) OVER w2 AS pcy FROM v
+         |  WINDOW w2 AS (PARTITION BY ent ORDER BY run))
+         |SELECT pcx AS f_cx, pcy AS f_cy, cx AS t_cx, cy AS t_cy,
+         |  count(*) AS n_transitions
+         |FROM e WHERE pcx IS NOT NULL
+         |GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4""".stripMargin,
     "q9a_areal_interp" ->
       // closed-form rect overlap + the same integer floor share
       s"""WITH f AS (SELECT c_custkey,

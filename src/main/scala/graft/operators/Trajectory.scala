@@ -249,6 +249,57 @@ object Trajectory {
       .agg(count(lit(1)).as("contacts"))
   }
 
+  /** CELL-TRANSITION matrix — the first-order mobility model ("Markov
+    * chain over places"): collapse each entity's fix stream into its
+    * sequence of visited cells (consecutive same-cell fixes are ONE
+    * visit — the [[stayPoints]] run rule without gates), then count every
+    * directed transition between successive visit cells, across all
+    * entities. The resulting (from, to, count) matrix is the standard
+    * input to next-location prediction, flow mapping and random-walk null
+    * models — [[odMatrix]] keeps only trip endpoints, this keeps every
+    * intermediate movement edge.
+    *
+    * Output: (f_cx, f_cy, t_cx, t_cy, n_transitions), from ≠ to by
+    * construction (same-cell fixes collapse before the lag).
+    *
+    * Plan (100 TB posture): ONE entity-key exchange serves the cell-change
+    * lag, the run-numbering sum, the per-run representative aggregate AND
+    * the run-successor lag (run keys refine the window partitioning); the
+    * only other exchange is the final hash count on the cell-pair key.
+    * Shift-before-div cell assignment (engine-invariant).
+    */
+  def cellTransitions(fixes: DataFrame, entity: Column, tUs: Column,
+                      orderId: Column, lon: Column, lat: Column,
+                      cellMicro: Long, lonShift: Long = 180000000L,
+                      latShift: Long = 90000000L): DataFrame = {
+    require(cellMicro > 0, "cellMicro must be positive")
+    val w = Window.partitionBy(col("_ent")).orderBy(col("_tus"), col("_oid"))
+    val g = cellMicro
+    val base = fixes.select(entity.cast("long").as("_ent"),
+        tUs.cast("long").as("_tus"), orderId.cast("long").as("_oid"),
+        lon.cast("long").as("_lon"), lat.cast("long").as("_lat"))
+      .select(col("_ent"), col("_tus"), col("_oid"),
+        expr(s"(_lon + $lonShift) div $g").as("_cx"),
+        expr(s"(_lat + $latShift) div $g").as("_cy"))
+    val wr = Window.partitionBy(col("_ent")).orderBy(col("_run"))
+    base
+      .withColumn("_new",
+        when(lag(col("_cx"), 1).over(w).isNull
+            || lag(col("_cx"), 1).over(w) =!= col("_cx")
+            || lag(col("_cy"), 1).over(w) =!= col("_cy"), 1L)
+          .otherwise(0L))
+      .withColumn("_run",
+        sum(col("_new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("_ent"), col("_run"))
+      .agg(min(col("_cx")).as("_cx"), min(col("_cy")).as("_cy"))
+      .withColumn("_pcx", lag(col("_cx"), 1).over(wr))
+      .withColumn("_pcy", lag(col("_cy"), 1).over(wr))
+      .where(col("_pcx").isNotNull)
+      .groupBy(col("_pcx").as("f_cx"), col("_pcy").as("f_cy"),
+        col("_cx").as("t_cx"), col("_cy").as("t_cy"))
+      .agg(count(lit(1)).as("n_transitions"))
+  }
+
   /** GEOFENCE transition events — the real-time geospatial verb (fleet
     * compliance, arrival alerts, zone billing): for each (entity, fence)
     * pair, emit one event per boundary CROSSING of the entity's

@@ -269,6 +269,60 @@ class TrajectorySpec extends AnyFunSuite {
     assert(got.exists(_._4 === 100L))
   }
 
+  // ---- cellTransitions ----
+
+  private def runTrans(rows: Seq[(Long, Long, Long, Long, Long)], g: Long)
+      : Map[(Long, Long, Long, Long), Long] = {
+    import spark.implicits._
+    Trajectory.cellTransitions(rows.toDF("ent", "tus", "oid", "lon", "lat"),
+        col("ent"), col("tus"), col("oid"), col("lon"), col("lat"), g)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)) -> r.getLong(4)).toMap
+  }
+
+  private def bruteTrans(rows: Seq[(Long, Long, Long, Long, Long)], g: Long)
+      : Map[(Long, Long, Long, Long), Long] =
+    rows.groupBy(_._1).toSeq.flatMap { case (_, evs) =>
+      val cells = evs.sortBy(e => (e._2, e._3))
+        .map(e => ((e._4 + 180000000L) / g, (e._5 + 90000000L) / g))
+      val visits = cells.foldLeft(List.empty[(Long, Long)]) {
+        case (acc, c) if acc.headOption.contains(c) => acc
+        case (acc, c) => c :: acc
+      }.reverse
+      visits.zip(visits.drop(1))
+        .map { case ((fa, fb), (ta, tb)) => (fa, fb, ta, tb) }
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+
+  test("cellTransitions: run collapse, revisit edges, no self-loops") {
+    val g = 1000000L
+    def f(ent: Long, t: Long, px: Long, py: Long) =
+      (ent, t, t, px * g - 180000000L + g / 2, py * g - 90000000L + g / 2)
+    // entity 1 path: c1 c1 c2 c1 c3 → visits c1,c2,c1,c3
+    // entity 2 path: c1 c2 — adds a second c1→c2 edge
+    val rows = Seq(f(1, 1, 5, 5), f(1, 2, 5, 5), f(1, 3, 6, 5),
+      f(1, 4, 5, 5), f(1, 5, 7, 7), f(2, 1, 5, 5), f(2, 2, 6, 5))
+    val got = runTrans(rows, g)
+    assert(got === Map((5L, 5L, 6L, 5L) -> 2L, (6L, 5L, 5L, 5L) -> 1L,
+      (5L, 5L, 7L, 7L) -> 1L))
+    assert(got === bruteTrans(rows, g))
+    assert(got.keys.forall { case (a, b, c, d) => (a, b) != (c, d) }, "no self-loops")
+  }
+
+  test("cellTransitions: brute parity on the jittered slotted stream") {
+    val rnd = new scala.util.Random(47)
+    val rows = (0 until 6).flatMap { e =>
+      var t = 0L
+      (0 until 200).map { i =>
+        t += rnd.nextLong(3L)
+        val slot = i / 15
+        (e.toLong, t, i.toLong,
+          e * 10000000L + slot * 997000L + rnd.nextLong(600001L) - 300000L,
+          e * 8000000L + slot * 1009000L + rnd.nextLong(600001L) - 300000L)
+      }
+    }
+    assert(runTrans(rows, 1000000L) === bruteTrans(rows, 1000000L))
+  }
+
   // ---- geofenceEvents ----
 
   private val testFences = Seq(
