@@ -2057,6 +2057,27 @@ object SparkEntry {
           col("lonm"), col("latm"), cellMicro = 400000L)
         .orderBy("f_cx", "f_cy", "t_cx", "t_cy")
     }),
+    // ---- GPS TELEPORT flagging (q9g): fixes whose implied speed from the
+    //      previous fix exceeds 50 µdeg/s — the cleaning gate in front of
+    //      every trajectory pipeline. Exact int64 predicate over the fixed
+    //      IEEE hop chain; first fix never flags; zero-dt movement flags.
+    "q9g_teleports" -> ((s, dir) => {
+      val hub = col("user_id") % 13L
+      val tusC = unix_micros(col("ts").cast("timestamp"))
+      val slot = expr("(unix_micros(cast(ts as timestamp)) " +
+        "- 1704067200000000) div 259200000000")
+      val ev = s.read.parquet(s"$dir/events.parquet").select(
+        col("user_id"), tusC.as("tus"), col("event_id").as("oid"),
+        (Derive.lonMicro(hub)
+          + ((col("user_id") * 31L + slot * 7L) * 48271L) % 600001L - 300000L
+          + (col("event_id") * 7919L) % 200001L - 100000L).as("lonm"),
+        (Derive.latMicro(hub)
+          + ((col("user_id") * 17L + slot * 11L) * 16807L) % 600001L - 300000L
+          + ((col("event_id") + 3L) * 104729L) % 200001L - 100000L).as("latm"))
+      Trajectory.flagTeleports(ev, col("user_id"), col("tus"), col("oid"),
+          col("lonm"), col("latm"), maxSpeedMicroPerSec = 50L)
+        .orderBy("entity", "tus", "oid")
+    }),
     // ---- STREAMING trajectory sessionization: the q82 semantics as managed
     //      state — one TripState record per live entity carried across THREE
     //      micro-batches (global (tus, oid) order split into tertile files,
@@ -3189,6 +3210,30 @@ object SparkEntry {
          |  count(*) AS n_transitions
          |FROM e WHERE pcx IS NOT NULL
          |GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4""".stripMargin,
+    "q9g_teleports" ->
+      // lag replay with the SAME fixed IEEE hop chain and strict > predicate
+      s"""WITH f AS (SELECT user_id AS ent, epoch_us(ts) AS tus,
+         |  event_id AS oid,
+         |  ${Derive.lonSql("(user_id % 13)")}
+         |    + ((user_id * 31 + ((epoch_us(ts) - 1704067200000000)
+         |        // 259200000000) * 7) * 48271) % 600001 - 300000
+         |    + (event_id * 7919) % 200001 - 100000 AS lon,
+         |  ${Derive.latSql("(user_id % 13)")}
+         |    + ((user_id * 17 + ((epoch_us(ts) - 1704067200000000)
+         |        // 259200000000) * 11) * 16807) % 600001 - 300000
+         |    + ((event_id + 3) * 104729) % 200001 - 100000 AS lat
+         |  FROM events),
+         |l AS (SELECT *, lag(tus) OVER w AS ptus, lag(lon) OVER w AS plon,
+         |  lag(lat) OVER w AS plat FROM f
+         |  WINDOW w AS (PARTITION BY ent ORDER BY tus, oid)),
+         |h AS (SELECT ent, tus, oid, CAST(floor(sqrt(
+         |    CAST(lon - plon AS DOUBLE) * CAST(lon - plon AS DOUBLE) +
+         |    CAST(lat - plat AS DOUBLE) * CAST(lat - plat AS DOUBLE)))
+         |    AS BIGINT) AS hop_q,
+         |  tus - ptus AS dt_us FROM l WHERE ptus IS NOT NULL)
+         |SELECT ent AS entity, tus, oid, hop_q, dt_us FROM h
+         |WHERE hop_q * 1000000 > 50 * dt_us
+         |ORDER BY entity, tus, oid""".stripMargin,
     "q9a_areal_interp" ->
       // closed-form rect overlap + the same integer floor share
       s"""WITH f AS (SELECT c_custkey,

@@ -249,6 +249,51 @@ object Trajectory {
       .agg(count(lit(1)).as("contacts"))
   }
 
+  /** GPS TELEPORT flagging — the cleaning verb in front of every
+    * trajectory pipeline: flag fixes whose implied speed from the previous
+    * fix exceeds `maxSpeed` (µdeg/second) — device glitches, tower jumps,
+    * A-GPS cold fixes. One-pass semantics: each fix is judged against its
+    * IMMEDIATE predecessor in (t, orderId) order (re-judging survivors
+    * against the previous CLEAN fix is an iterative fixpoint — run the
+    * operator again on the filtered stream if the corpus needs it; one
+    * pass is the standard first gate). A first fix has no predecessor and
+    * never flags; a zero-dt pair with any displacement is infinite speed
+    * and flags.
+    *
+    * The speed test is integer-exact: hop = ⌊√(dx²+dy²)⌋ (the [[trips]]
+    * fixed IEEE chain, engine-invariant) and the predicate is
+    * hop·10⁶ > maxSpeed·Δt in int64 (ceilings: hop ≤ 4.2e8 ⇒ lhs ≤ 4.2e14;
+    * maxSpeed·Δt must stay < 2^63 — a month of Δt allows maxSpeed to
+    * ~3.5e6 µdeg/s, far past any vehicle).
+    *
+    * Output: flagged fixes (entity, tus, oid, hop_q, dt_us).
+    *
+    * Plan: ONE entity-key exchange, two lag windows, a codegen filter —
+    * the [[trips]] discipline with nothing after the window but the
+    * predicate.
+    */
+  def flagTeleports(fixes: DataFrame, entity: Column, tUs: Column,
+                    orderId: Column, lon: Column, lat: Column,
+                    maxSpeedMicroPerSec: Long): DataFrame = {
+    require(maxSpeedMicroPerSec > 0, "maxSpeed must be positive")
+    val w = Window.partitionBy(col("_ent")).orderBy(col("_tus"), col("_oid"))
+    val base = fixes.select(entity.cast("long").as("_ent"),
+      tUs.cast("long").as("_tus"), orderId.cast("long").as("_oid"),
+      lon.cast("long").as("_lon"), lat.cast("long").as("_lat"))
+    val dx = (col("_lon") - col("_plon")).cast("double")
+    val dy = (col("_lat") - col("_plat")).cast("double")
+    base
+      .withColumn("_ptus", lag(col("_tus"), 1).over(w))
+      .withColumn("_plon", lag(col("_lon"), 1).over(w))
+      .withColumn("_plat", lag(col("_lat"), 1).over(w))
+      .where(col("_ptus").isNotNull)
+      .withColumn("_hop", floor(sqrt(dx * dx + dy * dy)).cast("long"))
+      .withColumn("_dt", col("_tus") - col("_ptus"))
+      .where(col("_hop") * 1000000L > lit(maxSpeedMicroPerSec) * col("_dt"))
+      .select(col("_ent").as("entity"), col("_tus").as("tus"),
+        col("_oid").as("oid"), col("_hop").as("hop_q"), col("_dt").as("dt_us"))
+  }
+
   /** CELL-TRANSITION matrix — the first-order mobility model ("Markov
     * chain over places"): collapse each entity's fix stream into its
     * sequence of visited cells (consecutive same-cell fixes are ONE

@@ -269,6 +269,63 @@ class TrajectorySpec extends AnyFunSuite {
     assert(got.exists(_._4 === 100L))
   }
 
+  // ---- flagTeleports ----
+
+  private def runTele(rows: Seq[(Long, Long, Long, Long, Long)], vmax: Long)
+      : Set[(Long, Long, Long, Long, Long)] = {
+    import spark.implicits._
+    Trajectory.flagTeleports(rows.toDF("ent", "tus", "oid", "lon", "lat"),
+        col("ent"), col("tus"), col("oid"), col("lon"), col("lat"), vmax)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+  }
+
+  private def bruteTele(rows: Seq[(Long, Long, Long, Long, Long)], vmax: Long)
+      : Set[(Long, Long, Long, Long, Long)] =
+    rows.groupBy(_._1).toSeq.flatMap { case (ent, evs) =>
+      val s = evs.sortBy(e => (e._2, e._3))
+      s.zip(s.drop(1)).flatMap { case (p, f) =>
+        val dx = (f._4 - p._4).toDouble; val dy = (f._5 - p._5).toDouble
+        val hop = math.floor(math.sqrt(dx * dx + dy * dy)).toLong
+        val dt = f._2 - p._2
+        if (hop * 1000000L > vmax * dt) Some((ent, f._2, f._3, hop, dt))
+        else None
+      }
+    }.toSet
+
+  test("flagTeleports: threshold-exact, zero-dt flags, first fix never flags") {
+    // vmax = 100 µdeg/s: hop 3600, dt 36s → speed exactly 100 → NOT flagged
+    // (strict >); hop 3601 flags; dt 0 with hop 5 flags (infinite speed)
+    val rows = Seq(
+      (1L, 0L, 1L, 0L, 0L),
+      (1L, 36000000L, 2L, 3600L, 0L),            // exactly at vmax: clean
+      (1L, 72000000L, 3L, 3600L + 3601L, 0L),    // 3601 over 36s: flag
+      (1L, 72000000L, 4L, 3600L + 3601L + 5L, 0L), // same ts, moved: flag
+      (2L, 0L, 5L, 90000000L, 0L))               // first fix: never flags
+    val got = runTele(rows, 100L)
+    assert(got === Set((1L, 72000000L, 3L, 3601L, 36000000L),
+      (1L, 72000000L, 4L, 5L, 0L)))
+    assert(got === bruteTele(rows, 100L))
+  }
+
+  test("flagTeleports: brute parity on the jittered stream across thresholds") {
+    val rnd = new scala.util.Random(53)
+    val rows = (0 until 6).flatMap { e =>
+      var t = 0L
+      (0 until 300).map { i =>
+        t += rnd.nextLong(5000000L)
+        (e.toLong, t, i.toLong, rnd.nextLong(2000001L) - 1000000L,
+          rnd.nextLong(2000001L) - 1000000L)
+      }
+    }
+    for (vmax <- Seq(1L, 100L, 100000L)) {
+      val got = runTele(rows, vmax)
+      assert(got === bruteTele(rows, vmax), s"vmax=$vmax")
+    }
+    assert(runTele(rows, 1L).nonEmpty &&
+      runTele(rows, 100000L).size < runTele(rows, 1L).size)
+  }
+
   // ---- cellTransitions ----
 
   private def runTrans(rows: Seq[(Long, Long, Long, Long, Long)], g: Long)
