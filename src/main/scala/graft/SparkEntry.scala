@@ -2078,6 +2078,25 @@ object SparkEntry {
           col("lonm"), col("latm"), maxSpeedMicroPerSec = 50L)
         .orderBy("entity", "tus", "oid")
     }),
+    // ---- BIVARIATE CROSS-K (q9h): does the event cloud cluster AROUND
+    //      the 13 hub sites — K₁₂ pair counts per radius ladder, the
+    //      two-class question q95's univariate K can't ask. The fixture
+    //      places events ±300k around hubs, so the curve saturates fast.
+    "q9h_cross_k" -> ((s, dir) => {
+      val hub = col("user_id") % 13L
+      val ev = s.read.parquet(s"$dir/events.parquet").select(
+        (Derive.lonMicro(hub) + (col("event_id") * 48271L) % 600001L
+          - 300000L).as("lonm"),
+        (Derive.latMicro(hub) + ((col("event_id") + 7L) * 16807L) % 600001L
+          - 300000L).as("latm"))
+      val sites = s.range(0, 13).select(
+        Derive.lonMicro(col("id")).as("slon"),
+        Derive.latMicro(col("id")).as("slat"))
+      operators.PointPattern.crossK(ev, col("lonm"), col("latm"),
+          sites, col("slon"), col("slat"),
+          Seq(200000L, 400000L, 800000L, 1600000L))
+        .orderBy("r_micro")
+    }),
     // ---- STREAMING trajectory sessionization: the q82 semantics as managed
     //      state — one TripState record per live entity carried across THREE
     //      micro-batches (global (tus, oid) order split into tertile files,
@@ -3234,6 +3253,29 @@ object SparkEntry {
          |SELECT ent AS entity, tus, oid, hop_q, dt_us FROM h
          |WHERE hop_q * 1000000 > 50 * dt_us
          |ORDER BY entity, tus, oid""".stripMargin,
+    "q9h_cross_k" ->
+      // brute cross join + cumulative theta left join, as in q95
+      s"""WITH a AS (SELECT
+         |  ${Derive.lonSql("(user_id % 13)")}
+         |    + (event_id * 48271) % 600001 - 300000 AS lon,
+         |  ${Derive.latSql("(user_id % 13)")}
+         |    + ((event_id + 7) * 16807) % 600001 - 300000 AS lat
+         |  FROM events),
+         |b AS (SELECT ${Derive.lonSql("j")} AS lon, ${Derive.latSql("j")} AS lat
+         |  FROM (SELECT unnest(generate_series(0, 12)) AS j)),
+         |d AS MATERIALIZED (SELECT
+         |    (a.lon - b.lon) * (a.lon - b.lon)
+         |    + (a.lat - b.lat) * (a.lat - b.lat) AS d2
+         |  FROM a CROSS JOIN b
+         |  WHERE (a.lon - b.lon) * (a.lon - b.lon)
+         |    + (a.lat - b.lat) * (a.lat - b.lat) <= ${1600000L * 1600000L}),
+         |r AS (SELECT CAST(unnest([200000, 400000, 800000, 1600000])
+         |  AS BIGINT) AS r_micro)
+         |SELECT r.r_micro, CAST(count(d.d2) AS BIGINT) AS pairs,
+         |  (SELECT count(*) FROM a) AS n_a,
+         |  (SELECT count(*) FROM b) AS n_b
+         |FROM r LEFT JOIN d ON d.d2 <= r.r_micro * r.r_micro
+         |GROUP BY r.r_micro ORDER BY r_micro""".stripMargin,
     "q9a_areal_interp" ->
       // closed-form rect overlap + the same integer floor share
       s"""WITH f AS (SELECT c_custkey,

@@ -72,4 +72,64 @@ object PointPattern {
       .select(col("r_micro"), coalesce(col("_cnt"), lit(0L)).as("pairs_ordered"),
         col("n_points"))
   }
+
+  /** BIVARIATE CROSS-K pair counts [the K₁₂ of Lotwick & Silverman 1982] —
+    * does class A cluster AROUND class B (cafés near stations, crimes near
+    * bars), not merely within itself: for each radius r, the number of
+    * (a ∈ A, b ∈ B) pairs within r. Under independence E[K₁₂(r)] ∝ πr²;
+    * excess = attraction, deficit = repulsion between the classes — the
+    * question [[ripleyK]] cannot ask and a plain radius join answers only
+    * at one scale.
+    *
+    * Emits one row per radius, zero-filled: (r_micro, pairs, n_a, n_b);
+    * K̂₁₂(r) = A·pairs / (n_a·n_b) is the consumer's float step. Every
+    * cross pair counts once — no orientation (the sets are distinct by
+    * construction; coincident points across classes are genuine pairs).
+    *
+    * Plan: the [[ripleyK]] blocking — B keeps its home cell at
+    * g = max(r), A explodes its 3×3 Chebyshev ring (distinct cells ⇒ each
+    * qualifying pair produced exactly once), exact d² ≤ r² decides, the
+    * per-pair radius explode collapses map-side into |radii| partials per
+    * task.
+    */
+  def crossK(aPts: DataFrame, aLon: Column, aLat: Column,
+             bPts: DataFrame, bLon: Column, bLat: Column,
+             radiiMicro: Seq[Long]): DataFrame = {
+    require(radiiMicro.nonEmpty && radiiMicro.forall(_ > 0),
+      "radii must be nonempty positive")
+    require(radiiMicro == radiiMicro.sorted && radiiMicro.distinct == radiiMicro,
+      "radii must be strictly increasing")
+    val rmax = radiiMicro.max
+    val g = rmax
+    val K = 1073741824L
+    def world(df: DataFrame, lonC: Column, latC: Column): DataFrame =
+      df.select((lonC.cast("long") + 180000000L).as("wx"),
+          (latC.cast("long") + 90000000L).as("wy"))
+        .where(col("wx").between(0L, 359999999L) &&
+          col("wy").between(0L, 179999999L))
+        .withColumn("cell", expr(s"wx div $g") * K + expr(s"wy div $g"))
+    val a0 = world(aPts, aLon, aLat)
+    val b0 = world(bPts, bLon, bLat)
+    val ring = array((for (dx <- -1 to 1; dy <- -1 to 1)
+      yield col("cell") + lit(dx.toLong * K + dy.toLong)): _*)
+    val a = a0.select(col("wx").as("ax"), col("wy").as("ay"),
+      explode(ring).as("cell"))
+    val b = b0.select(col("wx").as("bx"), col("wy").as("by"), col("cell"))
+    val d2 = (col("ax") - col("bx")) * (col("ax") - col("bx")) +
+      (col("ay") - col("by")) * (col("ay") - col("by"))
+    val radii = array(radiiMicro.map(lit): _*)
+    val counts = a.join(b, "cell")
+      .where(d2 <= lit(rmax * rmax))
+      .select(d2.as("d2"))
+      .select(explode(filter(radii, r => col("d2") <= r * r)).as("r_micro"))
+      .groupBy("r_micro").agg(count(lit(1)).as("_cnt"))
+    val na = a0.agg(count(lit(1)).as("n_a"))
+    val nb = b0.agg(count(lit(1)).as("n_b"))
+    aPts.sparkSession.range(radiiMicro.size)
+      .select(element_at(radii, col("id").cast("int") + 1).as("r_micro"))
+      .join(counts, Seq("r_micro"), "left")
+      .crossJoin(broadcast(na)).crossJoin(broadcast(nb))
+      .select(col("r_micro"), coalesce(col("_cnt"), lit(0L)).as("pairs"),
+        col("n_a"), col("n_b"))
+  }
 }

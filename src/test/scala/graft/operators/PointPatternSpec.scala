@@ -60,4 +60,48 @@ class PointPatternSpec extends AnyFunSuite {
     // every radius sees pairs and counts are strictly cumulative here
     assert(radii.map(got(_)._1).sliding(2).forall(w => w(0) < w(1)))
   }
+
+  private def runCross(as: Seq[(Long, Long)], bs: Seq[(Long, Long)],
+                       radii: Seq[Long]): Map[Long, (Long, Long, Long)] =
+    PointPattern.crossK(as.toDF("lon", "lat"), col("lon"), col("lat"),
+        bs.toDF("lon", "lat"), col("lon"), col("lat"), radii)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+
+  private def bruteCross(as: Seq[(Long, Long)], bs: Seq[(Long, Long)],
+                         radii: Seq[Long]): Map[Long, (Long, Long, Long)] =
+    radii.map { r =>
+      val cnt = (for {
+        a <- as; b <- bs
+        dx = a._1 - b._1; dy = a._2 - b._2
+        if dx * dx + dy * dy <= r * r
+      } yield 1L).sum
+      r -> ((cnt, as.size.toLong, bs.size.toLong))
+    }.toMap
+
+  test("crossK: hand case — coincident cross pairs count; asymmetric classes") {
+    // 2 A-points on a B-point, 1 A far: r1 sees the 2 coincident pairs only
+    val as = Seq((5000000L, 5000000L), (5000000L, 5000000L), (8000000L, 5000000L))
+    val bs = Seq((5000000L, 5000000L), (5300000L, 5000000L))
+    val got = runCross(as, bs, Seq(100000L, 500000L, 4000000L))
+    assert(got === Map(100000L -> ((2L, 3L, 2L)), 500000L -> ((4L, 3L, 2L)),
+      4000000L -> ((6L, 3L, 2L))))
+    assert(got === bruteCross(as, bs, Seq(100000L, 500000L, 4000000L)))
+  }
+
+  test("crossK: brute parity — A clustered AROUND B sites, not within itself") {
+    val rnd = new scala.util.Random(29)
+    val bs = (0 until 8).map { _ =>
+      (rnd.nextLong(40000000L) - 20000000L, rnd.nextLong(30000000L) - 15000000L)
+    }
+    val as = bs.flatMap { case (bx, by) =>
+      (0 until 25).map { _ =>
+        (bx + rnd.nextLong(2400001L) - 1200000L, by + rnd.nextLong(2400001L) - 1200000L)
+      }
+    }
+    val radii = Seq(300000L, 600000L, 1200000L, 2400000L)
+    val got = runCross(as, bs, radii)
+    assert(got === bruteCross(as, bs, radii))
+    assert(radii.map(got(_)._1).sliding(2).forall(w => w(0) < w(1)))
+  }
 }
