@@ -2097,6 +2097,26 @@ object SparkEntry {
           Seq(200000L, 400000L, 800000L, 1600000L))
         .orderBy("r_micro")
     }),
+    // ---- ANCHOR cells (q9i): each user's top-3 cells by total dwell time
+    //      (home/work inference) — dwell is run-based (a 10 h visit beats
+    //      50 passing pings), ranking deterministic. Same slot fixture.
+    "q9i_anchors" -> ((s, dir) => {
+      val hub = col("user_id") % 13L
+      val tusC = unix_micros(col("ts").cast("timestamp"))
+      val slot = expr("(unix_micros(cast(ts as timestamp)) " +
+        "- 1704067200000000) div 259200000000")
+      val ev = s.read.parquet(s"$dir/events.parquet").select(
+        col("user_id"), tusC.as("tus"), col("event_id").as("oid"),
+        (Derive.lonMicro(hub)
+          + ((col("user_id") * 31L + slot * 7L) * 48271L) % 600001L - 300000L
+          + (col("event_id") * 7919L) % 200001L - 100000L).as("lonm"),
+        (Derive.latMicro(hub)
+          + ((col("user_id") * 17L + slot * 11L) * 16807L) % 600001L - 300000L
+          + ((col("event_id") + 3L) * 104729L) % 200001L - 100000L).as("latm"))
+      Trajectory.anchorCells(ev, col("user_id"), col("tus"), col("oid"),
+          col("lonm"), col("latm"), cellMicro = 400000L, topK = 3)
+        .orderBy("entity", "rank")
+    }),
     // ---- STREAMING trajectory sessionization: the q82 semantics as managed
     //      state — one TripState record per live entity carried across THREE
     //      micro-batches (global (tus, oid) order split into tertile files,
@@ -3276,6 +3296,36 @@ object SparkEntry {
          |  (SELECT count(*) FROM b) AS n_b
          |FROM r LEFT JOIN d ON d.d2 <= r.r_micro * r.r_micro
          |GROUP BY r.r_micro ORDER BY r_micro""".stripMargin,
+    "q9i_anchors" ->
+      // stay-chain replay → per-cell dwell/fix sums → deterministic rank
+      s"""WITH f AS (SELECT user_id AS ent, epoch_us(ts) AS tus,
+         |  event_id AS oid,
+         |  ${Derive.lonSql("(user_id % 13)")}
+         |    + ((user_id * 31 + ((epoch_us(ts) - 1704067200000000)
+         |        // 259200000000) * 7) * 48271) % 600001 - 300000
+         |    + (event_id * 7919) % 200001 - 100000 AS lon,
+         |  ${Derive.latSql("(user_id % 13)")}
+         |    + ((user_id * 17 + ((epoch_us(ts) - 1704067200000000)
+         |        // 259200000000) * 11) * 16807) % 600001 - 300000
+         |    + ((event_id + 3) * 104729) % 200001 - 100000 AS lat
+         |  FROM events),
+         |c AS (SELECT ent, tus, oid, (lon + 180000000) // 400000 AS cx,
+         |  (lat + 90000000) // 400000 AS cy FROM f),
+         |l AS (SELECT *, CASE WHEN lag(cx) OVER w IS NULL
+         |    OR lag(cx) OVER w <> cx OR lag(cy) OVER w <> cy
+         |  THEN 1 ELSE 0 END AS nw FROM c
+         |  WINDOW w AS (PARTITION BY ent ORDER BY tus, oid)),
+         |r AS (SELECT *, sum(nw) OVER (PARTITION BY ent ORDER BY tus, oid
+         |  ROWS UNBOUNDED PRECEDING) AS run FROM l),
+         |v AS (SELECT ent, run, min(cx) AS cx, min(cy) AS cy,
+         |  max(tus) - min(tus) AS dur, count(*) AS n FROM r GROUP BY 1, 2),
+         |p AS (SELECT ent, cx, cy, CAST(sum(dur) AS BIGINT) AS dwell_us,
+         |  CAST(sum(n) AS BIGINT) AS n_fixes FROM v GROUP BY 1, 2, 3),
+         |k AS (SELECT *, row_number() OVER (PARTITION BY ent
+         |  ORDER BY dwell_us DESC, n_fixes DESC, cx, cy) AS rnk FROM p)
+         |SELECT ent AS entity, CAST(rnk AS BIGINT) AS rank, cx, cy,
+         |  dwell_us, n_fixes FROM k WHERE rnk <= 3
+         |ORDER BY entity, rank""".stripMargin,
     "q9a_areal_interp" ->
       // closed-form rect overlap + the same integer floor share
       s"""WITH f AS (SELECT c_custkey,

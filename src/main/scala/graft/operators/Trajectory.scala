@@ -249,6 +249,62 @@ object Trajectory {
       .agg(count(lit(1)).as("contacts"))
   }
 
+  /** ANCHOR-CELL inference — each entity's top-K cells by TOTAL DWELL TIME
+    * (sum of its same-cell run durations there): rank 1 ≈ home, rank 2 ≈
+    * work in the classical mobility reading — the aggregate that turns raw
+    * fixes into a per-entity place profile (and feeds OD semantics,
+    * mixture priors, coverage QA). Dwell is run-based, not fix-count-based:
+    * a cell visited once for 10 h outranks one pinged 50 times in passing
+    * — runs are the [[stayPoints]] collapse without gates, so single-fix
+    * runs contribute 0 dwell but still count fixes.
+    *
+    * Ranking is deterministic: (dwell DESC, n_fixes DESC, cx, cy) — ties
+    * cannot make the output engine-dependent.
+    *
+    * Output: (entity, rank, cx, cy, dwell_us, n_fixes), rank ∈ [1, topK].
+    *
+    * Plan (100 TB posture): ONE entity-key exchange serves everything —
+    * the run lag/sum windows, the per-run aggregate, the per-(entity,
+    * cell) dwell aggregate AND the rank window (each stage's keys refine
+    * the previous partitioning); the rank filter bounds output to
+    * topK rows per entity.
+    */
+  def anchorCells(fixes: DataFrame, entity: Column, tUs: Column,
+                  orderId: Column, lon: Column, lat: Column,
+                  cellMicro: Long, topK: Int,
+                  lonShift: Long = 180000000L, latShift: Long = 90000000L)
+      : DataFrame = {
+    require(cellMicro > 0 && topK >= 1, "need cellMicro > 0 and topK >= 1")
+    val w = Window.partitionBy(col("_ent")).orderBy(col("_tus"), col("_oid"))
+    val g = cellMicro
+    val base = fixes.select(entity.cast("long").as("_ent"),
+        tUs.cast("long").as("_tus"), orderId.cast("long").as("_oid"),
+        lon.cast("long").as("_lon"), lat.cast("long").as("_lat"))
+      .select(col("_ent"), col("_tus"), col("_oid"),
+        expr(s"(_lon + $lonShift) div $g").as("_cx"),
+        expr(s"(_lat + $latShift) div $g").as("_cy"))
+    val rank = Window.partitionBy(col("_ent"))
+      .orderBy(col("dwell_us").desc, col("n_fixes").desc, col("_cx"), col("_cy"))
+    base
+      .withColumn("_new",
+        when(lag(col("_cx"), 1).over(w).isNull
+            || lag(col("_cx"), 1).over(w) =!= col("_cx")
+            || lag(col("_cy"), 1).over(w) =!= col("_cy"), 1L)
+          .otherwise(0L))
+      .withColumn("_run",
+        sum(col("_new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("_ent"), col("_run"))
+      .agg(min(col("_cx")).as("_cx"), min(col("_cy")).as("_cy"),
+        (max(col("_tus")) - min(col("_tus"))).as("_dur"),
+        count(lit(1)).as("_n"))
+      .groupBy(col("_ent"), col("_cx"), col("_cy"))
+      .agg(sum(col("_dur")).as("dwell_us"), sum(col("_n")).as("n_fixes"))
+      .withColumn("rank", row_number().over(rank).cast("long"))
+      .where(col("rank") <= topK)
+      .select(col("_ent").as("entity"), col("rank"), col("_cx").as("cx"),
+        col("_cy").as("cy"), col("dwell_us"), col("n_fixes"))
+  }
+
   /** GPS TELEPORT flagging — the cleaning verb in front of every
     * trajectory pipeline: flag fixes whose implied speed from the previous
     * fix exceeds `maxSpeed` (µdeg/second) — device glitches, tower jumps,

@@ -269,6 +269,70 @@ class TrajectorySpec extends AnyFunSuite {
     assert(got.exists(_._4 === 100L))
   }
 
+  // ---- anchorCells ----
+
+  private def runAnchors(rows: Seq[(Long, Long, Long, Long, Long)], g: Long,
+                         k: Int): Set[(Long, Long, Long, Long, Long, Long)] = {
+    import spark.implicits._
+    Trajectory.anchorCells(rows.toDF("ent", "tus", "oid", "lon", "lat"),
+        col("ent"), col("tus"), col("oid"), col("lon"), col("lat"), g, k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+  }
+
+  private def bruteAnchors(rows: Seq[(Long, Long, Long, Long, Long)], g: Long,
+                           k: Int): Set[(Long, Long, Long, Long, Long, Long)] =
+    rows.groupBy(_._1).toSeq.flatMap { case (ent, evs) =>
+      val s = evs.sortBy(e => (e._2, e._3))
+        .map(e => (e._2, (e._4 + 180000000L) / g, (e._5 + 90000000L) / g))
+      val runs = s.foldLeft(List.empty[List[(Long, Long, Long)]]) {
+        case (h :: t, f) if h.head._2 == f._2 && h.head._3 == f._3 => (f :: h) :: t
+        case (acc, f) => List(f) :: acc
+      }
+      val perCell = runs.groupBy(r => (r.head._2, r.head._3)).map {
+        case (c, rs) => (c, rs.map(r => r.map(_._1).max - r.map(_._1).min).sum,
+          rs.map(_.size).sum.toLong)
+      }
+      perCell.toSeq.sortBy { case ((cx, cy), dw, n) => (-dw, -n, cx, cy) }
+        .take(k).zipWithIndex.map { case (((cx, cy), dw, n), i) =>
+          (ent, i + 1L, cx, cy, dw, n) }
+    }.toSet
+
+  test("anchorCells: dwell beats ping count; deterministic ties; single-fix runs") {
+    val g = 1000000L
+    def f(ent: Long, t: Long, px: Long, py: Long) =
+      (ent, t, t, px * g - 180000000L + g / 2, py * g - 90000000L + g / 2)
+    val rows = Seq(
+      // cell A: ONE long run t 0..1000 (2 fixes, dwell 1000)
+      f(1, 0, 5, 5), f(1, 1000, 5, 5),
+      // cell B: 4 passing pings, each its own run (dwell 0, 4 fixes)
+      f(1, 2000, 6, 6), f(1, 3000, 5, 5), f(1, 4000, 6, 6), f(1, 5000, 5, 5),
+      f(1, 6000, 6, 6), f(1, 7000, 5, 5), f(1, 8000, 6, 6))
+    // cell A dwell = 1000 (first run) + 0×4 single-fix revisits; B dwell 0
+    val got = runAnchors(rows, g, 2)
+    assert(got === Set((1L, 1L, 5L, 5L, 1000L, 5L), (1L, 2L, 6L, 6L, 0L, 4L)))
+    assert(got === bruteAnchors(rows, g, 2))
+    // pure tie (two cells, one single-fix run each): (cx, cy) breaks it
+    val tie = Seq(f(2, 10, 9, 9), f(2, 20, 3, 3))
+    assert(runAnchors(tie, g, 1) === Set((2L, 1L, 3L, 3L, 0L, 1L)))
+  }
+
+  test("anchorCells: brute parity on the jittered slotted stream") {
+    val rnd = new scala.util.Random(59)
+    val rows = (0 until 6).flatMap { e =>
+      var t = 0L
+      (0 until 200).map { i =>
+        t += rnd.nextLong(1000L) + 1L
+        val slot = i / 15
+        (e.toLong, t, i.toLong,
+          e * 10000000L + slot * 997000L + rnd.nextLong(600001L) - 300000L,
+          e * 8000000L + slot * 1009000L + rnd.nextLong(600001L) - 300000L)
+      }
+    }
+    for (k <- Seq(1, 3, 10))
+      assert(runAnchors(rows, 1000000L, k) === bruteAnchors(rows, 1000000L, k), s"k=$k")
+  }
+
   // ---- flagTeleports ----
 
   private def runTele(rows: Seq[(Long, Long, Long, Long, Long)], vmax: Long)
