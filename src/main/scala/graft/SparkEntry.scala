@@ -2117,6 +2117,23 @@ object SparkEntry {
           col("lonm"), col("latm"), cellMicro = 400000L, topK = 3)
         .orderBy("entity", "rank")
     }),
+    // ---- ISOCHRONE raster (q9j): cells reachable from 3 hub centers
+    //      within 6 rook steps, walking only occupied cells (occupancy as
+    //      walkability) — BFS = the q83 SSSP engine on packed cell keys,
+    //      operator composition over the q93 hub raster.
+    "q9j_isochrone" -> ((s, dir) => {
+      val hub = col("o_orderkey") % 37L
+      val pts = s.read.parquet(s"$dir/orders.parquet").select(
+        (Derive.lonMicro(hub) + (col("o_orderkey") * 48271L) % 9000001L
+          - 4500000L).as("lonm"),
+        (Derive.latMicro(hub) + ((col("o_orderkey") + 7L) * 16807L) % 9000001L
+          - 4500000L).as("latm"))
+      val sources = (0L until 3L).map(j =>
+        (Derive.lonMicroL(j), Derive.latMicroL(j)))
+      operators.GridRaster.isochrone(pts, col("lonm"), col("latm"),
+          cellMicro = 2000000L, sources, maxSteps = 6)
+        .orderBy("cx", "cy")
+    }),
     // ---- STREAMING trajectory sessionization: the q82 semantics as managed
     //      state — one TripState record per live entity carried across THREE
     //      micro-batches (global (tus, oid) order split into tertile files,
@@ -3326,6 +3343,38 @@ object SparkEntry {
          |SELECT ent AS entity, CAST(rnk AS BIGINT) AS rank, cx, cy,
          |  dwell_us, n_fixes FROM k WHERE rnk <= 3
          |ORDER BY entity, rank""".stripMargin,
+    "q9j_isochrone" -> {
+      // q83's chained-relaxation discipline on the mask's rook graph
+      val K = 1073741824L; val g = 2000000L
+      val srcs = (0L until 3L).map { j =>
+        ((Derive.lonMicroL(j) + 180000000L) / g) * K +
+          (Derive.latMicroL(j) + 90000000L) / g
+      }
+      val d0 = srcs.map(id => s"($id, 0)").mkString(", ")
+      val rounds = (1 to 6).map { k =>
+        s"""d$k AS (SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+           |  SELECT node, dist FROM d${k - 1} UNION ALL
+           |  SELECT e.d AS node, d${k - 1}.dist + 1 AS dist
+           |  FROM d${k - 1} JOIN e ON d${k - 1}.node = e.s) GROUP BY node)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH pts AS (SELECT
+         |  ${Derive.lonSql("(o_orderkey % 37)")}
+         |    + (o_orderkey * 48271) % 9000001 - 4500000 + 180000000 AS wx,
+         |  ${Derive.latSql("(o_orderkey % 37)")}
+         |    + ((o_orderkey + 7) * 16807) % 9000001 - 4500000 + 90000000 AS wy
+         |  FROM orders),
+         |m AS (SELECT wx // $g AS px, wy // $g AS py FROM pts GROUP BY 1, 2),
+         |e0 AS (SELECT a.px * $K + a.py AS s, b.px * $K + b.py AS d
+         |  FROM m a JOIN m b ON (b.px = a.px + 1 AND b.py = a.py)
+         |    OR (b.px = a.px AND b.py = a.py + 1)),
+         |e AS MATERIALIZED (SELECT s, d FROM e0
+         |  UNION ALL SELECT d AS s, s AS d FROM e0),
+         |d0 AS (SELECT * FROM (VALUES $d0) t(node, dist)),
+         |$rounds
+         |SELECT node // $K AS cx, node % $K AS cy, dist AS dist_steps
+         |FROM d6 ORDER BY cx, cy""".stripMargin
+    },
     "q9a_areal_interp" ->
       // closed-form rect overlap + the same integer floor share
       s"""WITH f AS (SELECT c_custkey,

@@ -359,6 +359,60 @@ object GridRaster {
           .as("s_stat"))
   }
 
+  /** ISOCHRONE / service-area raster — "which cells can be reached from
+    * these sources within H steps, walking only where there is data": BFS
+    * over the rook adjacency of the OCCUPIED-cell mask (occupancy as
+    * walkability — the road-network-as-density proxy; swap the mask for a
+    * real network by calling [[Routing.shortestPaths]] directly). The
+    * reachability verb behind service-area maps, catchment analysis and
+    * coverage QA.
+    *
+    * Semantics: a source cell is reachable at dist 0 by definition (even
+    * if unoccupied — you are standing there); everything else must be an
+    * occupied cell adjacent (rook) to a reached cell. dist = step count,
+    * capped at `maxSteps` — cells reachable only beyond the cap are
+    * absent, exactly the bounded-relaxation d_H of the [[Routing]] twin.
+    *
+    * Output: (cx, cy, dist_steps).
+    *
+    * Plan: points collapse to the mask in exchange one; undirected rook
+    * edges come from the polygonize right/up equi-join (each edge once,
+    * then both directions — no dedup); the BFS is literally
+    * [[Routing.shortestPaths]] on packed cell keys (one frontier⋈edges
+    * join + one min hash-aggregate per round, localCheckpoint truncation,
+    * early exit at the fixpoint) — operator composition, not a new engine.
+    */
+  def isochrone(points: DataFrame, lonCol: Column, latCol: Column,
+                cellMicro: Long, sources: Seq[(Long, Long)], maxSteps: Int)
+      : DataFrame = {
+    require(cellMicro > 0, "cellMicro must be positive")
+    require(sources.nonEmpty, "need at least one source point")
+    require(maxSteps >= 0 && maxSteps <= 64, "maxSteps in [0, 64]")
+    val g = cellMicro
+    val maxX = 360000000L / g - 1; val maxY = 180000000L / g - 1
+    val K = 1073741824L
+    val cells = points.select(
+        (lonCol.cast("long") + 180000000L).as("_wx"),
+        (latCol.cast("long") + 90000000L).as("_wy"))
+      .select(expr(s"_wx div $g").as("px"), expr(s"_wy div $g").as("py"))
+      .where(col("px").between(0L, maxX) && col("py").between(0L, maxY))
+      .groupBy("px", "py").agg(count(lit(1)).as("n"))
+      .select((col("px") * K + col("py")).as("k"))
+    val half = cells.select(col("k").as("ka"),
+        explode(array(col("k") + K, col("k") + 1L)).as("kb"))
+      .join(cells.select(col("k").as("kb")), "kb")
+    val edges = half.select(col("ka").as("s"), col("kb").as("d"))
+      .union(half.select(col("kb").as("s"), col("ka").as("d")))
+      .withColumn("w", lit(1L))
+    val srcIds = sources.map { case (lonM, latM) =>
+      ((lonM + 180000000L) / g) * K + (latM + 90000000L) / g
+    }
+    Routing.shortestPaths(edges, col("s"), col("d"), col("w"),
+        srcIds, maxSteps)
+      .select(expr(s"node div ${K}L").as("cx"),
+        (col("node") % K).as("cy"), col("dist").as("dist_steps"))
+  }
+
   def heatmap(points: DataFrame, lonCol: Column, latCol: Column,
               cellMicro: Long): DataFrame = {
     require(cellMicro > 0, "cellMicro must be positive")

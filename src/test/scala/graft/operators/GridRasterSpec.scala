@@ -334,6 +334,68 @@ class GridRasterSpec extends AnyFunSuite {
     assert(got.values.exists(_(2) == 9L), "interior cells must see full 3×3 hoods")
   }
 
+  private def runIso(pts: Seq[(Long, Long)], g: Long,
+                     sources: Seq[(Long, Long)], h: Int)
+      : Map[(Long, Long), Long] =
+    GridRaster.isochrone(pts.toDF("lon", "lat"), col("lon"), col("lat"), g,
+        sources, h)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+
+  /** Brute BFS: sources at 0 (occupied or not), moves only between
+    * occupied rook-adjacent cells, capped at h steps. */
+  private def bruteIso(pts: Seq[(Long, Long)], g: Long,
+                       sources: Seq[(Long, Long)], h: Int)
+      : Map[(Long, Long), Long] = {
+    val occ = pts.map(p => ((p._1 + 180000000L) / g, (p._2 + 90000000L) / g)).toSet
+    val dist = scala.collection.mutable.Map[(Long, Long), Long]()
+    sources.foreach { case (lon, lat) =>
+      dist.getOrElseUpdate(((lon + 180000000L) / g, (lat + 90000000L) / g), 0L)
+    }
+    var frontier = dist.keySet.toSet
+    for (step <- 1L to h) {
+      val next = frontier.flatMap { case (x, y) =>
+        Seq((x + 1, y), (x - 1, y), (x, y + 1), (x, y - 1))
+          .filter(c => occ(c) && !dist.contains(c))
+      }
+      next.foreach(c => dist(c) = step)
+      frontier = next
+    }
+    dist.toMap
+  }
+
+  test("isochrone: corridor BFS, gap blocks, cap truncates, off-mask source isolated") {
+    val g = 1000000L
+    def at(px: Long, py: Long): (Long, Long) =
+      (px * g - 180000000L + g / 2, py * g - 90000000L + g / 2)
+    val mask = Seq(at(10, 10), at(11, 10), at(12, 10), at(12, 11), at(12, 12),
+      at(14, 10)) // (13,10) missing → (14,10) unreachable
+    val src = Seq(at(10, 10), at(20, 20)) // second source has no mask cell
+    val got = runIso(mask, g, src, h = 4)
+    assert(got === Map((10L, 10L) -> 0L, (11L, 10L) -> 1L, (12L, 10L) -> 2L,
+      (12L, 11L) -> 3L, (12L, 12L) -> 4L, (20L, 20L) -> 0L))
+    assert(got === bruteIso(mask, g, src, 4))
+    // cap at 3 drops the corridor end; unreachable island never appears
+    val capped = runIso(mask, g, src, h = 3)
+    assert(!capped.contains((12L, 12L)) && !capped.contains((14L, 10L)))
+    assert(capped === bruteIso(mask, g, src, 3))
+  }
+
+  test("isochrone: brute parity on the clustered scatter from hub sources") {
+    val rnd = new scala.util.Random(61)
+    val centers = (0 until 6).map { _ =>
+      (rnd.nextLong(60000000L) - 30000000L, rnd.nextLong(40000000L) - 20000000L)
+    }
+    val pts = centers.flatMap { case (cx, cy) =>
+      (0 until 200).map { _ =>
+        (cx + rnd.nextLong(2500000L) + rnd.nextLong(2500000L) - 2500000L,
+          cy + rnd.nextLong(2500000L) + rnd.nextLong(2500000L) - 2500000L)
+      }
+    }
+    for (h <- Seq(0, 2, 8))
+      assert(runIso(pts, 1000000L, centers.take(2), h)
+        === bruteIso(pts, 1000000L, centers.take(2), h), s"h=$h")
+  }
+
   private def runEmerging(pts: Seq[(Long, Long, Long)], g: Long, t0: Long,
                           binUs: Long, nBins: Int): Map[(Long, Long), (Long, Long)] =
     GridRaster.emergingHotspots(pts.toDF("lon", "lat", "tus"), col("lon"),
