@@ -2134,6 +2134,27 @@ object SparkEntry {
           cellMicro = 2000000L, sources, maxSteps = 6)
         .orderBy("cx", "cy")
     }),
+    // ---- PLACE CO-VISITATION (q9k): "people who go here also go there" —
+    //      common-visitor counts per cell pair over the slot fixture
+    //      (users hop between slot anchors, so footprints span many cells
+    //      and hub-mates co-visit); footprint cap 64, counts over the kept
+    //      universe so the consumer's Jaccard is coherent.
+    "q9k_covisits" -> ((s, dir) => {
+      val hub = col("user_id") % 13L
+      val slot = expr("(unix_micros(cast(ts as timestamp)) " +
+        "- 1704067200000000) div 259200000000")
+      val ev = s.read.parquet(s"$dir/events.parquet").select(
+        col("user_id"),
+        (Derive.lonMicro(hub)
+          + ((col("user_id") * 31L + slot * 7L) * 48271L) % 600001L - 300000L
+          + (col("event_id") * 7919L) % 200001L - 100000L).as("lonm"),
+        (Derive.latMicro(hub)
+          + ((col("user_id") * 17L + slot * 11L) * 16807L) % 600001L - 300000L
+          + ((col("event_id") + 3L) * 104729L) % 200001L - 100000L).as("latm"))
+      Trajectory.placeCoVisits(ev, col("user_id"), col("lonm"), col("latm"),
+          cellMicro = 400000L, maxFootprint = 64)
+        .orderBy("a_cx", "a_cy", "b_cx", "b_cy")
+    }),
     // ---- STREAMING trajectory sessionization: the q82 semantics as managed
     //      state — one TripState record per live entity carried across THREE
     //      micro-batches (global (tus, oid) order split into tertile files,
@@ -3375,6 +3396,32 @@ object SparkEntry {
          |SELECT node // $K AS cx, node % $K AS cy, dist AS dist_steps
          |FROM d6 ORDER BY cx, cy""".stripMargin
     },
+    "q9k_covisits" ->
+      // distinct visits → footprint cap → self-join on entity → cell counts
+      s"""WITH f AS (SELECT user_id AS ent,
+         |  ${Derive.lonSql("(user_id % 13)")}
+         |    + ((user_id * 31 + ((epoch_us(ts) - 1704067200000000)
+         |        // 259200000000) * 7) * 48271) % 600001 - 300000
+         |    + (event_id * 7919) % 200001 - 100000 AS lon,
+         |  ${Derive.latSql("(user_id % 13)")}
+         |    + ((user_id * 17 + ((epoch_us(ts) - 1704067200000000)
+         |        // 259200000000) * 11) * 16807) % 600001 - 300000
+         |    + ((event_id + 3) * 104729) % 200001 - 100000 AS lat
+         |  FROM events),
+         |v AS (SELECT DISTINCT ent,
+         |  ((lon + 180000000) // 400000) * 1073741824
+         |    + (lat + 90000000) // 400000 AS cell FROM f),
+         |kept AS MATERIALIZED (SELECT v.* FROM v JOIN (SELECT ent FROM v
+         |  GROUP BY ent HAVING count(*) <= 64) k USING (ent)),
+         |cn AS (SELECT cell, count(*) AS nv FROM kept GROUP BY cell),
+         |p AS (SELECT a.cell AS ca, b.cell AS cb, count(*) AS co
+         |  FROM kept a JOIN kept b ON a.ent = b.ent AND a.cell < b.cell
+         |  GROUP BY 1, 2)
+         |SELECT ca // 1073741824 AS a_cx, ca % 1073741824 AS a_cy,
+         |  cb // 1073741824 AS b_cx, cb % 1073741824 AS b_cy,
+         |  co AS co_visitors, na.nv AS n_a, nb.nv AS n_b
+         |FROM p JOIN cn na ON na.cell = p.ca JOIN cn nb ON nb.cell = p.cb
+         |ORDER BY 1, 2, 3, 4""".stripMargin,
     "q9a_areal_interp" ->
       // closed-form rect overlap + the same integer floor share
       s"""WITH f AS (SELECT c_custkey,

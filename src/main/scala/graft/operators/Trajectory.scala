@@ -249,6 +249,64 @@ object Trajectory {
       .agg(count(lit(1)).as("contacts"))
   }
 
+  /** PLACE CO-VISITATION similarity — the "people who go here also go
+    * there" matrix: for every unordered pair of cells sharing at least one
+    * visitor, the count of common visitors, plus each side's own visitor
+    * count so the consumer's one division yields Jaccard (or cosine/PMI).
+    * The place-similarity primitive under venue recommendation, catchment
+    * overlap and neighborhood embedding — the bipartite
+    * (entity × place) projection, market-basket shape.
+    *
+    * Entities with a footprint above `maxFootprint` DISTINCT cells are
+    * excluded entirely (count them first, filter, then pair) — the
+    * standard basket cap: a bot or logistics fleet visiting thousands of
+    * cells contributes O(F²) pairs of pure noise; the cap is the knob and
+    * the exclusion is exact, not sampled.
+    *
+    * Output: (a_cx, a_cy, b_cx, b_cy, co_visitors, n_a, n_b) with
+    * (a_cx, a_cy) < (b_cx, b_cy) lexicographically.
+    *
+    * Plan (100 TB posture): fixes distinct-collapse to (entity, cell) in
+    * exchange one; the footprint filter is one count aggregate on the same
+    * key; pairs come from the per-entity self-join (fan-out ≤
+    * maxFootprint² per entity — bounded by the cap, no all-pairs over
+    * cells); the per-cell visitor counts join back by cell key
+    * (AQE-broadcast at raster size).
+    */
+  def placeCoVisits(fixes: DataFrame, entity: Column, lon: Column,
+                    lat: Column, cellMicro: Long, maxFootprint: Int = 256,
+                    lonShift: Long = 180000000L, latShift: Long = 90000000L)
+      : DataFrame = {
+    require(cellMicro > 0 && maxFootprint >= 1,
+      "need cellMicro > 0 and maxFootprint >= 1")
+    val g = cellMicro
+    val K = 1073741824L
+    val visits = fixes.select(entity.cast("long").as("ent"),
+        lon.cast("long").as("_lon"), lat.cast("long").as("_lat"))
+      .select(col("ent"),
+        (expr(s"(_lon + $lonShift) div $g") * K +
+          expr(s"(_lat + $latShift) div $g")).as("cell"))
+      .groupBy("ent", "cell").agg(count(lit(1)).as("_n")).drop("_n")
+      .localCheckpoint() // feeds footprints, pairs and per-cell counts
+    val kept = visits.join(
+      visits.groupBy("ent").agg(count(lit(1)).as("_f"))
+        .where(col("_f") <= maxFootprint).drop("_f"),
+      "ent")
+    // visitor counts over the KEPT population — co/n must share a universe
+    // or the consumer's Jaccard is incoherent
+    val cellN = kept.groupBy("cell").agg(count(lit(1)).as("nv"))
+    val pairs = kept.select(col("ent"), col("cell").as("ca"))
+      .join(kept.select(col("ent"), col("cell").as("cb")), "ent")
+      .where(col("ca") < col("cb"))
+      .groupBy("ca", "cb").agg(count(lit(1)).as("co_visitors"))
+    pairs
+      .join(cellN.select(col("cell").as("ca"), col("nv").as("n_a")), "ca")
+      .join(cellN.select(col("cell").as("cb"), col("nv").as("n_b")), "cb")
+      .select(expr(s"ca div ${K}L").as("a_cx"), (col("ca") % K).as("a_cy"),
+        expr(s"cb div ${K}L").as("b_cx"), (col("cb") % K).as("b_cy"),
+        col("co_visitors"), col("n_a"), col("n_b"))
+  }
+
   /** ANCHOR-CELL inference — each entity's top-K cells by TOTAL DWELL TIME
     * (sum of its same-cell run durations there): rank 1 ≈ home, rank 2 ≈
     * work in the classical mobility reading — the aggregate that turns raw

@@ -269,6 +269,67 @@ class TrajectorySpec extends AnyFunSuite {
     assert(got.exists(_._4 === 100L))
   }
 
+  // ---- placeCoVisits ----
+
+  private def runCoVisits(rows: Seq[(Long, Long, Long)], g: Long, cap: Int)
+      : Map[(Long, Long, Long, Long), (Long, Long, Long)] = {
+    import spark.implicits._
+    Trajectory.placeCoVisits(rows.toDF("ent", "lon", "lat"), col("ent"),
+        col("lon"), col("lat"), g, cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)) -> ((r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+  }
+
+  private def bruteCoVisits(rows: Seq[(Long, Long, Long)], g: Long, cap: Int)
+      : Map[(Long, Long, Long, Long), (Long, Long, Long)] = {
+    val K = 1073741824L
+    val sets = rows.groupBy(_._1).view.mapValues(_.map(e =>
+        ((e._2 + 180000000L) / g) * K + (e._3 + 90000000L) / g).toSet)
+      .filter(_._2.size <= cap).toMap
+    val cellN = sets.values.flatten.groupBy(identity).map {
+      case (c, v) => c -> v.size.toLong }
+    sets.values.flatMap(s => for (a <- s; b <- s if a < b) yield (a, b))
+      .groupBy(identity).map { case ((a, b), v) =>
+        (a / K, a % K, b / K, b % K) ->
+          ((v.size.toLong, cellN(a), cellN(b))) }
+  }
+
+  test("placeCoVisits: common-visitor counts, footprint cap excludes, kept universe") {
+    val g = 1000000L
+    def at(px: Long, py: Long): (Long, Long) =
+      (px * g - 180000000L + g / 2, py * g - 90000000L + g / 2)
+    val A = at(10, 10); val B = at(11, 11); val C = at(12, 12)
+    def f(ent: Long, c: (Long, Long)) = (ent, c._1, c._2)
+    val rows = Seq(f(1, A), f(1, B), f(1, A), // duplicate visit collapses
+      f(2, A), f(2, B), f(2, C),
+      f(3, B), f(3, C),
+      // entity 4: footprint 5 > cap 4 → excluded from pairs AND counts
+      f(4, A), f(4, B), f(4, C), f(4, at(20, 20)), f(4, at(21, 21)))
+    val got = runCoVisits(rows, g, cap = 4)
+    assert(got === Map(
+      (10L, 10L, 11L, 11L) -> ((2L, 2L, 3L)),
+      (10L, 10L, 12L, 12L) -> ((1L, 2L, 2L)),
+      (11L, 11L, 12L, 12L) -> ((2L, 3L, 2L))))
+    assert(got === bruteCoVisits(rows, g, 4))
+    // raising the cap admits entity 4 everywhere
+    assert(runCoVisits(rows, g, 5) === bruteCoVisits(rows, g, 5))
+  }
+
+  test("placeCoVisits: brute parity on hub-hopping entities") {
+    val rnd = new scala.util.Random(67)
+    val rows = (0 until 30).flatMap { e =>
+      (0 until 20).map { _ =>
+        val hub = rnd.nextInt(4)
+        (e.toLong,
+          hub * 20000000L - 40000000L + rnd.nextLong(3000001L) - 1500000L,
+          hub * 15000000L - 30000000L + rnd.nextLong(3000001L) - 1500000L)
+      }
+    }
+    for (cap <- Seq(3, 8, 100))
+      assert(runCoVisits(rows, 1000000L, cap)
+        === bruteCoVisits(rows, 1000000L, cap), s"cap=$cap")
+  }
+
   // ---- anchorCells ----
 
   private def runAnchors(rows: Seq[(Long, Long, Long, Long, Long)], g: Long,
