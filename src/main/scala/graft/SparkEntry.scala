@@ -2155,6 +2155,17 @@ object SparkEntry {
           cellMicro = 400000L, maxFootprint = 64)
         .orderBy("a_cx", "a_cy", "b_cx", "b_cy")
     }),
+    // ---- SOBEL gradient raster (q9l): slope/edge detection over the
+    //      orders density surface — zero-padded 3×3 Sobel, dilated support,
+    //      flat-interior zeros included; aspect stays a consumer float.
+    "q9l_sobel" -> ((s, dir) => {
+      val pts = s.read.parquet(s"$dir/orders.parquet").select(
+        Derive.lonMicro(col("o_orderkey")).as("lonm"),
+        Derive.latMicro(col("o_orderkey")).as("latm"))
+      operators.GridRaster.sobel(pts, col("lonm"), col("latm"),
+          cellMicro = 2000000L)
+        .orderBy("cx", "cy")
+    }),
     // ---- STREAMING trajectory sessionization: the q82 semantics as managed
     //      state — one TripState record per live entity carried across THREE
     //      micro-batches (global (tus, oid) order split into tertile files,
@@ -3422,6 +3433,31 @@ object SparkEntry {
          |  co AS co_visitors, na.nv AS n_a, nb.nv AS n_b
          |FROM p JOIN cn na ON na.cell = p.ca JOIN cn nb ON nb.cell = p.cb
          |ORDER BY 1, 2, 3, 4""".stripMargin,
+    "q9l_sobel" ->
+      // direct convolution twin: dilated targets × Chebyshev-1 neighbors,
+      // G(d) = d·(2 − |d⊥|) evaluated in the join
+      s"""WITH pts AS (SELECT
+         |  ${Derive.lonSql("o_orderkey")} + 180000000 AS wx,
+         |  ${Derive.latSql("o_orderkey")} + 90000000 AS wy FROM orders),
+         |c AS MATERIALIZED (SELECT wx // 2000000 AS px, wy // 2000000 AS py,
+         |  count(*) AS n FROM pts GROUP BY 1, 2),
+         |t AS (SELECT DISTINCT px + ox AS tx, py + oy AS ty
+         |  FROM c CROSS JOIN (SELECT unnest(generate_series(-1, 1)) AS ox)
+         |  CROSS JOIN (SELECT unnest(generate_series(-1, 1)) AS oy)
+         |  WHERE px + ox >= 0 AND px + ox <= ${360000000L / 2000000L - 1}
+         |    AND py + oy >= 0 AND py + oy <= ${180000000L / 2000000L - 1}),
+         |s AS (SELECT t.tx AS cx, t.ty AS cy,
+         |  CAST(COALESCE(sum(CASE WHEN c.px = t.tx AND c.py = t.ty
+         |    THEN c.n ELSE 0 END), 0) AS BIGINT) AS n,
+         |  CAST(COALESCE(sum(c.n * (c.px - t.tx)
+         |    * (2 - abs(c.py - t.ty))), 0) AS BIGINT) AS gx,
+         |  CAST(COALESCE(sum(c.n * (c.py - t.ty)
+         |    * (2 - abs(c.px - t.tx))), 0) AS BIGINT) AS gy
+         |  FROM t LEFT JOIN c ON abs(c.px - t.tx) <= 1
+         |    AND abs(c.py - t.ty) <= 1
+         |  GROUP BY 1, 2)
+         |SELECT cx, cy, n, gx, gy, gx * gx + gy * gy AS g2
+         |FROM s ORDER BY cx, cy""".stripMargin,
     "q9a_areal_interp" ->
       // closed-form rect overlap + the same integer floor share
       s"""WITH f AS (SELECT c_custkey,

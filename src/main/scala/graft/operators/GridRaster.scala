@@ -413,6 +413,55 @@ object GridRaster {
         (col("node") % K).as("cy"), col("dist").as("dist_steps"))
   }
 
+  /** SOBEL GRADIENT raster — slope and aspect of the point-density surface
+    * [Sobel operator; the Horn-slope shape on a count DEM]: per cell, the
+    * 3×3 Sobel responses gx, gy and the squared magnitude g² = gx² + gy² —
+    * the edge/front detector over density (urban boundaries, coverage
+    * cliffs, data-density fronts). Zero padding: empty cells are REAL
+    * zeros, so the support's rim carries the steepest responses — that is
+    * the edge-detection semantics, not an artifact. Aspect = atan2(gy, gx)
+    * stays a consumer-side float; everything emitted is exact int64
+    * (|gx| ≤ 4·max n).
+    *
+    * Output: one row per cell of the DILATED support (any cell whose 3×3
+    * neighborhood holds data): (cx, cy, n, gx, gy, g2) — flat-interior
+    * zeros included (g² = 0 is signal: a plateau).
+    *
+    * Plan: the [[heatmap]] scatter shape — points collapse to (cell,
+    * count) in exchange one; each cell explodes to its 9 target cells
+    * with both Sobel weights attached; ONE map-side-combined hash
+    * aggregate per target cell. No window, no join, no driver raster.
+    */
+  def sobel(points: DataFrame, lonCol: Column, latCol: Column,
+            cellMicro: Long): DataFrame = {
+    require(cellMicro > 0, "cellMicro must be positive")
+    val g = cellMicro
+    val maxX = 360000000L / g - 1; val maxY = 180000000L / g - 1
+    val counts = points.select(
+        (lonCol.cast("long") + 180000000L).as("_wx"),
+        (latCol.cast("long") + 90000000L).as("_wy"))
+      .select(expr(s"_wx div $g").as("px"), expr(s"_wy div $g").as("py"))
+      .where(col("px").between(0L, maxX) && col("py").between(0L, maxY))
+      .groupBy("px", "py").agg(count(lit(1)).as("n"))
+    // source cell s scatters to target t = s + o; its Sobel weight at t is
+    // G(d) with d = s − t = −o: gxw = −ox·(2 − |oy|), gyw = −oy·(2 − |ox|)
+    val offsets = array((for (ox <- -1 to 1; oy <- -1 to 1) yield struct(
+      lit(ox.toLong).as("ox"), lit(oy.toLong).as("oy"),
+      lit((-ox * (2 - math.abs(oy))).toLong).as("gxw"),
+      lit((-oy * (2 - math.abs(ox))).toLong).as("gyw"))): _*)
+    counts.select(col("px"), col("py"), col("n"), explode(offsets).as("o"))
+      .select((col("px") + col("o.ox")).as("cx"),
+        (col("py") + col("o.oy")).as("cy"),
+        when(col("o.ox") === 0L && col("o.oy") === 0L, col("n"))
+          .otherwise(0L).as("_raw"),
+        (col("n") * col("o.gxw")).as("_gx"),
+        (col("n") * col("o.gyw")).as("_gy"))
+      .where(col("cx").between(0L, maxX) && col("cy").between(0L, maxY))
+      .groupBy("cx", "cy")
+      .agg(sum("_raw").as("n"), sum("_gx").as("gx"), sum("_gy").as("gy"))
+      .withColumn("g2", col("gx") * col("gx") + col("gy") * col("gy"))
+  }
+
   def heatmap(points: DataFrame, lonCol: Column, latCol: Column,
               cellMicro: Long): DataFrame = {
     require(cellMicro > 0, "cellMicro must be positive")

@@ -334,6 +334,60 @@ class GridRasterSpec extends AnyFunSuite {
     assert(got.values.exists(_(2) == 9L), "interior cells must see full 3×3 hoods")
   }
 
+  private def runSobel(pts: Seq[(Long, Long)], g: Long)
+      : Map[(Long, Long), (Long, Long, Long, Long)] =
+    GridRaster.sobel(pts.toDF("lon", "lat"), col("lon"), col("lat"), g)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+
+  private def bruteSobel(pts: Seq[(Long, Long)], g: Long)
+      : Map[(Long, Long), (Long, Long, Long, Long)] = {
+    val counts = pts.groupBy(p => ((p._1 + 180000000L) / g, (p._2 + 90000000L) / g))
+      .map { case (k, v) => k -> v.size.toLong }
+    def v(x: Long, y: Long) = counts.getOrElse((x, y), 0L)
+    val targets = counts.keySet.flatMap { case (x, y) =>
+      for (dx <- -1L to 1L; dy <- -1L to 1L) yield (x + dx, y + dy) }
+      .filter { case (x, y) => x >= 0 && y >= 0 &&
+        x <= 360000000L / g - 1 && y <= 180000000L / g - 1 }
+    targets.map { case (x, y) =>
+      val gx = (for (dx <- -1L to 1L; dy <- -1L to 1L)
+        yield v(x + dx, y + dy) * dx * (2 - math.abs(dy))).sum
+      val gy = (for (dx <- -1L to 1L; dy <- -1L to 1L)
+        yield v(x + dx, y + dy) * dy * (2 - math.abs(dx))).sum
+      (x, y) -> ((v(x, y), gx, gy, gx * gx + gy * gy))
+    }.toMap
+  }
+
+  test("sobel: step edge responds, plateau is zero, rim carries the front") {
+    val g = 1000000L
+    def at(px: Long, py: Long, n: Int): Seq[(Long, Long)] =
+      Seq.fill(n)((px * g - 180000000L + g / 2, py * g - 90000000L + g / 2))
+    // 3×3 plateau of 4s: center cell has gx = gy = 0 (flat interior);
+    // the east rim column sees the drop to zero padding
+    val pts = (for (x <- 10L to 12L; y <- 10L to 12L) yield at(x, y, 4)).flatten
+    val got = runSobel(pts, g)
+    assert(got((11L, 11L)) === ((4L, 0L, 0L, 0L)))
+    // cell just east of the block: gx = -(4·1 + 4·2 + 4·1) = -16, gy = 0
+    assert(got((13L, 11L)) === ((0L, -16L, 0L, 256L)))
+    assert(got === bruteSobel(pts, g))
+  }
+
+  test("sobel: brute parity on the clustered scatter") {
+    val rnd = new scala.util.Random(71)
+    val centers = (0 until 6).map { _ =>
+      (rnd.nextLong(60000000L) - 30000000L, rnd.nextLong(40000000L) - 20000000L)
+    }
+    val pts = centers.flatMap { case (cx, cy) =>
+      (0 until 150).map { _ =>
+        (cx + rnd.nextLong(2500000L) + rnd.nextLong(2500000L) - 2500000L,
+          cy + rnd.nextLong(2500000L) + rnd.nextLong(2500000L) - 2500000L)
+      }
+    }
+    val got = runSobel(pts, 1000000L)
+    assert(got === bruteSobel(pts, 1000000L))
+    assert(got.values.exists(_._4 > 0), "gradients must fire on cluster rims")
+  }
+
   private def runIso(pts: Seq[(Long, Long)], g: Long,
                      sources: Seq[(Long, Long)], h: Int)
       : Map[(Long, Long), Long] =
