@@ -2166,6 +2166,24 @@ object SparkEntry {
           cellMicro = 2000000L)
         .orderBy("cx", "cy")
     }),
+    // ---- DISCRETE FRÉCHET similarity (q9m): order-aware trajectory
+    //      distance — users cycle their hub's 4 POIs with a user-dependent
+    //      PHASE, so hub-mates share every cell (Hausdorff-blind) while
+    //      Fréchet separates the phase groups; exact int64 DP.
+    "q9m_frechet" -> ((s, dir) => {
+      val hub = col("user_id") % 13L
+      val tusC = unix_micros(col("ts").cast("timestamp"))
+      val slot = expr("(unix_micros(cast(ts as timestamp)) " +
+        "- 1704067200000000) div 259200000000")
+      val poi = (slot + col("user_id")) % 4L
+      val ev = s.read.parquet(s"$dir/events.parquet").select(
+        col("user_id"), tusC.as("tus"), col("event_id").as("oid"),
+        (Derive.lonMicro(hub) + poi * 600000L).as("lonm"),
+        (Derive.latMicro(hub) + poi * 450000L).as("latm"))
+      Trajectory.gridFrechet(ev, col("user_id"), col("tus"), col("oid"),
+          col("lonm"), col("latm"), cellMicro = 400000L, maxVisits = 12)
+        .orderBy("ent_a", "ent_b")
+    }),
     // ---- STREAMING trajectory sessionization: the q82 semantics as managed
     //      state — one TripState record per live entity carried across THREE
     //      micro-batches (global (tus, oid) order split into tertile files,
@@ -3458,6 +3476,67 @@ object SparkEntry {
          |  GROUP BY 1, 2)
          |SELECT cx, cy, n, gx, gy, gx * gx + gy * gy AS g2
          |FROM s ORDER BY cx, cy""".stripMargin,
+    "q9m_frechet" -> {
+      // anti-diagonal wavefront replay: F on diag s needs diags s−1, s−2 —
+      // one MATERIALIZED CTE per diagonal (cap 12 visits ⇒ s ≤ 24), each
+      // cell computed exactly once, greatest(d², min(preds)) at the edges
+      // degenerates to the correct 1-D recurrences (missing preds don't join)
+      val rounds = (3 to 24).map { s =>
+        val prevs =
+          if (s == 3) "SELECT * FROM f2"
+          else s"SELECT * FROM f${s - 1} UNION ALL SELECT * FROM f${s - 2}"
+        s"""f$s AS MATERIALIZED (SELECT d.ea, d.eb, d.i, d.j,
+           |  greatest(d.d2, min(p.f)) AS f
+           |  FROM d JOIN ($prevs) p ON p.ea = d.ea AND p.eb = d.eb
+           |    AND ((p.i = d.i - 1 AND p.j = d.j)
+           |      OR (p.i = d.i AND p.j = d.j - 1)
+           |      OR (p.i = d.i - 1 AND p.j = d.j - 1))
+           |  WHERE d.i + d.j = $s
+           |  GROUP BY d.ea, d.eb, d.i, d.j, d.d2)""".stripMargin
+      }.mkString(",\n")
+      val unions = (2 to 24).map(s => s"SELECT * FROM f$s")
+        .mkString(" UNION ALL ")
+      s"""WITH f0 AS (SELECT user_id AS ent, epoch_us(ts) AS tus,
+         |  event_id AS oid,
+         |  ${Derive.lonSql("(user_id % 13)")}
+         |    + (((epoch_us(ts) - 1704067200000000) // 259200000000
+         |       + user_id) % 4) * 600000 AS lon,
+         |  ${Derive.latSql("(user_id % 13)")}
+         |    + (((epoch_us(ts) - 1704067200000000) // 259200000000
+         |       + user_id) % 4) * 450000 AS lat
+         |  FROM events),
+         |c AS (SELECT ent, tus, oid, (lon + 180000000) // 400000 AS cx,
+         |  (lat + 90000000) // 400000 AS cy FROM f0),
+         |l AS (SELECT *, CASE WHEN lag(cx) OVER w IS NULL
+         |    OR lag(cx) OVER w <> cx OR lag(cy) OVER w <> cy
+         |  THEN 1 ELSE 0 END AS nw FROM c
+         |  WINDOW w AS (PARTITION BY ent ORDER BY tus, oid)),
+         |r AS (SELECT *, sum(nw) OVER (PARTITION BY ent ORDER BY tus, oid
+         |  ROWS UNBOUNDED PRECEDING) AS run FROM l),
+         |v0 AS (SELECT ent, run, min(cx) AS cx, min(cy) AS cy
+         |  FROM r GROUP BY 1, 2),
+         |vi AS MATERIALIZED (SELECT v0.ent,
+         |  row_number() OVER (PARTITION BY v0.ent ORDER BY v0.run) AS i,
+         |  v0.cx, v0.cy FROM v0
+         |  JOIN (SELECT ent FROM v0 GROUP BY ent HAVING count(*) <= 12) k
+         |    USING (ent)),
+         |pr AS MATERIALIZED (SELECT DISTINCT a.ent AS ea, b.ent AS eb
+         |  FROM vi a JOIN vi b
+         |  ON a.cx = b.cx AND a.cy = b.cy AND a.ent < b.ent),
+         |d AS MATERIALIZED (SELECT pr.ea, pr.eb, a.i, b.i AS j,
+         |  (a.cx - b.cx) * (a.cx - b.cx)
+         |    + (a.cy - b.cy) * (a.cy - b.cy) AS d2
+         |  FROM pr JOIN vi a ON a.ent = pr.ea JOIN vi b ON b.ent = pr.eb),
+         |f2 AS MATERIALIZED (SELECT ea, eb, i, j, d2 AS f FROM d
+         |  WHERE i = 1 AND j = 1),
+         |$rounds,
+         |allf AS ($unions),
+         |ln AS (SELECT ent, count(*) AS n FROM vi GROUP BY ent)
+         |SELECT f.ea AS ent_a, f.eb AS ent_b, CAST(f.f AS BIGINT)
+         |  AS frechet_d2
+         |FROM allf f JOIN ln la ON la.ent = f.ea JOIN ln lb ON lb.ent = f.eb
+         |WHERE f.i = la.n AND f.j = lb.n ORDER BY 1, 2""".stripMargin
+    },
     "q9a_areal_interp" ->
       // closed-form rect overlap + the same integer floor share
       s"""WITH f AS (SELECT c_custkey,

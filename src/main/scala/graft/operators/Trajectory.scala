@@ -249,6 +249,115 @@ object Trajectory {
       .agg(count(lit(1)).as("contacts"))
   }
 
+  /** GRID-QUANTIZED discrete FRÉCHET distance [Eiter & Mannila 1994] — the
+    * ORDER-AWARE trajectory similarity: for every entity pair sharing a
+    * visited cell, the coupled-walk distance² between their VISIT
+    * SEQUENCES (run-collapsed cell sequences in (t, orderId) order).
+    * [[gridHausdorff]] compares visited-cell SETS — two buses driving the
+    * same loop in opposite directions are Hausdorff-identical but Fréchet
+    * keeps them far apart (the spec pins exactly this case). Same
+    * quantization-is-the-semantics discipline as q92: cell indices and d²
+    * are exact int64, so the DP — and its SQL replay — is engine-invariant.
+    *
+    * F(i,j) = max(d²(aᵢ,bⱼ), min(F(i−1,j), F(i,j−1), F(i−1,j−1))), answer
+    * F(n,m). Entities with more than `maxVisits` visits are EXCLUDED
+    * (counted first, filtered, then paired — the [[placeCoVisits]] cap
+    * discipline): the DP is Θ(n·m) per pair, and the cap is the published
+    * cost bound, not a silent truncation.
+    *
+    * Output: (ent_a, ent_b, frechet_d2) per co-visiting kept pair.
+    *
+    * Plan (100 TB posture): ONE entity exchange builds the ordered visit
+    * sequences (run windows + per-run aggregate + bounded collect_list —
+    * ≤ maxVisits structs per entity); candidate pairs come from the
+    * co-visitation cell equi-join (no all-pairs); the two sequence joins
+    * are raster/entity-sized; the DP itself is a MAP-ONLY rolling-array
+    * kernel over (pair, seqA, seqB) rows — O(maxVisits) memory, no
+    * shuffle, no driver state.
+    */
+  def gridFrechet(fixes: DataFrame, entity: Column, tUs: Column,
+                  orderId: Column, lon: Column, lat: Column,
+                  cellMicro: Long, maxVisits: Int = 64): DataFrame = {
+    require(cellMicro > 0 && maxVisits >= 1,
+      "need cellMicro > 0 and maxVisits >= 1")
+    val w = Window.partitionBy(col("_ent")).orderBy(col("_tus"), col("_oid"))
+    val g = cellMicro
+    val base = fixes.select(entity.cast("long").as("_ent"),
+        tUs.cast("long").as("_tus"), orderId.cast("long").as("_oid"),
+        lon.cast("long").as("_lon"), lat.cast("long").as("_lat"))
+      .select(col("_ent"), col("_tus"), col("_oid"),
+        expr(s"(_lon + 180000000) div $g").as("_cx"),
+        expr(s"(_lat + 90000000) div $g").as("_cy"))
+    val seqs = base
+      .withColumn("_new",
+        when(lag(col("_cx"), 1).over(w).isNull
+            || lag(col("_cx"), 1).over(w) =!= col("_cx")
+            || lag(col("_cy"), 1).over(w) =!= col("_cy"), 1L)
+          .otherwise(0L))
+      .withColumn("_run",
+        sum(col("_new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("_ent"), col("_run"))
+      .agg(min(col("_cx")).as("_cx"), min(col("_cy")).as("_cy"))
+      .groupBy("_ent")
+      .agg(array_sort(collect_list(struct(col("_run"), col("_cx"),
+        col("_cy")))).as("_seq"))
+      .where(size(col("_seq")) <= maxVisits)
+      .select(col("_ent").as("ent"),
+        expr("transform(_seq, s -> struct(s._cx as cx, s._cy as cy))")
+          .as("seq"))
+      .localCheckpoint() // feeds the pair join and both sequence joins
+    val cells = seqs.select(col("ent"), explode(col("seq")).as("c"))
+      .select(col("ent"), (col("c.cx") * 1073741824L + col("c.cy")).as("cell"))
+      .distinct()
+    val pairs = cells.select(col("ent").as("ent_a"), col("cell"))
+      .join(cells.select(col("ent").as("ent_b"), col("cell")), "cell")
+      .where(col("ent_a") < col("ent_b"))
+      .select("ent_a", "ent_b").distinct()
+    val joined = pairs
+      .join(seqs.select(col("ent").as("ent_a"), col("seq").as("sa")), "ent_a")
+      .join(seqs.select(col("ent").as("ent_b"), col("seq").as("sb")), "ent_b")
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("ent_a",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ent_b",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("frechet_d2",
+        org.apache.spark.sql.types.LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    joined.select("ent_a", "ent_b", "sa", "sb").mapPartitions { it =>
+      it.map { r =>
+        def arr(i: Int): Array[(Long, Long)] =
+          r.getSeq[org.apache.spark.sql.Row](i)
+            .map(s => (s.getLong(0), s.getLong(1))).toArray
+        val a = arr(2); val b = arr(3)
+        @inline def d2(i: Int, j: Int): Long = {
+          val dx = a(i)._1 - b(j)._1; val dy = a(i)._2 - b(j)._2
+          dx * dx + dy * dy
+        }
+        val prev = new Array[Long](b.length)
+        val cur = new Array[Long](b.length)
+        var i = 0
+        while (i < a.length) {
+          var j = 0
+          while (j < b.length) {
+            val best =
+              if (i == 0 && j == 0) 0L
+              else if (i == 0) cur(j - 1)
+              else if (j == 0) prev(0)
+              else math.min(math.min(prev(j), prev(j - 1)), cur(j - 1))
+            cur(j) = math.max(d2(i, j), best)
+            j += 1
+          }
+          System.arraycopy(cur, 0, prev, 0, b.length)
+          i += 1
+        }
+        org.apache.spark.sql.Row(r.getLong(0), r.getLong(1),
+          prev(b.length - 1))
+      }
+    }(enc)
+  }
+
   /** PLACE CO-VISITATION similarity — the "people who go here also go
     * there" matrix: for every unordered pair of cells sharing at least one
     * visitor, the count of common visitors, plus each side's own visitor

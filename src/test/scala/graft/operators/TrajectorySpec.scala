@@ -269,6 +269,83 @@ class TrajectorySpec extends AnyFunSuite {
     assert(got.exists(_._4 === 100L))
   }
 
+  // ---- gridFrechet ----
+
+  private def runFrechet(rows: Seq[(Long, Long, Long, Long, Long)], g: Long,
+                         cap: Int): Map[(Long, Long), Long] = {
+    import spark.implicits._
+    Trajectory.gridFrechet(rows.toDF("ent", "tus", "oid", "lon", "lat"),
+        col("ent"), col("tus"), col("oid"), col("lon"), col("lat"), g, cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+  }
+
+  private def bruteFrechet(rows: Seq[(Long, Long, Long, Long, Long)], g: Long,
+                           cap: Int): Map[(Long, Long), Long] = {
+    val seqs = rows.groupBy(_._1).view.mapValues { evs =>
+      val cells = evs.sortBy(e => (e._2, e._3))
+        .map(e => ((e._4 + 180000000L) / g, (e._5 + 90000000L) / g))
+      cells.foldLeft(List.empty[(Long, Long)]) {
+        case (acc, c) if acc.headOption.contains(c) => acc
+        case (acc, c) => c :: acc
+      }.reverse.toArray
+    }.filter(_._2.length <= cap).toMap
+    def fd(a: Array[(Long, Long)], b: Array[(Long, Long)]): Long = {
+      val f = Array.ofDim[Long](a.length, b.length)
+      for (i <- a.indices; j <- b.indices) {
+        val dx = a(i)._1 - b(j)._1; val dy = a(i)._2 - b(j)._2
+        val d = dx * dx + dy * dy
+        val best =
+          if (i == 0 && j == 0) 0L
+          else if (i == 0) f(0)(j - 1)
+          else if (j == 0) f(i - 1)(0)
+          else math.min(math.min(f(i - 1)(j), f(i)(j - 1)), f(i - 1)(j - 1))
+        f(i)(j) = math.max(d, best)
+      }
+      f(a.length - 1)(b.length - 1)
+    }
+    (for {
+      (ea, sa) <- seqs.toSeq; (eb, sb) <- seqs.toSeq
+      if ea < eb && sa.toSet.intersect(sb.toSet).nonEmpty
+    } yield (ea, eb) -> fd(sa, sb)).toMap
+  }
+
+  test("gridFrechet: order-aware — opposite loops are Hausdorff-0 but Fréchet-far") {
+    val g = 1000000L
+    def f(ent: Long, t: Long, px: Long, py: Long) =
+      (ent, t, t, px * g - 180000000L + g / 2, py * g - 90000000L + g / 2)
+    // X = (10,10), Y = (20,10): ent 1 walks X→Y, ent 2 walks Y→X.
+    // SAME visited set, so gridHausdorff = 0; discrete Fréchet = d(X,Y)².
+    val rows = Seq(f(1, 1, 10, 10), f(1, 2, 20, 10),
+      f(2, 1, 20, 10), f(2, 2, 10, 10),
+      // ent 3 walks X→Y like ent 1 (with a duplicate fix): distance 0
+      f(3, 1, 10, 10), f(3, 2, 10, 10), f(3, 3, 20, 10))
+    val got = runFrechet(rows, g, cap = 64)
+    assert(got === Map((1L, 2L) -> 100L, (1L, 3L) -> 0L, (2L, 3L) -> 100L))
+    assert(got === bruteFrechet(rows, g, 64))
+    val haus = Trajectory.gridHausdorff(
+      { import spark.implicits._
+        rows.map(r => (r._1, r._4, r._5)).toDF("ent", "lon", "lat") },
+      col("ent"), col("lon"), col("lat"), level = 16)
+    assert(haus.collect().forall(_.getLong(2) === 0L),
+      "the same fixture must be Hausdorff-identical")
+    // cap = 1 keeps only... every entity has 2 visits → all excluded
+    assert(runFrechet(rows, g, 1) === Map.empty)
+  }
+
+  test("gridFrechet: brute parity on hub-hopping slotted entities") {
+    val rnd = new scala.util.Random(73)
+    val rows = (0 until 24).flatMap { e =>
+      (0 until 10).map { slot =>
+        val hub = (e % 4 + slot * (1 + e % 3)) % 5
+        (e.toLong, slot * 100L + 5L, slot.toLong,
+          hub * 10000000L - 20000000L, hub * 8000000L - 15000000L)
+      }
+    }
+    for (cap <- Seq(5, 12, 64))
+      assert(runFrechet(rows, 1000000L, cap)
+        === bruteFrechet(rows, 1000000L, cap), s"cap=$cap")
+  }
+
   // ---- placeCoVisits ----
 
   private def runCoVisits(rows: Seq[(Long, Long, Long)], g: Long, cap: Int)
