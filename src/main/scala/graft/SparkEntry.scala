@@ -2184,6 +2184,18 @@ object SparkEntry {
           col("lonm"), col("latm"), cellMicro = 400000L, maxVisits = 12)
         .orderBy("ent_a", "ent_b")
     }),
+    // ---- MASK BOUNDARY (q9n): raster→vector outline — every mask-cell
+    //      edge whose rook neighbor is off-mask, as exact µdeg segments
+    //      (S→N verticals, W→E horizontals); q7y labels the regions, this
+    //      emits their unstitched rings. Same threshold fixture as q7y.
+    "q9n_boundary" -> ((s, dir) => {
+      val pts = s.read.parquet(s"$dir/orders.parquet").select(
+        Derive.lonMicro(col("o_orderkey")).as("lonm"),
+        Derive.latMicro(col("o_orderkey")).as("latm"))
+      operators.GridRaster.maskBoundary(pts, col("lonm"), col("latm"),
+          cellMicro = 4000000L, minCount = 4L)
+        .orderBy("cx", "cy", "side")
+    }),
     // ---- STREAMING trajectory sessionization: the q82 semantics as managed
     //      state — one TripState record per live entity carried across THREE
     //      micro-batches (global (tus, oid) order split into tertile files,
@@ -3537,6 +3549,29 @@ object SparkEntry {
          |FROM allf f JOIN ln la ON la.ent = f.ea JOIN ln lb ON lb.ent = f.eb
          |WHERE f.i = la.n AND f.j = lb.n ORDER BY 1, 2""".stripMargin
     },
+    "q9n_boundary" ->
+      // mask → 4-side candidates → anti-join on the rook neighbor
+      s"""WITH pts AS (SELECT
+         |  ${Derive.lonSql("o_orderkey")} + 180000000 AS wx,
+         |  ${Derive.latSql("o_orderkey")} + 90000000 AS wy FROM orders),
+         |m AS MATERIALIZED (SELECT wx // 4000000 AS px, wy // 4000000 AS py
+         |  FROM pts GROUP BY 1, 2 HAVING count(*) >= 4),
+         |sides AS (SELECT * FROM (VALUES (0, -1, 0), (1, 1, 0), (2, 0, -1),
+         |  (3, 0, 1)) t(s, dx, dy)),
+         |cand AS (SELECT m.px, m.py, sides.s,
+         |  m.px + sides.dx AS nx, m.py + sides.dy AS ny
+         |  FROM m CROSS JOIN sides)
+         |SELECT c.px AS cx, c.py AS cy, CAST(c.s AS BIGINT) AS side,
+         |  (CASE WHEN c.s = 1 THEN c.px + 1 ELSE c.px END) * 4000000
+         |    - 180000000 AS x1,
+         |  (CASE WHEN c.s = 3 THEN c.py + 1 ELSE c.py END) * 4000000
+         |    - 90000000 AS y1,
+         |  (CASE WHEN c.s = 0 THEN c.px ELSE c.px + 1 END) * 4000000
+         |    - 180000000 AS x2,
+         |  (CASE WHEN c.s = 2 THEN c.py ELSE c.py + 1 END) * 4000000
+         |    - 90000000 AS y2
+         |FROM cand c LEFT JOIN m n ON n.px = c.nx AND n.py = c.ny
+         |WHERE n.px IS NULL ORDER BY cx, cy, side""".stripMargin,
     "q9a_areal_interp" ->
       // closed-form rect overlap + the same integer floor share
       s"""WITH f AS (SELECT c_custkey,

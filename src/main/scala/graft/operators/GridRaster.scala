@@ -413,6 +413,59 @@ object GridRaster {
         (col("node") % K).as("cy"), col("dist").as("dist_steps"))
   }
 
+  /** MASK BOUNDARY extraction — the raster→vector OUTLINE: threshold the
+    * density raster into a mask (the [[polygonize]] rule) and emit every
+    * boundary edge — a cell edge whose rook neighbor is off-mask (or off
+    * the world) — as a micro-degree segment. Together with [[polygonize]]
+    * (which labels the regions) this is the GDAL polygonize output split
+    * into its two halves: region rows there, ring geometry here; the
+    * emitted segments are exactly the regions' outer+hole rings, unstitched
+    * (consumers stitch or draw — tile renderers consume edge soup
+    * directly).
+    *
+    * Determinism: each edge belongs to its mask cell and one side ∈
+    * {0=W, 1=E, 2=S, 3=N}; vertical segments run S→N, horizontal W→E —
+    * every output number is an exact int64 corner coordinate.
+    *
+    * Output: (cx, cy, side, x1, y1, x2, y2).
+    *
+    * Plan: points collapse to the mask in exchange one; the off-mask test
+    * is ONE self left-join on the 4-exploded neighbor key (null ⇒
+    * boundary) — raster-sized, AQE-broadcastable; coordinates are
+    * map-side arithmetic. No window, no driver raster.
+    */
+  def maskBoundary(points: DataFrame, lonCol: Column, latCol: Column,
+                   cellMicro: Long, minCount: Long): DataFrame = {
+    require(cellMicro > 0 && minCount >= 1,
+      "need cellMicro > 0 and minCount >= 1")
+    val g = cellMicro
+    val maxX = 360000000L / g - 1; val maxY = 180000000L / g - 1
+    val K = 1073741824L
+    val mask = points.select(
+        (lonCol.cast("long") + 180000000L).as("_wx"),
+        (latCol.cast("long") + 90000000L).as("_wy"))
+      .select(expr(s"_wx div $g").as("px"), expr(s"_wy div $g").as("py"))
+      .where(col("px").between(0L, maxX) && col("py").between(0L, maxY))
+      .groupBy("px", "py").agg(count(lit(1)).as("n"))
+      .where(col("n") >= minCount)
+      .select(col("px"), col("py"), (col("px") * K + col("py")).as("k"))
+    // side s looks at neighbor offset (dx, dy): W(-1,0) E(1,0) S(0,-1) N(0,1)
+    val sides = array(Seq((0L, -1L, 0L), (1L, 1L, 0L), (2L, 0L, -1L),
+      (3L, 0L, 1L)).map { case (s, dx, dy) => struct(lit(s).as("s"),
+        lit(dx * K + dy).as("dk")) }: _*)
+    val cand = mask.select(col("px"), col("py"), explode(sides).as("o"),
+        col("k"))
+      .select(col("px"), col("py"), col("o.s").as("side"),
+        (col("k") + col("o.dk")).as("nk"))
+    val x0 = col("px") * g - 180000000L; val y0 = col("py") * g - 90000000L
+    cand.join(mask.select(col("k").as("nk")), Seq("nk"), "left_anti")
+      .select(col("px").as("cx"), col("py").as("cy"), col("side"),
+        when(col("side") === 1L, x0 + g).otherwise(x0).as("x1"),
+        when(col("side") === 3L, y0 + g).otherwise(y0).as("y1"),
+        when(col("side") === 0L, x0).otherwise(x0 + g).as("x2"),
+        when(col("side") === 2L, y0).otherwise(y0 + g).as("y2"))
+  }
+
   /** SOBEL GRADIENT raster — slope and aspect of the point-density surface
     * [Sobel operator; the Horn-slope shape on a count DEM]: per cell, the
     * 3×3 Sobel responses gx, gy and the squared magnitude g² = gx² + gy² —

@@ -334,6 +334,65 @@ class GridRasterSpec extends AnyFunSuite {
     assert(got.values.exists(_(2) == 9L), "interior cells must see full 3×3 hoods")
   }
 
+  private def runBoundary(pts: Seq[(Long, Long)], g: Long, minC: Long)
+      : Set[(Long, Long, Long, Long, Long, Long, Long)] =
+    GridRaster.maskBoundary(pts.toDF("lon", "lat"), col("lon"), col("lat"),
+        g, minC)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+
+  private def bruteBoundary(pts: Seq[(Long, Long)], g: Long, minC: Long)
+      : Set[(Long, Long, Long, Long, Long, Long, Long)] = {
+    val mask = pts.groupBy(p => ((p._1 + 180000000L) / g, (p._2 + 90000000L) / g))
+      .filter(_._2.size >= minC).keySet
+    mask.flatMap { case (x, y) =>
+      val x0 = x * g - 180000000L; val y0 = y * g - 90000000L
+      Seq((0L, (-1L, 0L), (x0, y0, x0, y0 + g)),
+        (1L, (1L, 0L), (x0 + g, y0, x0 + g, y0 + g)),
+        (2L, (0L, -1L), (x0, y0, x0 + g, y0)),
+        (3L, (0L, 1L), (x0, y0 + g, x0 + g, y0 + g)))
+        .collect { case (s, (dx, dy), (a, b, c, d))
+          if !mask((x + dx, y + dy)) => (x, y, s, a, b, c, d) }
+    }
+  }
+
+  test("maskBoundary: lone cell = 4 edges, shared edges vanish, donut keeps its hole") {
+    val g = 1000000L
+    def at(px: Long, py: Long, n: Int): Seq[(Long, Long)] =
+      Seq.fill(n)((px * g - 180000000L + g / 2, py * g - 90000000L + g / 2))
+    // lone cell
+    val lone = runBoundary(at(5, 5, 2), g, 2)
+    assert(lone.size === 4 && lone === bruteBoundary(at(5, 5, 2), g, 2))
+    // 2×1 block: 6 edges, the shared vertical edge absent from both cells
+    val duo = at(5, 5, 2) ++ at(6, 5, 2)
+    val duoGot = runBoundary(duo, g, 2)
+    assert(duoGot.size === 6 && duoGot === bruteBoundary(duo, g, 2))
+    assert(!duoGot.exists(e => e._1 == 5 && e._3 == 1) &&
+      !duoGot.exists(e => e._1 == 6 && e._3 == 0))
+    // 3×3 ring with a hole: 12 outer + 4 inner edges; threshold drops the
+    // under-count cell and opens the ring
+    val ring = (for (x <- 10L to 12L; y <- 10L to 12L if (x, y) != ((11L, 11L)))
+      yield at(x, y, 3)).flatten ++ at(11, 11, 2) // hole cell BELOW threshold
+    val rg = runBoundary(ring, g, 3)
+    assert(rg.size === 16 && rg === bruteBoundary(ring, g, 3))
+  }
+
+  test("maskBoundary: brute parity on the clustered scatter; edges pair with Sobel rims") {
+    val rnd = new scala.util.Random(79)
+    val centers = (0 until 6).map { _ =>
+      (rnd.nextLong(60000000L) - 30000000L, rnd.nextLong(40000000L) - 20000000L)
+    }
+    val pts = centers.flatMap { case (cx, cy) =>
+      (0 until 150).map { _ =>
+        (cx + rnd.nextLong(2500000L) + rnd.nextLong(2500000L) - 2500000L,
+          cy + rnd.nextLong(2500000L) + rnd.nextLong(2500000L) - 2500000L)
+      }
+    }
+    for (minC <- Seq(1L, 3L))
+      assert(runBoundary(pts, 1000000L, minC)
+        === bruteBoundary(pts, 1000000L, minC), s"minC=$minC")
+  }
+
   private def runSobel(pts: Seq[(Long, Long)], g: Long)
       : Map[(Long, Long), (Long, Long, Long, Long)] =
     GridRaster.sobel(pts.toDF("lon", "lat"), col("lon"), col("lat"), g)
