@@ -2196,6 +2196,16 @@ object SparkEntry {
           cellMicro = 4000000L, minCount = 4L)
         .orderBy("cx", "cy", "side")
     }),
+    // ---- THUMBNAIL materialization (q9o): decode (PNG/VP8L/raw) →
+    //      integer resize → re-encode through the in-repo PNG writer; the
+    //      whole chain is deterministic, so per-dims-group thumbnail byte
+    //      totals are oracle-checkable from generator rules alone.
+    "q9o_thumbnails" -> ((s, dir) => {
+      operators.Multimodal.thumbnails(Fixtures.images(s, 5000), 16, 16)
+        .groupBy("w", "h").agg(count(lit(1)).as("n_images"),
+          sum("thumb_len").as("thumb_bytes"))
+        .orderBy("w", "h")
+    }),
     // ---- STREAMING trajectory sessionization: the q82 semantics as managed
     //      state — one TripState record per live entity carried across THREE
     //      micro-batches (global (tus, oid) order split into tertile files,
@@ -3572,6 +3582,34 @@ object SparkEntry {
          |    - 90000000 AS y2
          |FROM cand c LEFT JOIN m n ON n.px = c.nx AND n.py = c.ny
          |WHERE n.px IS NULL ORDER BY cx, cy, side""".stripMargin,
+    "q9o_thumbnails" -> {
+      // generator-rule replay: pixels → the same integer resize → the same
+      // deterministic PNG writer → per-dims length totals
+      import graft.fixtures.{Fixtures, ImageCodec}
+      val agg = scala.collection.mutable.Map[(Int, Int), (Long, Long)]()
+      (0L until 5000L).foreach { i =>
+        val (lon, lat) = Fixtures.locOf(i)
+        val phash = graft.core.PhashLoc.encode(lon, lat)
+        val (w, h) = Fixtures.dimsOf(i)
+        val px = ImageCodec.pixelsFromHash(phash, w, h)
+        val out = new Array[Byte](16 * 16)
+        var y = 0
+        while (y < 16) {
+          val sy = y * h / 16
+          var x = 0
+          while (x < 16) { out(y * 16 + x) = px(sy * w + x * w / 16); x += 1 }
+          y += 1
+        }
+        val len = ImageCodec.encodePng(out, 16, 16).length.toLong
+        val (n, b) = agg.getOrElse((w, h), (0L, 0L))
+        agg((w, h)) = (n + 1, b + len)
+      }
+      val vals = agg.toSeq.sortBy(_._1).map { case ((w, h), (n, b)) =>
+        s"($w, $h, CAST($n AS BIGINT), CAST($b AS BIGINT))"
+      }.mkString(", ")
+      s"SELECT * FROM (VALUES $vals) AS t(w, h, n_images, thumb_bytes) " +
+        "ORDER BY w, h"
+    },
     "q9a_areal_interp" ->
       // closed-form rect overlap + the same integer floor share
       s"""WITH f AS (SELECT c_custkey,

@@ -110,6 +110,52 @@ object Multimodal {
       }(enc)
   }
 
+  private val thumbSchema = StructType(Seq(
+    StructField("image_id", StringType), StructField("w", IntegerType),
+    StructField("h", IntegerType), StructField("thumb", BinaryType),
+    StructField("thumb_len", IntegerType)))
+
+  /** THUMBNAIL materialization — the decode→resize→ENCODE leg of an image
+    * pipeline (preview grids, low-res training variants, review UIs): each
+    * image decodes (PNG/VP8L/raw), nearest-neighbor-resizes to tw×th (the
+    * [[resize]] integer kernel — deterministic, no filtering kernel to
+    * disagree about), and re-encodes through the in-repo RFC-2083 PNG
+    * writer, so the output column is a REAL self-contained artifact, not a
+    * pixel blob. Everything is deterministic end-to-end: the same input
+    * corpus produces byte-identical thumbnails on any engine, which is
+    * what makes `thumb_len` oracle-checkable from generator rules alone.
+    *
+    * Output: (image_id, w, h, thumb, thumb_len) — w/h are the ORIGINAL
+    * dims (the grouping key a curation report wants); thumb is the PNG.
+    *
+    * Scale: decode-once narrow map kernel; a tw×th thumbnail is a few
+    * hundred bytes, so the output is shuffle-light even at corpus scale
+    * and the stage is embarrassingly parallel with no exchange at all.
+    */
+  def thumbnails(images: DataFrame, tw: Int, th: Int): DataFrame = {
+    require(tw >= 1 && th >= 1 && tw <= 4096 && th <= 4096,
+      "thumbnail dims in [1, 4096]")
+    val enc = RowEncoder.encoderFor(thumbSchema)
+    images.select("image_id", "bytes", "w", "h", "fmt")
+      .mapPartitions { it =>
+        it.map { r =>
+          val (id, bytes, w, h, fmt) = (r.getString(0), r.getAs[Array[Byte]](1),
+            r.getInt(2), r.getInt(3), r.getString(4))
+          val px = decodeAny(bytes, fmt, w, h)
+          val out = new Array[Byte](tw * th)
+          var y = 0
+          while (y < th) {
+            val sy = y * h / th
+            var x = 0
+            while (x < tw) { out(y * tw + x) = px(sy * w + x * w / tw); x += 1 }
+            y += 1
+          }
+          val png = graft.fixtures.ImageCodec.encodePng(out, tw, th)
+          Row(id, w, h, png, png.length)
+        }
+      }(enc)
+  }
+
   private val featSchema = StructType(Seq(
     StructField("image_id", StringType),
     StructField("embedding", ArrayType(DoubleType, containsNull = false)),

@@ -15,6 +15,12 @@ import graft.oracle.Derive
   *   2. TRAJECTORY at `nFix` fixes over `nEnt` entities (default 64M/512k):
   *      stayPoints, cellTransitions, anchorCells, flagTeleports — each rides
   *      one entity-key exchange; wall should be flat across the four.
+  *      NOTE: whichever family member runs FIRST in the shared JVM pays a
+  *      ~4–15× warm-up premium (page-faulting the checkpointed input +
+  *      JIT of the window codegen) — measured by reordering: anchorCells
+  *      first = 59 s with stayPoints dropping to 21.7 s then 4.4 s on
+  *      repeat; the plans are identical (one exchange each, PLANS.md).
+  *      Compare members by their WARM runs, not by suite position.
   *   3. GEOFENCE at `nFix` fixes × `nFence` fences: the broadcast NLJ
   *      fan-out is the documented cost driver — wall ∝ fences.
   *   4. RIPLEY'S K at `nPp` points (default 8M, ~4 pts/cell at g = max r):

@@ -412,6 +412,45 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got === Map(8L -> 1, 9L -> 2))
   }
 
+  test("thumbnails: real PNG artifacts, roundtrip-exact, format-independent") {
+    import spark.implicits._
+    val p = 0x123456789ABCDEF0L
+    val rows = Seq(("a", 32, 32, "raw"), ("b", 64, 32, "png"), ("c", 96, 64, "webp"))
+      .map { case (id, w, h, fmt) =>
+        val px = ImageCodec.pixelsFromHash(p, w, h)
+        val bytes = fmt match {
+          case "png"  => ImageCodec.encodePng(px, w, h)
+          case "webp" => ImageCodec.encodeWebp(px, w, h)
+          case _      => px
+        }
+        (id, bytes, w, h, fmt)
+      }
+    val got = Multimodal.thumbnails(
+        rows.toDF("image_id", "bytes", "w", "h", "fmt"), 16, 16)
+      .collect().map(r => r.getString(0) ->
+        ((r.getInt(1), r.getInt(2), r.getAs[Array[Byte]](3), r.getInt(4)))).toMap
+    rows.foreach { case (id, _, w, h, _) =>
+      val px = ImageCodec.pixelsFromHash(p, w, h)
+      val want = new Array[Byte](256)
+      for (y <- 0 until 16; x <- 0 until 16)
+        want(y * 16 + x) = px((y * h / 16) * w + x * w / 16)
+      val (gw, gh, png, len) = got(id)
+      assert(gw === w && gh === h && len === png.length)
+      // byte-identical to encoding the reference resize directly...
+      assert(png.sameElements(ImageCodec.encodePng(want, 16, 16)), id)
+      // ...and the PNG is a real decodable artifact that roundtrips exactly
+      assert(graft.core.Png.decodeGray(png).exists(_._3.sameElements(want)), id)
+    }
+    // 32x32 → 16x16 halves each 4px block to 2px: block VALUES survive, so
+    // the thumbnail's 8x8 block structure still encodes the phash bits
+    val (_, _, png32, _) = got("a")
+    val tpx = graft.core.Png.decodeGray(png32).get._3
+    for (k <- 0 until 64) {
+      val v = if (((p >>> k) & 1L) == 1L) 200 else 50
+      assert((tpx((k / 8) * 2 * 16 + (k % 8) * 2) & 0xff) === v, s"bit $k")
+    }
+  }
+
   test("bmp and gif decode are real and lossless for gray fixtures") {
     val px = ImageCodec.pixelsFromHash(0xBEEF_CAFEL, 64, 64)
     assert(ImageCodec.decode(ImageCodec.encodeBmp(px, 64, 64), "bmp", 64, 64)
