@@ -2206,6 +2206,17 @@ object SparkEntry {
           sum("thumb_len").as("thumb_bytes"))
         .orderBy("w", "h")
     }),
+    // ---- PER-VERTEX triangles (q9p): the clustering-coefficient core —
+    //      (vertex, triangles, degree) over the q84 hash graph; cc =
+    //      2T/(d(d−1)) is the consumer's float step. Triangle-free
+    //      vertices keep zero rows.
+    "q9p_vertex_triangles" -> ((s, dir) => {
+      val k = col("o_orderkey")
+      val edges = s.read.parquet(s"$dir/orders.parquet").select(
+        (k % 300L).as("u"),
+        expr("(o_orderkey div 300 + o_orderkey * 7919) % 300").as("v"))
+      operators.Graph.vertexTriangles(edges, col("u"), col("v")).orderBy("n")
+    }),
     // ---- STREAMING trajectory sessionization: the q82 semantics as managed
     //      state — one TripState record per live entity carried across THREE
     //      micro-batches (global (tus, oid) order split into tertile files,
@@ -3610,6 +3621,24 @@ object SparkEntry {
       s"SELECT * FROM (VALUES $vals) AS t(w, h, n_images, thumb_bytes) " +
         "ORDER BY w, h"
     },
+    "q9p_vertex_triangles" ->
+      // canonical triangle triples → ×3 vertex explode → zerofilled join
+      """WITH raw AS (SELECT
+        |  least(o_orderkey % 300, (o_orderkey // 300 + o_orderkey * 7919) % 300) AS a,
+        |  greatest(o_orderkey % 300, (o_orderkey // 300 + o_orderkey * 7919) % 300) AS b
+        |  FROM orders),
+        |e AS MATERIALIZED (SELECT DISTINCT a, b FROM raw WHERE a <> b),
+        |t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM e e1
+        |  JOIN e e2 ON e1.b = e2.a
+        |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |tv AS (SELECT x AS n FROM t UNION ALL SELECT y FROM t
+        |  UNION ALL SELECT z FROM t),
+        |tc AS (SELECT n, count(*) AS triangles FROM tv GROUP BY n),
+        |deg AS (SELECT n, count(*) AS degree FROM
+        |  (SELECT a AS n FROM e UNION ALL SELECT b FROM e) GROUP BY n)
+        |SELECT deg.n, CAST(COALESCE(tc.triangles, 0) AS BIGINT) AS triangles,
+        |  deg.degree
+        |FROM deg LEFT JOIN tc USING (n) ORDER BY n""".stripMargin,
     "q9a_areal_interp" ->
       // closed-form rect overlap + the same integer floor share
       s"""WITH f AS (SELECT c_custkey,

@@ -67,6 +67,55 @@ object Graph {
       .agg(count(lit(1)).as("triangles"))
   }
 
+  /** PER-VERTEX triangle counts — the local extension of [[triangleCount]]
+    * and the integer core of the CLUSTERING COEFFICIENT: cc(v) =
+    * 2·triangles(v) / (deg(v)·(deg(v)−1)) is the consumer's one float
+    * division, so the emitted (vertex, triangles, degree) rows are exact
+    * int64 and oracle-hashable. The "how cliquish is this node's
+    * neighborhood" verb — ego-network density, spam/bot detection, road
+    * intersection typology.
+    *
+    * Same Suri–Vassilvitskii degree orientation as the global count
+    * (per-vertex wedge fan-out capped at outdeg² = O(m)); each closed
+    * wedge (src, p, q) is one triangle touching all THREE vertices, so the
+    * closing join's rows explode ×3 into one map-side-combined per-vertex
+    * hash aggregate; triangle-free vertices keep a zero row via the left
+    * join against the degree table.
+    */
+  def vertexTriangles(edges: DataFrame, u: Column, v: Column): DataFrame = {
+    val canon = edges.select(
+        least(u.cast("long"), v.cast("long")).as("a"),
+        greatest(u.cast("long"), v.cast("long")).as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct()
+    val deg = canon.select(col("a").as("n"))
+      .union(canon.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val ranked = canon
+      .join(deg.withColumnRenamed("n", "a").withColumnRenamed("d", "da"), "a")
+      .join(deg.withColumnRenamed("n", "b").withColumnRenamed("d", "db"), "b")
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val oriented = ranked.select(
+      when(aFirst, col("a")).otherwise(col("b")).as("src"),
+      when(aFirst, col("b")).otherwise(col("a")).as("dst"),
+      when(aFirst, col("db")).otherwise(col("da")).as("ddst"))
+    val o1 = oriented.select(col("src"), col("dst").as("p"), col("ddst").as("dp"))
+    val o2 = oriented.select(col("src"), col("dst").as("q"), col("ddst").as("dq"))
+    val wedges = o1.join(o2, "src")
+      .where(col("dp") < col("dq") ||
+        (col("dp") === col("dq") && col("p") < col("q")))
+      .select(col("src"), col("p"), col("q"))
+    val tris = wedges
+      .join(oriented.select(col("src").as("p"), col("dst").as("q")),
+        Seq("p", "q"))
+      .select(explode(array(col("src"), col("p"), col("q"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("triangles"))
+    deg.join(tris, Seq("n"), "left")
+      .select(col("n"), coalesce(col("triangles"), lit(0L)).as("triangles"),
+        col("d").as("degree"))
+  }
+
   /** Bounded-iteration PageRank in EXACT int64 fixed-point — the
     * graph-centrality verb (road-network importance, link-graph quality
     * weights for corpus curation à la Common Crawl's harmonic-centrality

@@ -48,6 +48,51 @@ class GraphSpec extends AnyFunSuite {
 
   // ---- pageRank: independent replay of the integer rule ----
 
+  private def bruteVt(edges: Seq[(Long, Long)]): Map[Long, (Long, Long)] = {
+    val e = edges.collect { case (u, v) if u != v =>
+      (math.min(u, v), math.max(u, v))
+    }.toSet
+    val nodes = e.flatMap(p => Seq(p._1, p._2))
+    val deg = nodes.map(n => n -> e.count(p => p._1 == n || p._2 == n).toLong)
+    deg.map { case (n, d) =>
+      val nbrs = e.toSeq.collect { case (a, b) if a == n => b
+                                   case (a, b) if b == n => a }
+      val t = (for {
+        x <- nbrs; y <- nbrs if x < y
+        if e((math.min(x, y), math.max(x, y)))
+      } yield 1).size.toLong
+      n -> ((t, d))
+    }.toMap
+  }
+
+  private def runVt(edges: Seq[(Long, Long)]): Map[Long, (Long, Long)] =
+    Graph.vertexTriangles(edges.toDF("u", "v"), col("u"), col("v"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+
+  test("vertexTriangles: K4 all (3,3); triangle+tail; star zeros survive") {
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    assert(runVt(k4) === Map(1L -> ((3L, 3L)), 2L -> ((3L, 3L)),
+      3L -> ((3L, 3L)), 4L -> ((3L, 3L))))
+    // triangle {1,2,3} with tail 3-4: the tail vertex keeps its zero row
+    val tt = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+    assert(runVt(tt) === Map(1L -> ((1L, 2L)), 2L -> ((1L, 2L)),
+      3L -> ((1L, 3L)), 4L -> ((0L, 1L))))
+    // star: every vertex 0 triangles (hub worst-case pre-image)
+    val star = (2L to 8L).map(i => (1L, i))
+    assert(runVt(star) === bruteVt(star))
+    assert(runVt(star).values.forall(_._1 == 0L))
+  }
+
+  test("vertexTriangles: brute parity; locals sum to 3x the global count") {
+    val rnd = new scala.util.Random(83)
+    val edges = (0 until 600).map { _ =>
+      (rnd.nextLong(60L), rnd.nextLong(60L))
+    }
+    val got = runVt(edges)
+    assert(got === bruteVt(edges))
+    assert(got.values.map(_._1).sum === 3L * run(edges))
+  }
+
   private def brutePr(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
     val SCALE = 1000000000000L
     val BASE = 15L * SCALE / 100L
