@@ -2217,6 +2217,22 @@ object SparkEntry {
         expr("(o_orderkey div 300 + o_orderkey * 7919) % 300").as("v"))
       operators.Graph.vertexTriangles(edges, col("u"), col("v")).orderBy("n")
     }),
+    // ---- CO-LOCATION PATTERN participation (q9q): per ordered category
+    //      pair, how many A-features have a different B-feature within
+    //      300k µdeg — Shekhar-style categorical co-location mining over
+    //      parts scattered on 39 hubs (39 ⊥ 5 so every hub mixes all
+    //      categories); zero rows kept.
+    "q9q_participation" -> ((s, dir) => {
+      val k = col("p_partkey")
+      val feats = s.read.parquet(s"$dir/part.parquet").select(
+        k.as("id"), (k % 5L).as("cat"),
+        (Derive.lonMicro(k % 39L) + (k * 48271L) % 800001L - 400000L).as("lonm"),
+        (Derive.latMicro(k % 39L) + ((k + 7L) * 16807L) % 800001L
+          - 400000L).as("latm"))
+      operators.PointPattern.participationCounts(feats, col("id"), col("cat"),
+          col("lonm"), col("latm"), radiusMicro = 300000L)
+        .orderBy("cat_a", "cat_b")
+    }),
     // ---- STREAMING trajectory sessionization: the q82 semantics as managed
     //      state — one TripState record per live entity carried across THREE
     //      micro-batches (global (tus, oid) order split into tertile files,
@@ -3639,6 +3655,26 @@ object SparkEntry {
         |SELECT deg.n, CAST(COALESCE(tc.triangles, 0) AS BIGINT) AS triangles,
         |  deg.degree
         |FROM deg LEFT JOIN tc USING (n) ORDER BY n""".stripMargin,
+    "q9q_participation" ->
+      // brute witness-exists join → distinct participant collapse → zerofill
+      s"""WITH p AS (SELECT p_partkey AS id, p_partkey % 5 AS cat,
+         |  ${Derive.lonSql("(p_partkey % 39)")}
+         |    + (p_partkey * 48271) % 800001 - 400000 AS x,
+         |  ${Derive.latSql("(p_partkey % 39)")}
+         |    + ((p_partkey + 7) * 16807) % 800001 - 400000 AS y
+         |  FROM part),
+         |w AS (SELECT DISTINCT a.id, a.cat AS cat_a, b.cat AS cat_b
+         |  FROM p a JOIN p b ON a.id <> b.id
+         |  AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+         |    <= ${300000L * 300000L}),
+         |nw AS (SELECT cat_a, cat_b, count(*) AS n_with FROM w GROUP BY 1, 2),
+         |tot AS (SELECT cat AS cat_a, count(*) AS n_total FROM p GROUP BY 1),
+         |frame AS (SELECT a.cat_a, b.cat_a AS cat_b, a.n_total
+         |  FROM tot a CROSS JOIN tot b)
+         |SELECT f.cat_a, f.cat_b,
+         |  CAST(COALESCE(nw.n_with, 0) AS BIGINT) AS n_with, f.n_total
+         |FROM frame f LEFT JOIN nw USING (cat_a, cat_b)
+         |ORDER BY 1, 2""".stripMargin,
     "q9a_areal_interp" ->
       // closed-form rect overlap + the same integer floor share
       s"""WITH f AS (SELECT c_custkey,

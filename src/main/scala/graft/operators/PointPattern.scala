@@ -132,4 +132,63 @@ object PointPattern {
       .select(col("r_micro"), coalesce(col("_cnt"), lit(0L)).as("pairs"),
         col("n_a"), col("n_b"))
   }
+
+  /** CO-LOCATION PATTERN participation counts [Shekhar & Huang 2001] — for
+    * every ordered category pair (A, B): how many A-features have at least
+    * one B-feature (a DIFFERENT feature) within `radiusMicro`, plus A's
+    * total — the participation ratio n_with/n_total is the consumer's one
+    * division, and min over a pattern's members gives the classical
+    * participation index. The categorical spatial-data-mining verb
+    * ("pharmacies near clinics?") that [[crossK]] answers only for one
+    * pre-chosen pair and [[graft.operators.Trajectory.coLocation]] asks
+    * about entities, not categories.
+    *
+    * (A, A) pairs are included (a feature never witnesses itself — id
+    * inequality, not category inequality, is the guard), and ZERO rows are
+    * kept for every ordered category pair so absence of co-location is
+    * visible, not missing.
+    *
+    * Output: (cat_a, cat_b, n_with, n_total).
+    *
+    * Plan (100 TB posture): the ripleyK ring blocking (b-side one home
+    * cell, a-side 3×3 Chebyshev ring at g = r — each qualifying feature
+    * pair seen exactly once, no all-pairs); the witness collapse is one
+    * DISTINCT (a-feature, cat_b) hash aggregate, so the per-pair count
+    * never double-counts multiple witnesses; the category-pair frame is
+    * |cats|² rows built by a tiny self cross join.
+    */
+  def participationCounts(feats: DataFrame, idCol: Column, catCol: Column,
+                          lonCol: Column, latCol: Column,
+                          radiusMicro: Long): DataFrame = {
+    require(radiusMicro > 0, "radiusMicro must be positive")
+    val g = radiusMicro
+    val K = 1073741824L
+    val pts = feats.select(idCol.cast("long").as("id"),
+        catCol.cast("long").as("cat"),
+        (lonCol.cast("long") + 180000000L).as("wx"),
+        (latCol.cast("long") + 90000000L).as("wy"))
+      .where(col("wx").between(0L, 359999999L) &&
+        col("wy").between(0L, 179999999L))
+      .select(col("id"), col("cat"), col("wx"), col("wy"),
+        (expr(s"wx div $g") * K + expr(s"wy div $g")).as("cell"))
+      .localCheckpoint() // feeds ring side, cell side, totals, pair frame
+    val ring = array((for (dx <- -1 to 1; dy <- -1 to 1)
+      yield col("cell") + lit(dx.toLong * K + dy.toLong)): _*)
+    val a = pts.select(col("id").as("ida"), col("cat").as("cat_a"),
+      col("wx").as("ax"), col("wy").as("ay"), explode(ring).as("cell"))
+    val b = pts.select(col("id").as("idb"), col("cat").as("cat_b"),
+      col("wx").as("bx"), col("wy").as("by"), col("cell"))
+    val d2 = (col("ax") - col("bx")) * (col("ax") - col("bx")) +
+      (col("ay") - col("by")) * (col("ay") - col("by"))
+    val withB = a.join(b, "cell")
+      .where(col("ida") =!= col("idb") && d2 <= lit(radiusMicro * radiusMicro))
+      .groupBy("ida", "cat_a", "cat_b").agg(count(lit(1)).as("_w")).drop("_w")
+      .groupBy("cat_a", "cat_b").agg(count(lit(1)).as("_nw"))
+    val totals = pts.groupBy(col("cat").as("cat_a"))
+      .agg(count(lit(1)).as("n_total"))
+    totals.crossJoin(totals.select(col("cat_a").as("cat_b")).distinct())
+      .join(withB, Seq("cat_a", "cat_b"), "left")
+      .select(col("cat_a"), col("cat_b"),
+        coalesce(col("_nw"), lit(0L)).as("n_with"), col("n_total"))
+  }
 }

@@ -104,4 +104,53 @@ class PointPatternSpec extends AnyFunSuite {
     assert(got === bruteCross(as, bs, radii))
     assert(radii.map(got(_)._1).sliding(2).forall(w => w(0) < w(1)))
   }
+
+  private def runPart(pts: Seq[(Long, Long, Long, Long)], r: Long)
+      : Map[(Long, Long), (Long, Long)] =
+    PointPattern.participationCounts(pts.toDF("id", "cat", "lon", "lat"),
+        col("id"), col("cat"), col("lon"), col("lat"), r)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) ->
+        ((x.getLong(2), x.getLong(3)))).toMap
+
+  private def brutePart(pts: Seq[(Long, Long, Long, Long)], r: Long)
+      : Map[(Long, Long), (Long, Long)] = {
+    val cats = pts.map(_._2).distinct
+    (for (ca <- cats; cb <- cats) yield {
+      val as = pts.filter(_._2 == ca)
+      val nWith = as.count(a => pts.exists(b => b._2 == cb && b._1 != a._1 && {
+        val dx = a._3 - b._3; val dy = a._4 - b._4
+        dx * dx + dy * dy <= r * r
+      }))
+      (ca, cb) -> ((nWith.toLong, as.size.toLong))
+    }).toMap
+  }
+
+  test("participationCounts: witnesses dedup, self-id excluded, zero rows kept") {
+    // cat 0: two features at P and far Q; cat 1: TWO features near P
+    // (multiple witnesses must count the P-feature ONCE)
+    val pts = Seq((1L, 0L, 5000000L, 5000000L), (2L, 0L, 60000000L, 5000000L),
+      (3L, 1L, 5000100L, 5000000L), (4L, 1L, 5000000L, 5000200L),
+      // cat 2: a lone feature — (2,2) must read 0 of 1, not vanish
+      (5L, 2L, -80000000L, 0L))
+    val got = runPart(pts, 500000L)
+    assert(got === brutePart(pts, 500000L))
+    assert(got((0L, 1L)) === ((1L, 2L))) // only the P-feature participates
+    assert(got((1L, 0L)) === ((2L, 2L)))
+    assert(got((0L, 0L)) === ((0L, 2L))) // same-cat needs a DIFFERENT feature
+    assert(got((1L, 1L)) === ((2L, 2L)))
+    assert(got((2L, 2L)) === ((0L, 1L)) && got((2L, 0L)) === ((0L, 1L)))
+    assert(got.size === 9)
+  }
+
+  test("participationCounts: brute parity on mixed-category hub clusters") {
+    val rnd = new scala.util.Random(89)
+    val pts = (0L until 300L).map { i =>
+      val hub = (i % 7).toInt
+      (i, i % 4,
+        hub * 20000000L - 60000000L + rnd.nextLong(800001L) - 400000L,
+        hub * 15000000L - 45000000L + rnd.nextLong(800001L) - 400000L)
+    }
+    for (r <- Seq(200000L, 500000L))
+      assert(runPart(pts, r) === brutePart(pts, r), s"r=$r")
+  }
 }
