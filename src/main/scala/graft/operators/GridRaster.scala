@@ -388,6 +388,10 @@ object GridRaster {
     require(cellMicro > 0, "cellMicro must be positive")
     require(sources.nonEmpty, "need at least one source point")
     require(maxSteps >= 0 && maxSteps <= 64, "maxSteps in [0, 64]")
+    require(sources.forall { case (lonM, latM) =>
+      lonM >= -180000000L && lonM < 180000000L &&
+        latM >= -90000000L && latM < 90000000L },
+      "source points must lie inside the world")
     val g = cellMicro
     val maxX = 360000000L / g - 1; val maxY = 180000000L / g - 1
     val K = 1073741824L
