@@ -2233,6 +2233,23 @@ object SparkEntry {
           col("lonm"), col("latm"), radiusMicro = 300000L)
         .orderBy("cat_a", "cat_b")
     }),
+    // ---- CATCHMENT allocation (q9r): the q9j isochrone with an answer to
+    //      "reached by WHOM" — every occupied cell within 6 rook steps is
+    //      labeled by its nearest of 3 hub sources (ties → smaller index);
+    //      network Voronoi via the confluent (dist, label) relaxation.
+    "q9r_catchments" -> ((s, dir) => {
+      val hub = col("o_orderkey") % 37L
+      val pts = s.read.parquet(s"$dir/orders.parquet").select(
+        (Derive.lonMicro(hub) + (col("o_orderkey") * 48271L) % 9000001L
+          - 4500000L).as("lonm"),
+        (Derive.latMicro(hub) + ((col("o_orderkey") + 7L) * 16807L) % 9000001L
+          - 4500000L).as("latm"))
+      val sources = (0L until 3L).map(j =>
+        (Derive.lonMicroL(j), Derive.latMicroL(j)))
+      operators.GridRaster.catchments(pts, col("lonm"), col("latm"),
+          cellMicro = 2000000L, sources, maxSteps = 6)
+        .orderBy("cx", "cy")
+    }),
     // ---- STREAMING trajectory sessionization: the q82 semantics as managed
     //      state — one TripState record per live entity carried across THREE
     //      micro-batches (global (tus, oid) order split into tertile files,
@@ -3675,6 +3692,42 @@ object SparkEntry {
          |  CAST(COALESCE(nw.n_with, 0) AS BIGINT) AS n_with, f.n_total
          |FROM frame f LEFT JOIN nw USING (cat_a, cat_b)
          |ORDER BY 1, 2""".stripMargin,
+    "q9r_catchments" -> {
+      // q9j's chained relaxation with labels: per round, union then min
+      // dist per node, then min label among rows achieving it
+      val K = 1073741824L; val g = 2000000L
+      val d0 = (0L until 3L).map { j =>
+        val id = ((Derive.lonMicroL(j) + 180000000L) / g) * K +
+          (Derive.latMicroL(j) + 90000000L) / g
+        s"($id, 0, $j)"
+      }.mkString(", ")
+      val rounds = (1 to 6).map { k =>
+        s"""c$k AS (SELECT node, dist, lab FROM d${k - 1} UNION ALL
+           |  SELECT e.d AS node, d${k - 1}.dist + 1 AS dist, d${k - 1}.lab
+           |  FROM d${k - 1} JOIN e ON d${k - 1}.node = e.s),
+           |d$k AS (SELECT c.node, CAST(mm.m AS BIGINT) AS dist,
+           |  CAST(min(c.lab) AS BIGINT) AS lab
+           |  FROM c$k c JOIN (SELECT node, min(dist) AS m FROM c$k
+           |    GROUP BY node) mm ON mm.node = c.node AND c.dist = mm.m
+           |  GROUP BY c.node, mm.m)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pts AS (SELECT
+         |  ${Derive.lonSql("(o_orderkey % 37)")}
+         |    + (o_orderkey * 48271) % 9000001 - 4500000 + 180000000 AS wx,
+         |  ${Derive.latSql("(o_orderkey % 37)")}
+         |    + ((o_orderkey + 7) * 16807) % 9000001 - 4500000 + 90000000 AS wy
+         |  FROM orders),
+         |m AS (SELECT wx // $g AS px, wy // $g AS py FROM pts GROUP BY 1, 2),
+         |e0 AS (SELECT a.px * $K + a.py AS s, b.px * $K + b.py AS d
+         |  FROM m a JOIN m b ON (b.px = a.px + 1 AND b.py = a.py)
+         |    OR (b.px = a.px AND b.py = a.py + 1)),
+         |e AS MATERIALIZED (SELECT s, d FROM e0
+         |  UNION ALL SELECT d AS s, s AS d FROM e0),
+         |d0 AS (SELECT * FROM (VALUES $d0) t(node, dist, lab)),
+         |$rounds
+         |SELECT node // $K AS cx, node % $K AS cy, dist AS dist_steps,
+         |  lab AS src_id FROM d6 ORDER BY cx, cy""".stripMargin
+    },
     "q9a_areal_interp" ->
       // closed-form rect overlap + the same integer floor share
       s"""WITH f AS (SELECT c_custkey,

@@ -470,6 +470,53 @@ object GridRaster {
         when(col("side") === 2L, y0).otherwise(y0 + g).as("y2"))
   }
 
+  /** CATCHMENT / allocation raster — [[isochrone]] with an ANSWER to
+    * "reached by WHOM": every occupied cell reachable within H rook steps
+    * is labeled with its nearest source's index (ties → smallest index) —
+    * network-Voronoi service areas over the density mask ("which depot /
+    * hospital / antenna serves this block"). Same walkability semantics
+    * and composition as [[isochrone]], with [[Routing.labeledPaths]] (the
+    * lexicographic-(dist, label) confluent relaxation) as the engine.
+    *
+    * Output: (cx, cy, dist_steps, src_id) — src_id is the 0-based index
+    * into `sources`.
+    */
+  def catchments(points: DataFrame, lonCol: Column, latCol: Column,
+                 cellMicro: Long, sources: Seq[(Long, Long)], maxSteps: Int)
+      : DataFrame = {
+    require(cellMicro > 0, "cellMicro must be positive")
+    require(sources.nonEmpty, "need at least one source point")
+    require(maxSteps >= 0 && maxSteps <= 64, "maxSteps in [0, 64]")
+    require(sources.forall { case (lonM, latM) =>
+      lonM >= -180000000L && lonM < 180000000L &&
+        latM >= -90000000L && latM < 90000000L },
+      "source points must lie inside the world")
+    val g = cellMicro
+    val maxX = 360000000L / g - 1; val maxY = 180000000L / g - 1
+    val K = 1073741824L
+    val cells = points.select(
+        (lonCol.cast("long") + 180000000L).as("_wx"),
+        (latCol.cast("long") + 90000000L).as("_wy"))
+      .select(expr(s"_wx div $g").as("px"), expr(s"_wy div $g").as("py"))
+      .where(col("px").between(0L, maxX) && col("py").between(0L, maxY))
+      .groupBy("px", "py").agg(count(lit(1)).as("n"))
+      .select((col("px") * K + col("py")).as("k"))
+    val half = cells.select(col("k").as("ka"),
+        explode(array(col("k") + K, col("k") + 1L)).as("kb"))
+      .join(cells.select(col("k").as("kb")), "kb")
+    val edges = half.select(col("ka").as("s"), col("kb").as("d"))
+      .union(half.select(col("kb").as("s"), col("ka").as("d")))
+      .withColumn("w", lit(1L))
+    val srcIds = sources.zipWithIndex.map { case ((lonM, latM), i) =>
+      (((lonM + 180000000L) / g) * K + (latM + 90000000L) / g, i.toLong)
+    }
+    Routing.labeledPaths(edges, col("s"), col("d"), col("w"),
+        srcIds, maxSteps)
+      .select(expr(s"node div ${K}L").as("cx"),
+        (col("node") % K).as("cy"), col("dist").as("dist_steps"),
+        col("lab").as("src_id"))
+  }
+
   /** SOBEL GRADIENT raster — slope and aspect of the point-density surface
     * [Sobel operator; the Horn-slope shape on a count DEM]: per cell, the
     * 3×3 Sobel responses gx, gy and the squared magnitude g² = gx² + gy² —

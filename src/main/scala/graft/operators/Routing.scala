@@ -77,4 +77,58 @@ object Routing {
     }
     dist
   }
+
+  /** LABELED multi-source shortest paths — [[shortestPaths]] where every
+    * source carries a LABEL and each node reports the label of its nearest
+    * source (ties → smallest label): the allocation/catchment verb
+    * ("which depot serves this node"), i.e. network Voronoi. The
+    * per-round reduction is the lexicographic min over (dist, label) —
+    * monotone in that lattice, so the relaxation is confluent and the
+    * bounded prefix d_H is engine-invariant like the unlabeled operator.
+    *
+    * Output: (node, dist, label) for every node reachable in ≤ H hops.
+    *
+    * Plan: identical Pregel discipline; the per-node reduction runs
+    * through [[graft.functions.ArgMinLongsAgg]] (ObjectHashAggregate,
+    * map-side partial argmin, no sort node — `min(struct)` would plan a
+    * SortAggregate on both sides of the exchange).
+    */
+  def labeledPaths(edges: DataFrame, src: Column, dst: Column, w: Column,
+                   sources: Seq[(Long, Long)], maxHops: Int): DataFrame = {
+    require(maxHops >= 0 && maxHops <= 64, "maxHops must be in [0, 64]")
+    require(sources.nonEmpty, "need at least one (source, label)")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(src.cast("long").as("_src"),
+        dst.cast("long").as("_dst"), w.cast("long").as("_w"))
+      .where(col("_w") >= 0L)
+      .localCheckpoint()
+    // duplicate source nodes collapse to their smallest label up front
+    var dist = sources.groupBy(_._1).map { case (n, ls) =>
+        (n, ls.map(_._2).min)
+      }.toSeq.toDF("node", "lab")
+      .select(col("node"), lit(0L).as("dist"), col("lab"))
+      .localCheckpoint()
+    var round = 0
+    var converged = false
+    while (round < maxHops && !converged) {
+      val relaxed = dist.join(e, col("node") === col("_src"))
+        .select(col("_dst").as("node"), (col("dist") + col("_w")).as("dist"),
+          col("lab"))
+      val next = dist.union(relaxed)
+        .groupBy("node")
+        .agg(graft.functions.ArgMinLongsAgg.argminLongs(
+          struct(col("dist"), col("lab"))).as("_m"))
+        .select(col("node"), col("_m.dist").as("dist"), col("_m.lab").as("lab"))
+        .localCheckpoint()
+      converged = next.join(dist.withColumnRenamed("dist", "_od")
+          .withColumnRenamed("lab", "_ol"), Seq("node"), "left")
+        .where(col("_od").isNull || col("dist") < col("_od") ||
+          (col("dist") === col("_od") && col("lab") < col("_ol")))
+        .limit(1).count() == 0
+      dist = next
+      round += 1
+    }
+    dist
+  }
 }

@@ -493,6 +493,26 @@ class GridRasterSpec extends AnyFunSuite {
     assert(capped === bruteIso(mask, g, src, 3))
   }
 
+  test("catchments: corridor splits at the midpoint tie toward the smaller src_id") {
+    val g = 1000000L
+    def at(px: Long, py: Long): (Long, Long) =
+      (px * g - 180000000L + g / 2, py * g - 90000000L + g / 2)
+    // corridor (10..16, 10); sources at its two ends
+    val mask = (10L to 16L).map(at(_, 10))
+    val got = GridRaster.catchments(mask.toDF("lon", "lat"), col("lon"),
+        col("lat"), g, Seq(at(10, 10), at(16, 10)), 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got === Map(
+      (10L, 10L) -> ((0L, 0L)), (11L, 10L) -> ((1L, 0L)),
+      (12L, 10L) -> ((2L, 0L)), (13L, 10L) -> ((3L, 0L)), // tie → src 0
+      (14L, 10L) -> ((2L, 1L)), (15L, 10L) -> ((1L, 1L)),
+      (16L, 10L) -> ((0L, 1L))))
+    // dist agrees with the unlabeled isochrone on the same input
+    val iso = runIso(mask, g, Seq(at(10, 10), at(16, 10)), 6)
+    assert(got.view.mapValues(_._1).toMap === iso)
+  }
+
   test("isochrone: brute parity on the clustered scatter from hub sources") {
     val rnd = new scala.util.Random(61)
     val centers = (0 until 6).map { _ =>
