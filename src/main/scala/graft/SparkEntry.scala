@@ -2250,6 +2250,26 @@ object SparkEntry {
           cellMicro = 2000000L, sources, maxSteps = 6)
         .orderBy("cx", "cy")
     }),
+    // ---- NEXT-LOCATION eval (q9s): how predictable is the corpus — fit
+    //      the global transition matrix on each user's first 70% of
+    //      visits, predict test-transition destinations (argmax, ties to
+    //      min cell), unseen from-cells are honest misses; ONE int row.
+    "q9s_next_cell_eval" -> ((s, dir) => {
+      val hub = col("user_id") % 13L
+      val tusC = unix_micros(col("ts").cast("timestamp"))
+      val slot = expr("(unix_micros(cast(ts as timestamp)) " +
+        "- 1704067200000000) div 259200000000")
+      val ev = s.read.parquet(s"$dir/events.parquet").select(
+        col("user_id"), tusC.as("tus"), col("event_id").as("oid"),
+        (Derive.lonMicro(hub)
+          + ((col("user_id") * 31L + slot * 7L) * 48271L) % 600001L - 300000L
+          + (col("event_id") * 7919L) % 200001L - 100000L).as("lonm"),
+        (Derive.latMicro(hub)
+          + ((col("user_id") * 17L + slot * 11L) * 16807L) % 600001L - 300000L
+          + ((col("event_id") + 3L) * 104729L) % 200001L - 100000L).as("latm"))
+      Trajectory.nextCellEval(ev, col("user_id"), col("tus"), col("oid"),
+          col("lonm"), col("latm"), cellMicro = 400000L, trainPermille = 700)
+    }),
     // ---- STREAMING trajectory sessionization: the q82 semantics as managed
     //      state — one TripState record per live entity carried across THREE
     //      micro-batches (global (tus, oid) order split into tertile files,
@@ -3728,6 +3748,46 @@ object SparkEntry {
          |SELECT node // $K AS cx, node % $K AS cy, dist AS dist_steps,
          |  lab AS src_id FROM d6 ORDER BY cx, cy""".stripMargin
     },
+    "q9s_next_cell_eval" ->
+      // stay-chain replay → indexed visits → split → argmax model via
+      // row_number (c DESC, tx, ty) → honest-miss left join
+      s"""WITH f AS (SELECT user_id AS ent, epoch_us(ts) AS tus,
+         |  event_id AS oid,
+         |  ${Derive.lonSql("(user_id % 13)")}
+         |    + ((user_id * 31 + ((epoch_us(ts) - 1704067200000000)
+         |        // 259200000000) * 7) * 48271) % 600001 - 300000
+         |    + (event_id * 7919) % 200001 - 100000 AS lon,
+         |  ${Derive.latSql("(user_id % 13)")}
+         |    + ((user_id * 17 + ((epoch_us(ts) - 1704067200000000)
+         |        // 259200000000) * 11) * 16807) % 600001 - 300000
+         |    + ((event_id + 3) * 104729) % 200001 - 100000 AS lat
+         |  FROM events),
+         |c AS (SELECT ent, tus, oid, (lon + 180000000) // 400000 AS cx,
+         |  (lat + 90000000) // 400000 AS cy FROM f),
+         |l AS (SELECT *, CASE WHEN lag(cx) OVER w IS NULL
+         |    OR lag(cx) OVER w <> cx OR lag(cy) OVER w <> cy
+         |  THEN 1 ELSE 0 END AS nw FROM c
+         |  WINDOW w AS (PARTITION BY ent ORDER BY tus, oid)),
+         |r AS (SELECT *, sum(nw) OVER (PARTITION BY ent ORDER BY tus, oid
+         |  ROWS UNBOUNDED PRECEDING) AS run FROM l),
+         |v0 AS (SELECT ent, run, min(cx) AS cx, min(cy) AS cy
+         |  FROM r GROUP BY 1, 2),
+         |vi AS (SELECT ent, row_number() OVER (PARTITION BY ent
+         |    ORDER BY run) AS i,
+         |  count(*) OVER (PARTITION BY ent) AS n, cx, cy FROM v0),
+         |tr AS MATERIALIZED (SELECT a.ent, b.cx AS fx, b.cy AS fy,
+         |  a.cx AS tx, a.cy AS ty, a.i <= (a.n * 700) // 1000 AS train
+         |  FROM vi a JOIN vi b ON b.ent = a.ent AND b.i = a.i - 1),
+         |mc AS (SELECT fx, fy, tx, ty, count(*) AS c FROM tr
+         |  WHERE train GROUP BY 1, 2, 3, 4),
+         |md AS (SELECT fx, fy, tx AS px, ty AS py FROM (SELECT *,
+         |  row_number() OVER (PARTITION BY fx, fy
+         |    ORDER BY c DESC, tx, ty) AS rn FROM mc) WHERE rn = 1)
+         |SELECT count(*) AS n_test,
+         |  CAST(COALESCE(sum(CASE WHEN md.px = tr.tx AND md.py = tr.ty
+         |    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hit
+         |FROM tr LEFT JOIN md ON md.fx = tr.fx AND md.fy = tr.fy
+         |WHERE NOT tr.train""".stripMargin,
     "q9a_areal_interp" ->
       // closed-form rect overlap + the same integer floor share
       s"""WITH f AS (SELECT c_custkey,

@@ -472,6 +472,82 @@ object Trajectory {
         col("_cy").as("cy"), col("dwell_us"), col("n_fixes"))
   }
 
+  /** NEXT-LOCATION prediction evaluation — the eval harness for the
+    * first-order mobility model: split every entity's VISIT sequence by
+    * time (first ⌊trainPermille·n/1000⌋ visits train, the rest test),
+    * fit the global [[cellTransitions]] matrix on the train transitions,
+    * predict each test transition's destination as the train-argmax
+    * successor of its from-cell (ties → lexicographically smallest cell),
+    * and count hits — the "how predictable is this corpus" number
+    * [Song et al. 2010's question, evaluated the way a next-POI baseline
+    * is]. A from-cell never seen in training predicts nothing and counts
+    * as a MISS (the honest convention — excluding unseen states inflates
+    * hit rates).
+    *
+    * Everything is integer-deterministic: the split index is an integer
+    * floor per entity, the argmax tie-breaks on the cell key, and the
+    * output is ONE row (n_test, n_hit) — the hit RATE is the consumer's
+    * division.
+    *
+    * Plan: ONE entity exchange builds visits, indices and the per-entity
+    * count (the agg keys refine the window partitioning throughout); the
+    * model is a (from, to) hash count + per-from argmax through
+    * [[graft.functions.ArgMinLongsAgg]] (no sort, no window over the
+    * matrix); eval is one equi-join of test transitions against the
+    * from-keyed model. No driver-side structure.
+    */
+  def nextCellEval(fixes: DataFrame, entity: Column, tUs: Column,
+                   orderId: Column, lon: Column, lat: Column,
+                   cellMicro: Long, trainPermille: Int = 700,
+                   lonShift: Long = 180000000L, latShift: Long = 90000000L)
+      : DataFrame = {
+    require(cellMicro > 0, "cellMicro must be positive")
+    require(trainPermille >= 1 && trainPermille <= 999,
+      "trainPermille in [1, 999]")
+    val w = Window.partitionBy(col("_ent")).orderBy(col("_tus"), col("_oid"))
+    val wr = Window.partitionBy(col("_ent")).orderBy(col("_run"))
+    val g = cellMicro
+    val base = fixes.select(entity.cast("long").as("_ent"),
+        tUs.cast("long").as("_tus"), orderId.cast("long").as("_oid"),
+        lon.cast("long").as("_lon"), lat.cast("long").as("_lat"))
+      .select(col("_ent"), col("_tus"), col("_oid"),
+        expr(s"(_lon + $lonShift) div $g").as("_cx"),
+        expr(s"(_lat + $latShift) div $g").as("_cy"))
+    val trans = base
+      .withColumn("_new",
+        when(lag(col("_cx"), 1).over(w).isNull
+            || lag(col("_cx"), 1).over(w) =!= col("_cx")
+            || lag(col("_cy"), 1).over(w) =!= col("_cy"), 1L)
+          .otherwise(0L))
+      .withColumn("_run",
+        sum(col("_new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("_ent"), col("_run"))
+      .agg(min(col("_cx")).as("_cx"), min(col("_cy")).as("_cy"))
+      .withColumn("_i", row_number().over(wr).cast("long"))
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy(col("_ent"))))
+      .withColumn("_pcx", lag(col("_cx"), 1).over(wr))
+      .withColumn("_pcy", lag(col("_cy"), 1).over(wr))
+      .where(col("_pcx").isNotNull)
+      // transition arriving at visit i is TRAIN iff i ≤ ⌊p·n/1000⌋
+      .withColumn("_train",
+        col("_i") <= expr(s"(_n * $trainPermille) div 1000"))
+      .select(col("_pcx").as("fx"), col("_pcy").as("fy"),
+        col("_cx").as("tx"), col("_cy").as("ty"), col("_train"))
+      .localCheckpoint() // feeds the model and the eval side
+    val model = trans.where(col("_train"))
+      .groupBy("fx", "fy", "tx", "ty").agg(count(lit(1)).as("_c"))
+      .groupBy("fx", "fy")
+      .agg(graft.functions.ArgMinLongsAgg.argminLongs(
+        struct((-col("_c")).as("nc"), col("tx"), col("ty"))).as("_p"))
+      .select(col("fx"), col("fy"), col("_p.tx").as("px"),
+        col("_p.ty").as("py"))
+    trans.where(!col("_train"))
+      .join(model, Seq("fx", "fy"), "left")
+      .agg(count(lit(1)).as("n_test"),
+        coalesce(sum(when(col("px") === col("tx") && col("py") === col("ty"),
+          1L).otherwise(0L)), lit(0L)).as("n_hit"))
+  }
+
   /** GPS TELEPORT flagging — the cleaning verb in front of every
     * trajectory pipeline: flag fixes whose implied speed from the previous
     * fix exceeds `maxSpeed` (µdeg/second) — device glitches, tower jumps,

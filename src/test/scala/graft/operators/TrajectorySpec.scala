@@ -269,6 +269,74 @@ class TrajectorySpec extends AnyFunSuite {
     assert(got.exists(_._4 === 100L))
   }
 
+  // ---- nextCellEval ----
+
+  private def runEval(rows: Seq[(Long, Long, Long, Long, Long)], g: Long,
+                      pm: Int): (Long, Long) = {
+    import spark.implicits._
+    val r = Trajectory.nextCellEval(rows.toDF("ent", "tus", "oid", "lon", "lat"),
+        col("ent"), col("tus"), col("oid"), col("lon"), col("lat"), g, pm)
+      .collect().head
+    (r.getLong(0), r.getLong(1))
+  }
+
+  private def bruteEval(rows: Seq[(Long, Long, Long, Long, Long)], g: Long,
+                        pm: Int): (Long, Long) = {
+    val seqs = rows.groupBy(_._1).view.mapValues { evs =>
+      evs.sortBy(e => (e._2, e._3))
+        .map(e => ((e._4 + 180000000L) / g, (e._5 + 90000000L) / g))
+        .foldLeft(List.empty[(Long, Long)]) {
+          case (acc, c) if acc.headOption.contains(c) => acc
+          case (acc, c) => c :: acc
+        }.reverse.toVector
+    }.toMap
+    val labeled = seqs.values.toSeq.flatMap { v =>
+      val cut = v.length.toLong * pm / 1000
+      (1 until v.length).map(i => (v(i - 1), v(i), (i + 1).toLong <= cut))
+    }
+    val model = labeled.filter(_._3).groupBy(t => (t._1, t._2))
+      .map { case (k, g0) => k -> g0.size.toLong }
+      .groupBy(_._1._1).map { case (from, tos) =>
+        from -> tos.toSeq.map { case ((_, to), c) => (-c, to) }.min._2
+      }
+    val test = labeled.filterNot(_._3)
+    (test.size.toLong,
+      test.count(t => model.get(t._1).contains(t._2)).toLong)
+  }
+
+  test("nextCellEval: alternation predicts, unseen from-cell is a miss, ties to min cell") {
+    val g = 1000000L
+    def f(ent: Long, t: Long, px: Long, py: Long) =
+      (ent, t, t, px * g - 180000000L + g / 2, py * g - 90000000L + g / 2)
+    def walk(ent: Long, cells: Seq[(Long, Long)]) =
+      cells.zipWithIndex.map { case ((x, y), i) => f(ent, i + 1L, x, y) }
+    val A = (10L, 10L); val B = (20L, 20L); val C = (30L, 30L)
+    val D = (40L, 40L); val E = (50L, 50L)
+    val F = (60L, 60L); val G = (70L, 70L); val H = (80L, 80L)
+    val rows =
+      walk(1, Seq(A, B, A, B, A, B, A, B, A, B)) ++ // test i=8,9,10: 3 hits
+      walk(2, Seq(C, D, E)) ++                      // test D→E: D unseen, miss
+      walk(3, Seq(F, G, F, H, F, G))                // F ties G/H → G; 1 of 2
+    assert(runEval(rows, g, 700) === ((6L, 4L)))
+    assert(bruteEval(rows, g, 700) === ((6L, 4L)))
+  }
+
+  test("nextCellEval: brute parity on the jittered slotted stream across splits") {
+    val rnd = new scala.util.Random(101)
+    val rows = (0 until 8).flatMap { e =>
+      var t = 0L
+      (0 until 150).map { i =>
+        t += rnd.nextLong(1000L) + 1L
+        val slot = i / 10
+        (e.toLong, t, i.toLong,
+          (e % 3) * 10000000L + (slot % 4) * 2000000L + rnd.nextLong(600001L) - 300000L,
+          (e % 3) * 8000000L + (slot % 4) * 1500000L + rnd.nextLong(600001L) - 300000L)
+      }
+    }
+    for (pm <- Seq(500, 700, 900))
+      assert(runEval(rows, 1000000L, pm) === bruteEval(rows, 1000000L, pm), s"pm=$pm")
+  }
+
   // ---- gridFrechet ----
 
   private def runFrechet(rows: Seq[(Long, Long, Long, Long, Long)], g: Long,
