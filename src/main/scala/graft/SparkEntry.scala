@@ -2270,6 +2270,15 @@ object SparkEntry {
       Trajectory.nextCellEval(ev, col("user_id"), col("tus"), col("oid"),
           col("lonm"), col("latm"), cellMicro = 400000L, trainPermille = 700)
     }),
+    // ---- WHT frequency-energy profile (q9t): integer-exact spectral
+    //      sharpness over the corpus — per-image sequency-band L1 energies
+    //      summed corpus-wide; the decode+pool+WHT chain must reproduce
+    //      the generator's bit-grid spectrum exactly.
+    "q9t_wht_energy" -> ((s, dir) => {
+      operators.Multimodal.whtEnergy(Fixtures.images(s, 5000))
+        .agg(count(lit(1)).as("n_images"), sum("dc_e").as("dc_total"),
+          sum("low_e").as("low_total"), sum("high_e").as("high_total"))
+    }),
     // ---- STREAMING trajectory sessionization: the q82 semantics as managed
     //      state — one TripState record per live entity carried across THREE
     //      micro-batches (global (tus, oid) order split into tertile files,
@@ -3788,6 +3797,29 @@ object SparkEntry {
          |    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hit
          |FROM tr LEFT JOIN md ON md.fx = tr.fx AND md.fy = tr.fy
          |WHERE NOT tr.train""".stripMargin,
+    "q9t_wht_energy" -> {
+      // generator replay: direct-definition 2D WHT of each phash bit grid
+      val seq = Array(0, 7, 3, 4, 1, 6, 2, 5)
+      var n = 0L; var dct = 0L; var lot = 0L; var hit = 0L
+      (0L until 5000L).foreach { i =>
+        val (lon, lat) = graft.fixtures.Fixtures.locOf(i)
+        val p = graft.core.PhashLoc.encode(lon, lat)
+        def g(b: Int) = if (((p >>> b) & 1L) == 1L) 200L else 50L
+        for (u <- 0 until 8; x <- 0 until 8) {
+          val c = (for (gy <- 0 until 8; gx <- 0 until 8) yield {
+            val sgn = java.lang.Integer.bitCount(u & gy) +
+              java.lang.Integer.bitCount(x & gx)
+            if (sgn % 2 == 0) g(gy * 8 + gx) else -g(gy * 8 + gx)
+          }).sum
+          val e = math.abs(c)
+          if (u == 0 && x == 0) dct += e
+          else if (seq(u) + seq(x) < 8) lot += e else hit += e
+        }
+        n += 1
+      }
+      s"SELECT CAST($n AS BIGINT) AS n_images, CAST($dct AS BIGINT) AS dc_total, " +
+        s"CAST($lot AS BIGINT) AS low_total, CAST($hit AS BIGINT) AS high_total"
+    },
     "q9a_areal_interp" ->
       // closed-form rect overlap + the same integer floor share
       s"""WITH f AS (SELECT c_custkey,

@@ -110,6 +110,105 @@ object Multimodal {
       }(enc)
   }
 
+  private val whtSchema = StructType(Seq(
+    StructField("phash", LongType), StructField("dc_e", LongType),
+    StructField("low_e", LongType), StructField("high_e", LongType)))
+
+  /** WALSH–HADAMARD frequency-energy profile — the frequency-domain
+    * sharpness gate, integer-exact where DCT is not: decode → 8×8 exact
+    * mean-pool (the [[objectCount]] grid) → 2D WHT of the 64 pooled values
+    * (±1 butterflies only — every coefficient is an exact int64) → L1
+    * energies by SEQUENCY band (sequency = sign changes of the Walsh
+    * function; the natural-order butterfly index is NOT a frequency, so
+    * each axis index maps through the n=8 natural→sequency table): DC,
+    * LOW (0 < seq(u)+seq(x) < 8), HIGH (≥ 8). high/low is the consumer's
+    * blur-vs-texture ratio; a flat image is all-DC and a block
+    * checkerboard all-HIGH (both spec-pinned poles). Complements
+    * [[rasterTv]] (spatial gradient) with the spectral view a
+    * compression-aware curation pipeline wants.
+    *
+    * Output: (phash, dc_e, low_e, high_e) per image — decode-once narrow
+    * map kernel, 32 B/row, no shuffle.
+    */
+  def whtEnergy(images: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(whtSchema)
+    images.select("bytes", "w", "h", "fmt", "phash")
+      .mapPartitions { it =>
+        val v = new Array[Long](64)
+        // natural (Hadamard) butterfly index → sequency, n = 8
+        val seq = Array(0, 7, 3, 4, 1, 6, 2, 5)
+        it.map { r =>
+          val (bytes, w, h, fmt, phash) = (r.getAs[Array[Byte]](0),
+            r.getInt(1), r.getInt(2), r.getString(3), r.getLong(4))
+          require(w % 8 == 0 && h % 8 == 0, s"dims ${w}x$h not 8-divisible")
+          val px = decodeAny(bytes, fmt, w, h)
+          val bw = w / 8; val bh = h / 8; val cellPx = bw.toLong * bh
+          var gy = 0
+          while (gy < 8) {
+            var gx = 0
+            while (gx < 8) {
+              var sum = 0L; var y = gy * bh
+              while (y < (gy + 1) * bh) {
+                val base = y * w + gx * bw; var i = 0
+                while (i < bw) { sum += (px(base + i) & 0xff); i += 1 }
+                y += 1
+              }
+              v(gy * 8 + gx) = sum / cellPx
+              gx += 1
+            }
+            gy += 1
+          }
+          // in-place 2D WHT: rows then columns, 3 butterfly stages each
+          var stride = 1
+          while (stride < 8) { // rows
+            var row = 0
+            while (row < 8) {
+              var j = 0
+              while (j < 8) {
+                if ((j / stride) % 2 == 0) {
+                  val a = v(row * 8 + j); val b = v(row * 8 + j + stride)
+                  v(row * 8 + j) = a + b; v(row * 8 + j + stride) = a - b
+                }
+                j += 1
+              }
+              row += 1
+            }
+            stride *= 2
+          }
+          stride = 1
+          while (stride < 8) { // columns
+            var colI = 0
+            while (colI < 8) {
+              var j = 0
+              while (j < 8) {
+                if ((j / stride) % 2 == 0) {
+                  val a = v(j * 8 + colI); val b = v((j + stride) * 8 + colI)
+                  v(j * 8 + colI) = a + b; v((j + stride) * 8 + colI) = a - b
+                }
+                j += 1
+              }
+              colI += 1
+            }
+            stride *= 2
+          }
+          var dc = 0L; var lo = 0L; var hi = 0L
+          var u = 0
+          while (u < 8) {
+            var x = 0
+            while (x < 8) {
+              val e = math.abs(v(u * 8 + x))
+              if (u == 0 && x == 0) dc += e
+              else if (seq(u) + seq(x) < 8) lo += e
+              else hi += e
+              x += 1
+            }
+            u += 1
+          }
+          Row(phash, dc, lo, hi)
+        }
+      }(enc)
+  }
+
   private val thumbSchema = StructType(Seq(
     StructField("image_id", StringType), StructField("w", IntegerType),
     StructField("h", IntegerType), StructField("thumb", BinaryType),

@@ -451,6 +451,55 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  /** Direct-definition 2D WHT of a phash's 200/50 block grid. */
+  private def bruteWht(p: Long): (Long, Long, Long) = {
+    def g(i: Int) = if (((p >>> i) & 1L) == 1L) 200L else 50L
+    val seq = Array(0, 7, 3, 4, 1, 6, 2, 5)
+    var dc = 0L; var lo = 0L; var hi = 0L
+    for (u <- 0 until 8; x <- 0 until 8) {
+      val c = (for (gy <- 0 until 8; gx <- 0 until 8) yield {
+        val sgn = java.lang.Long.bitCount((u & gy) | ((x & gx) << 8))
+        if (sgn % 2 == 0) g(gy * 8 + gx) else -g(gy * 8 + gx)
+      }).sum
+      val e = math.abs(c)
+      if (u == 0 && x == 0) dc += e
+      else if (seq(u) + seq(x) < 8) lo += e else hi += e
+    }
+    (dc, lo, hi)
+  }
+
+  test("whtEnergy: flat = all-DC, checkerboard = all-HIGH, brute parity across codecs") {
+    import spark.implicits._
+    val rows = Seq((0L, 32, 32, "raw"), (0x55AA55AA55AA55AAL, 64, 32, "png"),
+      (0x123456789ABCDEF0L, 96, 64, "webp"), (-1L, 64, 64, "raw"))
+      .map { case (p, w, h, fmt) =>
+        val px = ImageCodec.pixelsFromHash(p, w, h)
+        val bytes = fmt match {
+          case "png"  => ImageCodec.encodePng(px, w, h)
+          case "webp" => ImageCodec.encodeWebp(px, w, h)
+          case _      => px
+        }
+        (p, bytes, w, h, fmt)
+      }
+    val got = Multimodal.whtEnergy(
+        rows.map(r => (r._1, r._2, r._3, r._4, r._5))
+          .toDF("phash", "bytes", "w", "h", "fmt"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // flat: DC = 64·50, zero AC; full: DC = 64·200
+    assert(got(0L) === ((3200L, 0L, 0L)))
+    assert(got(-1L) === ((12800L, 0L, 0L)))
+    // checkerboard: DC = 64·125, ALL remaining energy in the (1,1)
+    // sequency-14 coefficient = 64·75
+    assert(got(0x55AA55AA55AA55AAL) === ((8000L, 0L, 4800L)))
+    rows.foreach { case (p, _, _, _, _) => assert(got(p) === bruteWht(p), p) }
+    // fixture corpus parity (all formats, both dims)
+    Multimodal.whtEnergy(imgs).collect().foreach { r =>
+      assert(((r.getLong(1), r.getLong(2), r.getLong(3)))
+        === bruteWht(r.getLong(0)))
+    }
+  }
+
   test("bmp and gif decode are real and lossless for gray fixtures") {
     val px = ImageCodec.pixelsFromHash(0xBEEF_CAFEL, 64, 64)
     assert(ImageCodec.decode(ImageCodec.encodeBmp(px, 64, 64), "bmp", 64, 64)
