@@ -33,7 +33,7 @@ import org.apache.spark.sql.functions._
   *      codegen, no UDF.
   *   3. degree count = one hash aggregate; core = degree >= minPts.
   *   4. components via [[Dedup.dupClusters]] — min-label propagation +
-  *      pointer doubling, O(log diameter) rounds, convergence `require`d.
+  *      star contraction, O(log² n) rounds, convergence `require`d.
   *   5. border labels = one more aggregate over the (non-core, core)
   *      neighbor edges.
   *
