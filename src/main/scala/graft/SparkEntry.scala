@@ -2279,6 +2279,21 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_images"), sum("dc_e").as("dc_total"),
           sum("low_e").as("low_total"), sum("high_e").as("high_total"))
     }),
+    // ---- ST-DBSCAN (q9u): spatiotemporal density clustering [Birant & Kut
+    //      2007] — q7m's spatial layout with a 3-phase pseudo-time, so each
+    //      spatial cluster splits into per-phase EVENTS (within-phase jitter
+    //      <= 5 ms < eps2 = 6 ms << the 20 ms phase gap). Same deterministic
+    //      rule set; candidates from the (eps-cell × τ-bucket) grid — the
+    //      co-location blocking — never an all-pairs stage; the oracle is
+    //      the quadratic recursive min-propagation CTE with BOTH predicates.
+    "q9u_st_dbscan" -> ((s, dir) => {
+      val pts = customerPts(s, dir).withColumn("tus",
+        ((col("c_custkey") * 104729L) % 3L) * 20000000L
+          + (col("c_custkey") * 7919L) % 5000001L)
+      Dbscan.clusterST(pts, col("c_custkey"), col("lonm"), col("latm"),
+          col("tus"), eps1 = 8000000L, eps2 = 6000000L, minPts = 3)
+        .orderBy("id")
+    }),
     // ---- STREAMING trajectory sessionization: the q82 semantics as managed
     //      state — one TripState record per live entity carried across THREE
     //      micro-batches (global (tus, oid) order split into tertile files,
@@ -2803,12 +2818,33 @@ object SparkEntry {
        |SELECT ent AS entity, fence_id, tus, CAST(i AS BIGINT) AS enter
        |FROM l WHERE i <> pi ORDER BY entity, fence_id, tus""".stripMargin
 
-  private def dbscanCteSql: String =
-    s"""WITH RECURSIVE pts AS (SELECT c_custkey AS id,
+  private def dbscanCteSql: String = dbscanCteSqlBody(
+    s"""SELECT c_custkey AS id,
        |  ${Derive.lonSql("c_custkey")} AS x, ${Derive.latSql("c_custkey")} AS y
-       |  FROM customer),
+       |  FROM customer""".stripMargin,
+    "(a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 25000000000000")
+
+  /** q9u twin: q7m's spatial CTE with the 3-phase pseudo-time and the
+    * conjunctive ST neighborhood predicate.
+    */
+  private def stDbscanCteSql: String = dbscanCteSqlBody(
+    s"""SELECT c_custkey AS id,
+       |  ${Derive.lonSql("c_custkey")} AS x, ${Derive.latSql("c_custkey")} AS y,
+       |  ((c_custkey * 104729) % 3) * 20000000
+       |    + (c_custkey * 7919) % 5000001 AS t
+       |  FROM customer""".stripMargin,
+    """(a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 64000000000000
+      |    AND abs(a.t - b.t) <= 6000000""".stripMargin)
+
+  /** Quadratic-neighbor recursive min-propagation DBSCAN labeling, shared
+    * by the spatial (q7m/q7p) and spatiotemporal (q9u) twins: `ptsSql`
+    * defines (id, x, y[, t]), `nbrPred` the neighborhood predicate over
+    * aliases a/b; minPts = 3 in both uses.
+    */
+  private def dbscanCteSqlBody(ptsSql: String, nbrPred: String): String =
+    s"""WITH RECURSIVE pts AS ($ptsSql),
        |nbr AS (SELECT a.id AS ida, b.id AS idb FROM pts a, pts b
-       |  WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 25000000000000),
+       |  WHERE $nbrPred),
        |core AS (SELECT ida AS id FROM nbr GROUP BY ida HAVING count(*) >= 3),
        |ce AS (SELECT n.ida, n.idb FROM nbr n
        |  JOIN core a ON n.ida = a.id JOIN core b ON n.idb = b.id),
@@ -3820,6 +3856,9 @@ object SparkEntry {
       s"SELECT CAST($n AS BIGINT) AS n_images, CAST($dct AS BIGINT) AS dc_total, " +
         s"CAST($lot AS BIGINT) AS low_total, CAST($hit AS BIGINT) AS high_total"
     },
+    "q9u_st_dbscan" ->
+      s"""$stDbscanCteSql
+         |SELECT id, cluster FROM lbl ORDER BY id""".stripMargin,
     "q9a_areal_interp" ->
       // closed-form rect overlap + the same integer floor share
       s"""WITH f AS (SELECT c_custkey,

@@ -73,12 +73,72 @@ object Dbscan {
       .select("id_a", "id_b")
   }
 
+  /** ST neighbor pairs (id_a, id_b) with dist² <= eps1² AND |Δt| <= eps2,
+    * self-pairs included — the [[neighborPairs]] grid extended with a time
+    * axis per the co-location blocking discipline
+    * ([[Trajectory.coLocation]]): the home side keeps its ONE
+    * (cell, τ-bucket) key, the probe side explodes 3×3 spatial ring ×
+    * {tb−1, tb, tb+1}. Containment: |Δt| <= eps2 bounds the τ-bucket gap
+    * by 1 for any sign of t (bucket boundaries are eps2 apart; a closed
+    * interval of length eps2 spans at most one boundary — trunc vs floor
+    * only re-labels the bucket at 0, never widens a gap past 1). The 27
+    * (cell, tb) ring keys are distinct, so each ordered pair is produced
+    * exactly once — no dedup exchange. Exact int64 predicates decide.
+    */
+  def neighborPairsST(pts: DataFrame, id: Column, x: Column, y: Column,
+                      t: Column, eps1: Long, eps2: Long): DataFrame = {
+    require(eps1 > 0 && eps2 > 0, "eps1/eps2 must be positive")
+    val p = pts.select(id.as("id"), x.as("x"), y.as("y"), t.cast("long").as("t"))
+    val cxa = expr(s"(x + $LON_OFF) div $eps1")
+    val cya = expr(s"(y + $LAT_OFF) div $eps1")
+    val tb = expr(s"t div ${eps2}L")
+    val home = p.select(col("id").as("id_a"), col("x").as("xa"),
+      col("y").as("ya"), col("t").as("ta"),
+      (cxa * 1073741824L + cya).as("cell"), tb.as("tb"))
+    val ringCells = array((for (dx <- -1 to 1; dy <- -1 to 1) yield {
+      ((cxa + dx) * 1073741824L + (cya + dy))
+    }): _*)
+    val ring = p.select(col("id").as("id_b"), col("x").as("xb"),
+        col("y").as("yb"), col("t").as("tbt"),
+        explode(ringCells).as("cell"), tb.as("_tb0"))
+      .select(col("id_b"), col("xb"), col("yb"), col("tbt"), col("cell"),
+        explode(array(col("_tb0") - 1L, col("_tb0"), col("_tb0") + 1L)).as("tb"))
+    home.join(ring, Seq("cell", "tb"))
+      .where((col("xa") - col("xb")) * (col("xa") - col("xb")) +
+             (col("ya") - col("yb")) * (col("ya") - col("yb")) <= lit(eps1 * eps1) &&
+             abs(col("ta") - col("tbt")) <= lit(eps2))
+      .select("id_a", "id_b")
+  }
+
   /** Full DBSCAN: returns (id, cluster) for EVERY input point —
     * cluster = component-min id for core/border points, -1 for noise.
     */
   def cluster(pts: DataFrame, id: Column, x: Column, y: Column,
-              eps: Long, minPts: Int): DataFrame = {
-    val nbr = neighborPairs(pts, id, x, y, eps).localCheckpoint()
+              eps: Long, minPts: Int): DataFrame =
+    labelFrom(pts, id, neighborPairs(pts, id, x, y, eps), minPts)
+
+  /** ST-DBSCAN [Birant & Kut 2007, deterministic min-label variant]:
+    * density clustering where the neighborhood requires BOTH spatial
+    * distance <= eps1 AND temporal distance <= eps2 — "group the fixes
+    * into EVENTS, not just places": a plaza that fills up every evening is
+    * one spatial cluster but a different ST cluster per evening. Same rule
+    * set as [[cluster]] with the ST neighborhood: core iff
+    * |N_{eps1,eps2}(p)| >= minPts (self included), clusters = min-id
+    * components of the core-core ST graph, borders take the min
+    * core-neighbor label, noise −1. With eps2 >= the data's time span the
+    * labels coincide with plain [[cluster]] (spec-pinned).
+    */
+  def clusterST(pts: DataFrame, id: Column, x: Column, y: Column, t: Column,
+                eps1: Long, eps2: Long, minPts: Int): DataFrame =
+    labelFrom(pts, id, neighborPairsST(pts, id, x, y, t, eps1, eps2), minPts)
+
+  /** Shared deterministic labeling downstream of a neighbor-pair set:
+    * degree → core, star-contraction components, min-core-neighbor
+    * borders, noise −1.
+    */
+  private def labelFrom(pts: DataFrame, id: Column, nbrIn: DataFrame,
+                        minPts: Int): DataFrame = {
+    val nbr = nbrIn.localCheckpoint()
     val core = nbr.groupBy(col("id_a").as("id")).agg(count(lit(1)).as("deg"))
       .where(col("deg") >= minPts).select("id")
     // core-core edges, one row per unordered pair (dupClusters mirrors)
