@@ -2294,6 +2294,29 @@ object SparkEntry {
           col("tus"), eps1 = 8000000L, eps2 = 6000000L, minPts = 3)
         .orderBy("id")
     }),
+    // ---- 2SFCA accessibility (q9v): customers are demand (pop 1..97),
+    //      suppliers are capacity sites — per-customer access = sum of
+    //      reachable sites' fixed-point capacity/catchment-demand ratios
+    //      [Luo & Wang 2003]. ONE cell-grid radius join reused by both
+    //      steps; 309 of 1500 customers reach NO site at sf0.01 and come
+    //      back zerofilled (a coverage gap is a result, not a missing row).
+    "q9v_access_2sfca" -> ((s, dir) => {
+      val dem = s.read.parquet(s"$dir/customer.parquet").select(
+        col("c_custkey"),
+        Derive.lonMicro(col("c_custkey")).as("lonm"),
+        Derive.latMicro(col("c_custkey")).as("latm"),
+        ((col("c_custkey") % 97L) + 1L).as("pop"))
+      val sup = s.read.parquet(s"$dir/supplier.parquet").select(
+        col("s_suppkey"),
+        Derive.lonMicro(col("s_suppkey")).as("slon"),
+        Derive.latMicro(col("s_suppkey")).as("slat"),
+        (((col("s_suppkey") % 13L) + 1L) * 1000L).as("cap"))
+      operators.Accessibility.twoStepFca(s,
+          dem, col("c_custkey"), col("lonm"), col("latm"), col("pop"),
+          sup, col("s_suppkey"), col("slon"), col("slat"), col("cap"),
+          radiusMicro = 15000000L, level = 5)
+        .orderBy("id")
+    }),
     // ---- STREAMING trajectory sessionization: the q82 semantics as managed
     //      state — one TripState record per live entity carried across THREE
     //      micro-batches (global (tus, oid) order split into tertile files,
@@ -3859,6 +3882,25 @@ object SparkEntry {
     "q9u_st_dbscan" ->
       s"""$stDbscanCteSql
          |SELECT id, cluster FROM lbl ORDER BY id""".stripMargin,
+    "q9v_access_2sfca" ->
+      // brute in-range pairs + the same integer floor-div ratio chain;
+      // // is floor in DuckDB, div trunc in Spark — operands non-negative
+      s"""WITH d AS (SELECT c_custkey AS id,
+         |  ${Derive.lonSql("c_custkey")} AS x, ${Derive.latSql("c_custkey")} AS y,
+         |  (c_custkey % 97) + 1 AS pop FROM customer),
+         |s AS (SELECT s_suppkey AS sid,
+         |  ${Derive.lonSql("s_suppkey")} AS x, ${Derive.latSql("s_suppkey")} AS y,
+         |  ((s_suppkey % 13) + 1) * 1000 AS cap FROM supplier),
+         |p AS (SELECT d.id, s.sid FROM d, s
+         |  WHERE (d.x-s.x)*(d.x-s.x)+(d.y-s.y)*(d.y-s.y) <= 225000000000000),
+         |r AS (SELECT p.sid, CASE WHEN sum(d.pop) > 0
+         |    THEN (any_value(s.cap) * 1000000) // sum(d.pop) ELSE 0 END AS r_fp
+         |  FROM p JOIN d ON p.id = d.id JOIN s ON p.sid = s.sid GROUP BY p.sid),
+         |a AS (SELECT p.id, sum(r.r_fp) AS acc, count(*) AS ns
+         |  FROM p JOIN r ON p.sid = r.sid GROUP BY p.id)
+         |SELECT d.id, CAST(coalesce(a.acc, 0) AS BIGINT) AS access_fp,
+         |  CAST(coalesce(a.ns, 0) AS BIGINT) AS n_sites
+         |FROM d LEFT JOIN a ON d.id = a.id ORDER BY 1""".stripMargin,
     "q9a_areal_interp" ->
       // closed-form rect overlap + the same integer floor share
       s"""WITH f AS (SELECT c_custkey,
