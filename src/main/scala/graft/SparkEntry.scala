@@ -2294,6 +2294,23 @@ object SparkEntry {
           col("tus"), eps1 = 8000000L, eps2 = 6000000L, minPts = 3)
         .orderBy("id")
     }),
+    // ---- D8 flow accumulation (q9w): density-as-elevation hydrology over
+    //      the q9j hub raster — each occupied cell flows to its minimum
+    //      lower neighbor (deterministic integer variant of D8), acc counts
+    //      the upstream cells draining through; basins are density peaks.
+    //      Oracle replays the same rule set: window argmin + recursive
+    //      path walk (forest ⇒ UNION ALL terminates).
+    "q9w_flow_accum" -> ((s, dir) => {
+      val hub = col("o_orderkey") % 37L
+      val pts = s.read.parquet(s"$dir/orders.parquet").select(
+        (Derive.lonMicro(hub) + (col("o_orderkey") * 48271L) % 9000001L
+          - 4500000L).as("lonm"),
+        (Derive.latMicro(hub) + ((col("o_orderkey") + 7L) * 16807L) % 9000001L
+          - 4500000L).as("latm"))
+      operators.GridRaster.flowAccumulation(pts, col("lonm"), col("latm"),
+          cellMicro = 2000000L)
+        .orderBy("cx", "cy")
+    }),
     // ---- 2SFCA accessibility (q9v): customers are demand (pop 1..97),
     //      suppliers are capacity sites — per-customer access = sum of
     //      reachable sites' fixed-point capacity/catchment-demand ratios
@@ -3882,6 +3899,40 @@ object SparkEntry {
     "q9u_st_dbscan" ->
       s"""$stDbscanCteSql
          |SELECT id, cluster FROM lbl ORDER BY id""".stripMargin,
+    "q9w_flow_accum" ->
+      // same deterministic rule set: window argmin direction + recursive
+      // downstream path walk (strictly-decreasing forest ⇒ terminates)
+      s"""WITH RECURSIVE pts AS (SELECT
+         |  ${Derive.lonSql("(o_orderkey % 37)")}
+         |    + (o_orderkey * 48271) % 9000001 - 4500000 AS lon,
+         |  ${Derive.latSql("(o_orderkey % 37)")}
+         |    + ((o_orderkey + 7) * 16807) % 9000001 - 4500000 AS lat
+         |  FROM orders),
+         |r AS (SELECT (lon + 180000000) // 2000000 AS cx,
+         |    (lat + 90000000) // 2000000 AS cy, count(*) AS n
+         |  FROM pts GROUP BY 1, 2),
+         |o(dx, dy, idx) AS (VALUES (-1,-1,0),(-1,0,1),(-1,1,2),(0,-1,3),
+         |  (0,1,5),(1,-1,6),(1,0,7),(1,1,8)),
+         |cand AS (SELECT a.cx, a.cy, b.cx AS nx, b.cy AS ny, b.n AS nn, o.idx
+         |  FROM r a CROSS JOIN o JOIN r b
+         |    ON b.cx = a.cx + o.dx AND b.cy = a.cy + o.dy
+         |  WHERE b.n < a.n),
+         |flow AS (SELECT cx, cy, nx, ny FROM (SELECT *, row_number() OVER (
+         |    PARTITION BY cx, cy ORDER BY nn, idx) AS rn FROM cand)
+         |  WHERE rn = 1),
+         |paths(s, cur) AS (
+         |  SELECT cx * 1073741824 + cy, cx * 1073741824 + cy FROM r
+         |  UNION ALL SELECT p.s, f.nx * 1073741824 + f.ny
+         |  FROM paths p JOIN flow f ON p.cur = f.cx * 1073741824 + f.cy),
+         |acc AS (SELECT cur, count(*) AS acc FROM paths GROUP BY cur)
+         |SELECT r.cx, r.cy, r.n,
+         |  CAST(coalesce(f.nx, -1) AS BIGINT) AS tcx,
+         |  CAST(coalesce(f.ny, -1) AS BIGINT) AS tcy,
+         |  CAST(CASE WHEN f.cx IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_pit,
+         |  a.acc
+         |FROM r LEFT JOIN flow f ON f.cx = r.cx AND f.cy = r.cy
+         |JOIN acc a ON a.cur = r.cx * 1073741824 + r.cy
+         |ORDER BY r.cx, r.cy""".stripMargin,
     "q9v_access_2sfca" ->
       // brute in-range pairs + the same integer floor-div ratio chain;
       // // is floor in DuckDB, div trunc in Spark — operands non-negative

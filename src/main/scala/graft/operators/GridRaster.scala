@@ -536,6 +536,105 @@ object GridRaster {
     * with both Sobel weights attached; ONE map-side-combined hash
     * aggregate per target cell. No window, no join, no driver raster.
     */
+  /** D8 FLOW DIRECTION + ACCUMULATION [O'Callaghan & Mark 1984] — the
+    * hydrology pair over the point-density surface (density as elevation):
+    * each occupied cell FLOWS to one of its 8 existing neighbors, and the
+    * accumulation counts the upstream cells draining through each cell
+    * (including itself) — ridge/basin structure of the corpus: "which
+    * hotspot cores does the sparse fringe drain into". On a DEM this is
+    * GDAL/GRASS `r.flow`/`r.watershed`'s first stage; here the surface is
+    * the density raster, so basins are density peaks.
+    *
+    * Deterministic rule set (the [[polygonize]]/[[Simplify]] discipline —
+    * a total, engine-invariant rule replaces float slope): a cell flows to
+    * the MINIMUM-valued existing neighbor with value strictly below its
+    * own; ties break to the smallest fixed neighbor index (row-major
+    * (dx,dy) order). Cells with no strictly-lower existing neighbor are
+    * PITS (no outflow; off-raster cells are not part of the surface).
+    * Canonical D8 divides the drop by √2 on diagonals — a float; the
+    * min-value rule keeps every comparison int64 and the spec pins the
+    * variant. Out-edges strictly decrease the value, so the flow graph is
+    * a forest and accumulation is well-defined.
+    *
+    * acc(c) = 1 + Σ_{u : flow(u)=c} acc(u), computed by bounded Jacobi
+    * rounds under the [[Routing.shortestPaths]] Pregel discipline: one
+    * frontier⋈edges equi-join + one hash sum-aggregate per round;
+    * acc_k(c) = 1 + (upstream cells within k hops) is monotone
+    * non-decreasing and fixes at the in-tree depth, `require`d to
+    * converge within `maxIters`.
+    *
+    * Output: (cx, cy, n, tcx, tcy, is_pit, acc) — flow target coalesced
+    * to (-1, -1) for pits so the driver surface stays null-free.
+    *
+    * Plan (100 TB posture): points collapse to the raster in exchange
+    * one; direction is ONE 8-exploded self equi-join of the raster with a
+    * map-side-partial `min(struct)` argmin (raster-sized, AQE-broadcast);
+    * each accumulation round exchanges one int64 per raster cell. No
+    * window, no driver raster, no float anywhere.
+    */
+  def flowAccumulation(points: DataFrame, lonCol: Column, latCol: Column,
+                       cellMicro: Long, maxIters: Int = 64): DataFrame = {
+    require(cellMicro > 0, "cellMicro must be positive")
+    require(maxIters >= 1 && maxIters <= 256, "maxIters in [1, 256]")
+    val g = cellMicro
+    val maxX = 360000000L / g - 1; val maxY = 180000000L / g - 1
+    val K = 1073741824L
+    val raster = points.select(
+        (lonCol.cast("long") + 180000000L).as("_wx"),
+        (latCol.cast("long") + 90000000L).as("_wy"))
+      .select(expr(s"_wx div $g").as("cx"), expr(s"_wy div $g").as("cy"))
+      .where(col("cx").between(0L, maxX) && col("cy").between(0L, maxY))
+      .groupBy("cx", "cy").agg(count(lit(1)).as("n"))
+      .localCheckpoint() // feeds the direction join AND every acc round
+    // 8-neighbor candidates: scatter each cell to its ring with a fixed
+    // row-major index; join against the raster = only EXISTING neighbors
+    val offsets = array((for (dx <- -1 to 1; dy <- -1 to 1
+        if dx != 0 || dy != 0) yield struct(
+      lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy"),
+      lit(((dx + 1) * 3 + (dy + 1)).toLong).as("idx"))): _*)
+    val cand = raster.select(col("cx"), col("cy"), col("n"),
+        explode(offsets).as("o"))
+      .select(col("cx"), col("cy"), col("n"),
+        (col("cx") + col("o.dx")).as("nx"), (col("cy") + col("o.dy")).as("ny"),
+        col("o.idx").as("idx"))
+      .join(raster.select(col("cx").as("nx"), col("cy").as("ny"),
+        col("n").as("nn")), Seq("nx", "ny"))
+      .where(col("nn") < col("n"))
+    val flow = cand.groupBy("cx", "cy")
+      .agg(min(struct(col("nn"), col("idx"), col("nx"), col("ny"))).as("m"))
+      .select(col("cx"), col("cy"), col("m.nx").as("tcx"), col("m.ny").as("tcy"))
+    val dir = raster.join(flow, Seq("cx", "cy"), "left")
+      .select(col("cx"), col("cy"), col("n"),
+        coalesce(col("tcx"), lit(-1L)).as("tcx"),
+        coalesce(col("tcy"), lit(-1L)).as("tcy"),
+        when(col("tcx").isNull, lit(1L)).otherwise(lit(0L)).as("is_pit"))
+      .localCheckpoint()
+    val edges = dir.where(col("is_pit") === 0L)
+      .select((col("cx") * K + col("cy")).as("s"),
+        (col("tcx") * K + col("tcy")).as("d"))
+      .localCheckpoint()
+    var acc = raster.select((col("cx") * K + col("cy")).as("node"))
+      .withColumn("acc", lit(1L)).localCheckpoint()
+    var round = 0
+    var converged = false
+    while (round < maxIters && !converged) {
+      val inflow = acc.join(edges, col("node") === col("s"))
+        .groupBy(col("d").as("node")).agg(sum("acc").as("_in"))
+      val next = acc.select("node").join(inflow, Seq("node"), "left")
+        .select(col("node"), (lit(1L) + coalesce(col("_in"), lit(0L))).as("acc"))
+        .localCheckpoint()
+      converged = next.join(acc.withColumnRenamed("acc", "_old"), Seq("node"))
+        .where(col("acc") =!= col("_old")).limit(1).count() == 0
+      acc = next
+      round += 1
+    }
+    require(converged,
+      s"flow accumulation did not converge within $maxIters rounds")
+    dir.join(acc.select(expr(s"node div ${K}L").as("cx"),
+        (col("node") % K).as("cy"), col("acc")), Seq("cx", "cy"))
+      .select("cx", "cy", "n", "tcx", "tcy", "is_pit", "acc")
+  }
+
   def sobel(points: DataFrame, lonCol: Column, latCol: Column,
             cellMicro: Long): DataFrame = {
     require(cellMicro > 0, "cellMicro must be positive")

@@ -588,4 +588,83 @@ class GridRasterSpec extends AnyFunSuite {
     assert(got.values.exists(_._2 > 0) && got.values.exists(_._2 < 0),
       "drifting fixture must produce both up- and down-trending cells")
   }
+
+  // ---- flowAccumulation -------------------------------------------------
+
+  /** Brute reference of the same deterministic rule set: min-valued lower
+    * neighbor (ties to smallest index), recursive downstream counting.
+    */
+  private def bruteFlow(pts: Seq[(Long, Long)], g: Long)
+      : Map[(Long, Long), (Long, Long, Long, Long, Long)] = {
+    val raster = pts.groupBy { case (x, y) =>
+      ((x + 180000000L) / g, (y + 90000000L) / g)
+    }.map { case (c, v) => c -> v.size.toLong }
+    def flowOf(c: (Long, Long)): Option[(Long, Long)] = {
+      val n = raster(c)
+      val cands = for {
+        dx <- -1 to 1; dy <- -1 to 1; if dx != 0 || dy != 0
+        nc = (c._1 + dx, c._2 + dy); nn <- raster.get(nc); if nn < n
+      } yield (nn, ((dx + 1) * 3 + (dy + 1)).toLong, nc)
+      if (cands.isEmpty) None else Some(cands.minBy(t => (t._1, t._2))._3)
+    }
+    val flow = raster.keys.map(c => c -> flowOf(c)).toMap
+    val acc = scala.collection.mutable.Map[(Long, Long), Long]()
+      .withDefaultValue(0L)
+    raster.keys.foreach { start =>
+      var cur: Option[(Long, Long)] = Some(start)
+      while (cur.isDefined) { acc(cur.get) += 1L; cur = flow(cur.get).map(identity) }
+    }
+    raster.map { case (c, n) =>
+      val f = flow(c)
+      c -> (n, f.map(_._1).getOrElse(-1L), f.map(_._2).getOrElse(-1L),
+        if (f.isEmpty) 1L else 0L, acc(c))
+    }
+  }
+
+  private def runFlow(pts: Seq[(Long, Long)], g: Long)
+      : Map[(Long, Long), (Long, Long, Long, Long, Long)] =
+    GridRaster.flowAccumulation(pts.toDF("x", "y"), col("x"), col("y"), g)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+
+  test("flowAccumulation: hand case — chain drains into a pit, plateau ties break by index") {
+    val g = 1000000L
+    def cell(cx: Long, cy: Long, k: Int): Seq[(Long, Long)] =
+      Seq.fill(k)((cx * g - 180000000L + 1L, cy * g - 90000000L + 1L))
+    // chain 5 -> 3 -> 1 (pit) along x; isolated cell is its own pit;
+    // a value-2 cell between two value-1 cells ties to the SMALLER index
+    val pts = cell(10, 10, 5) ++ cell(11, 10, 3) ++ cell(12, 10, 1) ++
+      cell(50, 50, 4) ++
+      cell(20, 20, 1) ++ cell(21, 20, 2) ++ cell(22, 20, 1)
+    val got = runFlow(pts, g)
+    assert(got((10L, 10L)) === ((5L, 11L, 10L, 0L, 1L)))
+    assert(got((11L, 10L)) === ((3L, 12L, 10L, 0L, 2L)))
+    assert(got((12L, 10L)) === ((1L, -1L, -1L, 1L, 3L)))
+    assert(got((50L, 50L)) === ((4L, -1L, -1L, 1L, 1L)))
+    // (21,20): neighbors (20,20) idx 1 and (22,20) idx 7, both value 1 ->
+    // the idx-1 neighbor wins
+    assert(got((21L, 20L)) === ((2L, 20L, 20L, 0L, 1L)))
+    assert(got === bruteFlow(pts, g))
+  }
+
+  test("flowAccumulation: brute parity on a clustered scatter, mass conserved") {
+    val rnd = new scala.util.Random(31)
+    val centers = (0 until 5).map { _ =>
+      (rnd.nextLong(40000000L) - 20000000L, rnd.nextLong(30000000L) - 15000000L)
+    }
+    val pts = centers.flatMap { case (cx, cy) =>
+      (0 until 400).map { _ =>
+        (cx + rnd.nextLong(8000000L) - 4000000L,
+          cy + rnd.nextLong(8000000L) - 4000000L)
+      }
+    }
+    val got = runFlow(pts, 1000000L)
+    assert(got === bruteFlow(pts, 1000000L))
+    // every cell's path ends in a pit, so summing acc over pits counts each
+    // cell once per downstream pit-path membership; weaker invariant that
+    // is still rule-independent: acc >= 1 everywhere and pits exist
+    assert(got.values.forall(_._5 >= 1L))
+    assert(got.values.exists(_._4 == 1L))
+  }
 }
