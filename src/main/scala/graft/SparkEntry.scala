@@ -2294,6 +2294,19 @@ object SparkEntry {
           col("tus"), eps1 = 8000000L, eps2 = 6000000L, minPts = 3)
         .orderBy("id")
     }),
+    // ---- Luma-histogram concentration gate (q9x): the tonal-distribution
+    //      curation stat — Simpson/Rényi-2 collision Σnᵢ², dominant-bin
+    //      ppm, nonzero bins per image; generator images put every pixel
+    //      in bin 3 (luma 50) or 12 (luma 200), so the oracle replays the
+    //      corpus totals closed-form from each phash's popcount.
+    "q9x_luma_hist" -> ((s, dir) => {
+      operators.Multimodal.lumaHistogram(Fixtures.images(s, 5000))
+        .groupBy("w", "h")
+        .agg(count(lit(1)).as("n_images"), sum("collision").as("sum_coll"),
+          sum("dominant_ppm").as("sum_dom"),
+          min("nonzero_bins").as("min_nz"), max("nonzero_bins").as("max_nz"))
+        .orderBy("w", "h")
+    }),
     // ---- D8 flow accumulation (q9w): density-as-elevation hydrology over
     //      the q9j hub raster — each occupied cell flows to its minimum
     //      lower neighbor (deterministic integer variant of D8), acc counts
@@ -3899,6 +3912,33 @@ object SparkEntry {
     "q9u_st_dbscan" ->
       s"""$stDbscanCteSql
          |SELECT id, cluster FROM lbl ORDER BY id""".stripMargin,
+    "q9x_luma_hist" -> {
+      // generator replay: every pixel is 50 (bit=0 -> bin 3) or 200
+      // (bit=1 -> bin 12); per-image counts follow from popcount(phash)
+      import graft.fixtures.Fixtures
+      val per = scala.collection.mutable.Map[(Int, Int), (Long, Long, Long, Int, Int)]()
+      (0L until 5000L).foreach { i =>
+        val (lon, lat) = Fixtures.locOf(i)
+        val p = graft.core.PhashLoc.encode(lon, lat)
+        val (w, h) = Fixtures.dimsOf(i)
+        val bpx = (w / 8).toLong * (h / 8)
+        val pc = java.lang.Long.bitCount(p).toLong
+        val c200 = pc * bpx; val c50 = (64L - pc) * bpx
+        val mx = math.max(c50, c200)
+        val coll = c50 * c50 + c200 * c200
+        val nz = (if (c50 > 0) 1 else 0) + (if (c200 > 0) 1 else 0)
+        val dom = mx * 1000000L / (w.toLong * h)
+        val (n, sc, sd, mn, mxn) = per.getOrElse((w, h), (0L, 0L, 0L, 16, 0))
+        per((w, h)) = (n + 1, sc + coll, sd + dom,
+          math.min(mn, nz), math.max(mxn, nz))
+      }
+      val vals = per.toSeq.sortBy(_._1).map { case ((w, h), (n, sc, sd, mn, mx)) =>
+        s"($w, $h, CAST($n AS BIGINT), CAST($sc AS BIGINT), " +
+          s"CAST($sd AS BIGINT), $mn, $mx)"
+      }.mkString(", ")
+      s"SELECT * FROM (VALUES $vals) AS t(w, h, n_images, sum_coll, sum_dom, " +
+        "min_nz, max_nz) ORDER BY w, h"
+    },
     "q9w_flow_accum" ->
       // same deterministic rule set: window argmin direction + recursive
       // downstream path walk (strictly-decreasing forest ⇒ terminates)

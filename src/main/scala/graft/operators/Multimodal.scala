@@ -406,6 +406,52 @@ object Multimodal {
       }(enc)
   }
 
+  private val histSchema = StructType(Seq(
+    StructField("w", IntegerType), StructField("h", IntegerType),
+    StructField("total_px", LongType), StructField("max_count", LongType),
+    StructField("collision", LongType), StructField("nonzero_bins", IntegerType),
+    StructField("dominant_ppm", LongType)))
+
+  /** Per-image 16-bin LUMA-HISTOGRAM concentration stats — the tonal-
+    * distribution curation gate next to [[rasterTv]] (spatial gradient)
+    * and [[whtEnergy]] (spectral): a near-single-tone image (solid fill,
+    * letterboxed black, blown-out white) concentrates its histogram into
+    * one bin regardless of how much EDGE it has, and this gate catches it
+    * where TV alone can dither. Integer-exact entropy surrogate (log never
+    * enters the engine): `collision` = Σ nᵢ² over the 16 bin counts — the
+    * Simpson / Rényi-2 index numerator, maximal (total²) for a one-bin
+    * image and minimal (total²/16) for a uniform histogram — plus
+    * `dominant_ppm` = ⌊max-bin · 10⁶ / total⌋ and `nonzero_bins`. Same
+    * decode-once narrow kernel as [[rasterTv]]: real codec work inside
+    * the scan task, ≤ 40 bytes/row out, no shuffle until the caller
+    * aggregates. Exact int64 (nᵢ ≤ w·h, so Σnᵢ² ≤ (w·h)² — fine to
+    * gigapixel frames).
+    */
+  def lumaHistogram(images: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(histSchema)
+    images.select("bytes", "w", "h", "fmt")
+      .mapPartitions { it =>
+        val bins = new Array[Long](16)
+        it.map { r =>
+          val (bytes, w, h, fmt) = (r.getAs[Array[Byte]](0),
+            r.getInt(1), r.getInt(2), r.getString(3))
+          val px = decodeAny(bytes, fmt, w, h)
+          java.util.Arrays.fill(bins, 0L)
+          var i = 0
+          val n = w * h
+          while (i < n) { bins((px(i) & 0xff) >> 4) += 1L; i += 1 }
+          var b = 0; var mx = 0L; var coll = 0L; var nz = 0
+          while (b < 16) {
+            val c = bins(b)
+            if (c > 0) { nz += 1; if (c > mx) mx = c; coll += c * c }
+            b += 1
+          }
+          Row(w, h, n.toLong, mx, coll,
+            nz, if (n > 0) mx * 1000000L / n else 0L)
+        }
+      }(enc)
+  }
+
   private val objSchema = StructType(Seq(
     StructField("phash", LongType), StructField("w", IntegerType),
     StructField("h", IntegerType), StructField("n_objects", IntegerType)))

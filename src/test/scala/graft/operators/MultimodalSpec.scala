@@ -310,6 +310,45 @@ class MultimodalSpec extends AnyFunSuite {
     assert(e.getMessage != null)
   }
 
+  test("lumaHistogram: kernel matches brute per-pixel histogram and the popcount rule across formats") {
+    import spark.implicits._
+    val rows = Seq(
+      (0xAAAAAAAAAAAAAAAAL, 32, 32, "raw"), (0x00FF00FF00FF00FFL, 64, 32, "png"),
+      (0x0000000000000001L, 96, 64, "webp"), (0x123456789ABCDEF0L, 64, 64, "raw"),
+      (0L, 32, 64, "png"), (-1L, 96, 32, "webp"))
+      .map { case (p, w, h, fmt) =>
+        val px = ImageCodec.pixelsFromHash(p, w, h)
+        val bytes = fmt match {
+          case "png"  => ImageCodec.encodePng(px, w, h)
+          case "webp" => ImageCodec.encodeWebp(px, w, h)
+          case _      => px
+        }
+        (p, bytes, w, h, fmt)
+      }
+    val got = Multimodal.lumaHistogram(rows.toDF("phash", "bytes", "w", "h", "fmt"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getInt(5), r.getLong(6))))
+      .toMap
+    rows.foreach { case (p, _, w, h, _) =>
+      // brute per-pixel 16-bin histogram as the independent check
+      val px = ImageCodec.pixelsFromHash(p, w, h)
+      val bins = new Array[Long](16)
+      px.foreach(b => bins((b & 0xff) >> 4) += 1L)
+      val mx = bins.max
+      val coll = bins.map(c => c * c).sum
+      val nz = bins.count(_ > 0)
+      val expect = (w.toLong * h, mx, coll, nz, mx * 1000000L / (w.toLong * h))
+      assert(got((w, h)) === expect, s"kernel wrong for ${w}x$h")
+      // closed-form popcount rule (the oracle's derivation)
+      val bpx = (w / 8).toLong * (h / 8)
+      val pc = java.lang.Long.bitCount(p).toLong
+      val (c50, c200) = ((64L - pc) * bpx, pc * bpx)
+      assert(coll === c50 * c50 + c200 * c200, s"rule wrong for phash $p")
+      assert(mx === math.max(c50, c200))
+      assert(nz === (if (c50 > 0) 1 else 0) + (if (c200 > 0) 1 else 0))
+    }
+  }
+
   test("rasterTv: exact total variation matches the bit->block rule across formats and dims") {
     import spark.implicits._
     // a spread of phash patterns: checkerboard-ish, stripes, sparse, dense
