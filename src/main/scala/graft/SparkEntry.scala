@@ -2294,6 +2294,29 @@ object SparkEntry {
           col("tus"), eps1 = 8000000L, eps2 = 6000000L, minPts = 3)
         .orderBy("id")
     }),
+    // ---- Network dissolve (q9y): merge touching segments into polylines
+    //      by exact shared-endpoint equality — chains derived from order
+    //      keys with a deterministic ~9% segment drop, so chains fragment
+    //      wherever a position is missing and the components have
+    //      genuinely varied sizes. Node-star pairs (k−1 edges per degree-k
+    //      junction) feed the star-contraction kernel; lengths ride the
+    //      fixed IEEE chain.
+    "q9y_dissolve" -> ((s, dir) => {
+      val chain = col("o_orderkey") % 200L
+      val pos = expr("o_orderkey div 200")
+      val segs = s.read.parquet(s"$dir/orders.parquet")
+        .where((col("o_orderkey") * 7919L) % 11L =!= 0L)
+        .select(
+        col("o_orderkey"),
+        (Derive.lonMicro(chain) + pos * 300L).as("x1"),
+        (Derive.latMicro(chain) + (pos * 16807L) % 80001L - 40000L).as("y1"),
+        (Derive.lonMicro(chain) + (pos + 1L) * 300L).as("x2"),
+        (Derive.latMicro(chain) + ((pos + 1L) * 16807L) % 80001L
+          - 40000L).as("y2"))
+      operators.Dissolve.dissolveSegments(segs, col("o_orderkey"),
+          col("x1"), col("y1"), col("x2"), col("y2"))
+        .orderBy("cluster")
+    }),
     // ---- Luma-histogram concentration gate (q9x): the tonal-distribution
     //      curation stat — Simpson/Rényi-2 collision Σnᵢ², dominant-bin
     //      ppm, nonzero bins per image; generator images put every pixel
@@ -3912,6 +3935,35 @@ object SparkEntry {
     "q9u_st_dbscan" ->
       s"""$stDbscanCteSql
          |SELECT id, cluster FROM lbl ORDER BY id""".stripMargin,
+    "q9y_dissolve" ->
+      // same star-pair construction + recursive min-label propagation;
+      // the len chain is the q9g fixed IEEE double chain
+      s"""WITH RECURSIVE segs AS (SELECT o_orderkey AS sid,
+         |  ${Derive.lonSql("(o_orderkey % 200)")}
+         |    + (o_orderkey // 200) * 300 AS x1,
+         |  ${Derive.latSql("(o_orderkey % 200)")}
+         |    + ((o_orderkey // 200) * 16807) % 80001 - 40000 AS y1,
+         |  ${Derive.lonSql("(o_orderkey % 200)")}
+         |    + (o_orderkey // 200 + 1) * 300 AS x2,
+         |  ${Derive.latSql("(o_orderkey % 200)")}
+         |    + ((o_orderkey // 200 + 1) * 16807) % 80001 - 40000 AS y2
+         |  FROM orders WHERE (o_orderkey * 7919) % 11 <> 0),
+         |eps AS (SELECT sid, x1 AS ex, y1 AS ey FROM segs
+         |  UNION ALL SELECT sid, x2, y2 FROM segs),
+         |m AS (SELECT ex, ey, min(sid) AS ida FROM eps GROUP BY ex, ey),
+         |pr AS (SELECT m.ida, e.sid AS idb FROM eps e
+         |  JOIN m ON e.ex = m.ex AND e.ey = m.ey WHERE e.sid <> m.ida),
+         |und AS (SELECT ida, idb FROM pr UNION SELECT idb, ida FROM pr),
+         |comp(id, lbl) AS (SELECT sid, sid FROM segs
+         |  UNION SELECT u.idb, c.lbl FROM comp c JOIN und u ON u.ida = c.id),
+         |clbl AS (SELECT id, min(lbl) AS cl FROM comp GROUP BY id),
+         |len AS (SELECT sid, CAST(floor(sqrt(CAST(
+         |    (x2-x1)*(x2-x1) + (y2-y1)*(y2-y1) AS DOUBLE))) AS BIGINT) AS len_q
+         |  FROM segs)
+         |SELECT c.cl AS cluster, CAST(count(*) AS BIGINT) AS n_segments,
+         |  CAST(sum(l.len_q) AS BIGINT) AS total_len_q
+         |FROM clbl c JOIN len l ON c.id = l.sid
+         |GROUP BY c.cl ORDER BY cluster""".stripMargin,
     "q9x_luma_hist" -> {
       // generator replay: every pixel is 50 (bit=0 -> bin 3) or 200
       // (bit=1 -> bin 12); per-image counts follow from popcount(phash)
