@@ -2294,6 +2294,28 @@ object SparkEntry {
           col("tus"), eps1 = 8000000L, eps2 = 6000000L, minPts = 3)
         .orderBy("id")
     }),
+    // ---- Huff gravity allocation (q9z): the probabilistic catchment —
+    //      each customer splits its population across reachable suppliers
+    //      ∝ capacity/d² (quantized-integer weights, floor shares), sites
+    //      zerofilled; the market-share complement of q9v's access score.
+    "q9z_huff_alloc" -> ((s, dir) => {
+      val dem = s.read.parquet(s"$dir/customer.parquet").select(
+        col("c_custkey"),
+        Derive.lonMicro(col("c_custkey")).as("lonm"),
+        Derive.latMicro(col("c_custkey")).as("latm"),
+        ((col("c_custkey") % 97L) + 1L).as("pop"))
+      val sup = s.read.parquet(s"$dir/supplier.parquet").select(
+        col("s_suppkey"),
+        Derive.lonMicro(col("s_suppkey")).as("slon"),
+        Derive.latMicro(col("s_suppkey")).as("slat"),
+        (((col("s_suppkey") % 13L) + 1L) * 1000L).as("cap"))
+      operators.Accessibility.huffAllocation(s,
+          dem, col("c_custkey"), col("lonm"), col("latm"), col("pop"),
+          sup, col("s_suppkey"), col("slon"), col("slat"), col("cap"),
+          radiusMicro = 15000000L, level = 5,
+          wScale = 1000000L, distQ = 1000000000000L)
+        .orderBy("sid")
+    }),
     // ---- Network dissolve (q9y): merge touching segments into polylines
     //      by exact shared-endpoint equality — chains derived from order
     //      keys with a deterministic ~9% segment drop, so chains fragment
@@ -3935,6 +3957,28 @@ object SparkEntry {
     "q9u_st_dbscan" ->
       s"""$stDbscanCteSql
          |SELECT id, cluster FROM lbl ORDER BY id""".stripMargin,
+    "q9z_huff_alloc" ->
+      // brute in-range pairs + the same quantized-weight floor-share chain
+      s"""WITH d AS (SELECT c_custkey AS id,
+         |  ${Derive.lonSql("c_custkey")} AS x, ${Derive.latSql("c_custkey")} AS y,
+         |  (c_custkey % 97) + 1 AS pop FROM customer),
+         |s AS (SELECT s_suppkey AS sid,
+         |  ${Derive.lonSql("s_suppkey")} AS x, ${Derive.latSql("s_suppkey")} AS y,
+         |  ((s_suppkey % 13) + 1) * 1000 AS cap FROM supplier),
+         |p AS (SELECT d.id, s.sid,
+         |    (s.cap * 1000000) // (((d.x-s.x)*(d.x-s.x)+(d.y-s.y)*(d.y-s.y))
+         |      // 1000000000000 + 1) AS w,
+         |    d.pop
+         |  FROM d, s
+         |  WHERE (d.x-s.x)*(d.x-s.x)+(d.y-s.y)*(d.y-s.y) <= 225000000000000),
+         |dn AS (SELECT id, sum(w) AS wsum FROM p GROUP BY id),
+         |al AS (SELECT p.sid,
+         |    CASE WHEN dn.wsum > 0 THEN (p.pop * p.w) // dn.wsum ELSE 0 END AS a
+         |  FROM p JOIN dn ON p.id = dn.id),
+         |t AS (SELECT sid, sum(a) AS ta, count(*) AS nd FROM al GROUP BY sid)
+         |SELECT s.sid, CAST(coalesce(t.ta, 0) AS BIGINT) AS total_alloc,
+         |  CAST(coalesce(t.nd, 0) AS BIGINT) AS n_demand
+         |FROM s LEFT JOIN t ON s.sid = t.sid ORDER BY 1""".stripMargin,
     "q9y_dissolve" ->
       // same star-pair construction + recursive min-label propagation;
       // the len chain is the q9g fixed IEEE double chain

@@ -67,4 +67,81 @@ class AccessibilitySpec extends AnyFunSuite {
     val sup = Seq((1L, 100L, 0L, 500L))
     assert(run(dem, sup, r = 1000L, level = 12) === Map(1L -> (0L, 1L)))
   }
+
+  // ---- huffAllocation ----------------------------------------------------
+
+  private def bruteHuff(dem: Seq[(Long, Long, Long, Long)],
+                        sup: Seq[(Long, Long, Long, Long)],
+                        r: Long, wScale: Long, distQ: Long)
+      : Map[Long, (Long, Long)] = {
+    def d2(a: (Long, Long), b: (Long, Long)) =
+      (a._1 - b._1) * (a._1 - b._1) + (a._2 - b._2) * (a._2 - b._2)
+    val alloc = scala.collection.mutable.Map[Long, (Long, Long)]()
+      .withDefaultValue((0L, 0L))
+    dem.foreach { d =>
+      val reach = sup.filter(s => d2((d._2, d._3), (s._2, s._3)) <= r * r)
+      val ws = reach.map { s =>
+        s._1 -> (s._4 * wScale) / (d2((d._2, d._3), (s._2, s._3)) / distQ + 1L)
+      }
+      val wsum = ws.map(_._2).sum
+      ws.foreach { case (sid, w) =>
+        val a = if (wsum > 0) (d._4 * w) / wsum else 0L
+        val (t, n) = alloc(sid); alloc(sid) = (t + a, n + 1)
+      }
+    }
+    sup.map(s => s._1 -> alloc(s._1)).toMap
+  }
+
+  private def runHuff(dem: Seq[(Long, Long, Long, Long)],
+                      sup: Seq[(Long, Long, Long, Long)],
+                      r: Long, level: Int, wScale: Long, distQ: Long)
+      : Map[Long, (Long, Long)] =
+    Accessibility.huffAllocation(spark,
+        dem.toDF("id", "x", "y", "pop"), col("id"), col("x"), col("y"), col("pop"),
+        sup.toDF("sid", "x", "y", "cap"), col("sid"), col("x"), col("y"), col("cap"),
+        radiusMicro = r, level = level, wScale = wScale, distQ = distQ)
+      .collect().map(row => row.getLong(0) -> (row.getLong(1), row.getLong(2))).toMap
+
+  test("huff hand case: near/big site wins the share, empty site zerofills") {
+    // demand pop 100 at origin; site 1 at d2=100 cap 100, site 2 at
+    // d2=400 cap 100; distQ=100: w1 = 100*1000/(1+1) = 50000,
+    // w2 = 100*1000/(4+1) = 20000; shares: 100*50000/70000 = 71,
+    // 100*20000/70000 = 28 (floor); site 3 out of range -> (0, 0)
+    val dem = Seq((1L, 0L, 0L, 100L))
+    val sup = Seq((1L, 10L, 0L, 100L), (2L, 20L, 0L, 100L),
+      (3L, 90000L, 0L, 999L))
+    val got = runHuff(dem, sup, r = 1000L, level = 14,
+      wScale = 1000L, distQ = 100L)
+    assert(got === Map(1L -> (71L, 1L), 2L -> (28L, 1L), 3L -> (0L, 0L)))
+  }
+
+  test("huff random points match the brute-force reference") {
+    val rnd = new scala.util.Random(555)
+    val dem = (1L to 250L).map(i => (i,
+      rnd.nextLong(20000000L) - 10000000L, rnd.nextLong(20000000L) - 10000000L,
+      rnd.nextLong(100L) + 1L))
+    val sup = (1L to 30L).map(j => (j,
+      rnd.nextLong(20000000L) - 10000000L, rnd.nextLong(20000000L) - 10000000L,
+      (rnd.nextLong(9L) + 1L) * 1000L))
+    for ((r, level, q) <- Seq((3000000L, 6, 1000000000L),
+        (6000000L, 5, 10000000000L))) {
+      assert(runHuff(dem, sup, r, level, 1000000L, q) ===
+        bruteHuff(dem, sup, r, 1000000L, q), s"r=$r level=$level q=$q")
+    }
+  }
+
+  test("huff conservation: allocated demand never exceeds population") {
+    val rnd = new scala.util.Random(7)
+    val dem = (1L to 100L).map(i => (i,
+      rnd.nextLong(4000000L), rnd.nextLong(4000000L), rnd.nextLong(50L) + 1L))
+    val sup = (1L to 10L).map(j => (j,
+      rnd.nextLong(4000000L), rnd.nextLong(4000000L), 1000L))
+    val got = runHuff(dem, sup, 2000000L, 7, 1000000L, 1000000000L)
+    val totalAlloc = got.values.map(_._1).sum
+    val coveredPop = dem.filter(d => sup.exists(s =>
+      (d._2 - s._2) * (d._2 - s._2) + (d._3 - s._3) * (d._3 - s._3)
+        <= 2000000L * 2000000L)).map(_._4).sum
+    assert(totalAlloc <= coveredPop)
+    assert(totalAlloc > 0L)
+  }
 }
