@@ -2294,6 +2294,44 @@ object SparkEntry {
           col("tus"), eps1 = 8000000L, eps2 = 6000000L, minPts = 3)
         .orderBy("id")
     }),
+    // ---- Colocation quotient (qa2): NN-based categorical association —
+    //      each point casts ONE vote (its nearest other point), so dense
+    //      areas can't swamp the stat like radius counts; integer CLQ
+    //      components per ordered category pair, zero-filled matrix.
+    "qa2_clq" -> ((s, dir) => {
+      val pts = customerPts(s, dir)
+        .withColumn("cat", col("c_custkey") % 5L)
+      operators.PointPattern.colocationQuotient(pts, col("c_custkey"),
+          col("cat"), col("lonm"), col("latm"), level = 6)
+        .orderBy("cat_a", "cat_b")
+    }),
+    // ---- Difference hash (qa1): the gradient-sign perceptual hash —
+    //      immune to the global brightness shifts that flip avg-hash bits;
+    //      on generator images the pooled cells ARE the phash bit blocks,
+    //      so the oracle replays the popcount histogram from the closed
+    //      form dh = (~p) & row-rotated(p).
+    "qa1_dhash" -> ((s, dir) => {
+      operators.Multimodal.dHash(Fixtures.images(s, 5000))
+        .groupBy(expr("bit_count(dhash)").as("dh_pop"))
+        .agg(count(lit(1)).as("n_images"),
+          min("dhash").as("min_dh"), max("dhash").as("max_dh"))
+        .orderBy("dh_pop")
+    }),
+    // ---- Epanechnikov KDE raster (qa0): the general-bandwidth hotspot
+    //      surface (heatmap's 3×3 binomial is the fixed special case) —
+    //      R=3 disk with precomputed integer weights w = ⌊scale(R²−d²)/R²⌋
+    //      over the q9w hub scatter; halo cells receive spill with raw=0.
+    "qa0_kde" -> ((s, dir) => {
+      val hub = col("o_orderkey") % 37L
+      val pts = s.read.parquet(s"$dir/orders.parquet").select(
+        (Derive.lonMicro(hub) + (col("o_orderkey") * 48271L) % 9000001L
+          - 4500000L).as("lonm"),
+        (Derive.latMicro(hub) + ((col("o_orderkey") + 7L) * 16807L) % 9000001L
+          - 4500000L).as("latm"))
+      operators.GridRaster.kde(pts, col("lonm"), col("latm"),
+          cellMicro = 2000000L, bandwidthCells = 3)
+        .orderBy("cx", "cy")
+    }),
     // ---- Huff gravity allocation (q9z): the probabilistic catchment —
     //      each customer splits its population across reachable suppliers
     //      ∝ capacity/d² (quantized-integer weights, floor shares), sites
@@ -3957,6 +3995,73 @@ object SparkEntry {
     "q9u_st_dbscan" ->
       s"""$stDbscanCteSql
          |SELECT id, cluster FROM lbl ORDER BY id""".stripMargin,
+    "qa2_clq" ->
+      // brute NN by (d2, id) via a window over the full pair cross
+      s"""WITH p AS (SELECT c_custkey AS pid, c_custkey % 5 AS cat,
+         |  ${Derive.lonSql("c_custkey")} AS x, ${Derive.latSql("c_custkey")} AS y
+         |  FROM customer),
+         |nn AS (SELECT cat_a, cat_b FROM (
+         |  SELECT a.cat AS cat_a, b.cat AS cat_b, row_number() OVER (
+         |    PARTITION BY a.pid ORDER BY
+         |      (a.x-b.x)*(a.x-b.x)+(a.y-b.y)*(a.y-b.y), b.pid) AS rn
+         |  FROM p a JOIN p b ON a.pid <> b.pid) WHERE rn = 1),
+         |c AS (SELECT cat_a, cat_b, count(*) AS nn_count FROM nn GROUP BY 1, 2),
+         |n AS (SELECT cat, count(*) AS n FROM p GROUP BY 1),
+         |t AS (SELECT count(*) AS n_total FROM p)
+         |SELECT na.cat AS cat_a, nb.cat AS cat_b,
+         |  CAST(coalesce(c.nn_count, 0) AS BIGINT) AS nn_count,
+         |  na.n AS n_a, nb.n AS n_b, t.n_total
+         |FROM n na CROSS JOIN n nb CROSS JOIN t
+         |LEFT JOIN c ON c.cat_a = na.cat AND c.cat_b = nb.cat
+         |ORDER BY cat_a, cat_b""".stripMargin,
+    "qa1_dhash" -> {
+      // generator replay: dh bit (r,c) = 1 iff p bit (r,c) = 0 and p bit
+      // (r,(c+1) mod 8) = 1 — blocks are the pooled cells
+      import graft.fixtures.Fixtures
+      val per = scala.collection.mutable.Map[Int, (Long, Long, Long)]()
+      (0L until 5000L).foreach { i =>
+        val (lon, lat) = Fixtures.locOf(i)
+        val p = graft.core.PhashLoc.encode(lon, lat)
+        var dh = 0L
+        for (gy <- 0 until 8; gx <- 0 until 8) {
+          val cur = (p >>> (gy * 8 + gx)) & 1L
+          val nxt = (p >>> (gy * 8 + (gx + 1) % 8)) & 1L
+          if (cur == 0L && nxt == 1L) dh |= 1L << (gy * 8 + gx)
+        }
+        val pop = java.lang.Long.bitCount(dh)
+        val (n, mn, mx) = per.getOrElse(pop, (0L, Long.MaxValue, Long.MinValue))
+        per(pop) = (n + 1, math.min(mn, dh), math.max(mx, dh))
+      }
+      val vals = per.toSeq.sortBy(_._1).map { case (pop, (n, mn, mx)) =>
+        s"($pop, CAST($n AS BIGINT), CAST($mn AS BIGINT), CAST($mx AS BIGINT))"
+      }.mkString(", ")
+      s"SELECT * FROM (VALUES $vals) AS t(dh_pop, n_images, min_dh, max_dh) " +
+        "ORDER BY dh_pop"
+    },
+    "qa0_kde" ->
+      // same collapse-then-scatter with the identical integer kernel
+      s"""WITH pts AS (SELECT
+         |  ${Derive.lonSql("(o_orderkey % 37)")}
+         |    + (o_orderkey * 48271) % 9000001 - 4500000 AS lon,
+         |  ${Derive.latSql("(o_orderkey % 37)")}
+         |    + ((o_orderkey + 7) * 16807) % 9000001 - 4500000 AS lat
+         |  FROM orders),
+         |r AS (SELECT (lon + 180000000) // 2000000 AS px,
+         |    (lat + 90000000) // 2000000 AS py, count(*) AS n
+         |  FROM pts GROUP BY 1, 2),
+         |o AS (SELECT dx.g AS dx, dy.g AS dy,
+         |    (1000000 * (9 - (dx.g * dx.g + dy.g * dy.g))) // 9 AS w
+         |  FROM (SELECT unnest(generate_series(-3, 3)) AS g) dx,
+         |       (SELECT unnest(generate_series(-3, 3)) AS g) dy
+         |  WHERE dx.g * dx.g + dy.g * dy.g < 9)
+         |SELECT r.px + o.dx AS cx, r.py + o.dy AS cy,
+         |  CAST(sum(CASE WHEN o.dx = 0 AND o.dy = 0 THEN r.n ELSE 0 END)
+         |    AS BIGINT) AS raw,
+         |  CAST(sum(r.n * o.w) AS BIGINT) AS density
+         |FROM r CROSS JOIN o
+         |WHERE r.px + o.dx BETWEEN 0 AND 179
+         |  AND r.py + o.dy BETWEEN 0 AND 89
+         |GROUP BY 1, 2 ORDER BY cx, cy""".stripMargin,
     "q9z_huff_alloc" ->
       // brute in-range pairs + the same quantized-weight floor-share chain
       s"""WITH d AS (SELECT c_custkey AS id,

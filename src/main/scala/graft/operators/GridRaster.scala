@@ -665,6 +665,63 @@ object GridRaster {
       .withColumn("g2", col("gx") * col("gx") + col("gy") * col("gy"))
   }
 
+  /** EPANECHNIKOV KERNEL DENSITY raster — the general-bandwidth KDE verb
+    * ([[heatmap]] is the fixed 3×3 binomial special case): per-cell
+    * density = Σ over source cells within `bandwidthCells` of
+    * n_src · w(d), with the Epanechnikov kernel K(u) ∝ 1 − u² made
+    * integer-exact as
+    *   `w(d²) = (scale · (R² − d²)) div R²`   for d² < R², else 0
+    * (d² in CELL units between cell centers — quantization IS the
+    * semantics, as in the co-visitation/Hausdorff family; w ≥
+    * scale div R² ≥ 1 whenever scale ≥ R², so every covered cell gets a
+    * positive density). The hotspot-surface verb of spatial analysis
+    * (crime/disease mapping, retail siting) at a bandwidth the analyst
+    * chooses, where [[heatmap]]'s kernel is fixed.
+    *
+    * Output: (cx, cy, raw, density) — raw = the cell's own point count
+    * (0 for halo cells that only receive spill).
+    *
+    * Plan (100 TB posture): points collapse to the raster in exchange ONE
+    * (the [[heatmap]] discipline — the kernel explode fans out CELLS, not
+    * points); each occupied cell scatters into its ≤ (2R+1)² disk with
+    * PRECOMPUTED literal weights (d² depends only on the offset, so the
+    * whole kernel is a constant array — codegen explode, zero per-row
+    * arithmetic for w), and one map-side-combined hash aggregate sums per
+    * target cell. R is capped so the plan-side literal stays bounded.
+    */
+  def kde(points: DataFrame, lonCol: Column, latCol: Column,
+          cellMicro: Long, bandwidthCells: Int,
+          scale: Long = 1000000L): DataFrame = {
+    require(cellMicro > 0, "cellMicro must be positive")
+    require(bandwidthCells >= 1 && bandwidthCells <= 16,
+      "bandwidthCells in [1, 16] (the kernel literal is (2R+1)^2-sized)")
+    val R2 = bandwidthCells.toLong * bandwidthCells
+    require(scale >= R2, "scale must be >= bandwidthCells^2 for w >= 1")
+    val g = cellMicro
+    val maxX = 360000000L / g - 1; val maxY = 180000000L / g - 1
+    val counts = points.select(
+        (lonCol.cast("long") + 180000000L).as("_wx"),
+        (latCol.cast("long") + 90000000L).as("_wy"))
+      .select(expr(s"_wx div $g").as("px"), expr(s"_wy div $g").as("py"))
+      .where(col("px").between(0L, maxX) && col("py").between(0L, maxY))
+      .groupBy("px", "py").agg(count(lit(1)).as("n"))
+    val R = bandwidthCells
+    val offsets = array((for {
+      dx <- -R to R; dy <- -R to R
+      d2 = dx.toLong * dx + dy.toLong * dy; if d2 < R2
+    } yield struct(lit(dx.toLong).as("ox"), lit(dy.toLong).as("oy"),
+      lit(scale * (R2 - d2) / R2).as("w"))): _*)
+    counts.select(col("px"), col("py"), col("n"), explode(offsets).as("o"))
+      .select((col("px") + col("o.ox")).as("cx"),
+        (col("py") + col("o.oy")).as("cy"),
+        (col("n") * col("o.w")).as("_c"),
+        when(col("o.ox") === 0L && col("o.oy") === 0L, col("n"))
+          .otherwise(0L).as("_raw"))
+      .where(col("cx").between(0L, maxX) && col("cy").between(0L, maxY))
+      .groupBy("cx", "cy")
+      .agg(sum("_raw").as("raw"), sum("_c").as("density"))
+  }
+
   def heatmap(points: DataFrame, lonCol: Column, latCol: Column,
               cellMicro: Long): DataFrame = {
     require(cellMicro > 0, "cellMicro must be positive")

@@ -452,6 +452,65 @@ object Multimodal {
       }(enc)
   }
 
+  private val dhashSchema = StructType(Seq(
+    StructField("w", IntegerType), StructField("h", IntegerType),
+    StructField("dhash", LongType)))
+
+  /** Per-image DIFFERENCE HASH (dHash) — the gradient-based perceptual
+    * hash: 8×8 exact integer mean-pool (block SUMS compared directly —
+    * equal denominators, so no division ever happens), bit (r,c) = 1 iff
+    * the row-wise NEXT cell (wrapping, (c+1) mod 8) is strictly brighter.
+    * The wrap keeps all 64 bits defined from an 8×8 grid (the classic
+    * 9×8 variant needs a 9-column pool that can't be integer-exact on
+    * 8-divisible fixture dims — documented deviation). Complements
+    * avg-hash (level-based, [[imageFeatures]]) the way [[rasterTv]]
+    * complements [[whtEnergy]]: avg-hash thresholds against the global
+    * mean, dHash sees local gradient SIGN, so it is immune to global
+    * brightness/contrast shifts that flip avg-hash bits. Feed the output
+    * into [[Dedup.hammingPairs]] for dHash-keyed image near-dup.
+    *
+    * On generator images the pooled cells ARE the phash bit blocks, so
+    * dhash = (~p) & rotlRow(p) in closed form (bit set ⟺ current bit 0 ∧
+    * row-next bit 1) — the oracle replays the corpus histogram from that
+    * identity alone. Decode-once narrow kernel: ≤ 24 B/row, no shuffle.
+    */
+  def dHash(images: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(dhashSchema)
+    images.select("bytes", "w", "h", "fmt")
+      .mapPartitions { it =>
+        val sums = new Array[Long](64)
+        it.map { r =>
+          val (bytes, w, h, fmt) = (r.getAs[Array[Byte]](0),
+            r.getInt(1), r.getInt(2), r.getString(3))
+          val px = decodeAny(bytes, fmt, w, h)
+          java.util.Arrays.fill(sums, 0L)
+          val bw = w / 8; val bh = h / 8
+          var y = 0
+          while (y < h) {
+            val gy = math.min(y / bh, 7); val base = y * w
+            var x = 0
+            while (x < w) {
+              sums(gy * 8 + math.min(x / bw, 7)) += (px(base + x) & 0xff)
+              x += 1
+            }
+            y += 1
+          }
+          var dh = 0L
+          var gy = 0
+          while (gy < 8) {
+            var gx = 0
+            while (gx < 8) {
+              if (sums(gy * 8 + (gx + 1) % 8) > sums(gy * 8 + gx))
+                dh |= 1L << (gy * 8 + gx)
+              gx += 1
+            }
+            gy += 1
+          }
+          Row(w, h, dh)
+        }
+      }(enc)
+  }
+
   private val objSchema = StructType(Seq(
     StructField("phash", LongType), StructField("w", IntegerType),
     StructField("h", IntegerType), StructField("n_objects", IntegerType)))

@@ -191,4 +191,51 @@ object PointPattern {
       .select(col("cat_a"), col("cat_b"),
         coalesce(col("_nw"), lit(0L)).as("n_with"), col("n_total"))
   }
+
+  /** COLOCATION QUOTIENT counts [Leslie & Kronenfeld 2011] — the
+    * nearest-neighbor categorical association stat: CLQ_{A→B} =
+    * (C_{A→B}/N_A) / (N_B/(N−1)), where C_{A→B} counts A-points whose
+    * nearest OTHER point is a B. Sharper than the participation/cross-K
+    * counts for mixed-density data because each point casts exactly ONE
+    * vote (its NN), so a dense downtown can't swamp the statistic the way
+    * it inflates radius counts. Emits the integer components per ordered
+    * category pair, zero-filled over the full cat×cat matrix —
+    * (cat_a, cat_b, nn_count, n_a, n_b, n_total) — the one float division
+    * is the consumer's.
+    *
+    * Deterministic NN: argmin by (d², id), self excluded. Computed from
+    * [[Knn.knnJoinDf]] with k = 2 — the top-2 by (d², id) always contain
+    * the best non-self neighbor whether or not self makes the heap (self
+    * appears at most once), so filter-self → argmin is exact with no
+    * radius guess and no second pass.
+    *
+    * Plan (100 TB posture): the kNN ring join is the only spatial
+    * exchange; everything after is category-count-sized (two broadcastable
+    * joins to attach cats, one hash aggregate, a |cats|² zerofill cross).
+    */
+  def colocationQuotient(points: DataFrame, id: Column, cat: Column,
+                         lon: Column, lat: Column, level: Int): DataFrame = {
+    val spark = points.sparkSession
+    val p = points.select(id.cast("long").as("pid"), cat.cast("long").as("cat"),
+        lon.cast("long").as("x"), lat.cast("long").as("y"))
+      .localCheckpoint() // feeds the kNN join twice + three cat lookups
+    val nn = Knn.knnJoinDf(spark, p, col("pid"), col("x"), col("y"),
+        p, col("pid"), col("x"), col("y"), k = 2, level = level)
+      .where(col("neighbor_id") =!= col("qid"))
+      .groupBy("qid").agg(min(struct(col("d2"), col("neighbor_id"))).as("m"))
+      .select(col("qid"), col("m.neighbor_id").as("nnid"))
+    val counts = nn
+      .join(p.select(col("pid").as("qid"), col("cat").as("cat_a")), "qid")
+      .join(p.select(col("pid").as("nnid"), col("cat").as("cat_b")), "nnid")
+      .groupBy("cat_a", "cat_b").agg(count(lit(1)).as("nn_count"))
+    val catN = p.groupBy("cat").agg(count(lit(1)).as("n"))
+    val tot = p.agg(count(lit(1)).as("n_total"))
+    catN.select(col("cat").as("cat_a"), col("n").as("n_a"))
+      .crossJoin(catN.select(col("cat").as("cat_b"), col("n").as("n_b")))
+      .join(counts, Seq("cat_a", "cat_b"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("cat_a"), col("cat_b"),
+        coalesce(col("nn_count"), lit(0L)).as("nn_count"),
+        col("n_a"), col("n_b"), col("n_total"))
+  }
 }

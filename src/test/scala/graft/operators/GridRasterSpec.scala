@@ -667,4 +667,58 @@ class GridRasterSpec extends AnyFunSuite {
     assert(got.values.forall(_._5 >= 1L))
     assert(got.values.exists(_._4 == 1L))
   }
+
+  // ---- kde ---------------------------------------------------------------
+
+  private def bruteKde(pts: Seq[(Long, Long)], g: Long, bw: Int, scale: Long)
+      : Map[(Long, Long), (Long, Long)] = {
+    val maxX = 360000000L / g - 1; val maxY = 180000000L / g - 1
+    val r2 = bw.toLong * bw
+    val counts = pts.map { case (x, y) => ((x + 180000000L) / g, (y + 90000000L) / g) }
+      .groupBy(identity).map { case (c, v) => c -> v.size.toLong }
+    val out = scala.collection.mutable.Map[(Long, Long), (Long, Long)]()
+      .withDefaultValue((0L, 0L))
+    for (((px, py), n) <- counts; dx <- -bw to bw; dy <- -bw to bw) {
+      val d2 = dx.toLong * dx + dy.toLong * dy
+      if (d2 < r2) {
+        val (cx, cy) = (px + dx, py + dy)
+        if (cx >= 0 && cx <= maxX && cy >= 0 && cy <= maxY) {
+          val w = scale * (r2 - d2) / r2
+          val (raw, den) = out((cx, cy))
+          out((cx, cy)) = (raw + (if (dx == 0 && dy == 0) n else 0L), den + n * w)
+        }
+      }
+    }
+    out.toMap
+  }
+
+  test("kde: single point spreads the exact Epanechnikov disk") {
+    val g = 1000000L
+    // one point at cell (10, 10); R = 2: w(0) = scale, w(1) = 3s/4,
+    // w(2 diag) = s/2, w(d2=4) excluded (open ball)
+    val pts = Seq((10L * g - 180000000L + 5L, 10L * g - 90000000L + 5L))
+    val got = GridRaster.kde(pts.toDF("x", "y"), col("x"), col("y"), g,
+        bandwidthCells = 2, scale = 1000000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got((10L, 10L)) === ((1L, 1000000L)))
+    assert(got((11L, 10L)) === ((0L, 750000L)))
+    assert(got((11L, 11L)) === ((0L, 500000L)))
+    assert(!got.contains((12L, 10L)), "d2 = R2 must be excluded (open ball)")
+    assert(got === bruteKde(pts, g, 2, 1000000L))
+  }
+
+  test("kde: brute parity on a clustered scatter across bandwidths") {
+    val rnd = new scala.util.Random(37)
+    val pts = (0 until 800).map { _ =>
+      (rnd.nextLong(30000000L) - 15000000L, rnd.nextLong(30000000L) - 15000000L)
+    }
+    for (bw <- Seq(1, 3, 5)) {
+      assert(GridRaster.kde(pts.toDF("x", "y"), col("x"), col("y"), 1000000L,
+          bandwidthCells = bw)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(3)))).toMap ===
+        bruteKde(pts, 1000000L, bw, 1000000L), s"bw=$bw")
+    }
+  }
 }

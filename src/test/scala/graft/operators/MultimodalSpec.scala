@@ -310,6 +310,52 @@ class MultimodalSpec extends AnyFunSuite {
     assert(e.getMessage != null)
   }
 
+  test("dHash: kernel matches the closed form on fixture images and brute pooling on arbitrary grays") {
+    import spark.implicits._
+    val rows = Seq(
+      (0xAAAAAAAAAAAAAAAAL, 32, 32, "raw"), (0x00FF00FF00FF00FFL, 64, 32, "png"),
+      (0x123456789ABCDEF0L, 64, 64, "webp"), (0L, 32, 64, "raw"), (-1L, 96, 32, "png"))
+      .map { case (p, w, h, fmt) =>
+        val px = ImageCodec.pixelsFromHash(p, w, h)
+        val bytes = fmt match {
+          case "png"  => ImageCodec.encodePng(px, w, h)
+          case "webp" => ImageCodec.encodeWebp(px, w, h)
+          case _      => px
+        }
+        (p, bytes, w, h, fmt)
+      }
+    val got = Multimodal.dHash(rows.toDF("phash", "bytes", "w", "h", "fmt"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    rows.foreach { case (p, _, w, h, _) =>
+      var expect = 0L
+      for (gy <- 0 until 8; gx <- 0 until 8) {
+        val cur = (p >>> (gy * 8 + gx)) & 1L
+        val nxt = (p >>> (gy * 8 + (gx + 1) % 8)) & 1L
+        if (cur == 0L && nxt == 1L) expect |= 1L << (gy * 8 + gx)
+      }
+      assert(got((w, h)) === expect, s"closed form wrong for ${w}x$h")
+    }
+    // arbitrary gray ramp: brute 8x8 block-sum pooling reference
+    val w = 40; val h = 24
+    val px = Array.tabulate(w * h)(i => ((i * 37 + (i / w) * 11) % 251).toByte)
+    val sums = Array.fill(64)(0L)
+    for (y <- 0 until h; x <- 0 until w)
+      sums((y / (h / 8)) * 8 + x / (w / 8)) += px(y * w + x) & 0xff
+    var expect = 0L
+    for (gy <- 0 until 8; gx <- 0 until 8)
+      if (sums(gy * 8 + (gx + 1) % 8) > sums(gy * 8 + gx))
+        expect |= 1L << (gy * 8 + gx)
+    val gotRamp = Multimodal.dHash(Seq((px, w, h, "raw")).toDF("bytes", "w", "h", "fmt"))
+      .collect()(0).getLong(2)
+    assert(gotRamp === expect)
+    // global brightness shift flips no dHash bit (gradient-sign invariance)
+    val brighter = px.map(b => ((b & 0xff) + 5).toByte) // max 250+5, no clamp
+    val gotBright = Multimodal.dHash(
+        Seq((brighter, w, h, "raw")).toDF("bytes", "w", "h", "fmt"))
+      .collect()(0).getLong(2)
+    assert(gotBright === expect, "uniform brightness shift must not flip dHash bits")
+  }
+
   test("lumaHistogram: kernel matches brute per-pixel histogram and the popcount rule across formats") {
     import spark.implicits._
     val rows = Seq(

@@ -153,4 +153,62 @@ class PointPatternSpec extends AnyFunSuite {
     for (r <- Seq(200000L, 500000L))
       assert(runPart(pts, r) === brutePart(pts, r), s"r=$r")
   }
+
+  // ---- colocationQuotient ------------------------------------------------
+
+  private def bruteClq(pts: Seq[(Long, Long, Long, Long)])
+      : Map[(Long, Long), (Long, Long, Long, Long)] = {
+    val nTotal = pts.size.toLong
+    val catN = pts.groupBy(_._2).map { case (c, v) => c -> v.size.toLong }
+    val counts = scala.collection.mutable.Map[(Long, Long), Long]()
+      .withDefaultValue(0L)
+    pts.foreach { a =>
+      val nn = pts.filter(_._1 != a._1).minBy { b =>
+        ((a._3 - b._3) * (a._3 - b._3) + (a._4 - b._4) * (a._4 - b._4), b._1)
+      }
+      counts((a._2, nn._2)) += 1L
+    }
+    (for (ca <- catN.keys; cb <- catN.keys)
+      yield (ca, cb) -> ((counts((ca, cb)), catN(ca), catN(cb), nTotal))).toMap
+  }
+
+  private def runClq(pts: Seq[(Long, Long, Long, Long)], level: Int)
+      : Map[(Long, Long), (Long, Long, Long, Long)] =
+    PointPattern.colocationQuotient(pts.toDF("id", "cat", "x", "y"),
+        col("id"), col("cat"), col("x"), col("y"), level)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+
+  test("clq hand case: paired A-B stations vote for each other, zerofilled diagonal") {
+    // three A points each right next to a B point, pairs far apart:
+    // every A's NN is its B and vice versa -> C(A->B) = C(B->A) = 3
+    val pts = Seq(
+      (1L, 0L, 0L, 0L), (2L, 1L, 100L, 0L),
+      (3L, 0L, 10000000L, 0L), (4L, 1L, 10000100L, 0L),
+      (5L, 0L, 0L, 10000000L), (6L, 1L, 100L, 10000000L))
+    val got = runClq(pts, level = 6)
+    assert(got === Map(
+      (0L, 0L) -> ((0L, 3L, 3L, 6L)), (0L, 1L) -> ((3L, 3L, 3L, 6L)),
+      (1L, 0L) -> ((3L, 3L, 3L, 6L)), (1L, 1L) -> ((0L, 3L, 3L, 6L))))
+    assert(got === bruteClq(pts))
+  }
+
+  test("clq: brute parity on random categorized points across levels") {
+    val rnd = new scala.util.Random(404)
+    val pts = (1L to 300L).map(i => (i, rnd.nextLong(4L),
+      rnd.nextLong(20000000L) - 10000000L, rnd.nextLong(20000000L) - 10000000L))
+    for (level <- Seq(4, 6, 8))
+      assert(runClq(pts, level) === bruteClq(pts), s"level=$level")
+  }
+
+  test("clq: coincident points resolve the NN by id, self always excluded") {
+    val pts = Seq((1L, 0L, 500L, 500L), (2L, 1L, 500L, 500L),
+      (3L, 1L, 500L, 500L))
+    val got = runClq(pts, level = 8)
+    // 1's NN is 2 (d2=0, min id among others); 2's NN is 1? ids 1 and 3 at
+    // d2=0 -> id 1 wins; 3's NN -> id 1
+    assert(got((0L, 1L)) === ((1L, 1L, 2L, 3L)))
+    assert(got((1L, 0L)) === ((2L, 2L, 1L, 3L)))
+    assert(got === bruteClq(pts))
+  }
 }
