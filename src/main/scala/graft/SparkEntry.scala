@@ -2294,6 +2294,54 @@ object SparkEntry {
           col("tus"), eps1 = 8000000L, eps2 = 6000000L, minPts = 3)
         .orderBy("id")
     }),
+    // ---- Focal median (qa4): rank-order smoothing over the occupied
+    //      density surface — the salt-and-pepper denoiser a linear kernel
+    //      can't be; lower median of the ≤9 present window values.
+    "qa4_focal_median" -> ((s, dir) => {
+      val hub = col("o_orderkey") % 37L
+      val pts = s.read.parquet(s"$dir/orders.parquet").select(
+        (Derive.lonMicro(hub) + (col("o_orderkey") * 48271L) % 9000001L
+          - 4500000L).as("lonm"),
+        (Derive.latMicro(hub) + ((col("o_orderkey") + 7L) * 16807L) % 9000001L
+          - 4500000L).as("latm"))
+      operators.GridRaster.focalMedian(pts, col("lonm"), col("latm"),
+          cellMicro = 2000000L)
+        .orderBy("cx", "cy")
+    }),
+    // ---- Radius of gyration (qa5): the mobility-range statistic — per-
+    //      entity integer components re-anchored to the entity's own min
+    //      corner so Σd² never nears int64 overflow; slot fixture.
+    "qa5_gyration" -> ((s, dir) => {
+      val hub = col("user_id") % 13L
+      val slot = expr("(unix_micros(cast(ts as timestamp)) " +
+        "- 1704067200000000) div 259200000000")
+      val ev = s.read.parquet(s"$dir/events.parquet").select(
+        col("user_id"),
+        (Derive.lonMicro(hub)
+          + ((col("user_id") * 31L + slot * 7L) * 48271L) % 600001L - 300000L
+          + (col("event_id") * 7919L) % 200001L - 100000L).as("lonm"),
+        (Derive.latMicro(hub)
+          + ((col("user_id") * 17L + slot * 11L) * 16807L) % 600001L - 300000L
+          + ((col("event_id") + 3L) * 104729L) % 200001L - 100000L).as("latm"))
+      Trajectory.radiusOfGyration(ev, col("user_id"), col("lonm"), col("latm"))
+        .orderBy("entity")
+    }),
+    // ---- Zonal majority (qa3): the categorical half of zonal statistics
+    //      — density raster reclassified by the {2,4,8} ladder, cell
+    //      centers zone-joined to the fixed world rects, per-zone
+    //      majority/minority/variety with deterministic ties.
+    "qa3_zonal_majority" -> ((s, dir) => {
+      val hub = col("o_orderkey") % 37L
+      val pts = s.read.parquet(s"$dir/orders.parquet").select(
+        (Derive.lonMicro(hub) + (col("o_orderkey") * 48271L) % 9000001L
+          - 4500000L).as("lonm"),
+        (Derive.latMicro(hub) + ((col("o_orderkey") + 7L) * 16807L) % 9000001L
+          - 4500000L).as("latm"))
+      operators.GridRaster.zonalMajority(s, pts, col("lonm"), col("latm"),
+          cellMicro = 2000000L, thresholds = Seq(2L, 4L, 8L),
+          specs = Derive.rectSpecs)
+        .orderBy("poly_id")
+    }),
     // ---- Colocation quotient (qa2): NN-based categorical association —
     //      each point casts ONE vote (its nearest other point), so dense
     //      areas can't swamp the stat like radius counts; integer CLQ
@@ -3995,6 +4043,85 @@ object SparkEntry {
     "q9u_st_dbscan" ->
       s"""$stDbscanCteSql
          |SELECT id, cluster FROM lbl ORDER BY id""".stripMargin,
+    "qa4_focal_median" ->
+      // same scatter + ordered-list lower median (1-based [(m+1)//2])
+      s"""WITH pts AS (SELECT
+         |  ${Derive.lonSql("(o_orderkey % 37)")}
+         |    + (o_orderkey * 48271) % 9000001 - 4500000 AS lon,
+         |  ${Derive.latSql("(o_orderkey % 37)")}
+         |    + ((o_orderkey + 7) * 16807) % 9000001 - 4500000 AS lat
+         |  FROM orders),
+         |r AS (SELECT (lon + 180000000) // 2000000 AS px,
+         |    (lat + 90000000) // 2000000 AS py, count(*) AS n
+         |  FROM pts GROUP BY 1, 2),
+         |o AS (SELECT dx.g AS dx, dy.g AS dy
+         |  FROM (SELECT unnest(generate_series(-1, 1)) AS g) dx,
+         |       (SELECT unnest(generate_series(-1, 1)) AS g) dy),
+         |e AS (SELECT r.px + o.dx AS px, r.py + o.dy AS py, r.n AS v
+         |  FROM r CROSS JOIN o),
+         |m AS (SELECT px, py, list(v ORDER BY v) AS vs
+         |  FROM e GROUP BY 1, 2)
+         |SELECT r.px AS cx, r.py AS cy, r.n,
+         |  m.vs[(len(m.vs) + 1) // 2] AS med
+         |FROM r JOIN m ON m.px = r.px AND m.py = r.py
+         |ORDER BY cx, cy""".stripMargin,
+    "qa5_gyration" ->
+      // q9i's slot fixture + the same anchor-shifted integer sums
+      s"""WITH f AS (SELECT user_id AS ent,
+         |  ${Derive.lonSql("(user_id % 13)")}
+         |    + ((user_id * 31 + ((epoch_us(ts) - 1704067200000000)
+         |        // 259200000000) * 7) * 48271) % 600001 - 300000
+         |    + (event_id * 7919) % 200001 - 100000 AS x,
+         |  ${Derive.latSql("(user_id % 13)")}
+         |    + ((user_id * 17 + ((epoch_us(ts) - 1704067200000000)
+         |        // 259200000000) * 11) * 16807) % 600001 - 300000
+         |    + ((event_id + 3) * 104729) % 200001 - 100000 AS y
+         |  FROM events),
+         |a AS (SELECT ent, min(x) AS ax, min(y) AS ay FROM f GROUP BY ent)
+         |SELECT f.ent AS entity, CAST(count(*) AS BIGINT) AS n_fixes,
+         |  CAST(sum(f.x - a.ax) AS BIGINT) AS sum_dx,
+         |  CAST(sum(f.y - a.ay) AS BIGINT) AS sum_dy,
+         |  CAST(sum((f.x - a.ax) * (f.x - a.ax)
+         |    + (f.y - a.ay) * (f.y - a.ay)) AS BIGINT) AS sum_d2
+         |FROM f JOIN a ON f.ent = a.ent
+         |GROUP BY f.ent ORDER BY entity""".stripMargin,
+    "qa3_zonal_majority" ->
+      // inclusive-bbox zone test (rect raycast == bbox) + window argmins
+      // with the same deterministic tie rules
+      s"""WITH pts AS (SELECT
+         |  ${Derive.lonSql("(o_orderkey % 37)")}
+         |    + (o_orderkey * 48271) % 9000001 - 4500000 AS lon,
+         |  ${Derive.latSql("(o_orderkey % 37)")}
+         |    + ((o_orderkey + 7) * 16807) % 9000001 - 4500000 AS lat
+         |  FROM orders),
+         |rst AS (SELECT (lon + 180000000) // 2000000 AS px,
+         |    (lat + 90000000) // 2000000 AS py, count(*) AS n
+         |  FROM pts GROUP BY 1, 2),
+         |c AS (SELECT px * 2000000 + 1000000 - 180000000 AS lonm,
+         |    py * 2000000 + 1000000 - 90000000 AS latm,
+         |    CAST(CASE WHEN n >= 2 THEN 1 ELSE 0 END
+         |      + CASE WHEN n >= 4 THEN 1 ELSE 0 END
+         |      + CASE WHEN n >= 8 THEN 1 ELSE 0 END AS BIGINT) AS cls
+         |  FROM rst),
+         |z AS (SELECT r.poly_id, c.cls FROM c JOIN ${Derive.rectsSqlValues}
+         |  ON c.lonm BETWEEN r.lon_min AND r.lon_max
+         |  AND c.latm BETWEEN r.lat_min AND r.lat_max),
+         |pc AS (SELECT poly_id, cls, count(*) AS cnt FROM z GROUP BY 1, 2),
+         |maj AS (SELECT poly_id, cls AS majority_class,
+         |    cnt AS majority_count FROM (SELECT *, row_number() OVER (
+         |      PARTITION BY poly_id ORDER BY cnt DESC, cls) AS rn FROM pc)
+         |  WHERE rn = 1),
+         |mino AS (SELECT poly_id, cls AS minority_class,
+         |    cnt AS minority_count FROM (SELECT *, row_number() OVER (
+         |      PARTITION BY poly_id ORDER BY cnt, cls) AS rn FROM pc)
+         |  WHERE rn = 1),
+         |v AS (SELECT poly_id, CAST(count(*) AS BIGINT) AS variety,
+         |    CAST(sum(cnt) AS BIGINT) AS n_cells FROM pc GROUP BY 1)
+         |SELECT maj.poly_id, majority_class, majority_count,
+         |  minority_class, minority_count, v.variety, v.n_cells
+         |FROM maj JOIN mino ON maj.poly_id = mino.poly_id
+         |JOIN v ON maj.poly_id = v.poly_id
+         |ORDER BY maj.poly_id""".stripMargin,
     "qa2_clq" ->
       // brute NN by (d2, id) via a window over the full pair cross
       s"""WITH p AS (SELECT c_custkey AS pid, c_custkey % 5 AS cat,

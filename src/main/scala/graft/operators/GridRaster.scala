@@ -722,6 +722,112 @@ object GridRaster {
       .agg(sum("_raw").as("raw"), sum("_c").as("density"))
   }
 
+  /** FOCAL MEDIAN — the rank-order smoother over the occupied density
+    * surface (GRASS `r.neighbors method=median`): each occupied cell's
+    * value is replaced by the LOWER MEDIAN of the occupied cells in its
+    * 3×3 window — the salt-and-pepper denoiser that [[heatmap]]'s linear
+    * kernel cannot be (a single 1000-count glitch cell pulls every mean
+    * around it; the median ignores it entirely). "Occupied cells are the
+    * surface" per the [[flowAccumulation]] convention: empty neighbors
+    * are absent, not zero, so sparse fringes aren't dragged to 0.
+    *
+    * Deterministic rule: sort the m ∈ [1, 9] present values ascending,
+    * take index ⌈m/2⌉ (1-based) — the lower median, exact int64, no
+    * averaging of middle pairs (which would need fractions).
+    *
+    * Output: (cx, cy, n, med) for every occupied cell.
+    *
+    * Plan (100 TB posture): points collapse to the raster in exchange
+    * one; each cell scatters its value to its 9 window targets (cells,
+    * not points); per-target the BOUNDED ≤9-element list sorts map-side
+    * (`array_sort ∘ collect_list` — bounded by construction, the
+    * anchor-cells collect discipline); one inner join back to the raster
+    * keeps only occupied centers. No window function, no driver state.
+    */
+  def focalMedian(points: DataFrame, lonCol: Column, latCol: Column,
+                  cellMicro: Long): DataFrame = {
+    require(cellMicro > 0, "cellMicro must be positive")
+    val g = cellMicro
+    val maxX = 360000000L / g - 1; val maxY = 180000000L / g - 1
+    val counts = points.select(
+        (lonCol.cast("long") + 180000000L).as("_wx"),
+        (latCol.cast("long") + 90000000L).as("_wy"))
+      .select(expr(s"_wx div $g").as("px"), expr(s"_wy div $g").as("py"))
+      .where(col("px").between(0L, maxX) && col("py").between(0L, maxY))
+      .groupBy("px", "py").agg(count(lit(1)).as("n"))
+      .localCheckpoint() // feeds the scatter AND the occupied-center join
+    val offsets = array((for (ox <- -1 to 1; oy <- -1 to 1) yield struct(
+      lit(ox.toLong).as("ox"), lit(oy.toLong).as("oy"))): _*)
+    val meds = counts.select(col("px"), col("py"), col("n"),
+        explode(offsets).as("o"))
+      .select((col("px") + col("o.ox")).as("px"),
+        (col("py") + col("o.oy")).as("py"), col("n").as("v"))
+      .groupBy("px", "py")
+      .agg(array_sort(collect_list(col("v"))).as("vs"))
+      .select(col("px"), col("py"),
+        element_at(col("vs"), expr("(size(vs) + 1) div 2").cast("int")).as("med"))
+    counts.join(meds, Seq("px", "py"))
+      .select(col("px").as("cx"), col("py").as("cy"), col("n"), col("med"))
+  }
+
+  /** RECLASSIFY + ZONAL MAJORITY/MINORITY/VARIETY — the categorical half
+    * of zonal statistics (GRASS `r.stats` / ArcGIS ZonalStatistics
+    * MAJORITY·MINORITY·VARIETY), where [[graft.operators.Multimodal
+    * .zonalStats]] covers the numeric half (sum/count): the density raster
+    * is reclassified into ordinal classes by a threshold ladder
+    * (class = #{t ∈ thresholds : n ≥ t} — the standard monotone
+    * reclassify, integer-exact), each cell CENTER is assigned to its
+    * zone(s) through the real cover-cell polygon join, and each zone
+    * reports its most/least common class with deterministic ties
+    * (majority: highest count then SMALLEST class; minority: lowest count
+    * then smallest class), plus variety (distinct classes present) and
+    * n_cells.
+    *
+    * Output: (poly_id, majority_class, majority_count, minority_class,
+    * minority_count, variety, n_cells) — zones covering no occupied cell
+    * are absent (the [[graft.operators.Multimodal.zonalStats]]
+    * convention).
+    *
+    * Plan (100 TB posture): points collapse to the raster in exchange
+    * one; the zone assignment is the standard [[SpatialJoin.join]]
+    * cover-cell equi-join (raster-sized, AQE-broadcastable); the
+    * majority/minority argmins are `min(struct)` hash aggregates over
+    * (zone, class) rows — |zones|·|classes|-sized, never a window sort.
+    */
+  def zonalMajority(spark: org.apache.spark.sql.SparkSession,
+                    points: DataFrame, lonCol: Column, latCol: Column,
+                    cellMicro: Long, thresholds: Seq[Long],
+                    specs: Array[graft.fixtures.PolySpec]): DataFrame = {
+    require(cellMicro > 0, "cellMicro must be positive")
+    require(thresholds.nonEmpty && thresholds == thresholds.sorted &&
+      thresholds.distinct == thresholds,
+      "thresholds must be a nonempty strictly increasing ladder")
+    val g = cellMicro
+    val maxX = 360000000L / g - 1; val maxY = 180000000L / g - 1
+    val counts = points.select(
+        (lonCol.cast("long") + 180000000L).as("_wx"),
+        (latCol.cast("long") + 90000000L).as("_wy"))
+      .select(expr(s"_wx div $g").as("px"), expr(s"_wy div $g").as("py"))
+      .where(col("px").between(0L, maxX) && col("py").between(0L, maxY))
+      .groupBy("px", "py").agg(count(lit(1)).as("n"))
+    val cls = thresholds.map(t => when(col("n") >= t, 1L).otherwise(0L))
+      .reduce(_ + _)
+    val centers = counts.select(
+      (col("px") * g + g / 2 - 180000000L).as("lonm"),
+      (col("py") * g + g / 2 - 90000000L).as("latm"), cls.as("cls"))
+    val perZoneClass = SpatialJoin.join(spark, centers, col("lonm"),
+        col("latm"), specs)
+      .groupBy("poly_id", "cls").agg(count(lit(1)).as("cnt"))
+    perZoneClass.groupBy("poly_id")
+      .agg(min(struct((-col("cnt")).as("nc"), col("cls").as("c"))).as("maj"),
+        min(struct(col("cnt").as("pc"), col("cls").as("c"))).as("mino"),
+        count(lit(1)).as("variety"), sum("cnt").as("n_cells"))
+      .select(col("poly_id"), col("maj.c").as("majority_class"),
+        (-col("maj.nc")).as("majority_count"),
+        col("mino.c").as("minority_class"), col("mino.pc").as("minority_count"),
+        col("variety"), col("n_cells"))
+  }
+
   def heatmap(points: DataFrame, lonCol: Column, latCol: Column,
               cellMicro: Long): DataFrame = {
     require(cellMicro > 0, "cellMicro must be positive")

@@ -826,4 +826,38 @@ object Trajectory {
       .select(col("ea").as("ent_a"), col("eb").as("ent_b"),
         greatest(col("hab"), col("hba")).as("haus_d2"))
   }
+
+  /** RADIUS OF GYRATION components [González, Hidalgo & Barabási 2008] —
+    * THE mobility-range statistic: r_g = √(Σ‖xᵢ − x̄‖²/n) per entity,
+    * the size of the territory a mover actually uses (commuter vs
+    * traveler separates on r_g where trip counts look identical).
+    *
+    * Integer-exact surface (floats never cross the engine boundary):
+    * coordinates are re-anchored to the entity's own (min lon, min lat)
+    * — deviations are bounded by the entity FOOTPRINT, not the world, so
+    * Σd² stays far from int64 overflow where raw-coordinate Σx² would
+    * not — and the emitted components (entity, n_fixes, sum_dx, sum_dy,
+    * sum_d2) reconstruct r_g² = sum_d2/n − (sum_dx/n)² − (sum_dy/n)²
+    * exactly (one consumer-side division; the anchor shift cancels
+    * algebraically, so the choice of anchor does not affect r_g).
+    *
+    * Plan (100 TB posture): one entity hash-aggregate for the anchors,
+    * one equi-join to re-anchor (both sides partitioned on the same
+    * entity key — exchange reuse), one closing hash aggregate. No
+    * window, no sort, no driver state.
+    */
+  def radiusOfGyration(fixes: DataFrame, entity: Column,
+                       lon: Column, lat: Column): DataFrame = {
+    val f = fixes.select(entity.cast("long").as("ent"),
+      lon.cast("long").as("x"), lat.cast("long").as("y"))
+    val anchors = f.groupBy("ent")
+      .agg(min("x").as("ax"), min("y").as("ay"))
+    f.join(anchors, "ent")
+      .select(col("ent"), (col("x") - col("ax")).as("dx"),
+        (col("y") - col("ay")).as("dy"))
+      .groupBy(col("ent").as("entity"))
+      .agg(count(lit(1)).as("n_fixes"), sum("dx").as("sum_dx"),
+        sum("dy").as("sum_dy"),
+        sum(col("dx") * col("dx") + col("dy") * col("dy")).as("sum_d2"))
+  }
 }

@@ -721,4 +721,74 @@ class GridRasterSpec extends AnyFunSuite {
         bruteKde(pts, 1000000L, bw, 1000000L), s"bw=$bw")
     }
   }
+
+  // ---- zonalMajority -----------------------------------------------------
+
+  test("zonalMajority: hand case — reclassify ladder, majority/minority ties, variety") {
+    import graft.core.{PolyM, RingM}
+    import graft.fixtures.PolySpec
+    val g = 1000000L
+    def rect(id: String, lo: Long, la: Long, hi: Long, ha: Long) =
+      PolySpec(id, "rect", PolyM(Array(RingM(Array(lo, hi, hi, lo), Array(la, la, ha, ha)))))
+    // zone z1 covers cells (10..13, 10): populate counts 1, 2, 4, 8 ->
+    // classes 0, 1, 2, 3 (each once -> 4-way tie: majority = class 0 by
+    // the smallest-class rule, minority = class 0 too), variety 4
+    def cell(cx: Long, cy: Long, k: Int): Seq[(Long, Long)] =
+      Seq.fill(k)((cx * g - 180000000L + 5L, cy * g - 90000000L + 5L))
+    val ptsA = cell(10, 10, 1) ++ cell(11, 10, 2) ++ cell(12, 10, 4) ++ cell(13, 10, 8)
+    // zone z2 covers cells (30..32, 30): counts 4, 4, 1 -> classes 2, 2, 0
+    val ptsB = cell(30, 30, 4) ++ cell(31, 30, 4) ++ cell(32, 30, 1)
+    val specs = Array(
+      rect("z1", 10L * g - 180000000L, 10L * g - 90000000L,
+        14L * g - 180000000L, 11L * g - 90000000L),
+      rect("z2", 30L * g - 180000000L, 30L * g - 90000000L,
+        33L * g - 180000000L, 31L * g - 90000000L))
+    val got = GridRaster.zonalMajority(spark, (ptsA ++ ptsB).toDF("x", "y"),
+        col("x"), col("y"), g, Seq(2L, 4L, 8L), specs)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6)))).toMap
+    assert(got("z1") === ((0L, 1L, 0L, 1L, 4L, 4L)))
+    assert(got("z2") === ((2L, 2L, 0L, 1L, 2L, 3L)))
+  }
+
+  // ---- focalMedian -------------------------------------------------------
+
+  private def bruteFocalMedian(pts: Seq[(Long, Long)], g: Long)
+      : Map[(Long, Long), (Long, Long)] = {
+    val counts = pts.map { case (x, y) => ((x + 180000000L) / g, (y + 90000000L) / g) }
+      .groupBy(identity).map { case (c, v) => c -> v.size.toLong }
+    counts.map { case (c, n) =>
+      val win = (for (dx <- -1 to 1; dy <- -1 to 1;
+        v <- counts.get((c._1 + dx, c._2 + dy))) yield v).sorted
+      c -> (n, win((win.size + 1) / 2 - 1))
+    }
+  }
+
+  test("focalMedian: hand case — lower median ignores the glitch cell") {
+    val g = 1000000L
+    def cell(cx: Long, cy: Long, k: Int): Seq[(Long, Long)] =
+      Seq.fill(k)((cx * g - 180000000L + 5L, cy * g - 90000000L + 5L))
+    // row of counts 3,3,1000,3,3: the glitch's own median over its 3-cell
+    // window {3,1000,3} is 3 — the mean smoother would report ~335
+    val pts = cell(10, 10, 3) ++ cell(11, 10, 3) ++ cell(12, 10, 1000) ++
+      cell(13, 10, 3) ++ cell(14, 10, 3)
+    val got = GridRaster.focalMedian(pts.toDF("x", "y"), col("x"), col("y"), g)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got((12L, 10L)) === ((1000L, 3L)))
+    assert(got((10L, 10L)) === ((3L, 3L)))
+    assert(got === bruteFocalMedian(pts, g))
+  }
+
+  test("focalMedian: brute parity on a clustered scatter (even windows take the lower middle)") {
+    val rnd = new scala.util.Random(41)
+    val pts = (0 until 900).map { _ =>
+      (rnd.nextLong(25000000L) - 12000000L, rnd.nextLong(25000000L) - 12000000L)
+    }
+    val got = GridRaster.focalMedian(pts.toDF("x", "y"), col("x"), col("y"), 1000000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got === bruteFocalMedian(pts, 1000000L))
+  }
 }

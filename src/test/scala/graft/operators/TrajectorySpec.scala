@@ -806,4 +806,33 @@ class TrajectorySpec extends AnyFunSuite {
       assert(runStays(rows, 1000000L, minStay, minFix)
         === bruteStays(rows, 1000000L, minStay, minFix), s"$minStay/$minFix")
   }
+
+  // ---- radiusOfGyration --------------------------------------------------
+
+  test("radiusOfGyration: components match a hand computation and are anchor-invariant") {
+    import spark.implicits._
+    // entity 1: fixes at (0,0), (10,0), (0,10), (10,10) — mean (5,5),
+    // rg^2 = 50/4... components vs min-anchor (0,0): sum_dx=20, sum_dy=20,
+    // sum_d2 = 0+100+100+200 = 400; entity 2: single fix -> all zero
+    val fixes = Seq(
+      (1L, 0L, 0L), (1L, 10L, 0L), (1L, 0L, 10L), (1L, 10L, 10L),
+      (2L, 777L, -333L))
+    val got = Trajectory.radiusOfGyration(fixes.toDF("ent", "x", "y"),
+        col("ent"), col("x"), col("y"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got === Map(1L -> ((4L, 20L, 20L, 400L)),
+      2L -> ((1L, 0L, 0L, 0L))))
+    // rg^2 reconstructs exactly: 400/4 - (20/4)^2 - (20/4)^2 = 100-25-25=50
+    val (n, sdx, sdy, sd2) = got(1L)
+    assert(sd2.toDouble / n - math.pow(sdx.toDouble / n, 2)
+      - math.pow(sdy.toDouble / n, 2) === 50.0)
+    // anchor invariance: shifting every fix by a constant changes nothing
+    val shifted = fixes.map { case (e, x, y) => (e, x + 100000L, y - 50000L) }
+    val got2 = Trajectory.radiusOfGyration(shifted.toDF("ent", "x", "y"),
+        col("ent"), col("x"), col("y"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got2 === got)
+  }
 }
