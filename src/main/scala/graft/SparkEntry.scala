@@ -2294,6 +2294,20 @@ object SparkEntry {
           col("tus"), eps1 = 8000000L, eps2 = 6000000L, minPts = 3)
         .orderBy("id")
     }),
+    // ---- Label propagation communities (qa6): K synchronous rounds of
+    //      "adopt the neighbors' most common label" with the total
+    //      (−count, label) argmin rule — fixed-K snapshot, no convergence
+    //      claim (sync LPA 2-cycles on bipartite structure); q91's graph.
+    "qa6_lpa" -> ((s, dir) => {
+      val ok = col("o_orderkey")
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val raw = orders.select(((ok * ok) % 2311L).as("x"),
+          ((ok * 7919L + 13L) % ((ok % 389L) + 7L)).as("y"))
+        .union(orders.select((ok % 14L + 10000L).as("x"),
+          (ok % 14L + 10001L).as("y")))
+      operators.Graph.labelPropagation(raw, col("x"), col("y"), rounds = 4)
+        .orderBy("node")
+    }),
     // ---- Focal median (qa4): rank-order smoothing over the occupied
     //      density surface — the salt-and-pepper denoiser a linear kernel
     //      can't be; lower median of the ≤9 present window values.
@@ -4043,6 +4057,27 @@ object SparkEntry {
     "q9u_st_dbscan" ->
       s"""$stDbscanCteSql
          |SELECT id, cluster FROM lbl ORDER BY id""".stripMargin,
+    "qa6_lpa" -> {
+      // 4 chained synchronous rounds, QUALIFY argmin with the same
+      // (cnt DESC, label) total rule
+      val rounds = (1 to 4).map { i =>
+        s"""l$i AS (SELECT a AS node, nl AS lbl FROM (
+           |  SELECT u.a, l.lbl AS nl, count(*) AS cnt
+           |  FROM und u JOIN l${i - 1} l ON u.b = l.node GROUP BY 1, 2
+           |  QUALIFY row_number() OVER (
+           |    PARTITION BY u.a ORDER BY cnt DESC, nl) = 1))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH g AS (SELECT (o_orderkey * o_orderkey) % 2311 AS x,
+         |    (o_orderkey * 7919 + 13) % ((o_orderkey % 389) + 7) AS y
+         |  FROM orders
+         |  UNION ALL SELECT o_orderkey % 14 + 10000, o_orderkey % 14 + 10001
+         |  FROM orders),
+         |und AS (SELECT x AS a, y AS b FROM g WHERE x <> y
+         |  UNION SELECT y, x FROM g WHERE x <> y),
+         |l0 AS (SELECT DISTINCT a AS node, a AS lbl FROM und),
+         |$rounds
+         |SELECT node, lbl FROM l4 ORDER BY node""".stripMargin
+    },
     "qa4_focal_median" ->
       // same scatter + ordered-list lower median (1-based [(m+1)//2])
       s"""WITH pts AS (SELECT

@@ -224,4 +224,50 @@ object Graph {
     live.select(col("a").as("n")).union(live.select(col("b").as("n")))
       .groupBy("n").agg(count(lit(1)).as("core_deg"))
   }
+
+  /** SYNCHRONOUS LABEL PROPAGATION communities [Raghavan 2007,
+    * deterministic variant] — the cheap community detector: after K
+    * synchronous rounds of "adopt your neighbors' most common label",
+    * densely-linked node sets share a label. Classic async LPA is
+    * visit-order-dependent; this variant is a TOTAL rule, engine-invariant
+    * and oracle-replayable:
+    *   - simple graph: parallel edges/reversals dedup, self-loops drop —
+    *     each neighbor casts exactly ONE vote;
+    *   - label(0)(x) = x; label(k+1)(x) = the smallest label among the
+    *     most frequent labels of N(x) (argmin by (−count, label));
+    *   - exactly `rounds` synchronous rounds — NO convergence claim
+    *     (synchronous LPA provably 2-cycles on bipartite-ish structures
+    *     [Raghavan's own caveat], so a fixed-K snapshot is the honest
+    *     deterministic semantics; pick K by diagnosing stability offline).
+    *
+    * Output: (node, label) after K rounds, for every node incident to an
+    * edge (isolated nodes have no votes to receive — union them in as
+    * self-labeled rows if the use case needs them).
+    *
+    * Plan (100 TB posture): per round — ONE labels⋈edges equi-join, one
+    * (node, label) hash count, one min(struct) argmin hash aggregate; the
+    * [[graft.operators.Routing.shortestPaths]] Pregel discipline
+    * (localCheckpoint per round bounds lineage, K ≤ 8 bounds cost). No
+    * window sort, no driver state.
+    */
+  def labelPropagation(edges: DataFrame, u: Column, v: Column,
+                       rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 8, "rounds in [1, 8]")
+    val e0 = edges.select(u.cast("long").as("a"), v.cast("long").as("b"))
+      .where(col("a") =!= col("b"))
+    val und = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
+      .distinct().localCheckpoint()
+    var lbl = und.select(col("a").as("node")).distinct()
+      .withColumn("lbl", col("node")).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      lbl = und
+        .join(lbl.select(col("node").as("b"), col("lbl").as("nl")), "b")
+        .groupBy(col("a").as("node"), col("nl")).agg(count(lit(1)).as("cnt"))
+        .groupBy("node")
+        .agg(min(struct((-col("cnt")).as("nc"), col("nl").as("l"))).as("m"))
+        .select(col("node"), col("m.l").as("lbl"))
+        .localCheckpoint()
+    }
+    lbl
+  }
 }

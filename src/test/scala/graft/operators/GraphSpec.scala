@@ -189,4 +189,43 @@ class GraphSpec extends AnyFunSuite {
     for (k <- Seq(2, 3, 5, 8))
       assert(runCore(edges, k) === bruteCore(edges, k), s"k=$k")
   }
+
+  // ---- labelPropagation --------------------------------------------------
+
+  private def bruteLpa(edges: Seq[(Long, Long)], rounds: Int): Map[Long, Long] = {
+    val und = edges.filter(e => e._1 != e._2)
+      .flatMap(e => Seq(e, (e._2, e._1))).distinct
+    val nbrs = und.groupBy(_._1).map { case (n, es) => n -> es.map(_._2) }
+    var lbl = nbrs.keys.map(n => n -> n).toMap
+    for (_ <- 1 to rounds) {
+      lbl = nbrs.map { case (n, ns) =>
+        val counts = ns.map(lbl).groupBy(identity).map { case (l, v) => (l, v.size) }
+        n -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    lbl
+  }
+
+  private def runLpa(edges: Seq[(Long, Long)], rounds: Int): Map[Long, Long] = {
+    import spark.implicits._
+    Graph.labelPropagation(edges.toDF("u", "v"), col("u"), col("v"), rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("lpa: two cliques with one bridge settle on per-clique min labels") {
+    val cliqueA = for (i <- 1L to 5L; j <- (i + 1) to 5L) yield (i, j)
+    val cliqueB = for (i <- 11L to 15L; j <- (i + 1) to 15L) yield (i, j)
+    val edges = cliqueA ++ cliqueB ++ Seq((5L, 11L))
+    val got = runLpa(edges, 4)
+    assert((1L to 5L).forall(got(_) == 1L), s"clique A labels: $got")
+    assert((11L to 15L).forall(got(_) == 11L), s"clique B labels: $got")
+    assert(got === bruteLpa(edges, 4))
+  }
+
+  test("lpa: brute parity on a random graph across round counts (incl. parallel edges + self loops)") {
+    val rnd = new scala.util.Random(606)
+    val edges = (1 to 600).map(_ => (rnd.nextLong(80L), rnd.nextLong(80L)))
+    for (rounds <- Seq(1, 3, 5))
+      assert(runLpa(edges, rounds) === bruteLpa(edges, rounds), s"rounds=$rounds")
+  }
 }
