@@ -2294,6 +2294,40 @@ object SparkEntry {
           col("tus"), eps1 = 8000000L, eps2 = 6000000L, minPts = 3)
         .orderBy("id")
     }),
+    // ---- Viterbi map matching (qa7): the sequence-consistent upgrade of
+    //      q7t — each entity walks along a pair of parallel roads with GPS
+    //      jitter that straddles both; per-fix nearest snapping ping-pongs,
+    //      the switch penalty keeps the matched road stable. Query emits
+    //      per-entity (n_fixes, total path cost); the oracle computes the
+    //      DP MINIMUM independently, so equality certifies optimality.
+    "qa7_viterbi" -> ((s, dir) => {
+      val ent = (col("o_orderkey") - 1L) % 100L
+      val idx = expr("(o_orderkey - 1) div 100")
+      val fixes = s.read.parquet(s"$dir/orders.parquet")
+        .where(col("o_orderkey") >= 1L &&
+          expr("(o_orderkey - 1) div 100") < 6L)
+        .select(ent.as("ent"), idx.as("tus"), col("o_orderkey").as("oid"),
+          (Derive.lonMicro(ent * 7L + 1L) + idx * 20000L).as("lonm"),
+          (Derive.latMicro(ent * 7L + 1L)
+            + (col("o_orderkey") * 104729L) % 30001L - 15000L).as("latm"))
+      val hub = col("s_suppkey") % 100L
+      val segs = s.read.parquet(s"$dir/supplier.parquet")
+        .select(col("s_suppkey"), explode(array(lit(0L), lit(1L))).as("k"))
+        .select((col("s_suppkey") * 2L + col("k")).as("sid"),
+          (Derive.lonMicro(hub * 7L + 1L) - 50000L).as("x1"),
+          (Derive.latMicro(hub * 7L + 1L) + col("k") * 20000L
+            - 10000L).as("y1"),
+          (Derive.lonMicro(hub * 7L + 1L) + 200000L).as("x2"),
+          (Derive.latMicro(hub * 7L + 1L) + col("k") * 20000L
+            - 10000L).as("y2"))
+      operators.MapMatch.viterbiMatch(s, fixes, col("ent"), col("tus"),
+          col("oid"), col("lonm"), col("latm"),
+          segs, col("sid"), col("x1"), col("y1"), col("x2"), col("y2"),
+          radiusMicro = 40000L, level = 13, switchPenalty = 800000000L)
+        .groupBy(col("entity")).agg(count(lit(1)).as("n_fixes"),
+          (sum("d2q") + lit(800000000L) * sum("switched")).as("total_cost"))
+        .orderBy("entity")
+    }),
     // ---- Label propagation communities (qa6): K synchronous rounds of
     //      "adopt the neighbors' most common label" with the total
     //      (−count, label) argmin rule — fixed-K snapshot, no convergence
@@ -4057,6 +4091,56 @@ object SparkEntry {
     "q9u_st_dbscan" ->
       s"""$stDbscanCteSql
          |SELECT id, cluster FROM lbl ORDER BY id""".stripMargin,
+    "qa7_viterbi" -> {
+      // independent forward DP: the uniform-λ transition collapses to
+      // cost(s) = d2(s) + min(stay(s), m_prev + λ) — one chained CTE pair
+      // per fix index; its minimum is the optimum the path total must hit
+      val lonA = Derive.lonSql("(((o_orderkey - 1) % 100) * 7 + 1)")
+      val latA = Derive.latSql("(((o_orderkey - 1) % 100) * 7 + 1)")
+      val lonH = Derive.lonSql("((s_suppkey % 100) * 7 + 1)")
+      val latH = Derive.latSql("((s_suppkey % 100) * 7 + 1)")
+      val lam = 800000000L
+      val steps = (1 to 5).map { k =>
+        s"""m${k - 1} AS (SELECT ent, min(cost) AS m FROM v${k - 1}
+           |  GROUP BY ent),
+           |v$k AS (SELECT c.ent, c.sid, c.d2 + LEAST(
+           |    coalesce(p.cost, 1000000000000000), m.m + $lam) AS cost
+           |  FROM cand c JOIN m${k - 1} m ON m.ent = c.ent
+           |  LEFT JOIN v${k - 1} p ON p.ent = c.ent AND p.sid = c.sid
+           |  WHERE c.idx = $k)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH fx AS (SELECT (o_orderkey - 1) % 100 AS ent,
+         |    (o_orderkey - 1) // 100 AS idx,
+         |    $lonA + ((o_orderkey - 1) // 100) * 20000 AS px,
+         |    $latA + (o_orderkey * 104729) % 30001 - 15000 AS py
+         |  FROM orders
+         |  WHERE o_orderkey >= 1 AND (o_orderkey - 1) // 100 < 6),
+         |sg AS (SELECT s_suppkey * 2 + k.k AS sid,
+         |    $lonH - 50000 AS x1, $latH + k.k * 20000 - 10000 AS y1,
+         |    $lonH + 200000 AS x2, $latH + k.k * 20000 - 10000 AS y2
+         |  FROM supplier, (SELECT unnest([0, 1]) AS k) k),
+         |dd AS (SELECT f.ent, f.idx, s.sid,
+         |    CAST(f.px - s.x1 AS DOUBLE) AS wx, CAST(f.py - s.y1 AS DOUBLE) AS wy,
+         |    CAST(s.x2 - s.x1 AS DOUBLE) AS dx, CAST(s.y2 - s.y1 AS DOUBLE) AS dy
+         |  FROM fx f CROSS JOIN sg s),
+         |tt AS (SELECT ent, idx, sid, wx, wy, dx, dy,
+         |    CASE WHEN dx * dx + dy * dy = 0.0 THEN 0.0
+         |         ELSE LEAST(GREATEST((wx * dx + wy * dy) / (dx * dx + dy * dy),
+         |           0.0), 1.0) END AS t
+         |  FROM dd),
+         |cand AS (SELECT ent, idx, sid, d2 FROM (SELECT ent, idx, sid,
+         |    CAST(floor((wx - t * dx) * (wx - t * dx)
+         |      + (wy - t * dy) * (wy - t * dy)) AS BIGINT) AS d2 FROM tt)
+         |  WHERE d2 <= ${40000L * 40000L}),
+         |v0 AS (SELECT ent, sid, d2 AS cost FROM cand WHERE idx = 0),
+         |$steps,
+         |nf AS (SELECT ent, CAST(count(*) AS BIGINT) AS n_fixes
+         |  FROM fx GROUP BY ent),
+         |tot AS (SELECT ent, min(cost) AS total_cost FROM v5 GROUP BY ent)
+         |SELECT t.ent AS entity, nf.n_fixes,
+         |  CAST(t.total_cost AS BIGINT) AS total_cost
+         |FROM tot t JOIN nf ON nf.ent = t.ent ORDER BY entity""".stripMargin
+    },
     "qa6_lpa" -> {
       // 4 chained synchronous rounds, QUALIFY argmin with the same
       // (cnt DESC, label) total rule

@@ -96,4 +96,111 @@ class MapMatchSpec extends AnyFunSuite {
     // snap is within the segment bbox (floor-quantized)
     assert(sx >= -1000L && sx <= 3000L && sy >= -1000L && sy <= 5000L)
   }
+
+  // ---- viterbiMatch ------------------------------------------------------
+
+  /** Brute Viterbi reference: enumerate EVERY candidate path per chain
+    * (exponential — small fixtures only), min by (cost, path lexicographic
+    * on sids)? No — the operator's tie rule is structural (prefer stay,
+    * then smallest sid at each argmin), so the reference checks the COST
+    * invariant instead: the emitted path's cost equals the exhaustive
+    * minimum, and per-fix candidates are honored.
+    */
+  private def bruteViterbiCost(fixes: Seq[(Long, Long, Long, Long, Long)],
+                               segs: Seq[(Long, Long, Long, Long, Long)],
+                               r: Long, lam: Long): Map[Long, Long] = {
+    def candsOf(px: Long, py: Long): Seq[(Long, Long)] =
+      segs.flatMap { case (sid, x1, y1, x2, y2) =>
+        val wx = (px - x1).toDouble; val wy = (py - y1).toDouble
+        val dx = (x2 - x1).toDouble; val dy = (y2 - y1).toDouble
+        val len2 = dx * dx + dy * dy
+        val t = if (len2 == 0.0) 0.0
+                else math.min(math.max((wx * dx + wy * dy) / len2, 0.0), 1.0)
+        val ex = wx - t * dx; val ey = wy - t * dy
+        val d2q = math.floor(ex * ex + ey * ey).toLong
+        if (d2q <= r * r) Some((sid, d2q)) else None
+      }
+    fixes.groupBy(_._1).map { case (ent, fs) =>
+      val ordered = fs.sortBy(f => (f._2, f._3))
+      // split into chains at no-candidate fixes
+      val chains = scala.collection.mutable.ArrayBuffer[Seq[Seq[(Long, Long)]]]()
+      var cur = scala.collection.mutable.ArrayBuffer[Seq[(Long, Long)]]()
+      ordered.foreach { f =>
+        val c = candsOf(f._4, f._5)
+        if (c.isEmpty) { if (cur.nonEmpty) { chains += cur.toSeq; cur = cur.empty } }
+        else cur += c
+      }
+      if (cur.nonEmpty) chains += cur.toSeq
+      def chainMin(chain: Seq[Seq[(Long, Long)]]): Long = {
+        def rec(k: Int, prevSid: Long): Long =
+          if (k == chain.length) 0L
+          else chain(k).map { case (sid, d2) =>
+            val sw = if (prevSid >= 0 && sid != prevSid) lam else 0L
+            d2 + sw + rec(k + 1, sid)
+          }.min
+        rec(0, -1L)
+      }
+      ent -> chains.map(chainMin).sum
+    }
+  }
+
+  private def runViterbi(fixes: Seq[(Long, Long, Long, Long, Long)],
+                         segs: Seq[(Long, Long, Long, Long, Long)],
+                         r: Long, level: Int, lam: Long) =
+    MapMatch.viterbiMatch(spark, fixes.toDF("ent", "tus", "oid", "x", "y"),
+      col("ent"), col("tus"), col("oid"), col("x"), col("y"),
+      segs.toDF("sid", "x1", "y1", "x2", "y2"),
+      col("sid"), col("x1"), col("y1"), col("x2"), col("y2"),
+      radiusMicro = r, level = level, switchPenalty = lam)
+      .collect().map(row => (row.getLong(0), row.getLong(1), row.getLong(2),
+        row.getLong(3), row.getLong(4), row.getLong(5)))
+
+  test("viterbi: sticky matching — nearest ping-pongs, the penalty holds the road") {
+    // two parallel horizontal roads at y = -100 and y = +100; fixes wobble
+    // between y = -60 and +60: nearest-snap alternates roads every fix,
+    // viterbi with lam >> d2 gap stays on ONE road
+    val segs = Seq((1L, 0L, -100L, 10000L, -100L), (2L, 0L, 100L, 10000L, 100L))
+    val fixes = (0 until 6).map(i =>
+      (7L, i.toLong, 100L + i, i * 1000L, if (i % 2 == 0) -60L else 60L))
+    val got = runViterbi(fixes, segs, r = 1000L, level = 12, lam = 1000000L)
+    assert(got.map(_._4).toSet.size === 1, s"path must stay on one road: $got")
+    assert(got.map(_._6).sum === 0L, "no switches expected")
+    // cost certificate vs exhaustive enumeration
+    val total = got.map(_._5).sum + 1000000L * got.map(_._6).sum
+    assert(Map(7L -> total) === bruteViterbiCost(fixes, segs, 1000L, 1000000L))
+    // tiny penalty: switching every fix IS optimal
+    val got2 = runViterbi(fixes, segs, r = 1000L, level = 12, lam = 1L)
+    assert(got2.sortBy(_._2).map(_._4) === Seq(1L, 2L, 1L, 2L, 1L, 2L))
+  }
+
+  test("viterbi: chain breaks restart the DP with no cross-gap charge") {
+    val segs = Seq((1L, 0L, 0L, 10000L, 0L), (2L, 0L, 500L, 10000L, 500L))
+    // fix 2 is far from every road (no candidate) -> break; fix 1 ends on
+    // road 1, fix 3 resumes on road 2 with NO switch penalty
+    val fixes = Seq((9L, 0L, 1L, 100L, 10L), (9L, 1L, 2L, 200L, 90000L),
+      (9L, 2L, 3L, 300L, 490L))
+    val got = runViterbi(fixes, segs, r = 400L, level = 12, lam = 1000000L)
+      .sortBy(_._2)
+    assert(got(0)._4 === 1L && got(1)._4 === -1L && got(2)._4 === 2L)
+    assert(got.map(_._6).sum === 0L)
+    val total = got.filter(_._4 >= 0).map(_._5).sum
+    assert(Map(9L -> total) === bruteViterbiCost(fixes, segs, 400L, 1000000L))
+  }
+
+  test("viterbi: cost certificate on random multi-entity wobble across penalties") {
+    val rnd = new scala.util.Random(808)
+    val segs = (0 until 6).map(k =>
+      (k.toLong, 0L, k * 300L, 50000L, k * 300L))
+    val fixes = for (e <- 0L until 5L; i <- 0 until 8) yield
+      (e, i.toLong, e * 100 + i, rnd.nextLong(50000L),
+        rnd.nextLong(1800L) - 150L)
+    for (lam <- Seq(0L, 50000L, 100000000L)) {
+      val got = runViterbi(fixes, segs, r = 500L, level = 12, lam = lam)
+      val totals = got.filter(_._4 >= 0).groupBy(_._1).map { case (e, rs) =>
+        e -> (rs.map(_._5).sum + lam * rs.map(_._6).sum)
+      }
+      val expect = bruteViterbiCost(fixes, segs, 500L, lam)
+      assert(totals === expect.filter(_._2 >= 0), s"lam=$lam")
+    }
+  }
 }
