@@ -2294,6 +2294,20 @@ object SparkEntry {
           col("tus"), eps1 = 8000000L, eps2 = 6000000L, minPts = 3)
         .orderBy("id")
     }),
+    // ---- Cluster deviational ellipses (qa8): centrographic SHAPE of each
+    //      q7m DBSCAN site — exact int64 scatter-matrix components
+    //      anchored per cluster; round blob vs corridor is the consumer's
+    //      two float ops away. Noise excluded.
+    "qa8_cluster_ellipse" -> ((s, dir) => {
+      val pts = customerPts(s, dir)
+      val labeled = Dbscan.cluster(pts, col("c_custkey"), col("lonm"),
+          col("latm"), eps = 5000000L, minPts = 3)
+        .where(col("cluster") =!= -1L)
+        .join(pts.withColumnRenamed("c_custkey", "id"), "id")
+      operators.PointPattern.ellipseComponents(labeled, col("cluster"),
+          col("lonm"), col("latm"))
+        .orderBy("label")
+    }),
     // ---- Viterbi map matching (qa7): the sequence-consistent upgrade of
     //      q7t — each entity walks along a pair of parallel roads with GPS
     //      jitter that straddles both; per-fix nearest snapping ping-pongs,
@@ -4091,6 +4105,20 @@ object SparkEntry {
     "q9u_st_dbscan" ->
       s"""$stDbscanCteSql
          |SELECT id, cluster FROM lbl ORDER BY id""".stripMargin,
+    "qa8_cluster_ellipse" ->
+      // shared DBSCAN label CTE + the same anchor-shifted integer sums
+      s"""$dbscanCteSql,
+         |pc AS (SELECT l.cluster AS lbl, p.x, p.y FROM lbl l
+         |  JOIN pts p ON l.id = p.id WHERE l.cluster <> -1),
+         |anc AS (SELECT lbl, min(x) AS ax, min(y) AS ay FROM pc GROUP BY lbl)
+         |SELECT pc.lbl AS label, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(pc.x - anc.ax) AS BIGINT) AS sum_dx,
+         |  CAST(sum(pc.y - anc.ay) AS BIGINT) AS sum_dy,
+         |  CAST(sum((pc.x - anc.ax) * (pc.x - anc.ax)) AS BIGINT) AS sum_dx2,
+         |  CAST(sum((pc.y - anc.ay) * (pc.y - anc.ay)) AS BIGINT) AS sum_dy2,
+         |  CAST(sum((pc.x - anc.ax) * (pc.y - anc.ay)) AS BIGINT) AS sum_dxy
+         |FROM pc JOIN anc ON pc.lbl = anc.lbl
+         |GROUP BY pc.lbl ORDER BY label""".stripMargin,
     "qa7_viterbi" -> {
       // independent forward DP: the uniform-λ transition collapses to
       // cost(s) = d2(s) + min(stay(s), m_prev + λ) — one chained CTE pair

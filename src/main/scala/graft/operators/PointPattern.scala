@@ -192,6 +192,40 @@ object PointPattern {
         coalesce(col("_nw"), lit(0L)).as("n_with"), col("n_total"))
   }
 
+  /** STANDARD DEVIATIONAL ELLIPSE components [Lefever 1926; the ArcGIS
+    * "directional distribution" verb] — per-group centrographic shape:
+    * mean center, spread AND ORIENTATION (is the cluster round, or a
+    * corridor along a road/coast?). The ellipse parameters are
+    *   tan 2θ = 2·Sxy / (Sxx − Syy),  axes from the eigenvalues of the
+    *   2×2 scatter matrix —
+    * all derivable from five sums, so the engine emits exact int64
+    * components per group — (label, n, sum_dx, sum_dy, sum_dx2, sum_dy2,
+    * sum_dxy) anchored at the group's own (min x, min y) — and the
+    * consumer does the two float ops. The anchor bounds every deviation
+    * by the GROUP footprint, keeping Σd·d far from int64 overflow where
+    * raw world coordinates would not (the [[graft.operators.Trajectory
+    * .radiusOfGyration]] discipline, plus the cross term the scalar r_g
+    * doesn't need); the anchor shift cancels in every central moment.
+    *
+    * Plan: one hash aggregate for anchors, one equi-join (same key —
+    * exchange reuse), one closing hash aggregate. No window, no sort.
+    */
+  def ellipseComponents(pts: DataFrame, label: Column, x: Column, y: Column)
+      : DataFrame = {
+    val p = pts.select(label.cast("long").as("lbl"),
+      x.cast("long").as("x"), y.cast("long").as("y"))
+    val anchors = p.groupBy("lbl").agg(min("x").as("ax"), min("y").as("ay"))
+    p.join(anchors, "lbl")
+      .select(col("lbl"), (col("x") - col("ax")).as("dx"),
+        (col("y") - col("ay")).as("dy"))
+      .groupBy(col("lbl").as("label"))
+      .agg(count(lit(1)).as("n"), sum("dx").as("sum_dx"),
+        sum("dy").as("sum_dy"),
+        sum(col("dx") * col("dx")).as("sum_dx2"),
+        sum(col("dy") * col("dy")).as("sum_dy2"),
+        sum(col("dx") * col("dy")).as("sum_dxy"))
+  }
+
   /** COLOCATION QUOTIENT counts [Leslie & Kronenfeld 2011] — the
     * nearest-neighbor categorical association stat: CLQ_{A→B} =
     * (C_{A→B}/N_A) / (N_B/(N−1)), where C_{A→B} counts A-points whose

@@ -211,4 +211,33 @@ class PointPatternSpec extends AnyFunSuite {
     assert(got((1L, 0L)) === ((2L, 2L, 1L, 3L)))
     assert(got === bruteClq(pts))
   }
+
+  // ---- ellipseComponents -------------------------------------------------
+
+  test("ellipse components: hand values, shift invariance, corridor anisotropy") {
+    import spark.implicits._
+    // group 1: a diagonal corridor — strong positive cross term;
+    // group 2: an axis-aligned square — zero cross term
+    val pts = Seq(
+      (1L, 0L, 0L), (1L, 100L, 100L), (1L, 200L, 200L), (1L, 300L, 300L),
+      (2L, 0L, 0L), (2L, 100L, 0L), (2L, 0L, 100L), (2L, 100L, 100L))
+    def run(ps: Seq[(Long, Long, Long)]) =
+      PointPattern.ellipseComponents(ps.toDF("lbl", "x", "y"),
+          col("lbl"), col("x"), col("y"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    val got = run(pts)
+    // group 1 anchored at (0,0): sums 600, 600; squares 140000 each; cross 140000
+    assert(got(1L) === ((4L, 600L, 600L, 140000L, 140000L, 140000L)))
+    // group 2: sums 200, 200; squares 20000; CROSS 10000 (square, isotropic:
+    // dxy = 0*0+100*0+0*100+100*100)
+    assert(got(2L) === ((4L, 200L, 200L, 20000L, 20000L, 10000L)))
+    // central moments: corridor Sxy = sum_dxy - sum_dx*sum_dy/n =
+    // 140000 - 600*600/4 = 50000 > 0; square: 10000 - 200*200/4 = 0
+    assert(140000L - 600L * 600L / 4L === 50000L)
+    assert(10000L - 200L * 200L / 4L === 0L)
+    // shift invariance
+    val got2 = run(pts.map { case (l, x, y) => (l, x + 70000L, y - 30000L) })
+    assert(got2 === got)
+  }
 }
