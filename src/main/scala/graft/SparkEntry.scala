@@ -2294,6 +2294,15 @@ object SparkEntry {
           col("tus"), eps1 = 8000000L, eps2 = 6000000L, minPts = 3)
         .orderBy("id")
     }),
+    // ---- Otsu threshold (qa9): per-image optimal binarization level —
+    //      on two-tone generator images every valid split ties so the
+    //      smallest-t rule lands exactly 51; single-tone images emit −1.
+    "qa9_otsu" -> ((s, dir) => {
+      operators.Multimodal.otsuThreshold(Fixtures.images(s, 5000))
+        .groupBy("otsu_t")
+        .agg(count(lit(1)).as("n_images"), sum("n_below").as("below_total"))
+        .orderBy("otsu_t")
+    }),
     // ---- Cluster deviational ellipses (qa8): centrographic SHAPE of each
     //      q7m DBSCAN site — exact int64 scatter-matrix components
     //      anchored per cluster; round blob vs corridor is the consumer's
@@ -4105,6 +4114,29 @@ object SparkEntry {
     "q9u_st_dbscan" ->
       s"""$stDbscanCteSql
          |SELECT id, cluster FROM lbl ORDER BY id""".stripMargin,
+    "qa9_otsu" -> {
+      // generator replay: both tones present -> every valid split ties,
+      // smallest t = 51, n_below = count of 50-luma pixels; single tone
+      // (popcount 0 or 64) -> t = -1, n_below = 0
+      import graft.fixtures.Fixtures
+      val per = scala.collection.mutable.Map[Int, (Long, Long)]()
+      (0L until 5000L).foreach { i =>
+        val (lon, lat) = Fixtures.locOf(i)
+        val p = graft.core.PhashLoc.encode(lon, lat)
+        val (w, h) = Fixtures.dimsOf(i)
+        val bpx = (w / 8).toLong * (h / 8)
+        val pc = java.lang.Long.bitCount(p).toLong
+        val (t, nb) = if (pc == 0L || pc == 64L) (-1, 0L)
+          else (51, (64L - pc) * bpx)
+        val (n, s0) = per.getOrElse(t, (0L, 0L))
+        per(t) = (n + 1, s0 + nb)
+      }
+      val vals = per.toSeq.sortBy(_._1).map { case (t, (n, s0)) =>
+        s"($t, CAST($n AS BIGINT), CAST($s0 AS BIGINT))"
+      }.mkString(", ")
+      s"SELECT * FROM (VALUES $vals) AS t(otsu_t, n_images, below_total) " +
+        "ORDER BY otsu_t"
+    },
     "qa8_cluster_ellipse" ->
       // shared DBSCAN label CTE + the same anchor-shifted integer sums
       s"""$dbscanCteSql,

@@ -511,6 +511,67 @@ object Multimodal {
       }(enc)
   }
 
+  private val otsuSchema = StructType(Seq(
+    StructField("w", IntegerType), StructField("h", IntegerType),
+    StructField("otsu_t", IntegerType), StructField("n_below", LongType)))
+
+  /** OTSU THRESHOLD [Otsu 1979] per image — the optimal global
+    * binarization level: the t maximizing between-class variance
+    * σ_b²(t) = ω₀ω₁(μ₀−μ₁)², the classic document/mask binarizer and the
+    * adaptive upgrade of [[objectCount]]'s fixed threshold. Deterministic
+    * integer rule: σ_b² comparisons are done EXACTLY as the cross-
+    * multiplied rationals A(t)²·D(t′) vs A(t′)²·D(t) with
+    * A = m₀ω₁ − m₁ω₀ and D = ω₀ω₁ (A² reaches ~2⁷² on large frames, so
+    * the per-image comparison uses BigInt — bounded per-row work in a
+    * map-only kernel, no codegen constraint); only splits with both
+    * classes nonempty are valid; ties take the SMALLEST t; images with a
+    * single distinct luma emit t = −1 (nothing to separate). Output:
+    * (w, h, otsu_t, n_below = pixels strictly below t).
+    *
+    * On two-tone generator images every valid split ties (A = −150·c₀c₁
+    * for all t ∈ (50, 200]), so the rule lands t = 51 exactly — the
+    * oracle replays the corpus histogram closed-form from popcount(phash).
+    * Decode-once narrow kernel: ≤ 24 B/row, no shuffle.
+    */
+  def otsuThreshold(images: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(otsuSchema)
+    images.select("bytes", "w", "h", "fmt")
+      .mapPartitions { it =>
+        val bins = new Array[Long](256)
+        it.map { r =>
+          val (bytes, w, h, fmt) = (r.getAs[Array[Byte]](0),
+            r.getInt(1), r.getInt(2), r.getString(3))
+          val px = decodeAny(bytes, fmt, w, h)
+          java.util.Arrays.fill(bins, 0L)
+          var i = 0
+          val n = w * h
+          while (i < n) { bins(px(i) & 0xff) += 1L; i += 1 }
+          val totW = bins.sum
+          val totM = bins.indices.map(b => b.toLong * bins(b)).sum
+          var bestT = -1
+          var bestA2: BigInt = null; var bestD: BigInt = null
+          var w0 = 0L; var m0 = 0L
+          var t = 1
+          while (t < 256) {
+            w0 += bins(t - 1); m0 += (t - 1).toLong * bins(t - 1)
+            val w1 = totW - w0; val m1 = totM - m0
+            if (w0 > 0 && w1 > 0) {
+              val a = BigInt(m0) * w1 - BigInt(m1) * w0
+              val a2 = a * a; val d = BigInt(w0) * w1
+              // a2/d > bestA2/bestD  ⟺  a2·bestD > bestA2·d
+              if (bestT == -1 || a2 * bestD > bestA2 * d) {
+                bestT = t; bestA2 = a2; bestD = d
+              }
+            }
+            t += 1
+          }
+          val nBelow = if (bestT <= 0) 0L
+            else (0 until bestT).map(bins(_)).sum
+          Row(w, h, bestT, nBelow)
+        }
+      }(enc)
+  }
+
   private val objSchema = StructType(Seq(
     StructField("phash", LongType), StructField("w", IntegerType),
     StructField("h", IntegerType), StructField("n_objects", IntegerType)))

@@ -310,6 +310,54 @@ class MultimodalSpec extends AnyFunSuite {
     assert(e.getMessage != null)
   }
 
+  test("otsuThreshold: brute argmax parity on arbitrary grays, two-tone tie rule, single-tone -1") {
+    import spark.implicits._
+    def bruteOtsu(px: Array[Byte]): (Int, Long) = {
+      val bins = new Array[Long](256)
+      px.foreach(b => bins(b & 0xff) += 1L)
+      val totW = bins.sum
+      val totM = bins.indices.map(b => b.toLong * bins(b)).sum
+      var bestT = -1; var bestA2 = BigInt(0); var bestD = BigInt(1)
+      var w0 = 0L; var m0 = 0L
+      for (t <- 1 until 256) {
+        w0 += bins(t - 1); m0 += (t - 1).toLong * bins(t - 1)
+        val w1 = totW - w0; val m1 = totM - m0
+        if (w0 > 0 && w1 > 0) {
+          val a = BigInt(m0) * w1 - BigInt(m1) * w0
+          if (bestT == -1 || a * a * bestD > bestA2 * (BigInt(w0) * w1)) {
+            bestT = t; bestA2 = a * a; bestD = BigInt(w0) * w1
+          }
+        }
+      }
+      (bestT, if (bestT <= 0) 0L else (0 until bestT).map(bins(_)).sum)
+    }
+    // arbitrary multi-tone ramps across codecs + generator two-tone images
+    val w = 40; val h = 24
+    val ramp = Array.tabulate(w * h)(i => ((i * 53 + (i / w) * 19) % 256).toByte)
+    val rows = Seq(
+      (ramp, w, h, "raw"),
+      (ImageCodec.pixelsFromHash(0x123456789ABCDEF0L, 64, 64), 64, 64, "raw"),
+      (ImageCodec.encodePng(ramp, w, h), w, h, "png"),
+      (ImageCodec.encodeWebp(ImageCodec.pixelsFromHash(-1L, 32, 32), 32, 32), 32, 32, "webp"),
+      (Array.fill(16 * 16)(77.toByte), 16, 16, "raw"))
+    // recompute expectations per row from the raw pixels
+    val exp = Seq(
+      bruteOtsu(ramp),
+      bruteOtsu(ImageCodec.pixelsFromHash(0x123456789ABCDEF0L, 64, 64)),
+      bruteOtsu(ramp),
+      bruteOtsu(ImageCodec.pixelsFromHash(-1L, 32, 32)),
+      bruteOtsu(Array.fill(16 * 16)(77.toByte)))
+    val gotRows = Multimodal.otsuThreshold(rows.toDF("bytes", "w", "h", "fmt"))
+      .collect().map(r => (r.getInt(2), r.getLong(3)))
+    assert(gotRows.toSeq === exp)
+    // two-tone generator image: tie rule lands the smallest valid t = 51
+    assert(exp(1)._1 === 51)
+    // all-200 image (phash -1): single distinct luma -> -1
+    assert(exp(3)._1 === -1)
+    // constant image -> -1
+    assert(exp(4) === ((-1, 0L)))
+  }
+
   test("dHash: kernel matches the closed form on fixture images and brute pooling on arbitrary grays") {
     import spark.implicits._
     val rows = Seq(
