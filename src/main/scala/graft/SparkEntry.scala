@@ -2294,6 +2294,55 @@ object SparkEntry {
           col("tus"), eps1 = 8000000L, eps2 = 6000000L, minPts = 3)
         .orderBy("id")
     }),
+    // ---- Streaming hotspot ignition (qaa): the first streaming RASTER
+    //      operator — per-cell cumulative counts across THREE staged
+    //      micro-batches, ONE exactly-once event on the fix that crosses
+    //      threshold 20 (74 of 102 cells ignite; late batches matter —
+    //      only cross-batch state reproduces the batch row_number twin).
+    "qaa_stream_hotspot" -> ((s, dir) => {
+      import java.nio.file.Files
+      import s.implicits._
+      val staged = Files.createTempDirectory("graft_qaa_src")
+      val tmp = Files.createTempDirectory("graft_qaa_tmp").toString
+      val hub = col("user_id") % 13L
+      val tusC = unix_micros(col("ts").cast("timestamp"))
+      val slot = expr("(unix_micros(cast(ts as timestamp)) " +
+        "- 1704067200000000) div 259200000000")
+      val ev = s.read.parquet(s"$dir/events.parquet").select(
+        col("user_id").as("entity"), tusC.as("tus"),
+        col("event_id").as("oid"),
+        (Derive.lonMicro(hub)
+          + ((col("user_id") * 31L + slot * 7L) * 48271L) % 600001L - 300000L
+          + (col("event_id") * 7919L) % 200001L - 100000L).as("lon"),
+        (Derive.latMicro(hub)
+          + ((col("user_id") * 17L + slot * 11L) * 16807L) % 600001L - 300000L
+          + ((col("event_id") + 3L) * 104729L) % 200001L - 100000L).as("lat"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy("tus", "oid")
+      val chunked = ev.withColumn("_c", ntile(3).over(w))
+      (1 to 3).foreach { c =>
+        chunked.where(col("_c") === c).drop("_c")
+          .coalesce(1).write.mode("overwrite").parquet(s"$tmp/p$c")
+        val f = new java.io.File(s"$tmp/p$c").listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        Files.copy(f.toPath, staged.resolve(s"fixes-$c.parquet"))
+      }
+      val tbl = Files.createTempDirectory("graft_qaa_tbl").toString
+      val ckpt = Files.createTempDirectory("graft_qaa_ck").toString
+      val stream = s.readStream.schema(chunked.drop("_c").schema)
+        .option("maxFilesPerTrigger", 1).parquet(staged.toString)
+        .as[graft.streaming.EventStream.Fix]
+      val hot = graft.streaming.EventStream.streamingHotspots(stream,
+        cellMicro = 400000L, threshold = 20L)
+      val q = hot.toDF().writeStream
+        .queryName("qaa")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch(graft.streaming.EventStream.icebergBatchWriter(
+          tbl, col("cx"), "qaa"))
+        .start()
+      q.awaitTermination()
+      graft.sources.IcebergLite.read(s, tbl).orderBy("cx", "cy")
+    }),
     // ---- Otsu threshold (qa9): per-image optimal binarization level —
     //      on two-tone generator images every valid split ties so the
     //      smallest-t rule lands exactly 51; single-tone images emit −1.
@@ -4114,6 +4163,25 @@ object SparkEntry {
     "q9u_st_dbscan" ->
       s"""$stDbscanCteSql
          |SELECT id, cluster FROM lbl ORDER BY id""".stripMargin,
+    "qaa_stream_hotspot" ->
+      // batch twin: the threshold-th fix per cell in (tus, oid) order
+      s"""WITH f AS (SELECT epoch_us(ts) AS tus, event_id AS oid,
+         |  ${Derive.lonSql("(user_id % 13)")}
+         |    + ((user_id * 31 + ((epoch_us(ts) - 1704067200000000)
+         |        // 259200000000) * 7) * 48271) % 600001 - 300000
+         |    + (event_id * 7919) % 200001 - 100000 AS lon,
+         |  ${Derive.latSql("(user_id % 13)")}
+         |    + ((user_id * 17 + ((epoch_us(ts) - 1704067200000000)
+         |        // 259200000000) * 11) * 16807) % 600001 - 300000
+         |    + ((event_id + 3) * 104729) % 200001 - 100000 AS lat
+         |  FROM events),
+         |c AS (SELECT (lon + 180000000) // 400000 AS cx,
+         |    (lat + 90000000) // 400000 AS cy, tus, oid FROM f),
+         |r AS (SELECT cx, cy, tus, oid, row_number() OVER (
+         |    PARTITION BY cx, cy ORDER BY tus, oid) AS rn FROM c)
+         |SELECT cx, cy, tus AS t_cross, oid AS oid_cross,
+         |  CAST(20 AS BIGINT) AS n_at_cross
+         |FROM r WHERE rn = 20 ORDER BY cx, cy""".stripMargin,
     "qa9_otsu" -> {
       // generator replay: both tones present -> every valid split ties,
       // smallest t = 51, n_below = count of 50-luma pixels; single tone

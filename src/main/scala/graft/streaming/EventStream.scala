@@ -236,6 +236,61 @@ object EventStream {
       }
   }
 
+  final case class HotState(count: Long, fired: Boolean)
+  final case class HotEvent(cx: Long, cy: Long, t_cross: Long,
+                            oid_cross: Long, n_at_cross: Long)
+
+  /** Streaming HOTSPOT IGNITION — the first streaming RASTER operator:
+    * cells accumulate fix counts across micro-batches and emit ONE event
+    * when the cumulative count first reaches `threshold`, on the exact
+    * fix that crosses it (t_cross/oid_cross = that fix) — the alerting
+    * deployment shape of the density raster: "tell me the moment a cell
+    * ignites", where the batch raster only says which cells are hot
+    * after the fact. Exactly-once by construction: the `fired` flag in
+    * the per-cell state suppresses re-emission forever; no flush file is
+    * needed (a crossing is emitted by the crossing fix itself, the
+    * [[streamingGeofence]] discipline, not the run-closing
+    * trips/stays one).
+    *
+    * Determinism contract: per-cell (tus, oid) arrival order across
+    * batches (the same staging contract as trips/stays); within a batch
+    * the group sorts task-locally. The event set then equals the batch
+    * twin "the threshold-th fix per cell in (tus, oid) order" —
+    * a plain window row_number in SQL — bit for bit.
+    *
+    * Scale: state is ONE fixed-width record per OCCUPIED CELL (bounded
+    * by the raster, not the stream), cell-key partitioned; `n_at_cross`
+    * is always `threshold`, kept in the event as the state-count
+    * certificate.
+    */
+  def streamingHotspots(fixes: Dataset[Fix], cellMicro: Long,
+                        threshold: Long,
+                        lonShift: Long = 180000000L,
+                        latShift: Long = 90000000L): Dataset[HotEvent] = {
+    require(cellMicro > 0 && threshold >= 1,
+      "need cellMicro > 0 and threshold >= 1")
+    import fixes.sparkSession.implicits._
+    val K = 1073741824L
+    fixes.groupByKey(f =>
+        ((f.lon + lonShift) / cellMicro) * K + (f.lat + latShift) / cellMicro)
+      .flatMapGroupsWithState[HotState, HotEvent](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (cell: Long, it: Iterator[Fix], state: GroupState[HotState]) =>
+          val sorted = it.toArray.sortBy(f => (f.tus, f.oid))
+          var st = state.getOption.getOrElse(HotState(0L, fired = false))
+          val out = scala.collection.mutable.ArrayBuffer.empty[HotEvent]
+          sorted.foreach { f =>
+            val c = st.count + 1
+            if (!st.fired && c >= threshold) {
+              out += HotEvent(cell / K, cell % K, f.tus, f.oid, c)
+              st = HotState(c, fired = true)
+            } else st = st.copy(count = c)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   final case class FenceState(inside: Seq[Long])
   final case class FenceEvent(entity: Long, fence_id: Long, tus: Long,
                               enter: Long)

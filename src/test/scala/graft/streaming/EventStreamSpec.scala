@@ -409,4 +409,40 @@ class EventStreamSpec extends AnyFunSuite {
       assert(spark.table("stream_fence").collect().map(_.toSeq).toSet === expect)
     } finally q.stop()
   }
+
+  test("streamingHotspots: cross-batch counts ignite exactly once, on the crossing fix") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val g = 1000000L
+    def at(px: Long, py: Long) = (px * g - 180000000L + g / 2,
+      py * g - 90000000L + g / 2)
+    val a = at(50, 50); val b = at(60, 60); val c = at(70, 70)
+    // cell a: crosses T=3 inside batch 1; cell b: 2 fixes in b1 + 1 in b2
+    // (crosses on b2's first fix); cell c: never crosses
+    val b1 = Seq(Fix(1, 0, 1, a._1, a._2), Fix(2, 1, 2, a._1 + 5, a._2),
+      Fix(3, 2, 3, a._1, a._2 + 5), Fix(1, 3, 4, a._1, a._2), // 4th a fix
+      Fix(1, 0, 5, b._1, b._2), Fix(2, 2, 6, b._1, b._2),
+      Fix(9, 5, 7, c._1, c._2))
+    val b2 = Seq(Fix(4, 10, 8, b._1 + 3, b._2), Fix(5, 11, 9, b._1, b._2),
+      Fix(9, 12, 10, c._1, c._2))
+    val mem = MemoryStream[Fix]
+    val q = streamingHotspots(mem.toDS(), g, threshold = 3L)
+      .writeStream.format("memory").queryName("stream_hot")
+      .outputMode("append").start()
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      val afterB1 = spark.table("stream_hot").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toSet
+      // a ignites on its 3rd fix (tus 2, oid 3); b/c not yet
+      assert(afterB1 === Set((50L, 50L, 2L, 3L, 3L)))
+      mem.addData(b2: _*); q.processAllAvailable()
+      val got = spark.table("stream_hot").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toSet
+      // b ignites on b2's FIRST b-cell fix (tus 10, oid 8) with cross-batch
+      // count 2+1; a does NOT re-emit despite its 4th fix; c never fires
+      assert(got === Set((50L, 50L, 2L, 3L, 3L), (60L, 60L, 10L, 8L, 3L)))
+    } finally q.stop()
+  }
 }
