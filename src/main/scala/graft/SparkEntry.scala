@@ -2294,6 +2294,23 @@ object SparkEntry {
           col("tus"), eps1 = 8000000L, eps2 = 6000000L, minPts = 3)
         .orderBy("id")
     }),
+    // ---- Clark–Evans NN components (qab): aggregation-vs-dispersion per
+    //      category — observed mean NN distance components over the full
+    //      pattern, the overdispersion reading density stats can't give.
+    "qab_clark_evans" -> ((s, dir) => {
+      val pts = customerPts(s, dir)
+        .withColumn("cat", col("c_custkey") % 5L)
+      operators.PointPattern.clarkEvans(pts, col("c_custkey"), col("cat"),
+          col("lonm"), col("latm"), level = 6)
+        .orderBy("cat")
+    }),
+    // ---- Quadrat-count dispersion (qac): the classical CSR quadrat test
+    //      moments over the pattern's own bounding frame — empty quadrats
+    //      are real observations carried by arithmetic, never materialized.
+    "qac_quadrat" -> ((s, dir) => {
+      operators.PointPattern.quadratCounts(customerPts(s, dir),
+        col("lonm"), col("latm"), quadMicro = 10000000L)
+    }),
     // ---- Streaming hotspot ignition (qaa): the first streaming RASTER
     //      operator — per-cell cumulative counts across THREE staged
     //      micro-batches, ONE exactly-once event on the fix that crosses
@@ -4163,6 +4180,35 @@ object SparkEntry {
     "q9u_st_dbscan" ->
       s"""$stDbscanCteSql
          |SELECT id, cluster FROM lbl ORDER BY id""".stripMargin,
+    "qab_clark_evans" ->
+      // brute window NN by (d2, id) + the same floor-sqrt chain
+      s"""WITH p AS (SELECT c_custkey AS pid, c_custkey % 5 AS cat,
+         |  ${Derive.lonSql("c_custkey")} AS x, ${Derive.latSql("c_custkey")} AS y
+         |  FROM customer),
+         |nn AS (SELECT pid, cat, CAST(floor(sqrt(CAST(d2 AS DOUBLE)))
+         |    AS BIGINT) AS nn_q FROM (
+         |  SELECT a.pid, a.cat,
+         |    (a.x-b.x)*(a.x-b.x)+(a.y-b.y)*(a.y-b.y) AS d2,
+         |    row_number() OVER (PARTITION BY a.pid ORDER BY
+         |      (a.x-b.x)*(a.x-b.x)+(a.y-b.y)*(a.y-b.y), b.pid) AS rn
+         |  FROM p a JOIN p b ON a.pid <> b.pid) WHERE rn = 1)
+         |SELECT cat, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(nn_q) AS BIGINT) AS sum_nn_q,
+         |  min(nn_q) AS min_nn_q, max(nn_q) AS max_nn_q
+         |FROM nn GROUP BY cat ORDER BY cat""".stripMargin,
+    "qac_quadrat" ->
+      s"""WITH q AS (SELECT (${Derive.lonSql("c_custkey")} + 180000000)
+         |      // 10000000 AS qx,
+         |    (${Derive.latSql("c_custkey")} + 90000000) // 10000000 AS qy
+         |  FROM customer),
+         |c AS (SELECT qx, qy, count(*) AS n FROM q GROUP BY qx, qy),
+         |f AS (SELECT min(qx) x0, max(qx) x1, min(qy) y0, max(qy) y1 FROM q)
+         |SELECT CAST((f.x1 - f.x0 + 1) * (f.y1 - f.y0 + 1) AS BIGINT)
+         |    AS n_quadrats,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_occupied,
+         |  (SELECT CAST(sum(n) AS BIGINT) FROM c) AS n_points,
+         |  (SELECT CAST(sum(n * n) AS BIGINT) FROM c) AS sum_n2
+         |FROM f""".stripMargin,
     "qaa_stream_hotspot" ->
       // batch twin: the threshold-th fix per cell in (tus, oid) order
       s"""WITH f AS (SELECT epoch_us(ts) AS tus, event_id AS oid,

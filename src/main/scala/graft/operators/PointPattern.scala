@@ -192,6 +192,75 @@ object PointPattern {
         coalesce(col("_nw"), lit(0L)).as("n_with"), col("n_total"))
   }
 
+  /** CLARK–EVANS nearest-neighbor components [Clark & Evans 1954] — the
+    * aggregation-vs-dispersion index R = r̄_obs / r̄_exp per category:
+    * observed mean NN distance against the CSR expectation ½√(A/n).
+    * R < 1 = clustered, R ≈ 1 = random, R > 1 = dispersed (overdispersed
+    * lattice-like patterns — territorial animals, retail spacing — that
+    * density statistics read as merely "sparse"). Integer components per
+    * category — (cat, n, sum_nn_q, min_nn_q, max_nn_q) with nn_q =
+    * ⌊√(nn_d²)⌋ over the exact NN (argmin by (d², id), self excluded, the
+    * [[colocationQuotient]] machinery — k = 2 top-2 always contains the
+    * best non-self neighbor) — the ½√(A/n) denominator and the division
+    * are the consumer's. NN is computed against the WHOLE point set
+    * (cross-category neighbors count — the classical univariate index per
+    * category subset would filter first; this is the "how isolated is
+    * each category in the full pattern" reading, documented).
+    *
+    * Plan: the kNN ring join is the only spatial exchange; the floor-√
+    * is the fixed IEEE chain; one hash aggregate per category.
+    */
+  def clarkEvans(points: DataFrame, id: Column, cat: Column,
+                 lon: Column, lat: Column, level: Int): DataFrame = {
+    val spark = points.sparkSession
+    val p = points.select(id.cast("long").as("pid"), cat.cast("long").as("cat"),
+        lon.cast("long").as("x"), lat.cast("long").as("y"))
+      .localCheckpoint()
+    val nn = Knn.knnJoinDf(spark, p, col("pid"), col("x"), col("y"),
+        p, col("pid"), col("x"), col("y"), k = 2, level = level)
+      .where(col("neighbor_id") =!= col("qid"))
+      .groupBy("qid").agg(min(struct(col("d2"), col("neighbor_id"))).as("m"))
+      .select(col("qid"), floor(sqrt(col("m.d2"))).cast("long").as("nn_q"))
+    nn.join(p.select(col("pid").as("qid"), col("cat")), "qid")
+      .groupBy("cat").agg(count(lit(1)).as("n"), sum("nn_q").as("sum_nn_q"),
+        min("nn_q").as("min_nn_q"), max("nn_q").as("max_nn_q"))
+  }
+
+  /** QUADRAT-COUNT dispersion components [the classical CSR quadrat
+    * test; Greig-Smith 1952] — the cheapest clustered-vs-random-vs-
+    * uniform diagnostic: partition the pattern's BOUNDING FRAME into
+    * g-sized quadrats and emit the count moments; the variance-mean
+    * ratio VMR = S²/x̄ (≈1 Poisson/CSR, >1 clustered, <1 uniform) is the
+    * consumer's one division. Empty quadrats are REAL observations: the
+    * frame size comes from the pattern's own bbox (total quadrat count
+    * is arithmetic, never materialized), so sum_n2 over empties adds 0
+    * and n_quadrats carries the zeros' weight exactly.
+    *
+    * Output: one row — (n_quadrats, n_occupied, n_points, sum_n2).
+    *
+    * Plan: one hash aggregate to quadrat counts, one single-row
+    * aggregate over the (occupied-only) quadrat table + a bbox
+    * aggregate for the frame; nothing per-empty-cell is ever created.
+    */
+  def quadratCounts(points: DataFrame, lon: Column, lat: Column,
+                    quadMicro: Long): DataFrame = {
+    require(quadMicro > 0, "quadMicro must be positive")
+    val p = points.select((lon.cast("long") + 180000000L).as("wx"),
+        (lat.cast("long") + 90000000L).as("wy"))
+      .select(expr(s"wx div $quadMicro").as("qx"),
+        expr(s"wy div $quadMicro").as("qy"))
+      .localCheckpoint() // feeds the counts AND the frame bbox
+    val counts = p.groupBy("qx", "qy").agg(count(lit(1)).as("n"))
+    val frame = p.agg(min("qx").as("x0"), max("qx").as("x1"),
+      min("qy").as("y0"), max("qy").as("y1"))
+    counts.agg(count(lit(1)).as("n_occupied"), sum("n").as("n_points"),
+        sum(col("n") * col("n")).as("sum_n2"))
+      .crossJoin(broadcast(frame))
+      .select(((col("x1") - col("x0") + 1L) *
+          (col("y1") - col("y0") + 1L)).as("n_quadrats"),
+        col("n_occupied"), col("n_points"), col("sum_n2"))
+  }
+
   /** STANDARD DEVIATIONAL ELLIPSE components [Lefever 1926; the ArcGIS
     * "directional distribution" verb] — per-group centrographic shape:
     * mean center, spread AND ORIENTATION (is the cluster round, or a

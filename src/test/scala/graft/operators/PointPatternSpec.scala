@@ -240,4 +240,45 @@ class PointPatternSpec extends AnyFunSuite {
     val got2 = run(pts.map { case (l, x, y) => (l, x + 70000L, y - 30000L) })
     assert(got2 === got)
   }
+
+  // ---- clarkEvans / quadratCounts ----------------------------------------
+
+  test("clarkEvans: components match brute NN with the floor-sqrt chain") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(515)
+    val pts = (1L to 250L).map(i => (i, rnd.nextLong(3L),
+      rnd.nextLong(20000000L) - 10000000L, rnd.nextLong(20000000L) - 10000000L))
+    val brute = pts.map { a =>
+      val nn = pts.filter(_._1 != a._1).minBy(b =>
+        ((a._3 - b._3) * (a._3 - b._3) + (a._4 - b._4) * (a._4 - b._4), b._1))
+      val d2 = (a._3 - nn._3) * (a._3 - nn._3) + (a._4 - nn._4) * (a._4 - nn._4)
+      (a._2, math.floor(math.sqrt(d2.toDouble)).toLong)
+    }.groupBy(_._1).map { case (c, v) =>
+      c -> ((v.size.toLong, v.map(_._2).sum, v.map(_._2).min, v.map(_._2).max))
+    }
+    val got = PointPattern.clarkEvans(pts.toDF("id", "cat", "x", "y"),
+        col("id"), col("cat"), col("x"), col("y"), level = 6)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got === brute)
+  }
+
+  test("quadratCounts: frame includes empty quadrats by arithmetic; poles pinned") {
+    import spark.implicits._
+    val g = 1000000L
+    def at(qx: Long, qy: Long) = (qx * g - 180000000L + 5L, qy * g - 90000000L + 5L)
+    // 3 points in one quadrat + 1 far away: frame = (dx+1)*(dy+1) quadrats,
+    // occupied 2, sum_n2 = 9 + 1
+    val pts = Seq(at(10, 10), at(10, 10), at(10, 10), at(14, 12))
+    val got = PointPattern.quadratCounts(pts.toDF("x", "y"),
+        col("x"), col("y"), g)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq((15L, 2L, 4L, 10L)))
+    // uniform lattice: every quadrat exactly 1 -> sum_n2 = n, VMR numerator 0
+    val lat = for (qx <- 0L until 5L; qy <- 0L until 4L) yield at(20 + qx, 20 + qy)
+    val got2 = PointPattern.quadratCounts(lat.toDF("x", "y"),
+        col("x"), col("y"), g)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got2.toSeq === Seq((20L, 20L, 20L, 20L)))
+  }
 }
