@@ -2294,6 +2294,19 @@ object SparkEntry {
           col("tus"), eps1 = 8000000L, eps2 = 6000000L, minPts = 3)
         .orderBy("id")
     }),
+    // ---- Join-count statistics (qad): categorical lattice autocorrelation
+    //      — BB/BW/WW rook pairs of the thresholded density raster, the
+    //      clumping-vs-checkerboard test closing the Moran/LISA/Gi* family.
+    "qad_join_counts" -> ((s, dir) => {
+      val hub = col("o_orderkey") % 37L
+      val pts = s.read.parquet(s"$dir/orders.parquet").select(
+        (Derive.lonMicro(hub) + (col("o_orderkey") * 48271L) % 9000001L
+          - 4500000L).as("lonm"),
+        (Derive.latMicro(hub) + ((col("o_orderkey") + 7L) * 16807L) % 9000001L
+          - 4500000L).as("latm"))
+      operators.GridRaster.joinCounts(pts, col("lonm"), col("latm"),
+        cellMicro = 2000000L, minCount = 10L)
+    }),
     // ---- Clark–Evans NN components (qab): aggregation-vs-dispersion per
     //      category — observed mean NN distance components over the full
     //      pattern, the overdispersion reading density stats can't give.
@@ -4180,6 +4193,31 @@ object SparkEntry {
     "q9u_st_dbscan" ->
       s"""$stDbscanCteSql
          |SELECT id, cluster FROM lbl ORDER BY id""".stripMargin,
+    "qad_join_counts" ->
+      // same right/up rook pairing + color census
+      s"""WITH pts AS (SELECT
+         |  ${Derive.lonSql("(o_orderkey % 37)")}
+         |    + (o_orderkey * 48271) % 9000001 - 4500000 AS lon,
+         |  ${Derive.latSql("(o_orderkey % 37)")}
+         |    + ((o_orderkey + 7) * 16807) % 9000001 - 4500000 AS lat
+         |  FROM orders),
+         |r AS (SELECT (lon + 180000000) // 2000000 AS px,
+         |    (lat + 90000000) // 2000000 AS py,
+         |    CASE WHEN count(*) >= 10 THEN 1 ELSE 0 END AS b
+         |  FROM pts GROUP BY 1, 2),
+         |pr AS (SELECT a.b AS ba, c.b AS bb_ FROM r a
+         |  JOIN r c ON (c.px = a.px + 1 AND c.py = a.py)
+         |           OR (c.px = a.px AND c.py = a.py + 1)),
+         |cen AS (SELECT CAST(sum(b) AS BIGINT) AS n_black,
+         |  CAST(count(*) - sum(b) AS BIGINT) AS n_white FROM r)
+         |SELECT cen.n_black, cen.n_white,
+         |  CAST(sum(ba * bb_) AS BIGINT) AS bb,
+         |  CAST(sum(CASE WHEN ba <> bb_ THEN 1 ELSE 0 END) AS BIGINT) AS bw,
+         |  CAST(sum(CASE WHEN ba = 0 AND bb_ = 0 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS ww,
+         |  CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM pr CROSS JOIN cen
+         |GROUP BY cen.n_black, cen.n_white""".stripMargin,
     "qab_clark_evans" ->
       // brute window NN by (d2, id) + the same floor-sqrt chain
       s"""WITH p AS (SELECT c_custkey AS pid, c_custkey % 5 AS cat,

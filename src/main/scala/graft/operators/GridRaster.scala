@@ -722,6 +722,53 @@ object GridRaster {
       .agg(sum("_raw").as("raw"), sum("_c").as("density"))
   }
 
+  /** JOIN-COUNT statistics [Cliff & Ord 1973] — the categorical
+    * autocorrelation test the Moran family can't do: threshold the
+    * occupied density raster into Black (n ≥ `minCount`) / White cells
+    * and count the rook-adjacent pairs by color — BB ≫ expected means the
+    * hot class clumps, BW ≫ expected means a checkerboard. One row:
+    * (n_black, n_white, bb, bw, ww, n_pairs); the expectations under the
+    * free-sampling null (E[BB] = J·p_B², etc.) are consumer arithmetic.
+    * Adjacency is OVER THE OCCUPIED SURFACE (empty cells are absent, not
+    * White — the [[flowAccumulation]] convention), so the statistic reads
+    * the pattern of density GIVEN presence.
+    *
+    * Plan: points collapse to the raster in exchange one; each
+    * undirected rook pair is produced ONCE by the right/up neighbor-key
+    * self equi-join (the [[maskBoundary]] construction); one single-row
+    * aggregate. Raster-sized, AQE-broadcastable.
+    */
+  def joinCounts(points: DataFrame, lonCol: Column, latCol: Column,
+                 cellMicro: Long, minCount: Long): DataFrame = {
+    require(cellMicro > 0 && minCount >= 1,
+      "need cellMicro > 0 and minCount >= 1")
+    val g = cellMicro
+    val maxX = 360000000L / g - 1; val maxY = 180000000L / g - 1
+    val K = 1073741824L
+    val cells = points.select(
+        (lonCol.cast("long") + 180000000L).as("_wx"),
+        (latCol.cast("long") + 90000000L).as("_wy"))
+      .select(expr(s"_wx div $g").as("px"), expr(s"_wy div $g").as("py"))
+      .where(col("px").between(0L, maxX) && col("py").between(0L, maxY))
+      .groupBy("px", "py").agg(count(lit(1)).as("n"))
+      .select((col("px") * K + col("py")).as("k"),
+        when(col("n") >= minCount, 1L).otherwise(0L).as("b"))
+      .localCheckpoint() // feeds both join sides and the color census
+    val pairs = cells.select(col("k").as("ka"), col("b").as("ba"),
+        explode(array(col("k") + K, col("k") + 1L)).as("kb"))
+      .join(cells.select(col("k").as("kb"), col("b").as("bb_")), "kb")
+    val census = cells.agg(sum("b").as("n_black"),
+      (count(lit(1)) - sum("b")).as("n_white"))
+    pairs.agg(
+        sum(col("ba") * col("bb_")).as("bb"),
+        sum(when(col("ba") =!= col("bb_"), 1L).otherwise(0L)).as("bw"),
+        sum(when(col("ba") === 0L && col("bb_") === 0L, 1L)
+          .otherwise(0L)).as("ww"),
+        count(lit(1)).as("n_pairs"))
+      .crossJoin(broadcast(census))
+      .select("n_black", "n_white", "bb", "bw", "ww", "n_pairs")
+  }
+
   /** FOCAL MEDIAN — the rank-order smoother over the occupied density
     * surface (GRASS `r.neighbors method=median`): each occupied cell's
     * value is replaced by the LOWER MEDIAN of the occupied cells in its

@@ -791,4 +791,45 @@ class GridRasterSpec extends AnyFunSuite {
         ((r.getLong(2), r.getLong(3)))).toMap
     assert(got === bruteFocalMedian(pts, 1000000L))
   }
+
+  // ---- joinCounts --------------------------------------------------------
+
+  test("joinCounts: clump vs checkerboard poles + brute parity") {
+    val g = 1000000L
+    def cell(cx: Long, cy: Long, k: Int): Seq[(Long, Long)] =
+      Seq.fill(k)((cx * g - 180000000L + 5L, cy * g - 90000000L + 5L))
+    def run(pts: Seq[(Long, Long)], t: Long) =
+      GridRaster.joinCounts(pts.toDF("x", "y"), col("x"), col("y"), g, t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5))).head
+    // 2x2 solid black block + 2x2 solid white block far away:
+    // pairs: 4 BB inside the black block, 4 WW inside white, 0 BW
+    val clump = (for (dx <- 0L to 1L; dy <- 0L to 1L) yield
+        cell(10 + dx, 10 + dy, 5)).flatten ++
+      (for (dx <- 0L to 1L; dy <- 0L to 1L) yield
+        cell(50 + dx, 50 + dy, 1)).flatten
+    assert(run(clump, 3L) === ((4L, 4L, 4L, 0L, 4L, 8L)))
+    // 3x3 checkerboard (center-connected): corners+center black ->
+    // every rook pair is BW (12 pairs)
+    val checker = (for (dx <- 0L to 2L; dy <- 0L to 2L) yield
+      cell(20 + dx, 20 + dy, if ((dx + dy) % 2 == 0) 5 else 1)).flatten
+    assert(run(checker, 3L) === ((5L, 4L, 0L, 12L, 0L, 12L)))
+    // brute parity on a random scatter
+    val rnd = new scala.util.Random(47)
+    val pts = (0 until 600).map { _ =>
+      (rnd.nextLong(20000000L) - 10000000L, rnd.nextLong(20000000L) - 10000000L)
+    }
+    val counts = pts.map { case (x, y) => ((x + 180000000L) / g, (y + 90000000L) / g) }
+      .groupBy(identity).map { case (c, v) => c -> v.size.toLong }
+    val color = counts.map { case (c, n) => c -> (if (n >= 2L) 1L else 0L) }
+    var (bb, bw, ww, np) = (0L, 0L, 0L, 0L)
+    for ((c, b) <- color; d <- Seq((c._1 + 1, c._2), (c._1, c._2 + 1));
+         b2 <- color.get(d)) {
+      np += 1
+      if (b == 1 && b2 == 1) bb += 1
+      else if (b == 0 && b2 == 0) ww += 1 else bw += 1
+    }
+    val nb = color.values.sum; val nw = color.size - nb
+    assert(run(pts, 2L) === ((nb, nw, bb, bw, ww, np)))
+  }
 }
