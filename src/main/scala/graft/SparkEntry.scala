@@ -2294,6 +2294,25 @@ object SparkEntry {
           col("tus"), eps1 = 8000000L, eps2 = 6000000L, minPts = 3)
         .orderBy("id")
     }),
+    // ---- Visit concentration (qae): the predictability surrogate — how
+    //      unevenly each user's fixes spread over its cells (Simpson Σn²);
+    //      complements qa5's r_g (how FAR) with how UNEVENLY; slot fixture.
+    "qae_visit_conc" -> ((s, dir) => {
+      val hub = col("user_id") % 13L
+      val slot = expr("(unix_micros(cast(ts as timestamp)) " +
+        "- 1704067200000000) div 259200000000")
+      val ev = s.read.parquet(s"$dir/events.parquet").select(
+        col("user_id"),
+        (Derive.lonMicro(hub)
+          + ((col("user_id") * 31L + slot * 7L) * 48271L) % 600001L - 300000L
+          + (col("event_id") * 7919L) % 200001L - 100000L).as("lonm"),
+        (Derive.latMicro(hub)
+          + ((col("user_id") * 17L + slot * 11L) * 16807L) % 600001L - 300000L
+          + ((col("event_id") + 3L) * 104729L) % 200001L - 100000L).as("latm"))
+      Trajectory.visitConcentration(ev, col("user_id"), col("lonm"),
+          col("latm"), cellMicro = 400000L)
+        .orderBy("entity")
+    }),
     // ---- Join-count statistics (qad): categorical lattice autocorrelation
     //      — BB/BW/WW rook pairs of the thresholded density raster, the
     //      clumping-vs-checkerboard test closing the Moran/LISA/Gi* family.
@@ -4193,6 +4212,44 @@ object SparkEntry {
     "q9u_st_dbscan" ->
       s"""$stDbscanCteSql
          |SELECT id, cluster FROM lbl ORDER BY id""".stripMargin,
+    "qae_visit_conc" ->
+      s"""WITH f AS (SELECT user_id AS ent,
+         |  (${Derive.lonSql("(user_id % 13)")}
+         |    + ((user_id * 31 + ((epoch_us(ts) - 1704067200000000)
+         |        // 259200000000) * 7) * 48271) % 600001 - 300000
+         |    + (event_id * 7919) % 200001 - 100000 + 180000000)
+         |      // 400000 AS cx,
+         |  (${Derive.latSql("(user_id % 13)")}
+         |    + ((user_id * 17 + ((epoch_us(ts) - 1704067200000000)
+         |        // 259200000000) * 11) * 16807) % 600001 - 300000
+         |    + ((event_id + 3) * 104729) % 200001 - 100000 + 90000000)
+         |      // 400000 AS cy
+         |  FROM events),
+         |c AS (SELECT ent, cx, cy, count(*) AS n FROM f GROUP BY 1, 2, 3)
+         |SELECT ent AS entity, CAST(sum(n) AS BIGINT) AS n_fixes,
+         |  CAST(count(*) AS BIGINT) AS n_cells,
+         |  CAST(sum(n * n) AS BIGINT) AS coll,
+         |  CAST(max(n) AS BIGINT) AS max_cell_n
+         |FROM c GROUP BY ent ORDER BY entity""".stripMargin,
+    "qae_visit_conc" ->
+      s"""WITH f AS (SELECT user_id AS ent,
+         |  (${Derive.lonSql("(user_id % 13)")}
+         |    + ((user_id * 31 + ((epoch_us(ts) - 1704067200000000)
+         |        // 259200000000) * 7) * 48271) % 600001 - 300000
+         |    + (event_id * 7919) % 200001 - 100000 + 180000000)
+         |      // 400000 AS cx,
+         |  (${Derive.latSql("(user_id % 13)")}
+         |    + ((user_id * 17 + ((epoch_us(ts) - 1704067200000000)
+         |        // 259200000000) * 11) * 16807) % 600001 - 300000
+         |    + ((event_id + 3) * 104729) % 200001 - 100000 + 90000000)
+         |      // 400000 AS cy
+         |  FROM events),
+         |c AS (SELECT ent, cx, cy, count(*) AS n FROM f GROUP BY 1, 2, 3)
+         |SELECT ent AS entity, CAST(sum(n) AS BIGINT) AS n_fixes,
+         |  CAST(count(*) AS BIGINT) AS n_cells,
+         |  CAST(sum(n * n) AS BIGINT) AS coll,
+         |  CAST(max(n) AS BIGINT) AS max_cell_n
+         |FROM c GROUP BY ent ORDER BY entity""".stripMargin,
     "qad_join_counts" ->
       // same right/up rook pairing + color census
       s"""WITH pts AS (SELECT

@@ -860,4 +860,36 @@ object Trajectory {
         sum("dy").as("sum_dy"),
         sum(col("dx") * col("dx") + col("dy") * col("dy")).as("sum_d2"))
   }
+
+  /** VISIT CONCENTRATION components [the Song, Qu, Blumm & Barabási 2010
+    * predictability question, integer surrogate] — how concentrated is
+    * each entity's time across the places it visits: `coll` = Σ nᵢ² over
+    * its per-cell visit counts (the Simpson/Rényi-2 surrogate of visit
+    * entropy, the [[graft.operators.Multimodal.lumaHistogram]]
+    * discipline applied to mobility) plus n_fixes, n_cells and the top
+    * cell's count. A commuter (two dominant cells) and an explorer (long
+    * uniform tail) separate on coll/n² where raw fix counts look
+    * identical; the one float normalization is the consumer's.
+    * Complements [[radiusOfGyration]]: r_g measures how FAR the
+    * territory spreads, this measures how UNEVENLY it is used.
+    *
+    * Plan: two chained hash aggregates on refining keys ((entity, cell)
+    * → entity — the second groupBy reuses the first exchange's
+    * partitioning). No window, no driver state.
+    */
+  def visitConcentration(fixes: DataFrame, entity: Column,
+                         lon: Column, lat: Column, cellMicro: Long)
+      : DataFrame = {
+    require(cellMicro > 0, "cellMicro must be positive")
+    val g = cellMicro
+    fixes.select(entity.cast("long").as("ent"),
+        (lon.cast("long") + 180000000L).as("wx"),
+        (lat.cast("long") + 90000000L).as("wy"))
+      .select(col("ent"), expr(s"wx div $g").as("cx"),
+        expr(s"wy div $g").as("cy"))
+      .groupBy("ent", "cx", "cy").agg(count(lit(1)).as("n"))
+      .groupBy(col("ent").as("entity"))
+      .agg(sum("n").as("n_fixes"), count(lit(1)).as("n_cells"),
+        sum(col("n") * col("n")).as("coll"), max("n").as("max_cell_n"))
+  }
 }

@@ -835,4 +835,22 @@ class TrajectorySpec extends AnyFunSuite {
         ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
     assert(got2 === got)
   }
+
+  test("visitConcentration: commuter vs explorer separate on coll; hand counts exact") {
+    import spark.implicits._
+    val g = 1000000L
+    def at(cx: Long, cy: Long) = (cx * g - 180000000L + 5L, cy * g - 90000000L + 5L)
+    // commuter (ent 1): 8 fixes in 2 cells (6 + 2); explorer (ent 2):
+    // 8 fixes in 8 distinct cells
+    val home = at(10, 10); val work = at(20, 20)
+    val fx = (Seq.fill(6)((1L, home._1, home._2)) ++
+      Seq.fill(2)((1L, work._1, work._2)) ++
+      (0 until 8).map(i => (2L, at(40 + i, 40)._1, at(40 + i, 40)._2)))
+    val got = Trajectory.visitConcentration(fx.toDF("ent", "x", "y"),
+        col("ent"), col("x"), col("y"), g)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got === Map(1L -> ((8L, 2L, 40L, 6L)), 2L -> ((8L, 8L, 8L, 1L))))
+    // same n_fixes, wildly different concentration: 40 vs 8
+  }
 }
